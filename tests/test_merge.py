@@ -1,0 +1,110 @@
+"""Merge semantics (SURVEY §7 M3 + hard parts 1/2/5; FIXTURES §A3.4-6)."""
+
+from pyspark.sql import functions as F
+
+from kafka_cdc_hudi_spark.operators.merge import merge_upsert
+from kafka_cdc_hudi_spark.sinks.keyed_table import KeyedParquetTable
+
+SCHEMA = "id long, val string, mtime long, _deleted boolean"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _state(df):
+    return {r["id"]: (r["val"], r["mtime"]) for r in df.collect()}
+
+
+class TestMergeUpsert:
+    def test_insert_update_delete(self, spark):
+        b1 = _df(spark, [(1, "a", 10, False), (2, "b", 10, False)])
+        s1 = merge_upsert(None, b1, ["id"], keep_deleted_col=False)
+        b2 = _df(spark, [(1, "a2", 20, False), (2, None, 20, True), (3, "c", 20, False)])
+        s2 = merge_upsert(s1, b2, ["id"])
+        assert _state(s2) == {1: ("a2", 20), 3: ("c", 20)}
+
+    def test_old_event_never_clobbers_newer_row(self, spark):
+        # FIXTURES A3.5: late batch carries an OLDER mtime for an existing key
+        s1 = merge_upsert(None, _df(spark, [(1, "new", 100, False)]), ["id"])
+        s2 = merge_upsert(s1, _df(spark, [(1, "stale", 50, False)]), ["id"])
+        assert _state(s2) == {1: ("new", 100)}
+
+    def test_tie_prefers_incoming_batch(self, spark):
+        # Hudi DefaultHoodieRecordPayload: equal precombine -> incoming wins
+        s1 = merge_upsert(None, _df(spark, [(1, "old", 100, False)]), ["id"])
+        s2 = merge_upsert(s1, _df(spark, [(1, "incoming", 100, False)]), ["id"])
+        assert _state(s2) == {1: ("incoming", 100)}
+
+    def test_idempotent_replay(self, spark):
+        b = _df(spark, [(1, "a", 10, False), (2, "b", 20, True)])
+        s1 = merge_upsert(None, b, ["id"])
+        s2 = merge_upsert(s1, b, ["id"])
+        assert _state(s1) == _state(s2) == {1: ("a", 10)}
+
+    def test_delete_then_reinsert(self, spark):
+        s1 = merge_upsert(None, _df(spark, [(1, "a", 10, False)]), ["id"])
+        s2 = merge_upsert(s1, _df(spark, [(1, None, 20, True)]), ["id"])
+        assert _state(s2) == {}
+        s3 = merge_upsert(s2, _df(spark, [(1, "back", 30, False)]), ["id"])
+        assert _state(s3) == {1: ("back", 30)}
+
+    def test_schema_drift_new_column(self, spark):
+        # SURVEY §7 hard-part 2: new column appears; old rows null-filled
+        s1 = merge_upsert(None, _df(spark, [(1, "a", 10, False)]), ["id"])
+        b2 = spark.createDataFrame(
+            [(2, "b", 5, False, 99)], "id long, val string, mtime long, _deleted boolean, extra long"
+        )
+        s2 = merge_upsert(s1, b2, ["id"])
+        got = {r["id"]: r["extra"] for r in s2.collect()}
+        assert got == {1: None, 2: 99}
+
+    def test_schema_drift_dropped_column(self, spark):
+        # dropped column survives null-filled (hoodie allow-column-drop parity)
+        s1 = merge_upsert(None, _df(spark, [(1, "a", 10, False)]), ["id"])
+        b2 = spark.createDataFrame([(2, 5, False)], "id long, mtime long, _deleted boolean")
+        s2 = merge_upsert(s1, b2, ["id"])
+        got = {r["id"]: r["val"] for r in s2.collect()}
+        assert got == {1: "a", 2: None}
+
+    def test_composite_key(self, spark):
+        rows = [(1, "x", 10, False), (1, "y", 10, False)]
+        b = spark.createDataFrame(
+            [(i, k, m, d) for (i, k, m, d) in rows], "id long, k2 string, mtime long, _deleted boolean"
+        )
+        s = merge_upsert(None, b, ["id", "k2"])
+        assert s.count() == 2
+
+    def test_in_batch_duplicates_collapse(self, spark):
+        b = _df(spark, [(1, "v1", 10, False), (1, "v3", 30, False), (1, "v2", 20, False)])
+        s = merge_upsert(None, b, ["id"])
+        assert _state(s) == {1: ("v3", 30)}
+
+
+class TestKeyedParquetTable:
+    def test_versioned_merge_and_replay(self, spark, tmp_path):
+        t = KeyedParquetTable(str(tmp_path / "tbl"), ["id"])
+        b1 = _df(spark, [(1, "a", 10, False), (2, "b", 10, False)])
+        assert t.merge_batch(spark, b1, batch_id=0)
+        # replay of committed batch id is a no-op (at-least-once safety)
+        assert not t.merge_batch(spark, b1, batch_id=0)
+        b2 = _df(spark, [(1, "a2", 20, False), (2, None, 20, True)])
+        assert t.merge_batch(spark, b2, batch_id=1)
+        cur = t.read(spark)
+        assert _state(cur) == {1: ("a2", 20)}
+
+    def test_empty_batch_skipped(self, spark, tmp_path):
+        t = KeyedParquetTable(str(tmp_path / "tbl"), ["id"])
+        empty = _df(spark, []).filter(F.lit(False))
+        assert not t.merge_batch(spark, empty, batch_id=0)
+        assert not t.exists()
+
+    def test_version_pruning(self, spark, tmp_path):
+        import os
+
+        t = KeyedParquetTable(str(tmp_path / "tbl"), ["id"], keep_versions=2)
+        for i in range(5):
+            t.merge_batch(spark, _df(spark, [(1, f"v{i}", i, False)]), batch_id=i)
+        dirs = [d for d in os.listdir(t.root) if d.startswith("v_")]
+        assert len(dirs) <= 2
+        assert _state(t.read(spark)) == {1: ("v4", 4)}

@@ -1,0 +1,125 @@
+"""Streaming smoke (SURVEY §5.4): the same batch functions driven through a
+broker-free file-source stream via ``foreachBatch``; checkpointed restart
+must not double-merge (FIXTURES §A3.9 + at-least-once replay)."""
+
+import json
+import time
+
+from kafka_cdc_hudi_spark.config import DIALECT_DEBEZIUM, JobConfig, TableSpec
+from kafka_cdc_hudi_spark.plans.cdc_fixtures import EVENTS_PAYLOAD_SCHEMA  # noqa: F401
+from kafka_cdc_hudi_spark.sources.kafka import json_file_value_stream
+from kafka_cdc_hudi_spark.streaming.driver import CdcStreamDriver
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+PAYLOAD = StructType(
+    [
+        StructField("id", LongType(), True),
+        StructField("val", StringType(), True),
+    ]
+)
+
+
+def dbz(op, after=None, before=None, ts_ms=0, db="d1", table="t1"):
+    return json.dumps(
+        {"before": before, "after": after, "op": op, "ts_ms": ts_ms, "db": db, "table": table}
+    )
+
+
+def _await_done(query, timeout=60):
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        query.processAllAvailable()
+        return
+    raise TimeoutError
+
+
+def _write_lines(path, lines):
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def test_file_stream_end_to_end_with_restart(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    cfg = JobConfig(
+        dialect=DIALECT_DEBEZIUM,
+        tables=[
+            TableSpec("d1", "t1", ("id",)),
+            TableSpec("d1", "t2", ("id",)),
+        ],
+        sink_root=str(tmp_path / "sink"),
+        checkpoint_location=str(tmp_path / "ckpt"),
+        trigger_interval="1 seconds",
+        max_workers=2,
+    )
+    driver = CdcStreamDriver(spark, cfg, payload_schemas={"t1": PAYLOAD, "t2": PAYLOAD})
+
+    # batch 1: inserts for both tables, dup key out-of-order for t1
+    _write_lines(
+        src / "b1.json",
+        [
+            dbz("c", after={"id": 1, "val": "a"}, ts_ms=10),
+            dbz("u", after={"id": 1, "val": "a2"}, ts_ms=30),
+            dbz("u", after={"id": 1, "val": "mid"}, ts_ms=20),
+            dbz("c", after={"id": 5, "val": "x"}, ts_ms=10, table="t2"),
+        ],
+    )
+    q = driver.start(json_file_value_stream(spark, str(src), max_files_per_trigger=1))
+    q.processAllAvailable()
+
+    t1 = driver.sink_for(cfg.tables[0]).read(spark)
+    assert {(r["id"], r["val"]) for r in t1.collect()} == {(1, "a2")}
+    t2 = driver.sink_for(cfg.tables[1]).read(spark)
+    assert {(r["id"], r["val"]) for r in t2.collect()} == {(5, "x")}
+
+    # batch 2: delete on t1, stale event must not clobber
+    _write_lines(
+        src / "b2.json",
+        [
+            dbz("d", before={"id": 1, "val": "a2"}, ts_ms=40),
+            dbz("u", after={"id": 5, "val": "stale"}, ts_ms=5, table="t2"),
+            dbz("c", after={"id": 6, "val": "y"}, ts_ms=50, table="t2"),
+        ],
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    t1 = driver.sink_for(cfg.tables[0]).read(spark)
+    assert t1.count() == 0
+    t2 = driver.sink_for(cfg.tables[1]).read(spark)
+    assert {(r["id"], r["val"]) for r in t2.collect()} == {(5, "x"), (6, "y")}
+
+    # restart from the same checkpoint: no reprocessing, no duplicate merge
+    driver2 = CdcStreamDriver(spark, cfg, payload_schemas={"t1": PAYLOAD, "t2": PAYLOAD})
+    q2 = driver2.start(json_file_value_stream(spark, str(src)))
+    q2.processAllAvailable()
+    q2.stop()
+    t2 = driver2.sink_for(cfg.tables[1]).read(spark)
+    assert {(r["id"], r["val"]) for r in t2.collect()} == {(5, "x"), (6, "y")}
+
+
+def test_dynamic_schema_inference_stream(spark, tmp_path):
+    """No declared schema: driver infers from first non-empty batch (A3.8)."""
+    src = tmp_path / "src"
+    src.mkdir()
+    cfg = JobConfig(
+        dialect=DIALECT_DEBEZIUM,
+        tables=[TableSpec("d1", "t1", ("id",))],
+        sink_root=str(tmp_path / "sink"),
+        checkpoint_location=str(tmp_path / "ckpt"),
+        max_workers=1,
+    )
+    driver = CdcStreamDriver(spark, cfg)  # no payload_schemas
+    _write_lines(
+        src / "b1.json",
+        [
+            dbz("c", after={"id": 1, "val": "a"}, ts_ms=10),
+            dbz("c", after={"id": 2, "val": "b", "extra": 7}, ts_ms=10),
+        ],
+    )
+    q = driver.start(json_file_value_stream(spark, str(src)))
+    q.processAllAvailable()
+    q.stop()
+    t1 = driver.sink_for(cfg.tables[0]).read(spark)
+    rows = {r["id"]: (r["val"], r["extra"]) for r in t1.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 7)}
