@@ -1,38 +1,52 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash -> CORRECTNESS_r{N}.json).
+
+Implementation lives in ``kafka_cdc_hudi_spark/`` (plans/catalog.py is the
+registry); this file is only the thin adapter.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _ensure_confs(spark: SparkSession) -> SparkSession:
+    """Confs the engine needs that the driver's session may not set."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # testdata parquet is TIMESTAMP(NANOS); see sources/tables.py
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the full CDC capability end-to-end — events -> Debezium JSON
+    envelopes -> declarative parse (delete recovery) -> two sequential keyed
+    merges with precombine semantics -> final table state."""
+    from kafka_cdc_hudi_spark.plans.catalog_cdc import cdc_merge_two_batches
+
+    return cdc_merge_two_batches(_ensure_confs(spark), "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from kafka_cdc_hudi_spark.plans import catalog
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def wrap(fn):
+        return lambda spark, sf_dir: fn(_ensure_confs(spark), sf_dir)
+
+    return {name: wrap(fn) for name, fn in catalog.queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from kafka_cdc_hudi_spark.plans import catalog
+
+    return catalog.oracle_sql()

@@ -1,0 +1,287 @@
+"""Oracle-checked analytics queries over the merged/test tables (SURVEY §7 M6).
+
+The reference has no analytics surface of its own (its tables are queried by
+downstream engines once in Hudi); this is the M6 north-star extension: the
+standard relational operator set — joins (broadcast + shuffle), group-by
+aggregation, event-time bucketing, window top-k — expressed DataFrame-first
+so Catalyst drives the physical plan.
+
+Determinism contract with the DuckDB oracle: every floating aggregate is
+computed as SUM(CAST(x AS DECIMAL(25,6))) then CAST to DOUBLE — decimal sums
+are exact and order-independent, and the final decimal->double cast is the
+same value in both engines, so value hashes match bit-for-bit. Plain
+double SUMs would differ in last-ulp between engines/partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_cdc_hudi_spark.sources.tables import load_table
+
+DEC = "decimal(25,6)"
+
+
+def _dsum(col: F.Column | str, alias: str) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(DEC)).cast("double").alias(alias)
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy group-by with derived measures.
+    Plan goals: shipdate filter + 7-col pruning pushed to parquet scan,
+    partial aggregation map-side, single shuffle on the 4-group key."""
+    l = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity", "sum_qty"),
+            _dsum("l_extendedprice", "sum_base_price"),
+            _dsum(disc_price, "sum_disc_price"),
+            _dsum(charge, "sum_charge"),
+            (F.sum(F.col("l_quantity").cast(DEC)).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(F.col("l_extendedprice").cast(DEC)).cast("double") / F.count("*")).alias(
+                "avg_price"
+            ),
+            (F.sum(F.col("l_discount").cast(DEC)).cast("double") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS {DEC})) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS {DEC})) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS {DEC})) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS {DEC})) AS DOUBLE) / COUNT(*) AS avg_price,
+       CAST(SUM(CAST(l_discount AS {DEC})) AS DOUBLE) / COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective 3-way join + agg + deterministic top-10.
+    customer is small -> broadcast; orders join lineitem shuffles on
+    orderkey once (the agg reuses that partitioning)."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS {DEC})) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join with dimension broadcast chain + group-by.
+    region/nation/supplier/customer are all broadcast; only
+    orders><lineitem shuffles."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
+Q5_SQL = f"""
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS {DEC})) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + global agg — the predicate-pushdown
+    showcase (all three filters reach the parquet scan)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(_dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
+    )
+
+
+Q6_SQL = f"""
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS {DEC})) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def events_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time bucketed aggregation (batch shape of a streaming
+    tumbling-window agg) over the events stream table."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            _dsum("value", "sum_value"),
+        )
+    )
+
+
+EVENTS_HOURLY_SQL = f"""
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window: top-3 orders per customer (WindowGroupLimit prunes
+    to running top-3 before the sort on Spark >= 3.5)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rank_in_cust", F.row_number().over(w))
+        .filter(F.col("rank_in_cust") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank_in_cust")
+    )
+
+
+TOPK_ORDERS_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rank_in_cust
+FROM orders
+QUALIFY rank_in_cust <= 3
+"""
+
+
+def events_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global stats per event_type: distinct users, min/max/sum (O6 count
+    generalized)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        _dsum("value", "sum_value"),
+    )
+
+
+EVENTS_TYPE_STATS_SQL = f"""
+SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
+       MIN(value) AS min_value, MAX(value) AS max_value,
+       CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY event_type
+"""
+
+
+def customers_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-chain dimension rollup: customer -> nation -> region."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_customers"), _dsum("c_acctbal", "sum_acctbal"))
+    )
+
+
+CUSTOMERS_PER_REGION_SQL = f"""
+SELECT r_name, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS {DEC})) AS DOUBLE) AS sum_acctbal
+FROM customer, nation, region
+WHERE c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def global_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6: the count aggregate, as one row over two fact tables."""
+    e = load_table(spark, sf_dir, "events")
+    l = load_table(spark, sf_dir, "lineitem")
+    return e.agg(F.count("*").alias("n_events")).crossJoin(
+        l.agg(F.count("*").alias("n_lineitem"))
+    )
+
+
+GLOBAL_COUNTS_SQL = """
+SELECT (SELECT COUNT(*) FROM events) AS n_events,
+       (SELECT COUNT(*) FROM lineitem) AS n_lineitem
+"""
+
+
+ANALYTICS_QUERIES: dict[str, tuple] = {
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
+    "q5_local_supplier": (q5_local_supplier, Q5_SQL),
+    "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
+    "events_hourly_agg": (events_hourly_agg, EVENTS_HOURLY_SQL),
+    "topk_orders_per_customer": (topk_orders_per_customer, TOPK_ORDERS_SQL),
+    "events_type_stats": (events_type_stats, EVENTS_TYPE_STATS_SQL),
+    "customers_per_region": (customers_per_region, CUSTOMERS_PER_REGION_SQL),
+    "global_counts": (global_counts, GLOBAL_COUNTS_SQL),
+}

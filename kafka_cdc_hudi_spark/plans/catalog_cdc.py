@@ -1,0 +1,191 @@
+"""Oracle-checked CDC queries (driver contract, SURVEY §5.2).
+
+Each entry runs the REAL engine path on deterministic fixtures generated
+from the ``events`` parquet (plans/cdc_fixtures.py): events -> JSON CDC
+envelopes -> declarative parse -> route/dedup/merge. The DuckDB oracle
+computes the same answer directly from ``events`` (a JSON round-trip is an
+identity, so parsing correctness is exactly what the comparison proves).
+
+Op derivation (MUST stay in sync with cdc_fixtures):
+    event_id % 10: 0->delete, 1->insert/create, 2->load/read, else update
+DMS control records: event_id % 97 == 0.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_cdc_hudi_spark.operators.cdc import parse_debezium, parse_dms, route
+from kafka_cdc_hudi_spark.operators.dedup import latest_per_key
+from kafka_cdc_hudi_spark.operators.merge import merge_upsert
+from kafka_cdc_hudi_spark.plans.cdc_fixtures import (
+    EVENTS_PAYLOAD_SCHEMA,
+    debezium_envelopes,
+    dms_envelopes,
+)
+from kafka_cdc_hudi_spark.sources.tables import load_table
+
+PAYLOAD_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+#: shared oracle fragment: events + derived debezium op + mtime
+_EVT_CTE = """
+evt AS (
+  SELECT event_id, ts, user_id, event_type, value, props,
+         CASE WHEN event_id % 10 = 0 THEN 'd'
+              WHEN event_id % 10 = 1 THEN 'c'
+              WHEN event_id % 10 = 2 THEN 'r'
+              ELSE 'u' END AS operation,
+         epoch_ms(ts) AS mtime,
+         (event_id % 10 = 0) AS is_deleted
+  FROM events
+)
+"""
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def _norm(df: DataFrame) -> DataFrame:
+    """Rename engine helper column for oracle comparison."""
+    return df.withColumnRenamed("_deleted", "is_deleted")
+
+
+# -- queries -----------------------------------------------------------------
+
+
+def cdc_parse_debezium(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O9/O11/O13/O14/O16: full parse of a Debezium stream incl. delete
+    recovery from `before`."""
+    env = debezium_envelopes(_events(spark, sf_dir))
+    return _norm(parse_debezium(env, EVENTS_PAYLOAD_SCHEMA))
+
+
+CDC_PARSE_DEBEZIUM_SQL = f"""
+WITH {_EVT_CTE}
+SELECT event_id, ts, user_id, event_type, value, props, mtime, operation, is_deleted
+FROM evt
+"""
+
+
+def cdc_parse_dms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DMS dialect parse: control records dropped, ISO-string mtime."""
+    env = dms_envelopes(_events(spark, sf_dir))
+    return _norm(parse_dms(env, EVENTS_PAYLOAD_SCHEMA))
+
+
+CDC_PARSE_DMS_SQL = """
+SELECT event_id, ts, user_id, event_type, value, props,
+       strftime(ts, '%Y-%m-%dT%H:%M:%S.%fZ') AS mtime,
+       CASE WHEN event_id % 10 = 0 THEN 'delete'
+            WHEN event_id % 10 = 1 THEN 'insert'
+            WHEN event_id % 10 = 2 THEN 'load'
+            ELSE 'update' END AS operation,
+       (event_id % 10 = 0) AS is_deleted
+FROM events
+WHERE event_id % 97 <> 0
+"""
+
+
+def cdc_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O15: in-batch latest event per primary key (user_id), deterministic
+    tie-break by event_id."""
+    env = debezium_envelopes(_events(spark, sf_dir))
+    parsed = parse_debezium(env, EVENTS_PAYLOAD_SCHEMA)
+    return _norm(latest_per_key(parsed, ["user_id"], "mtime", tiebreakers=["event_id"]))
+
+
+CDC_LATEST_PER_KEY_SQL = f"""
+WITH {_EVT_CTE}
+SELECT event_id, ts, user_id, event_type, value, props, mtime, operation, is_deleted
+FROM evt
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY mtime DESC, event_id DESC) = 1
+"""
+
+
+def cdc_latest_per_composite_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O15 with a composite primary key (user_id, event_type)
+    (/root/reference/glue/cdc_hudi.py:148,157; FIXTURES A3.6)."""
+    env = debezium_envelopes(_events(spark, sf_dir))
+    parsed = parse_debezium(env, EVENTS_PAYLOAD_SCHEMA)
+    return _norm(
+        latest_per_key(parsed, ["user_id", "event_type"], "mtime", tiebreakers=["event_id"])
+    )
+
+
+CDC_LATEST_PER_COMPOSITE_KEY_SQL = f"""
+WITH {_EVT_CTE}
+SELECT event_id, ts, user_id, event_type, value, props, mtime, operation, is_deleted
+FROM evt
+QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY mtime DESC, event_id DESC) = 1
+"""
+
+
+def cdc_merge_two_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O18 (the heart): two sequential micro-batch merges with precombine +
+    delete semantics; returns the final table state. Batch A = even
+    event_id, batch B = odd, so keys interleave and arrive out of order
+    across batches (FIXTURES A3.5)."""
+    env = debezium_envelopes(_events(spark, sf_dir))
+    parsed = parse_debezium(env, EVENTS_PAYLOAD_SCHEMA)
+    a = parsed.filter(F.col("event_id") % 2 == 0)
+    b = parsed.filter(F.col("event_id") % 2 == 1)
+    s1 = merge_upsert(None, a.drop("operation"), ["user_id"], tiebreakers=["event_id"])
+    s2 = merge_upsert(s1, b.drop("operation"), ["user_id"], tiebreakers=["event_id"])
+    return s2.select("event_id", "ts", "user_id", "event_type", "value", "props", "mtime")
+
+
+CDC_MERGE_TWO_BATCHES_SQL = f"""
+WITH {_EVT_CTE},
+s1 AS (
+  SELECT * FROM evt WHERE event_id % 2 = 0
+  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY mtime DESC, event_id DESC) = 1
+),
+-- stored state drops the delete flag; surviving rows are never "deleted"
+s1k AS (
+  SELECT event_id, ts, user_id, event_type, value, props, mtime,
+         FALSE AS is_deleted, 0 AS src
+  FROM s1 WHERE NOT is_deleted
+),
+b2 AS (
+  SELECT event_id, ts, user_id, event_type, value, props, mtime, is_deleted, 1 AS src
+  FROM evt WHERE event_id % 2 = 1
+),
+merged AS (
+  SELECT * FROM (SELECT * FROM s1k UNION ALL SELECT * FROM b2)
+  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY mtime DESC, src DESC, event_id DESC) = 1
+)
+SELECT event_id, ts, user_id, event_type, value, props, mtime
+FROM merged WHERE NOT is_deleted
+"""
+
+
+def cdc_route_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O8: one stream carries two tables interleaved; route to `events`."""
+    events = _events(spark, sf_dir)
+    own = debezium_envelopes(events.filter(F.col("event_id") % 3 != 0), table="events")
+    foreign = debezium_envelopes(events.filter(F.col("event_id") % 3 == 0), table="other_tbl")
+    stream = own.unionByName(foreign)
+    parsed = parse_debezium(stream, EVENTS_PAYLOAD_SCHEMA, keep_routing=True)
+    return _norm(route(parsed, "test_db", "events"))
+
+
+CDC_ROUTE_MULTITABLE_SQL = f"""
+WITH {_EVT_CTE}
+SELECT event_id, ts, user_id, event_type, value, props, mtime, operation, is_deleted
+FROM evt WHERE event_id % 3 <> 0
+"""
+
+
+CDC_QUERIES: dict[str, tuple] = {
+    "cdc_parse_debezium": (cdc_parse_debezium, CDC_PARSE_DEBEZIUM_SQL),
+    "cdc_parse_dms": (cdc_parse_dms, CDC_PARSE_DMS_SQL),
+    "cdc_latest_per_key": (cdc_latest_per_key, CDC_LATEST_PER_KEY_SQL),
+    "cdc_latest_per_composite_key": (
+        cdc_latest_per_composite_key,
+        CDC_LATEST_PER_COMPOSITE_KEY_SQL,
+    ),
+    "cdc_merge_two_batches": (cdc_merge_two_batches, CDC_MERGE_TWO_BATCHES_SQL),
+    "cdc_route_multitable": (cdc_route_multitable, CDC_ROUTE_MULTITABLE_SQL),
+}

@@ -1,0 +1,71 @@
+"""Local stand-in for the driver's DuckDB-oracle comparison.
+
+Stricter than any plausible driver hashing: requires exact cell equality
+after sorting columns by name and rows by value — if this passes, any
+order-insensitive value-hash comparison passes too.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if s.dtype == object and len(s) and isinstance(s.dropna().iloc[0] if len(s.dropna()) else None, (list, tuple)):
+            df[c] = s.map(lambda v: tuple(v) if v is not None else None)
+        # tz-aware -> naive UTC
+        if isinstance(s.dtype, pd.DatetimeTZDtype):
+            df[c] = s.dt.tz_convert("UTC").dt.tz_localize(None)
+    df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="last")
+    return df.reset_index(drop=True)
+
+
+def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, float_ulp_exact: bool = True):
+    """Returns (ok, message)."""
+    got = _normalize(spark_df.toPandas())
+    exp = _normalize(con.sql(sql).df())
+    if list(got.columns) != list(exp.columns):
+        return False, f"columns differ: spark={list(got.columns)} oracle={list(exp.columns)}"
+    if len(got) != len(exp):
+        return False, f"row count differs: spark={len(got)} oracle={len(exp)}"
+    for c in got.columns:
+        a, b = got[c], exp[c]
+        for i, (x, y) in enumerate(zip(a, b)):
+            if x is None and y is None:
+                continue
+            if isinstance(x, float) and isinstance(y, float):
+                if math.isnan(x) and math.isnan(y):
+                    continue
+                if x != y:
+                    return False, f"col {c} row {i}: {x!r} != {y!r} (float)"
+            elif pd.isna(x) and pd.isna(y):
+                continue
+            elif x != y:
+                return False, f"col {c} row {i}: {x!r} != {y!r}"
+    return True, f"ok ({len(got)} rows, {len(got.columns)} cols)"

@@ -1,0 +1,31 @@
+"""Every registered oracle-checked query must match DuckDB exactly at
+sf0.001 (the driver runs the same comparison at sf0.01)."""
+
+import pytest
+
+from kafka_cdc_hudi_spark.plans.catalog import REGISTRY
+
+from .conftest import SF_DIR
+from .oracle_harness import compare, duckdb_con
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb_con(SF_DIR)
+    yield c
+    c.close()
+
+
+ORACLE_CASES = [(n, fn, sql) for n, (fn, sql) in REGISTRY.items() if sql is not None]
+
+
+@pytest.mark.parametrize("name,fn,sql", ORACLE_CASES, ids=[c[0] for c in ORACLE_CASES])
+def test_query_matches_oracle(spark, con, name, fn, sql):
+    ok, msg = compare(fn(spark, SF_DIR), con, sql)
+    assert ok, f"{name}: {msg}"
+
+
+def test_all_queries_return_rows(spark):
+    for name, (fn, _sql) in REGISTRY.items():
+        df = fn(spark, SF_DIR)
+        assert df.columns, f"{name}: no columns"
