@@ -1,0 +1,121 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+decode/feature-extract as Arrow-batched ``mapInPandas`` stages.
+
+Design for 100 TB of image/audio/video:
+
+- media is an opaque ``binary`` column plus a typed metadata struct —
+  Spark never interprets the bytes except inside the decode UDF;
+- decode/resize/frame-sample run as ``mapInPandas`` (Arrow batches, one
+  Python worker per core, no per-row overhead). Output schemas are fixed
+  ``StructType``s so downstream stays fully native;
+- partitioning: media rows are large — repartition by size budget before a
+  decode stage so one Arrow batch fits comfortably in worker memory
+  (``media_repartition``).
+
+The actual codecs (PIL/ffmpeg/librosa) are NOT in this container, so the
+decode kernel is stubbed: ``decode_images(..., fake=True)`` produces
+deterministic pseudo-features from the bytes (md5-derived), and
+``fake=False`` raises ``NotImplementedError`` at evaluation time. The
+Spark-side plumbing — schema, batching, UDF signature — is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: canonical media-row schema: id + opaque bytes + container metadata
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("content", BinaryType(), True),
+        StructField("format", StringType(), True),
+        StructField("byte_len", LongType(), True),
+    ]
+)
+
+#: decode output: id + extracted typed features
+IMAGE_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_channels", IntegerType(), True),
+        StructField("feature_hash", StringType(), True),
+    ]
+)
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Adapter: treat document text bytes as a stand-in media blob (the
+    container has no real image fixtures)."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("content"),
+        F.when(F.octet_length("text") % 3 == 0, "png")
+        .when(F.octet_length("text") % 3 == 1, "jpeg")
+        .otherwise("webp")
+        .alias("format"),
+        F.octet_length("text").cast("long").alias("byte_len"),
+    )
+
+
+def media_repartition(df: DataFrame, target_rows_per_partition: int = 1024) -> DataFrame:
+    """Bound Arrow batch size ahead of a decode stage. At scale you would
+    compute partitions from SUM(byte_len)/budget; locally row-count is a
+    fine proxy."""
+    n = max(1, df.count() // target_rows_per_partition)
+    return df.repartition(n)
+
+
+def _fake_decode(content: bytes) -> tuple[int, int, int, str]:
+    """Deterministic pseudo-decode: md5-derived dims. Stands in for
+    PIL.Image.open; same bytes -> same 'image'."""
+    h = hashlib.md5(content or b"").hexdigest()
+    width = 64 + int(h[:4], 16) % 1984
+    height = 64 + int(h[4:8], 16) % 1984
+    channels = 1 + int(h[8], 16) % 4
+    return width, height, channels, h
+
+
+def decode_images(df: DataFrame, fake: bool = False) -> DataFrame:
+    """Decode stage: media frame -> IMAGE_FEATURES_SCHEMA frame.
+
+    ``fake=False`` is the real-codec path — unavailable here, raises
+    ``NotImplementedError`` inside the workers (by design; see module
+    docstring). ``fake=True`` runs the deterministic stub through the SAME
+    mapInPandas machinery, so batching/schema/serialization are exercised.
+    """
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real image codecs are not available in this environment; "
+                    "install PIL/ffmpeg and implement the kernel here, or use fake=True"
+                )
+            feats = [_fake_decode(c) for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "width": pd.Series([f[0] for f in feats], dtype="int32"),
+                    "height": pd.Series([f[1] for f in feats], dtype="int32"),
+                    "n_channels": pd.Series([f[2] for f in feats], dtype="int32"),
+                    "feature_hash": [f[3] for f in feats],
+                }
+            )
+
+    return df.mapInPandas(decode_batches, IMAGE_FEATURES_SCHEMA)

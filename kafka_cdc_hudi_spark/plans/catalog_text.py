@@ -1,0 +1,506 @@
+"""Oracle-checked text-analysis + deduplication + similarity queries — the
+training-data-pipeline surface (BASELINE.json north-star extension).
+
+Spark side: native higher-order functions only (split/filter/transform/
+aggregate/explode) — no Python UDFs, everything codegen'd.
+DuckDB side: SQL generated from the SAME constants (functions/textfns.py)
+and the same md5-based hash primitives, so results are bit-identical.
+
+Scale notes per operator are on the individual functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_cdc_hudi_spark.functions.textfns import (
+    HEX_DIGITS,
+    MINHASH_BAND,
+    MINHASH_K,
+    SHINGLE_K,
+    STOPWORDS,
+    TOKEN_SPLIT_RE,
+    fingerprint,
+    shingles,
+    stopword_count,
+    tokens,
+)
+from kafka_cdc_hudi_spark.functions.vectors import cosine, l2_norm
+from kafka_cdc_hudi_spark.sources.tables import load_table
+
+# DuckDB fragments mirroring textfns -----------------------------------------
+
+_DK_TOKS = f"list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'), t -> t <> '')"
+
+_DK_SHINGLES = (
+    f"CASE WHEN len(toks) >= {SHINGLE_K} THEN "
+    f"list_transform(range(1, len(toks) - {SHINGLE_K - 2}), "
+    f"i -> array_to_string(list_slice(toks, i, i + {SHINGLE_K - 1}), ' ')) "
+    f"ELSE [array_to_string(toks, ' ')] END"
+)
+
+
+def _dk_stop_count(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter(toks, t -> t IN ({words})))"
+
+
+# -- text analysis ------------------------------------------------------------
+
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace+punct split): the unit of quota/cost
+    accounting in a training pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
+        F.length("text").alias("n_chars_measured"),
+    )
+
+
+TEXT_TOKEN_COUNT_SQL = f"""
+SELECT doc_id,
+       len({_DK_TOKS}) AS n_tokens,
+       CAST(length(text) AS INT) AS n_chars_measured
+FROM documents
+"""
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: token count, stopword ratio, alpha ratio,
+    mean token length -> weighted score in [0,1]. Pure column math, scales
+    as a single pass."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_tok = F.size(toks).cast("long")
+    n_stop = stopword_count(toks, "en").cast("long")
+    tok_chars = F.aggregate(F.transform(toks, F.length), F.lit(0), lambda a, x: a + x)
+    stop_ratio = F.when(n_tok == 0, F.lit(0.0)).otherwise(
+        n_stop.cast("double") / n_tok
+    )
+    alpha_ratio = F.when(F.length("text") == 0, F.lit(0.0)).otherwise(
+        F.length(F.regexp_replace("text", "[^A-Za-z]", "")).cast("double") / F.length("text")
+    )
+    avg_tok_len = F.when(n_tok == 0, F.lit(0.0)).otherwise(
+        tok_chars.cast("double") / n_tok
+    )
+    quality = (
+        F.lit(0.3) * F.least(n_tok.cast("double") / F.lit(200.0), F.lit(1.0))
+        + F.lit(0.3) * stop_ratio
+        + F.lit(0.2) * F.least(avg_tok_len / F.lit(8.0), F.lit(1.0))
+        + F.lit(0.2) * alpha_ratio
+    )
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        stop_ratio.alias("stop_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        avg_tok_len.alias("avg_token_len"),
+        quality.alias("quality"),
+    )
+
+
+TEXT_QUALITY_SQL = f"""
+WITH tok AS (SELECT doc_id, text, {_DK_TOKS} AS toks FROM documents),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST({_dk_stop_count('en')} AS BIGINT) AS n_stop,
+         list_sum(list_transform(toks, t -> length(t))) AS tok_chars,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha
+  FROM tok
+)
+SELECT doc_id, n_tokens,
+       CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(n_stop AS DOUBLE) / n_tokens END AS stop_ratio,
+       CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(n_alpha AS DOUBLE) / n_chars END AS alpha_ratio,
+       CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(tok_chars AS DOUBLE) / n_tokens END AS avg_token_len,
+       0.3 * least(CAST(n_tokens AS DOUBLE) / 200.0, 1.0)
+       + 0.3 * (CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(n_stop AS DOUBLE) / n_tokens END)
+       + 0.2 * least(CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(tok_chars AS DOUBLE) / n_tokens END / 8.0, 1.0)
+       + 0.2 * (CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(n_alpha AS DOUBLE) / n_chars END) AS quality
+FROM m
+"""
+
+
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/stopword-hit language ID with deterministic priority
+    tie-break (en > de > es > fr)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    scores = {lang: stopword_count(toks, lang).cast("long") for lang in STOPWORDS}
+    s = {k: F.col(f"s_{k}") for k in scores}
+    pred = (
+        F.when((s["en"] >= s["de"]) & (s["en"] >= s["es"]) & (s["en"] >= s["fr"]), "en")
+        .when((s["de"] >= s["es"]) & (s["de"] >= s["fr"]), "de")
+        .when(s["es"] >= s["fr"], "es")
+        .otherwise("fr")
+    )
+    return (
+        d.select("doc_id", *[scores[k].alias(f"s_{k}") for k in STOPWORDS])
+        .withColumn("pred_lang", pred)
+    )
+
+
+_langs = list(STOPWORDS)
+TEXT_LANGUAGE_ID_SQL = f"""
+WITH tok AS (SELECT doc_id, {_DK_TOKS} AS toks FROM documents),
+sc AS (
+  SELECT doc_id,
+         {", ".join(f"CAST({_dk_stop_count(k)} AS BIGINT) AS s_{k}" for k in _langs)}
+  FROM tok
+)
+SELECT doc_id, {", ".join(f"s_{k}" for k in _langs)},
+       CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+            WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+            WHEN s_es >= s_fr THEN 'es'
+            ELSE 'fr' END AS pred_lang
+FROM sc
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: min-md5 over word {SHINGLE_K}-shingles."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint("text").alias("fingerprint"))
+
+
+TEXT_FINGERPRINT_SQL = f"""
+WITH tok AS (SELECT doc_id, {_DK_TOKS} AS toks FROM documents)
+SELECT doc_id, list_min(list_transform({_DK_SHINGLES}, s -> md5(s))) AS fingerprint
+FROM tok
+"""
+
+
+# -- deduplication ------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized text; canonical = min doc_id.
+    At 100 TB this is THE cheap first pass: map-side partial agg on
+    md5(text), shuffle ~unique keys only."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.lower(F.col("text"))).alias("text_hash"))
+        .agg(F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_docs"))
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(lower(text)) AS text_hash, min(doc_id) AS canonical_id, count(*) AS n_docs
+FROM documents
+GROUP BY 1
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted shingle index —
+    explode distinct shingle hashes, self-join on shingle, count
+    intersections. The exact (quadratic-in-collisions) baseline that
+    MinHash approximates."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.transform(shingles(tokens("text")), F.md5))).alias("s"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("i"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .withColumn("jaccard", F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i")))
+        .filter(F.col("jaccard") >= 0.2)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
+
+
+DEDUP_NGRAM_JACCARD_SQL = f"""
+WITH tok AS (SELECT doc_id, {_DK_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform({_DK_SHINGLES}, s -> md5(s)))) AS s
+  FROM tok
+),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (x.n + y.n - i) AS jaccard
+FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.2
+"""
+
+
+def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(shingles(tokens("text"))).alias("s"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"h{i}")
+        for i in range(MINHASH_K)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding near-dup candidates with signature-estimated
+    Jaccard. The scale path: signature size is constant per doc, banding
+    turns all-pairs into an equi-join on band keys — exactly the shape that
+    survives 100 TB (shuffle on band hash, skew-salted if a band is hot)."""
+    sig = _minhash_signatures(spark, sf_dir)
+    n_bands = MINHASH_K // MINHASH_BAND
+    band_cols = [
+        F.md5(
+            F.concat_ws("|", *[F.col(f"h{b * MINHASH_BAND + j}") for j in range(MINHASH_BAND)])
+        ).alias("bv")
+        for b in range(n_bands)
+    ]
+    bands = None
+    for bi, bc in enumerate(band_cols):
+        part = sig.select("doc_id", F.lit(bi).alias("bi"), bc)
+        bands = part if bands is None else bands.unionByName(part)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bi") == F.col("b.bi"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(MINHASH_K)])
+    sb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(MINHASH_K)])
+    est = None
+    for i in range(MINHASH_K):
+        term = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        est = term if est is None else est + term
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("est_jaccard", est.cast("double") / MINHASH_K)
+        .filter(F.col("est_jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+def _minhash_sql() -> str:
+    mins = ", ".join(f"min(md5('{i}:' || s)) AS h{i}" for i in range(MINHASH_K))
+    n_bands = MINHASH_K // MINHASH_BAND
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {bi} AS bi, md5({concat}) AS bv FROM sig".format(
+            bi=bi,
+            concat=" || '|' || ".join(f"h{bi * MINHASH_BAND + j}" for j in range(MINHASH_BAND)),
+        )
+        for bi in range(n_bands)
+    )
+    est = " + ".join(f"(CASE WHEN x.h{i} = y.h{i} THEN 1 ELSE 0 END)" for i in range(MINHASH_K))
+    return f"""
+WITH tok AS (SELECT doc_id, {_DK_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, unnest({_DK_SHINGLES}) AS s FROM tok),
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST({est} AS DOUBLE) / {MINHASH_K} AS est_jaccard
+FROM cand JOIN sig x ON doc_a = x.doc_id JOIN sig y ON doc_b = y.doc_id
+WHERE CAST({est} AS DOUBLE) / {MINHASH_K} >= 0.5
+"""
+
+
+DEDUP_MINHASH_LSH_SQL = _minhash_sql()
+
+
+def _simhash_shift(expr: str, r: int, dialect: str) -> str:
+    if r == 0:
+        return expr
+    return f"shiftright({expr}, {r})" if dialect == "spark" else f"(({expr}) >> {r})"
+
+
+def _simhash_bit(j: int, dialect: str) -> str:
+    nib = f"(instr('{HEX_DIGITS}', substr(h, {j // 4 + 1}, 1)) - 1)"
+    return f"({_simhash_shift(nib, j % 4, dialect)} & 1)"
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (32-bit) content signatures: per-token md5-derived bits,
+    majority vote per bit position. Near-dup docs land on close/equal
+    signatures; hamming-distance banding gives the candidate join at
+    scale. One explode + one groupBy with 32 conditional sums."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("t")).withColumn(
+        "h", F.md5(F.col("t"))
+    )
+    aggs = [
+        F.expr(
+            f"sum(CASE WHEN {_simhash_bit(j, 'spark')} = 1 THEN 1 ELSE -1 END)"
+        ).alias(f"s{j}")
+        for j in range(32)
+    ]
+    votes = tok.groupBy("doc_id").agg(*aggs)
+    sim = None
+    for j in range(32):
+        bit = F.when(F.col(f"s{j}") > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = bit if sim is None else sim + bit
+    return votes.select("doc_id", sim.alias("simhash"))
+
+
+def _simhash_sql() -> str:
+    sums = ", ".join(
+        f"sum(CASE WHEN {_simhash_bit(j, 'duck')} = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(32)
+    )
+    total = " + ".join(f"(CASE WHEN s{j} > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END)" for j in range(32))
+    return f"""
+WITH tok AS (SELECT doc_id, {_DK_TOKS} AS toks FROM documents),
+t AS (SELECT doc_id, md5(unnest(toks)) AS h FROM tok),
+votes AS (SELECT doc_id, {sums} FROM t GROUP BY doc_id)
+SELECT doc_id, {total} AS simhash FROM votes
+"""
+
+
+DEDUP_SIMHASH_SQL = _simhash_sql()
+
+
+# -- embeddings / similarity --------------------------------------------------
+
+_DK_DOT = (
+    "(SELECT sum(CAST(a AS DOUBLE) * CAST(b AS DOUBLE)) "
+    "FROM (SELECT unnest({A}) a, unnest({B}) b))"
+)
+_DK_NORM = "sqrt((SELECT sum(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) FROM (SELECT unnest({A}) a)))"
+
+
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norms: the sanity/pre-normalize pass before similarity search."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select("vec_id", l2_norm("embedding").alias("l2_norm"), "label")
+
+
+EMBEDDING_NORMS_SQL = f"""
+SELECT vec_id, {_DK_NORM.format(A="e.embedding")} AS l2_norm, label
+FROM embeddings e
+"""
+
+
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for query vectors (vec_id < 10): the exact
+    baseline every ANN variant is measured against. Queries are broadcast;
+    the candidate scan is embarrassingly parallel over partitions."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    pairs = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .withColumn("cosine", cosine(F.col("qe"), F.col("embedding")))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("qid", F.col("vec_id").alias("nid"), "cosine", "rank")
+    )
+
+
+ANN_TOPK_SQL = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+pairs AS (
+  SELECT q.qid, e.vec_id AS nid,
+         {_DK_DOT.format(A="q.qe", B="e.embedding")}
+         / ({_DK_NORM.format(A="q.qe")} * {_DK_NORM.format(A="e.embedding")}) AS cosine
+  FROM embeddings e, q
+  WHERE e.vec_id <> q.qid
+)
+SELECT qid, nid, cosine,
+       CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS INT) AS rank
+FROM pairs
+QUALIFY rank <= 10
+"""
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: label-blocked exact cosine >= 0.9.
+    Blocking key stands in for the coarse quantizer an IVF index would
+    use — all-pairs only within a block."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("label").alias("l"), F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("label").alias("l"), F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    return (
+        a.join(b, "l")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", cosine(F.col("ea"), F.col("eb")))
+        .filter(F.col("cosine") >= 0.9)
+        .select(F.col("l").alias("label"), "vec_a", "vec_b", "cosine")
+    )
+
+
+DEDUP_EMBEDDING_COSINE_SQL = f"""
+SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {_DK_DOT.format(A="a.embedding", B="b.embedding")}
+       / ({_DK_NORM.format(A="a.embedding")} * {_DK_NORM.format(A="b.embedding")}) AS cosine
+FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_DK_DOT.format(A="a.embedding", B="b.embedding")}
+      / ({_DK_NORM.format(A="a.embedding")} * {_DK_NORM.format(A="b.embedding")}) >= 0.9
+"""
+
+
+# -- multimodal plumbing ------------------------------------------------------
+
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column plumbing: treat text bytes as a stand-in blob,
+    derive typed metadata (byte length, container format). The decode path
+    itself is the Pandas-UDF stub in operators/multimodal.py."""
+    d = load_table(spark, sf_dir, "documents")
+    blob = F.col("text").cast("binary")
+    byte_len = F.octet_length(F.col("text")).cast("long")
+    fmt = (
+        F.when(byte_len % 3 == 0, "png")
+        .when(byte_len % 3 == 1, "jpeg")
+        .otherwise("webp")
+    )
+    return d.select(
+        "doc_id",
+        F.md5(blob).alias("content_hash"),
+        byte_len.alias("byte_len"),
+        fmt.alias("format"),
+    )
+
+
+MULTIMODAL_META_SQL = """
+SELECT doc_id,
+       md5(text) AS content_hash,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       CASE WHEN octet_length(encode(text)) % 3 = 0 THEN 'png'
+            WHEN octet_length(encode(text)) % 3 = 1 THEN 'jpeg'
+            ELSE 'webp' END AS format
+FROM documents
+"""
+
+
+TEXT_QUERIES: dict[str, tuple] = {
+    "text_token_count": (text_token_count, TEXT_TOKEN_COUNT_SQL),
+    "text_quality_score": (text_quality_score, TEXT_QUALITY_SQL),
+    "text_language_id": (text_language_id, TEXT_LANGUAGE_ID_SQL),
+    "text_fingerprint": (text_fingerprint, TEXT_FINGERPRINT_SQL),
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL),
+    "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_LSH_SQL),
+    "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
+    "embedding_norms": (embedding_norms, EMBEDDING_NORMS_SQL),
+    "ann_topk_bruteforce": (ann_topk_bruteforce, ANN_TOPK_SQL),
+    "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL),
+    "multimodal_meta": (multimodal_meta, MULTIMODAL_META_SQL),
+}

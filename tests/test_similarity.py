@@ -1,0 +1,73 @@
+"""ANN scale paths: verified by recall against the exact brute-force
+baseline (approximate operators get rows-only driver checks by design)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_cdc_hudi_spark.operators.similarity import (
+    ivf_assign,
+    ivf_topk,
+    ivf_train_centroids,
+    srp_bucketize,
+    srp_topk,
+)
+from kafka_cdc_hudi_spark.plans.catalog_text import ann_topk_bruteforce
+from kafka_cdc_hudi_spark.sources.tables import load_table
+
+from .conftest import SF_DIR
+
+DIM = 64
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_DIR, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def exact(spark):
+    out = ann_topk_bruteforce(spark, SF_DIR).collect()
+    truth = {}
+    for r in out:
+        truth.setdefault(r["qid"], set()).add(r["nid"])
+    return truth
+
+
+def _recall(approx_rows, truth, k=10):
+    got = {}
+    for r in approx_rows:
+        got.setdefault(r["qid"], set()).add(r["nid"])
+    recalls = [len(got.get(q, set()) & t) / len(t) for q, t in truth.items()]
+    return sum(recalls) / len(recalls)
+
+
+def test_srp_signatures_deterministic(spark, emb):
+    a = srp_bucketize(emb.limit(50), DIM, n_bits=8, n_tables=2).collect()
+    b = srp_bucketize(emb.limit(50), DIM, n_bits=8, n_tables=2).collect()
+    assert sorted((r["vec_id"], r["tbl"], r["sig"]) for r in a) == sorted(
+        (r["vec_id"], r["tbl"], r["sig"]) for r in b
+    )
+    sigs = {r["sig"] for r in a}
+    assert len(sigs) > 1, "all vectors in one bucket — hashing degenerate"
+
+
+def test_srp_topk_recall(spark, emb, exact):
+    # random gaussian-ish embeddings: true top-10 neighbors sit at modest
+    # cosine (~0.4), so use few bits + many tables for collision probability
+    q = emb.filter(F.col("vec_id") < 10)
+    approx = srp_topk(q, emb, DIM, k=10, n_bits=4, n_tables=12).collect()
+    r = _recall(approx, exact)
+    assert r >= 0.55, f"SRP recall@10 too low: {r}"
+
+
+def test_ivf_topk_recall(spark, emb, exact):
+    cents = ivf_train_centroids(emb, DIM, n_cells=8, iters=4)
+    assigned = ivf_assign(emb, cents)
+    # every vector lands in exactly one cell
+    assert assigned.count() == emb.count()
+    n_cells_used = assigned.select("cell").distinct().count()
+    assert n_cells_used > 1
+    q = emb.filter(F.col("vec_id") < 10)
+    approx = ivf_topk(q, assigned, cents, k=10, n_probe=4).collect()
+    r = _recall(approx, exact)
+    assert r >= 0.5, f"IVF recall@10 too low: {r}"
