@@ -38,6 +38,10 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # JVM/codegen warmup so the first timed query isn't charged for session
+    # startup; plans themselves still run cold.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
     names = [n for n in BENCH_QUERIES if n in REGISTRY]
     extra = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
     if extra:

@@ -77,8 +77,18 @@ def _payload_struct() -> F.Column:
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Spread fixture rows across the cluster before the CPU-heavy
+    to_json/from_json work. A real Kafka topic arrives pre-partitioned;
+    the single-file parquet fixture otherwise pins the whole pipeline to
+    one task."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(parallelism)
+
+
 def debezium_envelopes(events: DataFrame, db: str = "test_db", table: str = "events") -> DataFrame:
     """events rows -> DataFrame[value: string] of Debezium/Flink envelopes."""
+    events = _spread(events)
     p = _payload_struct()
     op = _debezium_op()
     env = F.struct(
@@ -104,6 +114,7 @@ def dms_envelopes(
     of data (dropped by the engine, FIXTURES §A3.3) — note this makes those
     event rows absent from parsed output.
     """
+    events = _spread(events)
     p = _payload_struct()
     is_control = (F.col("event_id") % 97 == 0) if inject_control_records else F.lit(False)
     meta = F.struct(
