@@ -7,12 +7,14 @@ from __future__ import annotations
 
 from kafka_cdc_hudi_spark.plans.catalog_analytics import ANALYTICS_QUERIES
 from kafka_cdc_hudi_spark.plans.catalog_cdc import CDC_QUERIES
+from kafka_cdc_hudi_spark.plans.catalog_streaming import STREAMING_QUERIES
 from kafka_cdc_hudi_spark.plans.catalog_text import TEXT_QUERIES
 
 REGISTRY: dict[str, tuple] = {}
 REGISTRY.update(CDC_QUERIES)
 REGISTRY.update(ANALYTICS_QUERIES)
 REGISTRY.update(TEXT_QUERIES)
+REGISTRY.update(STREAMING_QUERIES)
 
 
 def register(name: str, fn, oracle_sql: str | None) -> None:

@@ -42,6 +42,12 @@ def _maybe_watermark(df: DataFrame, ts_col: str, delay: str | None) -> DataFrame
     return df
 
 
+def _dsum(col: str, alias: str) -> F.Column:
+    """Order-independent exact double sum (sum in decimal, cast back) so
+    results hash-match any other engine regardless of partitioning."""
+    return F.sum(F.col(col).cast("decimal(25,6)")).cast("double").alias(alias)
+
+
 def tumbling_counts(
     df: DataFrame,
     ts_col: str = "ts",
@@ -53,7 +59,7 @@ def tumbling_counts(
     d = _maybe_watermark(df, ts_col, watermark)
     return (
         d.groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
-        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .agg(F.count("*").alias("n_events"), _dsum("value", "sum_value"))
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
@@ -98,7 +104,7 @@ def session_windows(
     d = _maybe_watermark(df, ts_col, watermark)
     return (
         d.groupBy(F.session_window(F.col(ts_col), gap).alias("s"), F.col(key_col))
-        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .agg(F.count("*").alias("n_events"), _dsum("value", "sum_value"))
         .select(
             F.col("s.start").alias("session_start"),
             F.col("s.end").alias("session_end"),
