@@ -16,10 +16,11 @@ the reference's per-table Python-UDF filter + per-table schema-inference job
 + per-table parse (N full passes with Python round-trips).
 
 Dynamic-schema mode: when a table has no declared payload schema, the driver
-infers one from the first non-empty batch and caches it; it re-infers when a
-batch contains rows the cached schema cannot fully parse (corrupt-record
-detection) — schema drift support (FIXTURES §A3.8) without the per-batch
-inference job (SURVEY §4.3.3).
+infers one from the first non-empty batch and caches it; each batch then runs
+a cheap codegen'd key-set probe (``json_object_keys``) and re-infers ONLY
+when the batch carries payload keys the cached schema lacks — schema drift
+support (FIXTURES §A3.8) without the reference's per-batch inference job
+(SURVEY §4.3.3).
 """
 
 from __future__ import annotations
@@ -88,6 +89,43 @@ class CdcStreamDriver:
         """Drop the cached inferred schema (drift handling hook)."""
         self._inferred.pop(spec.qualified_name, None)
 
+    def _payload_key_paths(self) -> tuple[str, ...]:
+        if self.config.dialect == DIALECT_DMS:
+            return ("$.data",)
+        return ("$.after", "$.before")  # deletes carry the row in `before`
+
+    def _drifted(self, sliced: DataFrame, schema: StructType) -> bool:
+        """True when the batch carries payload keys the cached schema lacks.
+
+        Detection is one narrow codegen'd aggregation over the (persisted)
+        raw slice — ``json_object_keys`` of the payload object, distinct,
+        collected (the key set is tiny). New fields can't be detected from
+        ``from_json`` output (PERMISSIVE mode silently ignores extras), and
+        re-running full inference per batch is the reference's big
+        inefficiency (SURVEY §4.3.3) — this pays the full inference job only
+        when drift actually happened. The slice may still hold foreign-table
+        rows (prefilter is a superset), so foreign keys can cause a spurious
+        re-infer; that costs one extra job, never wrong results.
+        """
+        arrs = ", ".join(
+            f"coalesce(json_object_keys(get_json_object(value, '{p}')), "
+            f"cast(array() as array<string>))"
+            for p in self._payload_key_paths()
+        )
+        observed = {
+            r["k"]
+            for r in sliced.select(F.explode(F.expr(f"concat({arrs})")).alias("k"))
+            .distinct()
+            .collect()
+        }
+        return not observed <= set(schema.fieldNames())
+
+    def _merge_schemas(self, old: StructType, new: StructType) -> StructType:
+        """Union of fields; existing fields keep their established type so a
+        drifting producer can add columns but not silently retype them."""
+        names = set(old.fieldNames())
+        return StructType(list(old.fields) + [f for f in new.fields if f.name not in names])
+
     # -- per-batch processing --------------------------------------------------
     def _run_table(self, spec: TableSpec, raw_batch: DataFrame, batch_id: int) -> bool:
         # cheap raw prefilter = scan reduction only; exact routing is post-parse
@@ -95,6 +133,16 @@ class CdcStreamDriver:
         schema = self._schema_for(spec, sliced)
         if schema is None:
             return False  # empty slice, nothing to infer or write
+        if (
+            spec.table not in self.payload_schemas  # dynamic mode only
+            and spec.qualified_name in self._inferred
+            and self._drifted(sliced, schema)
+        ):
+            old = schema
+            self.invalidate_schema(spec)
+            schema = self._merge_schemas(old, self._schema_for(spec, sliced))
+            self._inferred[spec.qualified_name] = schema
+            log.info("schema drift on %s: re-inferred to %s", spec.qualified_name, schema.simpleString())
         parsed = parse_stream(sliced, self.config.dialect, schema, keep_routing=True)
         routed = parsed.filter(
             (F.col(DB_COL) == spec.db) & (F.col(TABLE_COL) == spec.table)

@@ -123,3 +123,39 @@ def test_dynamic_schema_inference_stream(spark, tmp_path):
     t1 = driver.sink_for(cfg.tables[0]).read(spark)
     rows = {r["id"]: (r["val"], r["extra"]) for r in t1.collect()}
     assert rows == {1: ("a", None), 2: ("b", 7)}
+
+
+def test_schema_drift_mid_stream(spark, tmp_path):
+    """Dynamic mode: a NEW payload column appearing after the schema was
+    inferred and cached must be picked up (drift re-inference), with old
+    rows null-filled — not silently dropped (A3.8 / SURVEY §7 hard-part 2)."""
+    src = tmp_path / "src"
+    src.mkdir()
+    cfg = JobConfig(
+        dialect=DIALECT_DEBEZIUM,
+        tables=[TableSpec("d1", "t1", ("id",))],
+        sink_root=str(tmp_path / "sink"),
+        checkpoint_location=str(tmp_path / "ckpt"),
+        max_workers=1,
+    )
+    driver = CdcStreamDriver(spark, cfg)  # no payload_schemas
+    _write_lines(src / "b1.json", [dbz("c", after={"id": 1, "val": "a"}, ts_ms=10)])
+    q = driver.start(json_file_value_stream(spark, str(src), max_files_per_trigger=1))
+    q.processAllAvailable()
+    assert set(driver._inferred["d1.t1"].fieldNames()) == {"id", "val"}
+
+    # batch 2 drifts: new column `score`; also a delete whose keys ride in
+    # `before` (both json paths probed)
+    _write_lines(
+        src / "b2.json",
+        [
+            dbz("u", after={"id": 1, "val": "a2", "score": 1.5}, ts_ms=20),
+            dbz("c", after={"id": 2, "val": "c", "score": 2.5}, ts_ms=20),
+        ],
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert "score" in driver._inferred["d1.t1"].fieldNames()
+    t1 = driver.sink_for(cfg.tables[0]).read(spark)
+    rows = {r["id"]: (r["val"], r["score"]) for r in t1.collect()}
+    assert rows == {1: ("a2", 1.5), 2: ("c", 2.5)}
