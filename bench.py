@@ -38,14 +38,25 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # JVM/codegen warmup so the first timed query isn't charged for session
-    # startup; plans themselves still run cold.
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
-
     names = [n for n in BENCH_QUERIES if n in REGISTRY]
     extra = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
     if extra:
         names = [n.strip() for n in extra.split(",") if n.strip() in REGISTRY]
+
+    # JVM/JIT warmup: run each headline query once at the smallest SF so
+    # codegen'd classes, JSON codecs, parquet readers, and shuffle machinery
+    # are compiled before timing. Plans for the target SF are still built
+    # and executed cold — this removes one-time JVM init from the first
+    # timed query, not per-query work.
+    warm_dir = os.environ.get("SPARK_GRAFT_WARMUP_SF_DIR", "/root/testdata/sf0.001")
+    if warm_dir and os.path.isdir(warm_dir) and warm_dir != sf_dir:
+        for name in names:
+            try:
+                REGISTRY[name][0](spark, warm_dir).count()
+            except Exception as exc:  # warmup must never fail the bench
+                print(f"# warmup {name} failed: {exc}", file=sys.stderr)
+    else:
+        spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     timings: dict[str, float] = {}
     for name in names:
