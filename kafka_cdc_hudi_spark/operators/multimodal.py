@@ -119,3 +119,96 @@ def decode_images(df: DataFrame, fake: bool = False) -> DataFrame:
             )
 
     return df.mapInPandas(decode_batches, IMAGE_FEATURES_SCHEMA)
+
+
+#: resize output: original id + new dims + resized payload (still opaque)
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("content", BinaryType(), True),
+    ]
+)
+
+
+def resize_images(df: DataFrame, width: int, height: int, fake: bool = False) -> DataFrame:
+    """Resize stage: media frame -> RESIZED_SCHEMA frame at (width, height).
+
+    Real path (``fake=False``) would decode + resample + re-encode per
+    batch; stubbed here (no codecs in the container). The fake kernel emits
+    a deterministic payload derived from the input bytes and the target
+    dims, sized min(byte_len, width*height) — small enough to exercise
+    Arrow round-trips without blowing memory.
+    """
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real image codecs are not available in this environment; "
+                    "install PIL and implement the resample kernel, or use fake=True"
+                )
+            out_bytes = []
+            for c in pdf["content"]:
+                c = c or b""
+                seed = hashlib.md5(c + f"{width}x{height}".encode()).digest()
+                n = min(len(c), width * height)
+                out_bytes.append((seed * (n // len(seed) + 1))[:n])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "width": pd.Series([width] * len(pdf), dtype="int32"),
+                    "height": pd.Series([height] * len(pdf), dtype="int32"),
+                    "content": out_bytes,
+                }
+            )
+
+    return df.mapInPandas(resize_batches, RESIZED_SCHEMA)
+
+
+#: frame-sample output: one row per sampled frame (one-to-many stage)
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame_hash", StringType(), True),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, frame_bytes: int = 256, fake: bool = False) -> DataFrame:
+    """Frame-sampling stage: media frame -> one row per sampled frame.
+
+    Models video frame extraction as a one-to-many ``mapInPandas`` (output
+    cardinality = ceil(byte_len / frame_bytes) per row) — the shape matters:
+    downstream operators see an exploded frame table they can window/join
+    natively. Real path would be ffmpeg keyframe sampling; the fake kernel
+    hashes fixed-size byte windows, so frame count and hashes are
+    deterministic functions of the input.
+    """
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "ffmpeg is not available in this environment; "
+                    "implement keyframe sampling here, or use fake=True"
+                )
+            ids, idxs, hashes = [], [], []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                c = c or b""
+                n_frames = max(1, -(-len(c) // frame_bytes))
+                for i in range(n_frames):
+                    ids.append(mid)
+                    idxs.append(i)
+                    hashes.append(hashlib.md5(c[i * frame_bytes : (i + 1) * frame_bytes]).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_hash": hashes,
+                }
+            )
+
+    return df.mapInPandas(frame_batches, FRAME_SCHEMA)

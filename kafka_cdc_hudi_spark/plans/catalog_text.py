@@ -490,6 +490,47 @@ FROM documents
 """
 
 
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-to-many frame sampling through the real mapInPandas stage
+    (Arrow-batched): one row per 256-byte window of each blob. The fake
+    kernel's md5-per-window is SQL-expressible, so this Pandas-UDF path
+    gets a FULL value oracle (the documents are ASCII, so VARCHAR substr
+    == byte windows)."""
+    from kafka_cdc_hudi_spark.operators.multimodal import (
+        documents_as_media,
+        sample_frames,
+    )
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    return sample_frames(media, frame_bytes=256, fake=True)
+
+
+MULTIMODAL_FRAME_SAMPLE_SQL = """
+WITH m AS (
+  SELECT doc_id AS media_id, text,
+         octet_length(encode(text)) AS n
+  FROM documents
+)
+SELECT media_id,
+       CAST(i AS INT) AS frame_idx,
+       md5(substring(text, CAST(i * 256 + 1 AS BIGINT), 256)) AS frame_hash
+FROM m, LATERAL unnest(generate_series(0, CAST(greatest(ceil(n / 256.0) - 1, 0) AS BIGINT))) AS t(i)
+"""
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage through mapInPandas; output payload is opaque binary
+    (deterministic fake), so no SQL oracle — rows-only driver check; kernel
+    determinism is asserted in tests/test_multimodal.py."""
+    from kafka_cdc_hudi_spark.operators.multimodal import (
+        documents_as_media,
+        resize_images,
+    )
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    return resize_images(media, 32, 32, fake=True)
+
+
 TEXT_QUERIES: dict[str, tuple] = {
     "text_token_count": (text_token_count, TEXT_TOKEN_COUNT_SQL),
     "text_quality_score": (text_quality_score, TEXT_QUALITY_SQL),
@@ -503,4 +544,6 @@ TEXT_QUERIES: dict[str, tuple] = {
     "ann_topk_bruteforce": (ann_topk_bruteforce, ANN_TOPK_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL),
     "multimodal_meta": (multimodal_meta, MULTIMODAL_META_SQL),
+    "multimodal_frame_sample": (multimodal_frame_sample, MULTIMODAL_FRAME_SAMPLE_SQL),
+    "multimodal_resize": (multimodal_resize, None),
 }
