@@ -11,6 +11,67 @@ from __future__ import annotations
 import json
 from dataclasses import dataclass, field
 
+
+def parse_properties_text(text: str) -> dict[str, str]:
+    """Parse java-properties text (the reference's config format, read with
+    the ``jproperties`` package from S3 at /root/reference/glue/cdc_hudi.py:42-49).
+
+    Supports ``#``/``!`` comments, ``key=value`` / ``key: value`` /
+    ``key value`` separators, backslash line continuations, and the common
+    escapes — no third-party dependency, driver-side only (O20 is plain
+    config I/O, not a dataflow op).
+    """
+    props: dict[str, str] = {}
+    logical_lines: list[str] = []
+    pending = ""
+    for raw in text.splitlines():
+        line = raw.lstrip()
+        if pending:
+            pending += line
+        else:
+            if not line or line[0] in "#!":
+                continue
+            pending = line
+        # an odd number of trailing backslashes means continuation
+        stripped = pending.rstrip()
+        n_bs = len(stripped) - len(stripped.rstrip("\\"))
+        if n_bs % 2 == 1:
+            pending = stripped[:-1]
+            continue
+        logical_lines.append(pending)
+        pending = ""
+    if pending:
+        logical_lines.append(pending)
+
+    for line in logical_lines:
+        key, sep_idx = "", None
+        i = 0
+        while i < len(line):
+            c = line[i]
+            if c == "\\" and i + 1 < len(line):
+                key += line[i + 1]
+                i += 2
+                continue
+            if c in "=:" or c.isspace():
+                sep_idx = i
+                break
+            key += c
+            i += 1
+        if sep_idx is None:
+            props[key] = ""
+            continue
+        rest = line[sep_idx:].lstrip()
+        if rest[:1] in ("=", ":"):
+            rest = rest[1:].lstrip()
+        val = (
+            rest.replace("\\t", "\t")
+            .replace("\\n", "\n")
+            .replace("\\r", "\r")
+            .replace("\\\\", "\\")
+        )
+        props[key] = val
+    return props
+
 DIALECT_DMS = "DMS-CDC"
 DIALECT_FLINK = "FLINK-CDC"
 DIALECT_DEBEZIUM = "MSK-DEBEZIUM-CDC"
@@ -85,3 +146,8 @@ class JobConfig:
             max_offsets_per_trigger=int(props.get("max_offsets_per_trigger", "1000000")),
             consumer_group=props.get("kafka_consumer_group"),
         )
+
+    @staticmethod
+    def from_properties_text(text: str) -> "JobConfig":
+        """Build straight from java-properties text (reference job.properties)."""
+        return JobConfig.from_properties(parse_properties_text(text))

@@ -1,0 +1,94 @@
+"""Config-from-properties-text (O20) and the SQL frontend (O12)."""
+
+import json
+
+from pyspark.sql import Row
+
+from kafka_cdc_hudi_spark.config import (
+    DIALECT_DEBEZIUM,
+    JobConfig,
+    TableSpec,
+    parse_properties_text,
+)
+from kafka_cdc_hudi_spark.sql import register_table_views
+from kafka_cdc_hudi_spark.streaming.driver import CdcStreamDriver
+
+# shaped like the reference's config/job.properties (keys, comments,
+# multi-line sync_table_list continuation)
+SAMPLE_PROPERTIES = r"""
+# comment line
+! also a comment
+aws_region = us-east-1
+kafka_broker=b-1.example:9092,b-2.example:9092
+topic: cdc_topic_01
+cdc_format = MSK-DEBEZIUM-CDC
+checkpoint_interval = 60
+thread_max_workers = 8
+max_offsets_per_trigger=500000
+startingOffsets = latest
+sync_table_list = [\
+  {"db_name": "d1", "table_name": "t1", "primary_key": "id"},\
+  {"db_name": "d1", "table_name": "t2", "primary_key": "id,kind"}]
+"""
+
+
+def test_parse_properties_text():
+    props = parse_properties_text(SAMPLE_PROPERTIES)
+    assert props["aws_region"] == "us-east-1"
+    assert props["kafka_broker"].startswith("b-1.example")
+    assert props["topic"] == "cdc_topic_01"
+    tables = json.loads(props["sync_table_list"])
+    assert [t["table_name"] for t in tables] == ["t1", "t2"]
+
+
+def test_job_config_from_properties_text():
+    cfg = JobConfig.from_properties_text(SAMPLE_PROPERTIES)
+    assert cfg.dialect == DIALECT_DEBEZIUM
+    assert cfg.trigger_interval == "60 seconds"
+    assert cfg.max_workers == 8
+    assert cfg.max_offsets_per_trigger == 500_000
+    assert cfg.starting_offsets == "latest"
+    assert cfg.kafka_bootstrap_servers == "b-1.example:9092,b-2.example:9092"
+    assert [t.qualified_name for t in cfg.tables] == ["d1.t1", "d1.t2"]
+    # composite PK comes from the reference's comma-separated form
+    assert cfg.tables[1].primary_keys == ("id", "kind")
+
+
+def dbz(op, after=None, before=None, ts_ms=0, db="d1", table="t1"):
+    return json.dumps(
+        {"before": before, "after": after, "op": op, "ts_ms": ts_ms, "db": db, "table": table}
+    )
+
+
+def test_register_table_views_sql(spark, tmp_path):
+    cfg = JobConfig(
+        dialect=DIALECT_DEBEZIUM,
+        tables=[TableSpec("d1", "t1", ("id",)), TableSpec("d1", "t2", ("id",))],
+        sink_root=str(tmp_path / "sink"),
+        checkpoint_location=str(tmp_path / "ckpt"),
+        max_workers=1,
+    )
+    driver = CdcStreamDriver(spark, cfg)
+    batch = spark.createDataFrame(
+        [
+            Row(value=dbz("c", after={"id": 1, "val": "a"}, ts_ms=10)),
+            Row(value=dbz("c", after={"id": 2, "val": "b"}, ts_ms=10)),
+            Row(value=dbz("u", after={"id": 2, "val": "b2"}, ts_ms=20)),
+        ]
+    )
+    driver.process_batch(batch, batch_id=0)  # t2 gets no events -> no state
+
+    names = register_table_views(spark, driver)
+    assert names == ["d1_t1"]  # unsynced t2 skipped
+    rows = spark.sql("SELECT id, val FROM d1_t1 ORDER BY id").collect()
+    assert [(r["id"], r["val"]) for r in rows] == [(1, "a"), (2, "b2")]
+
+    # snapshot isolation: the pinned view must not see a later merge...
+    driver.process_batch(
+        spark.createDataFrame([Row(value=dbz("u", after={"id": 1, "val": "a9"}, ts_ms=30))]),
+        batch_id=1,
+    )
+    assert spark.sql("SELECT val FROM d1_t1 WHERE id = 1").collect()[0][0] == "a"
+    # ...until re-registered
+    register_table_views(spark, driver)
+    assert spark.sql("SELECT val FROM d1_t1 WHERE id = 1").collect()[0][0] == "a9"
