@@ -260,13 +260,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     band_cols = [
         F.md5(
             F.concat_ws("|", *[F.col(f"h{b * MINHASH_BAND + j}") for j in range(MINHASH_BAND)])
-        ).alias("bv")
+        )
         for b in range(n_bands)
     ]
-    bands = None
-    for bi, bc in enumerate(band_cols):
-        part = sig.select("doc_id", F.lit(bi).alias("bi"), bc)
-        bands = part if bands is None else bands.unionByName(part)
+    # one pass over the signatures: posexplode fans out to n_bands rows per
+    # doc in a single projection — a per-band union would recompute the
+    # shingle->minhash aggregation once per band per join side
+    bands = sig.select(
+        "doc_id", F.posexplode(F.array(*band_cols)).alias("bi", "bv")
+    )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
