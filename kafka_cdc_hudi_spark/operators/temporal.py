@@ -1,0 +1,74 @@
+"""As-of (temporal) join — a custom operator Spark lacks natively.
+
+The reference has no joins at all (SURVEY §2 "not implemented"); this is
+part of the analytics extension. Semantics: for each left row, attach the
+latest right row with the same key and ``right_ts <= left_ts`` (backward,
+inclusive — DuckDB/pandas ``ASOF JOIN`` default).
+
+Spark-first implementation: NOT a range-exploded join (quadratic blowup) and
+NOT a per-key Pandas UDF. Both sides are unioned with a side tag, then one
+``last(..., ignorenulls=True)`` running window ordered by
+``(ts, side)`` carries the most recent right payload forward onto each left
+row. Cost: ONE shuffle + sort per key — linear in input, skew-tolerant via
+AQE, no state beyond the sort. This is the classic log-shipping/backfill
+shape (points-in-time features, dimension snapshots, price-at-trade).
+
+Determinism: right rows must be unique per (key, right_ts); pre-dedup with
+``latest_per_key`` if they are not (ties at identical timestamps are
+otherwise ambiguous in any as-of engine, DuckDB included).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_SIDE = "__side"
+_TS = "__evt_ts"
+_R = "__r"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: Sequence[str] | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Backward-inclusive as-of join; right payload columns appear on the
+    output as ``<prefix><col>`` plus ``<prefix>ts`` (null when no right row
+    precedes the left row)."""
+    on = list(on)
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in on and c != right_ts]
+    rstruct = F.struct(
+        F.col(right_ts).alias("ts"), *[F.col(c) for c in right_cols]
+    )
+    r = right.select(
+        *on,
+        F.col(right_ts).alias(_TS),
+        F.lit(0).alias(_SIDE),
+        rstruct.alias(_R),
+    )
+    l = left.select(
+        "*",
+        F.col(left_ts).alias(_TS),
+        F.lit(1).alias(_SIDE),
+        F.lit(None).cast(r.schema[_R].dataType).alias(_R),
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+    # right (side 0) sorts before left (side 1) at equal ts -> inclusive
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(_TS, _SIDE)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.withColumn("__last_r", F.last(_R, ignorenulls=True).over(w))
+    out_cols = [F.col(c) for c in left.columns]
+    out_cols.append(F.col("__last_r.ts").alias(f"{prefix}ts"))
+    out_cols += [F.col(f"__last_r.{c}").alias(f"{prefix}{c}") for c in right_cols]
+    return filled.filter(F.col(_SIDE) == 1).select(*out_cols)

@@ -274,8 +274,40 @@ SELECT (SELECT COUNT(*) FROM events) AS n_events,
 """
 
 
+def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every event annotated with the user's most recent
+    click (backward-inclusive). One shuffle+sort per user_id — see
+    operators/temporal.py for why this beats a range join at scale."""
+    from kafka_cdc_hudi_spark.operators.dedup import latest_per_key
+    from kafka_cdc_hudi_spark.operators.temporal import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = latest_per_key(
+        e.filter(F.col("event_type") == "click").select("user_id", "ts", "value"),
+        ["user_id", "ts"],
+        order_col="value",  # deterministic pick among same-timestamp clicks
+    )
+    return asof_join(
+        e.select("event_id", "user_id", "ts", "event_type"),
+        clicks,
+        on=["user_id"],
+    )
+
+
+ASOF_JOIN_SQL = """
+WITH r AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY value DESC) = 1
+)
+SELECT l.event_id, l.user_id, l.ts, l.event_type,
+       r.ts AS asof_ts, r.value AS asof_value
+FROM events l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 ANALYTICS_QUERIES: dict[str, tuple] = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "asof_join_last_click": (asof_join_last_click, ASOF_JOIN_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "q5_local_supplier": (q5_local_supplier, Q5_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),

@@ -1,0 +1,34 @@
+"""As-of join operator: semantics on a hand-built frame + plan shape."""
+
+from pyspark.sql import Row
+
+from kafka_cdc_hudi_spark.operators.temporal import asof_join
+
+
+def test_asof_backward_inclusive(spark):
+    left = spark.createDataFrame(
+        [Row(k=1, ts=5, name="a"), Row(k=1, ts=10, name="b"), Row(k=1, ts=3, name="c"),
+         Row(k=2, ts=7, name="d")]
+    )
+    right = spark.createDataFrame(
+        [Row(k=1, ts=5, px=100.0), Row(k=1, ts=9, px=200.0), Row(k=3, ts=1, px=9.0)]
+    )
+    out = {r["name"]: (r["asof_ts"], r["asof_px"]) for r in
+           asof_join(left, right, on=["k"], prefix="asof_").collect()}
+    assert out == {
+        "a": (5, 100.0),   # inclusive: equal ts matches
+        "b": (9, 200.0),   # latest preceding
+        "c": (None, None),  # nothing at or before ts=3
+        "d": (None, None),  # key has no right rows
+    }
+
+
+def test_asof_single_shuffle(spark):
+    left = spark.range(100).selectExpr("id % 5 AS k", "id AS ts", "id AS v")
+    right = spark.range(20).selectExpr("id % 5 AS k", "id * 3 AS ts", "id AS px")
+    plan = asof_join(left, right, on=["k"])._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    # union + one window: exactly one hash-partitioning exchange, no join op
+    assert plan.count("hashpartitioning") == 1
+    assert "Join" not in plan
