@@ -22,6 +22,7 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -149,6 +150,31 @@ def _centroid_sim_cols(cents: np.ndarray, col: str) -> list[F.Column]:
         )
         sims.append(d.alias(f"c{ci}"))
     return sims
+
+
+def ivf_assign_pandas(df: DataFrame, cents: np.ndarray, col: str = "embedding") -> DataFrame:
+    """Assign each vector to its nearest centroid cell — vectorized Pandas
+    UDF path (one numpy matmul per Arrow batch, centroids broadcast to the
+    workers).
+
+    This is the scale path for LARGE codebooks: the native-expression
+    variant (:func:`ivf_assign`) compiles n_cells aggregate expressions,
+    which is ideal for tens of cells but blows up codegen at hundreds+;
+    a (batch x dim) @ (dim x n_cells) matmul is flat in n_cells. Computes
+    the same raw-dot argmax as the native variant (same doubles, same
+    first-wins tie behavior), so assignments are identical.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    bc = df.sparkSession.sparkContext.broadcast(np.asarray(cents, dtype=np.float64))
+
+    @pandas_udf("int")
+    def assign(emb: pd.Series) -> pd.Series:
+        x = np.array([np.asarray(v, dtype=np.float64) for v in emb])
+        sims = x @ bc.value.T
+        return pd.Series(sims.argmax(axis=1).astype("int32"))
+
+    return df.withColumn("cell", assign(F.col(col)))
 
 
 def ivf_assign(df: DataFrame, cents: np.ndarray, col: str = "embedding") -> DataFrame:

@@ -71,3 +71,12 @@ def test_ivf_topk_recall(spark, emb, exact):
     approx = ivf_topk(q, assigned, cents, k=10, n_probe=4).collect()
     r = _recall(approx, exact)
     assert r >= 0.5, f"IVF recall@10 too low: {r}"
+
+
+def test_ivf_assign_pandas_matches_native(spark, emb):
+    from kafka_cdc_hudi_spark.operators.similarity import ivf_assign_pandas
+
+    cents = ivf_train_centroids(emb, DIM, n_cells=8, iters=4)
+    native = {r["vec_id"]: r["cell"] for r in ivf_assign(emb, cents).collect()}
+    pand = {r["vec_id"]: r["cell"] for r in ivf_assign_pandas(emb, cents).collect()}
+    assert native == pand
