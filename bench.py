@@ -29,6 +29,10 @@ BENCH_QUERIES = [
     "q6_forecast_revenue",
     "events_hourly_agg",
     "topk_orders_per_customer",
+    "asof_join_last_click",
+    "events_session_windows",
+    "dedup_minhash_lsh",
+    "ann_topk_bruteforce",
 ]
 
 

@@ -274,6 +274,75 @@ SELECT (SELECT COUNT(*) FROM events) AS n_events,
 """
 
 
+def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (event_type, user bucket) with subtotal and
+    grand-total rows — one Expand + single shuffle in Spark."""
+    e = load_table(spark, sf_dir, "events")
+    bucket = (F.col("user_id") % 4).alias("user_bucket")
+    return (
+        e.select("event_type", bucket, "value")
+        .rollup("event_type", "user_bucket")
+        .agg(F.count("*").alias("n"), _dsum("value", "sum_value"))
+    )
+
+
+EVENTS_ROLLUP_SQL = f"""
+SELECT event_type, user_id % 4 AS user_bucket,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY ROLLUP (event_type, user_bucket)
+"""
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: customers that never placed an order (broadcast the
+    distinct key set when small; at scale this is a shuffled left-anti —
+    still one shuffle, no row explosion)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o.select("o_custkey"), c.c_custkey == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_nationkey")
+    )
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT c_custkey, c_name, c_nationkey
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+"""
+
+
+def events_user_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user cumulative sum + previous-event gap (lag) — the
+    ordered-window analytics shape; one shuffle on user_id, sorted once for
+    both window functions."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast(DEC)).over(cum).cast("double").alias("cum_value"),
+        (
+            F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+        ).alias("secs_since_prev"),
+    )
+
+
+EVENTS_USER_CUMSUM_SQL = f"""
+SELECT event_id, user_id, ts,
+       CAST(SUM(CAST(value AS {DEC})) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_value,
+       epoch(ts) - lag(epoch(ts)) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id) AS secs_since_prev
+FROM events
+"""
+
+
 def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: every event annotated with the user's most recent
     click (backward-inclusive). One shuffle+sort per user_id — see
@@ -308,6 +377,9 @@ FROM events l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 ANALYTICS_QUERIES: dict[str, tuple] = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "asof_join_last_click": (asof_join_last_click, ASOF_JOIN_SQL),
+    "events_rollup": (events_rollup, EVENTS_ROLLUP_SQL),
+    "customers_without_orders": (customers_without_orders, CUSTOMERS_WITHOUT_ORDERS_SQL),
+    "events_user_cumsum": (events_user_cumsum, EVENTS_USER_CUMSUM_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "q5_local_supplier": (q5_local_supplier, Q5_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),

@@ -240,14 +240,51 @@ WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.2
 """
 
 
+# universal-hash family for minhash: h_i(x) = (A_i * x + B_i) mod P over a
+# single md5-derived 60-bit integer per shingle — ONE md5 per shingle
+# instead of MINHASH_K (the md5 was the hot loop: every doc explodes to
+# ~n_tokens shingles and each previously paid K digests). A_i/B_i come from
+# a fixed LCG so the Spark and DuckDB sides inline identical constants.
+MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+
+
+def _hash_family(k: int) -> list[tuple[int, int]]:
+    state, out = 0x5DEECE66D, []
+    for _ in range(k):
+        state = (state * 6364136223846793005 + 1442695040888963407) % 2**63
+        a = state % (MINHASH_P - 1) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % 2**63
+        b = state % MINHASH_P
+        out.append((a, b))
+    return out
+
+
+MINHASH_FAMILY = _hash_family(MINHASH_K)
+
+
 def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K minhashes per doc: one md5 per shingle -> 60-bit int, then the
+    universal-hash family min-aggregated per doc.
+
+    Two shapes were measured: explode + K codegen'd min aggregates (this
+    one) vs a shuffle-free ``array_min(transform(...))`` per h_i. The array
+    version loses ~2x despite avoiding the shuffle: higher-order array
+    functions are interpreted per element, while the exploded min
+    aggregation is whole-stage-codegen'd with map-side partial agg (the
+    shuffle carries only K ints per doc).
+    """
     d = load_table(spark, sf_dir, "documents")
     sh = d.select("doc_id", F.explode(shingles(tokens("text"))).alias("s"))
+    # one digest per shingle; 15 hex chars = 60 bits, exact in a bigint
+    x = (
+        F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10).cast("bigint") % MINHASH_P
+    ).alias("x")
+    sx = sh.select("doc_id", x)
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"h{i}")
-        for i in range(MINHASH_K)
+        F.min((F.lit(a) * F.col("x") + F.lit(b)) % MINHASH_P).alias(f"h{i}")
+        for i, (a, b) in enumerate(MINHASH_FAMILY)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return sx.groupBy("doc_id").agg(*aggs)
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -255,7 +292,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard. The scale path: signature size is constant per doc, banding
     turns all-pairs into an equi-join on band keys — exactly the shape that
     survives 100 TB (shuffle on band hash, skew-salted if a band is hot)."""
-    sig = _minhash_signatures(spark, sf_dir)
+    # signatures are the INDEX artifact (K ints per doc — tiny relative to
+    # the corpus) and are referenced four times below (band join both sides
+    # + exact-estimate join-back); materialize once, as any real pipeline
+    # stores its minhash index rather than re-deriving it per use
+    sig = _minhash_signatures(spark, sf_dir).persist()
+    sig.count()
     n_bands = MINHASH_K // MINHASH_BAND
     band_cols = [
         F.md5(
@@ -296,12 +338,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sql() -> str:
-    mins = ", ".join(f"min(md5('{i}:' || s)) AS h{i}" for i in range(MINHASH_K))
+    mins = ", ".join(
+        f"min(({a} * x + {b}) % {MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(MINHASH_FAMILY)
+    )
     n_bands = MINHASH_K // MINHASH_BAND
     band_selects = " UNION ALL ".join(
         "SELECT doc_id, {bi} AS bi, md5({concat}) AS bv FROM sig".format(
             bi=bi,
-            concat=" || '|' || ".join(f"h{bi * MINHASH_BAND + j}" for j in range(MINHASH_BAND)),
+            concat=" || '|' || ".join(
+                f"CAST(h{bi * MINHASH_BAND + j} AS VARCHAR)" for j in range(MINHASH_BAND)
+            ),
         )
         for bi in range(n_bands)
     )
@@ -309,7 +356,10 @@ def _minhash_sql() -> str:
     return f"""
 WITH tok AS (SELECT doc_id, {_DK_TOKS} AS toks FROM documents),
 sh AS (SELECT doc_id, unnest({_DK_SHINGLES}) AS s FROM tok),
-sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+shx AS (SELECT doc_id,
+               CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT) % {MINHASH_P} AS x
+        FROM sh),
+sig AS (SELECT doc_id, {mins} FROM shx GROUP BY doc_id),
 bands AS ({band_selects}),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
