@@ -78,11 +78,31 @@ class KeyedParquetTable:
         p = self._read_pointer()
         return None if p is None else p.get("last_batch_id")
 
-    def read(self, spark: SparkSession) -> DataFrame | None:
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame | None:
+        """Current state, or a past snapshot via ``version`` (time travel —
+        any version still within the ``keep_versions`` retention horizon;
+        mirrors Hudi/Delta incremental-query capability on the COW layout)."""
         p = self._read_pointer()
         if p is None:
             return None
-        return spark.read.parquet(self._version_dir(p["version"]))
+        v = p["version"] if version is None else version
+        path = self._version_dir(v)
+        if not os.path.isdir(path):
+            raise FileNotFoundError(
+                f"version {v} not available (retention keeps {self.keep_versions}; "
+                f"latest is {p['version']})"
+            )
+        return spark.read.parquet(path)
+
+    def versions(self) -> list[int]:
+        """Committed versions still on disk, oldest first."""
+        try:
+            dirs = [d for d in os.listdir(self.root) if d.startswith("v_")]
+        except FileNotFoundError:
+            return []
+        p = self._read_pointer()
+        latest = p["version"] if p else 0
+        return sorted(int(d[2:]) for d in dirs if int(d[2:]) <= latest)
 
     def merge_batch(self, spark: SparkSession, batch: DataFrame, batch_id: int | None = None) -> bool:
         """Upsert one normalized CDC batch; returns False if skipped

@@ -108,3 +108,15 @@ class TestKeyedParquetTable:
         dirs = [d for d in os.listdir(t.root) if d.startswith("v_")]
         assert len(dirs) <= 2
         assert _state(t.read(spark)) == {1: ("v4", 4)}
+
+    def test_time_travel_read(self, spark, tmp_path):
+        import pytest
+
+        t = KeyedParquetTable(str(tmp_path / "tbl"), ["id"], keep_versions=3)
+        t.merge_batch(spark, _df(spark, [(1, "old", 10, False)]), batch_id=0)
+        t.merge_batch(spark, _df(spark, [(1, "new", 20, False)]), batch_id=1)
+        assert t.versions() == [1, 2]
+        assert _state(t.read(spark, version=1)) == {1: ("old", 10)}
+        assert _state(t.read(spark)) == {1: ("new", 20)}
+        with pytest.raises(FileNotFoundError):
+            t.read(spark, version=99)
