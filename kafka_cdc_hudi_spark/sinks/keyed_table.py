@@ -104,6 +104,43 @@ class KeyedParquetTable:
         latest = p["version"] if p else 0
         return sorted(int(d[2:]) for d in dirs if int(d[2:]) <= latest)
 
+    def diff(
+        self, spark: SparkSession, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Incremental read: per-key changes between two snapshots —
+        the Hudi incremental-query capability on the COW layout.
+
+        Returns the TO-snapshot columns plus ``_change_type`` in
+        ('insert', 'update', 'delete'); delete rows carry the key with
+        null payload. One full-outer shuffle join on the key; change
+        detection is a 64-bit row hash, so unchanged keys drop out
+        without column-by-column comparison.
+        """
+        from pyspark.sql import functions as F
+
+        old = self.read(spark, from_version)
+        new = self.read(spark, to_version)
+        cols = new.columns
+        oldh = old.select(
+            *self.keys, F.xxhash64(*[F.col(c) for c in old.columns]).alias("__h_old")
+        )
+        newh = new.withColumn("__h_new", F.xxhash64(*[F.col(c) for c in cols]))
+        j = newh.join(oldh, self.keys, "full_outer")
+        change = (
+            F.when(F.col("__h_old").isNull(), "insert")
+            .when(F.col("__h_new").isNull(), "delete")
+            .otherwise("update")
+        )
+        return (
+            j.withColumn("_change_type", change)
+            .filter(
+                F.col("__h_old").isNull()
+                | F.col("__h_new").isNull()
+                | (F.col("__h_old") != F.col("__h_new"))
+            )
+            .select(*cols, "_change_type")
+        )
+
     def merge_batch(self, spark: SparkSession, batch: DataFrame, batch_id: int | None = None) -> bool:
         """Upsert one normalized CDC batch; returns False if skipped
         (already-committed batch id replay, or empty batch)."""

@@ -44,7 +44,18 @@ def kafka_value_stream(
         r = r.option("kafka.consumer.commit.groupid", consumer_group)
     for k, v in (extra_options or {}).items():
         r = r.option(k, v)
-    return r.load().selectExpr("CAST(value AS STRING) AS value")
+    try:
+        stream = r.load()
+    except Exception as exc:  # connector jar missing (pip pyspark ships without it)
+        if "kafka" in str(exc).lower():
+            raise RuntimeError(
+                "the Kafka connector is not on the classpath; start Spark with "
+                '.config("spark.jars.packages", '
+                '"org.apache.spark:spark-sql-kafka-0-10_2.13:<spark version>") '
+                "or use json_file_value_stream for a broker-free stand-in"
+            ) from exc
+        raise
+    return stream.selectExpr("CAST(value AS STRING) AS value")
 
 
 def json_file_value_stream(

@@ -109,6 +109,21 @@ class TestKeyedParquetTable:
         assert len(dirs) <= 2
         assert _state(t.read(spark)) == {1: ("v4", 4)}
 
+    def test_incremental_diff(self, spark, tmp_path):
+        t = KeyedParquetTable(str(tmp_path / "tbl"), ["id"], keep_versions=3)
+        t.merge_batch(
+            spark,
+            _df(spark, [(1, "keep", 10, False), (2, "upd", 10, False), (3, "gone", 10, False)]),
+            batch_id=0,
+        )
+        t.merge_batch(
+            spark,
+            _df(spark, [(2, "upd2", 20, False), (3, None, 20, True), (4, "new", 20, False)]),
+            batch_id=1,
+        )
+        d = {r["id"]: (r["_change_type"], r["val"]) for r in t.diff(spark, 1, 2).collect()}
+        assert d == {2: ("update", "upd2"), 3: ("delete", None), 4: ("insert", "new")}
+
     def test_time_travel_read(self, spark, tmp_path):
         import pytest
 
