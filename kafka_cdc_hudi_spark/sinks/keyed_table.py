@@ -118,13 +118,31 @@ class KeyedParquetTable:
         """
         from pyspark.sql import functions as F
 
+        p = self._read_pointer()
+        if p is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        resolved_to = p["version"] if to_version is None else to_version
+        if from_version >= resolved_to:
+            raise ValueError(
+                f"from_version ({from_version}) must be < to_version ({resolved_to})"
+            )
         old = self.read(spark, from_version)
-        new = self.read(spark, to_version)
+        new = self.read(spark, resolved_to)
         cols = new.columns
-        oldh = old.select(
-            *self.keys, F.xxhash64(*[F.col(c) for c in old.columns]).alias("__h_old")
-        )
-        newh = new.withColumn("__h_new", F.xxhash64(*[F.col(c) for c in cols]))
+
+        def row_hash(df: DataFrame) -> F.Column:
+            # hash a canonical JSON serialization, NOT xxhash64(*cols):
+            # xxhash64 skips null children, so ('x', null) and (null, 'x')
+            # would hash identically and a column-swap update would vanish
+            return F.xxhash64(
+                F.to_json(
+                    F.struct(*[F.col(c) for c in df.columns]),
+                    {"ignoreNullFields": "false"},
+                )
+            )
+
+        oldh = old.select(*self.keys, row_hash(old).alias("__h_old"))
+        newh = new.withColumn("__h_new", row_hash(new))
         j = newh.join(oldh, self.keys, "full_outer")
         change = (
             F.when(F.col("__h_old").isNull(), "insert")

@@ -47,14 +47,15 @@ def kafka_value_stream(
     try:
         stream = r.load()
     except Exception as exc:  # connector jar missing (pip pyspark ships without it)
-        if "kafka" in str(exc).lower():
+        msg = str(exc)
+        if "DATA_SOURCE_NOT_FOUND" in msg or "Failed to find data source" in msg:
             raise RuntimeError(
                 "the Kafka connector is not on the classpath; start Spark with "
                 '.config("spark.jars.packages", '
                 '"org.apache.spark:spark-sql-kafka-0-10_2.13:<spark version>") '
                 "or use json_file_value_stream for a broker-free stand-in"
             ) from exc
-        raise
+        raise  # real config errors (bad options etc.) pass through untouched
     return stream.selectExpr("CAST(value AS STRING) AS value")
 
 

@@ -123,6 +123,30 @@ class TestKeyedParquetTable:
         )
         d = {r["id"]: (r["_change_type"], r["val"]) for r in t.diff(spark, 1, 2).collect()}
         assert d == {2: ("update", "upd2"), 3: ("delete", None), 4: ("insert", "new")}
+        import pytest
+
+        with pytest.raises(ValueError):
+            t.diff(spark, 2, 1)
+        with pytest.raises(FileNotFoundError):
+            KeyedParquetTable(str(tmp_path / "nope"), ["id"]).diff(spark, 1)
+
+    def test_diff_detects_column_swap(self, spark):
+        """xxhash64(*cols) skips nulls so ('x', null) == (null, 'x'); the
+        canonical-JSON row hash must not have that blind spot."""
+        import tempfile
+
+        root = tempfile.mkdtemp()
+        t = KeyedParquetTable(root, ["id"], order_col="mtime")
+        b1 = spark.createDataFrame(
+            [(1, "x", None, 10, False)], "id int, a string, b string, mtime int, _deleted boolean"
+        )
+        t.merge_batch(spark, b1, batch_id=0)
+        b2 = spark.createDataFrame(
+            [(1, None, "x", 20, False)], "id int, a string, b string, mtime int, _deleted boolean"
+        )
+        t.merge_batch(spark, b2, batch_id=1)
+        d = t.diff(spark, 1, 2).collect()
+        assert len(d) == 1 and d[0]["_change_type"] == "update"
 
     def test_time_travel_read(self, spark, tmp_path):
         import pytest
