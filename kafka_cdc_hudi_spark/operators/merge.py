@@ -76,11 +76,32 @@ def merge_upsert(
     else:
         unioned = batch
     # newest mtime wins; on ties the incoming batch wins (Hudi behavior),
-    # then caller tiebreakers keep it deterministic.
+    # then caller tiebreakers keep it deterministic. Without caller
+    # tiebreakers, same-(mtime, src) rows (ms-resolution producers emit
+    # these routinely) would resolve by partial-aggregation order — so
+    # synthesize a content hash: the winner is arbitrary but IDENTICAL
+    # run-to-run and replay-to-replay (idempotence depends on it).
+    tiebreakers = list(tiebreakers)
+    det_col = None
+    if not tiebreakers:
+        det_col = "__det_tb"
+        payload_cols = [c for c in unioned.columns if c != _SRC_COL]
+        unioned = unioned.withColumn(
+            det_col,
+            F.xxhash64(
+                F.to_json(
+                    F.struct(*[F.col(c) for c in payload_cols]),
+                    {"ignoreNullFields": "false"},
+                )
+            ),
+        )
+        tiebreakers = [det_col]
     merged = latest_per_key_agg(
         unioned, keys, order_col=order_col, tiebreakers=[_SRC_COL, *tiebreakers]
     )
     merged = merged.filter(~F.coalesce(F.col(deleted_col), F.lit(False))).drop(_SRC_COL)
+    if det_col is not None:
+        merged = merged.drop(det_col)
     if not keep_deleted_col:
         merged = merged.drop(deleted_col)
     return merged

@@ -35,13 +35,11 @@ from pyspark.sql.types import StructType
 
 from kafka_cdc_hudi_spark.config import DIALECT_DMS, JobConfig, TableSpec
 from kafka_cdc_hudi_spark.operators.cdc import (
-    DB_COL,
-    TABLE_COL,
     infer_json_schema,
     parse_stream,
     raw_route_prefilter,
+    route,
 )
-from kafka_cdc_hudi_spark.operators.dedup import latest_per_key_agg
 from kafka_cdc_hudi_spark.sinks.keyed_table import KeyedParquetTable
 
 log = logging.getLogger(__name__)
@@ -68,8 +66,14 @@ class CdcStreamDriver:
         return self._sinks[key]
 
     # -- schema resolution ---------------------------------------------------
+    def _declared_schema(self, spec: TableSpec) -> StructType | None:
+        # qualified name first; bare table name kept for single-DB configs
+        return self.payload_schemas.get(
+            spec.qualified_name, self.payload_schemas.get(spec.table)
+        )
+
     def _schema_for(self, spec: TableSpec, table_slice: DataFrame) -> StructType | None:
-        declared = self.payload_schemas.get(spec.table)
+        declared = self._declared_schema(spec)
         if declared is not None:
             return declared
         cached = self._inferred.get(spec.qualified_name)
@@ -78,10 +82,23 @@ class CdcStreamDriver:
         if table_slice.isEmpty():
             return None
         env = infer_json_schema(self.spark, table_slice)
-        payload_field = "data" if self.config.dialect == DIALECT_DMS else "after"
-        payload = next((f.dataType for f in env.fields if f.name == payload_field), None)
-        if payload is None or not isinstance(payload, StructType):
+        if self.config.dialect == DIALECT_DMS:
+            fields = ("data",)
+        else:
+            # union after+before: a delete-only slice has after=null
+            # everywhere (inferred as string), and dropped-at-source columns
+            # live on in deletes' `before` — both must parse
+            fields = ("after", "before")
+        structs = [
+            f.dataType
+            for f in env.fields
+            if f.name in fields and isinstance(f.dataType, StructType)
+        ]
+        if not structs:
             raise ValueError(f"cannot infer payload schema for {spec.qualified_name}")
+        payload = structs[0]
+        for s in structs[1:]:
+            payload = self._merge_schemas(payload, s)
         self._inferred[spec.qualified_name] = payload
         return payload
 
@@ -128,13 +145,19 @@ class CdcStreamDriver:
 
     # -- per-batch processing --------------------------------------------------
     def _run_table(self, spec: TableSpec, raw_batch: DataFrame, batch_id: int) -> bool:
+        # per-table scheduler pool: FAIR mode arbitrates BETWEEN pools, so
+        # each table needs its own or the per-table jobs queue FIFO in the
+        # default pool and one huge table starves the rest (reference O7)
+        self.spark.sparkContext.setLocalProperty(
+            "spark.scheduler.pool", spec.qualified_name
+        )
         # cheap raw prefilter = scan reduction only; exact routing is post-parse
         sliced = raw_route_prefilter(raw_batch, spec.db, spec.table, self.config.dialect)
         schema = self._schema_for(spec, sliced)
         if schema is None:
             return False  # empty slice, nothing to infer or write
         if (
-            spec.table not in self.payload_schemas  # dynamic mode only
+            self._declared_schema(spec) is None  # dynamic mode only
             and spec.qualified_name in self._inferred
             and self._drifted(sliced, schema)
         ):
@@ -144,16 +167,11 @@ class CdcStreamDriver:
             self._inferred[spec.qualified_name] = schema
             log.info("schema drift on %s: re-inferred to %s", spec.qualified_name, schema.simpleString())
         parsed = parse_stream(sliced, self.config.dialect, schema, keep_routing=True)
-        routed = parsed.filter(
-            (F.col(DB_COL) == spec.db) & (F.col(TABLE_COL) == spec.table)
-        ).drop(DB_COL, TABLE_COL)
-        deduped = latest_per_key_agg(
-            routed,
-            spec.primary_keys,
-            order_col=spec.precombine_field,
-            tiebreakers=[],
-        )
-        return self.sink_for(spec).merge_batch(self.spark, deduped, batch_id=batch_id)
+        routed = route(parsed, spec.db, spec.table)
+        # no pre-merge dedup: merge_upsert's own latest_per_key_agg collapses
+        # in-batch duplicates map-side over the union — a separate pass here
+        # would pay a full extra shuffle per table per batch for nothing
+        return self.sink_for(spec).merge_batch(self.spark, routed, batch_id=batch_id)
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """The ``foreachBatch`` callback (reference ``process_batch``,

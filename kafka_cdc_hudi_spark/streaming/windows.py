@@ -23,7 +23,7 @@ from typing import Any
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
@@ -119,13 +119,24 @@ def streaming_dedup(
     df: DataFrame, keys: Iterable[str], ts_col: str = "ts", watermark: str = "10 minutes"
 ) -> DataFrame:
     """Exactly-once-per-key events within the watermark horizon
-    (``dropDuplicatesWithinWatermark`` on streams, plain dropDuplicates on
-    batch frames). State is bounded by the watermark — the streaming
-    counterpart of the CDC in-batch dedup (O15)."""
+    (``dropDuplicatesWithinWatermark`` on streams). State is bounded by the
+    watermark — the streaming counterpart of the CDC in-batch dedup (O15).
+
+    The batch path keeps the EARLIEST event per key (min event time, content
+    hash as the deterministic tie-break) rather than ``dropDuplicates``'s
+    arbitrary row: for an in-order source that's exactly what the stream's
+    first-arrival-wins produces, so batch output is a usable oracle for the
+    stream."""
     keys = list(keys)
     if df.isStreaming:
         return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
-    return df.dropDuplicates(keys)
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(ts_col).asc_nulls_last(),
+        F.xxhash64(
+            F.to_json(F.struct(*[F.col(c) for c in df.columns]), {"ignoreNullFields": "false"})
+        ),
+    )
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
 
 
 # -- custom stateful operator -------------------------------------------------
@@ -154,11 +165,16 @@ def _make_running_stats_fn(idle_timeout_ms: int | None):
             return
         n, s, last_ts, last_type = state.get if state.exists else (0, 0.0, None, None)
         for pdf in pdfs:
-            pdf = pdf.sort_values("ts")
             n += len(pdf)
             s += float(pdf["value"].sum())
-            last_ts = pdf["ts"].iloc[-1].to_pydatetime()
-            last_type = str(pdf["event_type"].iloc[-1])
+            # max-merge the "last event" against prior state AND every chunk:
+            # a key can arrive as multiple Arrow chunks, and a late event
+            # must never regress last_ts below what the state already saw
+            idx = pdf["ts"].idxmax()
+            chunk_ts = pdf["ts"].loc[idx].to_pydatetime()
+            if last_ts is None or chunk_ts >= last_ts:
+                last_ts = chunk_ts
+                last_type = str(pdf["event_type"].loc[idx])
         state.update((n, s, last_ts, last_type))
         if idle_timeout_ms is not None:
             state.setTimeoutDuration(idle_timeout_ms)

@@ -125,6 +125,24 @@ def test_dynamic_schema_inference_stream(spark, tmp_path):
     assert rows == {1: ("a", None), 2: ("b", 7)}
 
 
+def test_declared_schemas_qualified_per_db(spark, tmp_path):
+    """Same-named tables in different DBs must not share a declared schema."""
+    s1 = StructType([StructField("id", LongType(), True), StructField("val", StringType(), True)])
+    s2 = StructType([StructField("id", LongType(), True), StructField("score", LongType(), True)])
+    cfg = JobConfig(
+        dialect=DIALECT_DEBEZIUM,
+        tables=[TableSpec("d1", "users", ("id",)), TableSpec("d2", "users", ("id",))],
+        sink_root=str(tmp_path / "sink"),
+        checkpoint_location=str(tmp_path / "ckpt"),
+    )
+    driver = CdcStreamDriver(spark, cfg, payload_schemas={"d1.users": s1, "d2.users": s2})
+    assert driver._declared_schema(cfg.tables[0]) is s1
+    assert driver._declared_schema(cfg.tables[1]) is s2
+    # bare-name fallback still works for single-DB configs
+    driver2 = CdcStreamDriver(spark, cfg, payload_schemas={"users": s1})
+    assert driver2._declared_schema(cfg.tables[1]) is s1
+
+
 def test_schema_drift_mid_stream(spark, tmp_path):
     """Dynamic mode: a NEW payload column appearing after the schema was
     inferred and cached must be picked up (drift re-inference), with old
