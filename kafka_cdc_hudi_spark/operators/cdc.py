@@ -207,6 +207,17 @@ def raw_route_prefilter(df: DataFrame, db: str, table: str, dialect: str, value_
     """
     import re
 
+    # only safe when the raw wire form is guaranteed to contain the literal:
+    # JSON writers escape non-ASCII (\\uXXXX), quotes, and backslashes, so a
+    # name containing any of those may appear escaped and the literal match
+    # would FALSE-NEGATIVE (silent data loss). Skip the hint for such names —
+    # exact post-parse routing still applies.
+    def _literal_safe(s: str) -> bool:
+        return all(0x20 <= ord(c) < 0x7F and c not in '"\\/' for c in s)
+
+    if not (_literal_safe(db) and _literal_safe(table)):
+        return df
+
     v = F.col(value_col).cast("string")
 
     def key_val(k: str, val: str) -> Column:

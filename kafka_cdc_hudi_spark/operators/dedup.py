@@ -92,13 +92,16 @@ def topk_per_key_salted(
     ranking where a single key would otherwise pin one task
     (partial aggregation cannot help ``row_number``).
 
-    Salt is derived deterministically from the ordering columns, so results
-    are stable run-to-run and equal to :func:`topk_per_key` whenever
-    (order_col, tiebreakers) is unique per row.
+    Salt is derived deterministically from a hash of ALL columns, so results
+    are stable run-to-run AND rows sharing the ordering value still spread
+    across buckets — salting by the ordering columns alone would collapse a
+    hot key with one repeated mtime into a single bucket, which is exactly
+    the skewed shape this function exists for. Equal to :func:`topk_per_key`
+    whenever (order_col, tiebreakers) is unique per row.
     """
-    salt = F.pmod(
-        F.hash(F.col(order_col), *[F.col(t) for t in tiebreakers]), F.lit(salt_buckets)
-    ).alias("__salt")
+    salt = F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(salt_buckets)).alias(
+        "__salt"
+    )
     phase1 = topk_per_key(
         df.withColumn("__salt", salt),
         [*keys, "__salt"],

@@ -76,8 +76,11 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
 def media_repartition(df: DataFrame, target_rows_per_partition: int = 1024) -> DataFrame:
     """Bound Arrow batch size ahead of a decode stage. At scale you would
     compute partitions from SUM(byte_len)/budget; locally row-count is a
-    fine proxy."""
-    n = max(1, df.count() // target_rows_per_partition)
+    fine proxy. Costs one count() of the input — cache upstream if the
+    lineage is expensive. Ceil division: floor would leave up to 2x the
+    budget in one partition."""
+    n_rows = df.count()
+    n = max(1, -(-n_rows // target_rows_per_partition))
     return df.repartition(n)
 
 

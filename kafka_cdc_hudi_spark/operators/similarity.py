@@ -66,14 +66,26 @@ def srp_bucketize(
     df: DataFrame, dim: int, n_bits: int = 12, n_tables: int = 4, col: str = "embedding"
 ) -> DataFrame:
     """Add (table, signature) bucket rows: one output row per input row per
-    table. Downstream: equi-join on (table, sig) for candidates."""
-    out = None
-    for t in range(n_tables):
-        part = df.withColumn("tbl", F.lit(t)).withColumn(
-            "sig", srp_signature_col(dim, n_bits, t, col)
-        )
-        out = part if out is None else out.unionByName(part)
-    return out
+    table. Downstream: equi-join on (table, sig) for candidates.
+
+    All n_tables signatures are computed in ONE projection and fanned out
+    with a single explode — a per-table union would recompute the upstream
+    lineage once per table (the same anti-pattern the MinHash bands fix)."""
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                srp_signature_col(dim, n_bits, t, col).alias("sig"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    return (
+        df.withColumn("__e", F.explode(entries))
+        .withColumn("tbl", F.col("__e.tbl"))
+        .withColumn("sig", F.col("__e.sig"))
+        .drop("__e")
+    )
 
 
 def srp_topk(
@@ -136,7 +148,11 @@ def ivf_train_centroids(
             members = x[assign == c]
             if len(members):
                 cents[c] = members.mean(axis=0)
-    return cents
+    # return UNIT-NORM centroids: training assigns by cosine, and downstream
+    # ivf_assign/ivf_topk argmax a raw dot — with unit centroids the raw-dot
+    # argmax IS the cosine argmax, so assignment matches the trained
+    # partition instead of biasing toward large-norm centroids
+    return cents / (np.linalg.norm(cents, axis=1, keepdims=True) + 1e-12)
 
 
 def _centroid_sim_cols(cents: np.ndarray, col: str) -> list[F.Column]:
@@ -170,9 +186,16 @@ def ivf_assign_pandas(df: DataFrame, cents: np.ndarray, col: str = "embedding") 
 
     @pandas_udf("int")
     def assign(emb: pd.Series) -> pd.Series:
-        x = np.array([np.asarray(v, dtype=np.float64) for v in emb])
-        sims = x @ bc.value.T
-        return pd.Series(sims.argmax(axis=1).astype("int32"))
+        # null embeddings -> null cell (the native variant's behavior);
+        # np.array over a batch mixing vectors and None would raise
+        out = pd.array([None] * len(emb), dtype="Int32")
+        valid = [i for i, v in enumerate(emb) if v is not None]
+        if valid:
+            x = np.array([np.asarray(emb.iloc[i], dtype=np.float64) for i in valid])
+            cells = (x @ bc.value.T).argmax(axis=1)
+            for j, i in enumerate(valid):
+                out[i] = int(cells[j])
+        return pd.Series(out, dtype="Int32")
 
     return df.withColumn("cell", assign(F.col(col)))
 
@@ -182,7 +205,6 @@ def ivf_assign(df: DataFrame, cents: np.ndarray, col: str = "embedding") -> Data
     Native expressions; centroids are broadcast literals."""
     sims = _centroid_sim_cols(cents, col)
     with_sims = df.select("*", *sims)
-    arr = F.array(*[F.col(f"c{i}") for i in range(len(cents))])
     cell = F.expr(
         f"array_position(array({','.join(f'c{i}' for i in range(len(cents)))}), "
         f"array_max(array({','.join(f'c{i}' for i in range(len(cents)))}))) - 1"

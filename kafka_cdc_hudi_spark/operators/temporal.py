@@ -48,7 +48,13 @@ def asof_join(
     rstruct = F.struct(
         F.col(right_ts).alias("ts"), *[F.col(c) for c in right_cols]
     )
-    r = right.select(
+    # SQL ASOF equality semantics: a NULL key or NULL timestamp on the right
+    # can never match (otherwise the null-ts row sorts first and becomes
+    # everyone's "earliest" match, and null keys would pair with null keys)
+    right_valid = right.filter(F.col(right_ts).isNotNull())
+    for k in on:
+        right_valid = right_valid.filter(F.col(k).isNotNull())
+    r = right_valid.select(
         *on,
         F.col(right_ts).alias(_TS),
         F.lit(0).alias(_SIDE),

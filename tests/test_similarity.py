@@ -80,3 +80,16 @@ def test_ivf_assign_pandas_matches_native(spark, emb):
     native = {r["vec_id"]: r["cell"] for r in ivf_assign(emb, cents).collect()}
     pand = {r["vec_id"]: r["cell"] for r in ivf_assign_pandas(emb, cents).collect()}
     assert native == pand
+
+
+def test_ivf_assign_pandas_null_embedding(spark, emb):
+    from pyspark.sql import functions as F
+    from kafka_cdc_hudi_spark.operators.similarity import ivf_assign_pandas
+
+    cents = ivf_train_centroids(emb, DIM, n_cells=4, iters=2)
+    with_null = emb.withColumn(
+        "embedding", F.when(F.col("vec_id") == 0, F.lit(None)).otherwise(F.col("embedding"))
+    )
+    rows = {r["vec_id"]: r["cell"] for r in ivf_assign_pandas(with_null, cents).collect()}
+    assert rows[0] is None
+    assert all(v is not None for k, v in rows.items() if k != 0)

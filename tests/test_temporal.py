@@ -23,6 +23,17 @@ def test_asof_backward_inclusive(spark):
     }
 
 
+def test_asof_null_right_ts_and_keys_never_match(spark):
+    left = spark.createDataFrame([Row(k=1, ts=5, name="a"), Row(k=None, ts=5, name="b")])
+    right = spark.createDataFrame(
+        [Row(k=1, ts=None, px=99.0), Row(k=None, ts=3, px=7.0)]
+    )
+    out = {r["name"]: (r["asof_ts"], r["asof_px"]) for r in
+           asof_join(left, right, on=["k"], prefix="asof_").collect()}
+    # null right_ts row is not "the earliest match"; null keys don't pair
+    assert out == {"a": (None, None), "b": (None, None)}
+
+
 def test_asof_single_shuffle(spark):
     left = spark.range(100).selectExpr("id % 5 AS k", "id AS ts", "id AS v")
     right = spark.range(20).selectExpr("id % 5 AS k", "id * 3 AS ts", "id AS px")
