@@ -63,14 +63,28 @@ def parse_properties_text(text: str) -> dict[str, str]:
         rest = line[sep_idx:].lstrip()
         if rest[:1] in ("=", ":"):
             rest = rest[1:].lstrip()
-        val = (
-            rest.replace("\\t", "\t")
-            .replace("\\n", "\n")
-            .replace("\\r", "\r")
-            .replace("\\\\", "\\")
-        )
-        props[key] = val
+        props[key] = _unescape(rest)
     return props
+
+
+_ESCAPES = {"t": "\t", "n": "\n", "r": "\r", "f": "\f", "\\": "\\"}
+
+
+def _unescape(v: str) -> str:
+    """Single left-to-right pass — chained str.replace would corrupt an
+    escaped backslash followed by t/n/r (``C:\\\\temp`` -> ``C:\\<TAB>emp``)."""
+    out = []
+    i = 0
+    while i < len(v):
+        c = v[i]
+        if c == "\\" and i + 1 < len(v):
+            nxt = v[i + 1]
+            out.append(_ESCAPES.get(nxt, nxt))
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
 
 DIALECT_DMS = "DMS-CDC"
 DIALECT_FLINK = "FLINK-CDC"

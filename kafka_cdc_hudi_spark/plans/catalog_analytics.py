@@ -18,14 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kafka_cdc_hudi_spark.functions.numeric import DEC, dsum as _dsum
 from kafka_cdc_hudi_spark.sources.tables import load_table
-
-DEC = "decimal(25,6)"
-
-
-def _dsum(col: F.Column | str, alias: str) -> F.Column:
-    c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(DEC)).cast("double").alias(alias)
 
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -26,8 +26,6 @@ from kafka_cdc_hudi_spark.plans.cdc_fixtures import (
 )
 from kafka_cdc_hudi_spark.sources.tables import load_table
 
-PAYLOAD_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
-
 #: shared oracle fragment: events + derived debezium op + mtime
 _EVT_CTE = """
 evt AS (

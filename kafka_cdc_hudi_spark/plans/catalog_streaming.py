@@ -32,6 +32,7 @@ from kafka_cdc_hudi_spark.operators.similarity import (
     ivf_train_centroids,
     srp_topk,
 )
+from kafka_cdc_hudi_spark.functions.numeric import DEC
 from kafka_cdc_hudi_spark.sources.tables import load_table
 from kafka_cdc_hudi_spark.streaming.windows import (
     session_windows,
@@ -39,7 +40,6 @@ from kafka_cdc_hudi_spark.streaming.windows import (
     tumbling_counts,
 )
 
-DEC = "decimal(25,6)"
 EMBEDDING_DIM = 64
 
 

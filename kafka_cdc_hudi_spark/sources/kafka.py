@@ -31,7 +31,11 @@ def kafka_value_stream(
         .option("subscribe", topic)
         .option("failOnDataLoss", "false")
     )
-    if max_offsets_per_trigger:
+    if max_offsets_per_trigger is not None:
+        if max_offsets_per_trigger <= 0:
+            raise ValueError(
+                f"max_offsets_per_trigger must be positive, got {max_offsets_per_trigger}"
+            )
         r = r.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
     # offset positioning (/root/reference/glue/cdc_hudi.py:89-92)
     if starting_timestamp:

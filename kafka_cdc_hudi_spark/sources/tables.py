@@ -35,7 +35,6 @@ NANO_TS_COLS = {
     "events": ("ts",),
 }
 
-DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -34,11 +34,20 @@ def register_table_views(
     returns the registered view names (tables with no committed state yet
     are skipped)."""
     names = []
+    seen: dict[str, str] = {}
     for spec in driver.config.tables:
+        name = view_name(spec.db, spec.table, prefix)
+        # '.'/'-' collapse to '_', so distinct tables CAN map to one view
+        # name — refuse rather than silently overwrite the first view
+        if name in seen:
+            raise ValueError(
+                f"view name collision: {seen[name]} and {spec.qualified_name} "
+                f"both map to temp view {name!r}; use distinct prefixes"
+            )
+        seen[name] = spec.qualified_name
         state = driver.sink_for(spec).read(spark)
         if state is None:
             continue
-        name = view_name(spec.db, spec.table, prefix)
         state.createOrReplaceTempView(name)
         names.append(name)
     return names

@@ -25,6 +25,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from kafka_cdc_hudi_spark.functions.numeric import dsum as _dsum
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
@@ -40,12 +42,6 @@ def _maybe_watermark(df: DataFrame, ts_col: str, delay: str | None) -> DataFrame
     if delay and df.isStreaming:
         return df.withWatermark(ts_col, delay)
     return df
-
-
-def _dsum(col: str, alias: str) -> F.Column:
-    """Order-independent exact double sum (sum in decimal, cast back) so
-    results hash-match any other engine regardless of partitioning."""
-    return F.sum(F.col(col).cast("decimal(25,6)")).cast("double").alias(alias)
 
 
 def tumbling_counts(

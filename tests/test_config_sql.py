@@ -41,6 +41,14 @@ def test_parse_properties_text():
     assert [t["table_name"] for t in tables] == ["t1", "t2"]
 
 
+def test_properties_escaped_backslash_before_tnr():
+    """A chained-replace unescape would turn C:\\\\temp into C:\\<TAB>emp."""
+    props = parse_properties_text(r"path=C:\\temp" + "\n" + r"re=a\\nb" + "\n" + "tab=x\\ty")
+    assert props["path"] == "C:\\temp"
+    assert props["re"] == "a\\nb"
+    assert props["tab"] == "x\ty"
+
+
 def test_job_config_from_properties_text():
     cfg = JobConfig.from_properties_text(SAMPLE_PROPERTIES)
     assert cfg.dialect == DIALECT_DEBEZIUM
