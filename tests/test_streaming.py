@@ -125,6 +125,62 @@ def test_dynamic_schema_inference_stream(spark, tmp_path):
     assert rows == {1: ("a", None), 2: ("b", 7)}
 
 
+def dms(op, data=None, ts="2024-01-01T00:00:00.000Z", db="d1", table="t1", rtype="data"):
+    return json.dumps(
+        {
+            "data": data,
+            "metadata": {
+                "operation": op,
+                "timestamp": ts,
+                "record-type": rtype,
+                "schema-name": db,
+                "table-name": table,
+            },
+        }
+    )
+
+
+def test_dms_dialect_end_to_end(spark, tmp_path):
+    """DMS dialect through the full streaming driver: load/insert/update/
+    delete ops, control records dropped, ISO-string precombine ordering."""
+    from kafka_cdc_hudi_spark.config import DIALECT_DMS
+
+    src = tmp_path / "src"
+    src.mkdir()
+    cfg = JobConfig(
+        dialect=DIALECT_DMS,
+        tables=[TableSpec("d1", "t1", ("id",))],
+        sink_root=str(tmp_path / "sink"),
+        checkpoint_location=str(tmp_path / "ckpt"),
+        max_workers=1,
+    )
+    driver = CdcStreamDriver(spark, cfg, payload_schemas={"t1": PAYLOAD})
+    _write_lines(
+        src / "b1.json",
+        [
+            dms("load", {"id": 1, "val": "a"}, ts="2024-01-01T00:00:01.000Z"),
+            dms("update", {"id": 1, "val": "a2"}, ts="2024-01-01T00:00:03.000Z"),
+            dms("update", {"id": 1, "val": "mid"}, ts="2024-01-01T00:00:02.000Z"),
+            dms("insert", {"id": 2, "val": "b"}, ts="2024-01-01T00:00:01.000Z"),
+            dms("insert", {"id": 9, "val": "ctl"}, ts="2024-01-01T00:00:09.000Z", rtype="control"),
+        ],
+    )
+    _write_lines(
+        src / "b2.json",
+        [
+            dms("delete", {"id": 2, "val": "b"}, ts="2024-01-01T00:00:05.000Z"),
+            dms("update", {"id": 1, "val": "stale"}, ts="2024-01-01T00:00:00.500Z"),
+        ],
+    )
+    q = driver.start(json_file_value_stream(spark, str(src), max_files_per_trigger=1))
+    q.processAllAvailable()
+    q.stop()
+    t1 = driver.sink_for(cfg.tables[0]).read(spark)
+    rows = {(r["id"], r["val"]) for r in t1.collect()}
+    # control record dropped, delete applied, stale update lost by mtime
+    assert rows == {(1, "a2")}
+
+
 def test_declared_schemas_qualified_per_db(spark, tmp_path):
     """Same-named tables in different DBs must not share a declared schema."""
     s1 = StructType([StructField("id", LongType(), True), StructField("val", StringType(), True)])
