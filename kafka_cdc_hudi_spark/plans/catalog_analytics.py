@@ -337,6 +337,74 @@ FROM events
 """
 
 
+#: fixed pivot columns — explicit values keep the output schema stable (and
+#: skip the extra distinct-values job Spark runs for an open pivot)
+EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+def events_pivot_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-user event counts, one column per event type. Explicit
+    value list -> single shuffle, no distinct-scan."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(EVENT_TYPES))
+    )
+
+
+EVENTS_PIVOT_SQL = f"""
+SELECT user_id,
+       {", ".join(f"CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS {t}" for t in EVENT_TYPES)}
+FROM events
+GROUP BY user_id
+"""
+
+
+def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, user bucket): all 4 grouping combinations in
+    one Expand + single shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    bucket = (F.col("user_id") % 2).alias("user_bucket")
+    return (
+        e.select("event_type", bucket)
+        .cube("event_type", "user_bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+EVENTS_CUBE_SQL = """
+SELECT event_type, user_id % 2 AS user_bucket, COUNT(*) AS n
+FROM events
+GROUP BY CUBE (event_type, user_bucket)
+"""
+
+
+def active_user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: users active in the first half of the window vs the
+    second — intersect minus except, tagged and unioned."""
+    e = load_table(spark, sf_dir, "events")
+    mid = F.lit("2024-01-16").cast("timestamp")
+    first = e.filter(F.col("ts") < mid).select("user_id").distinct()
+    second = e.filter(F.col("ts") >= mid).select("user_id").distinct()
+    both = first.intersect(second).withColumn("cohort", F.lit("both_halves"))
+    only_first = first.exceptAll(second).withColumn("cohort", F.lit("first_only"))
+    only_second = second.exceptAll(first).withColumn("cohort", F.lit("second_only"))
+    return both.unionByName(only_first).unionByName(only_second)
+
+
+ACTIVE_USER_SET_OPS_SQL = """
+WITH f AS (SELECT DISTINCT user_id FROM events WHERE ts < TIMESTAMP '2024-01-16'),
+s AS (SELECT DISTINCT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-16')
+SELECT user_id, 'both_halves' AS cohort FROM (SELECT user_id FROM f INTERSECT SELECT user_id FROM s)
+UNION ALL
+SELECT user_id, 'first_only' FROM (SELECT user_id FROM f EXCEPT SELECT user_id FROM s)
+UNION ALL
+SELECT user_id, 'second_only' FROM (SELECT user_id FROM s EXCEPT SELECT user_id FROM f)
+"""
+
+
 def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: every event annotated with the user's most recent
     click (backward-inclusive). One shuffle+sort per user_id — see
@@ -374,6 +442,9 @@ ANALYTICS_QUERIES: dict[str, tuple] = {
     "events_rollup": (events_rollup, EVENTS_ROLLUP_SQL),
     "customers_without_orders": (customers_without_orders, CUSTOMERS_WITHOUT_ORDERS_SQL),
     "events_user_cumsum": (events_user_cumsum, EVENTS_USER_CUMSUM_SQL),
+    "events_pivot_user_counts": (events_pivot_user_counts, EVENTS_PIVOT_SQL),
+    "events_cube": (events_cube, EVENTS_CUBE_SQL),
+    "active_user_set_ops": (active_user_set_ops, ACTIVE_USER_SET_OPS_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "q5_local_supplier": (q5_local_supplier, Q5_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
