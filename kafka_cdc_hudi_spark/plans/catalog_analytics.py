@@ -337,6 +337,32 @@ FROM events
 """
 
 
+def big_orders_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: LEFT SEMI join against an aggregated subquery —
+    orders whose lineitems total > 250 qty. The semi join keeps orders
+    columns only (no duplication from multiple matches) and Spark pushes it
+    as a build-side-dedup'd hash join."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return o.join(big, o.o_orderkey == big.l_orderkey, "left_semi").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+
+
+BIG_ORDERS_SEMI_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+FROM orders
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+)
+"""
+
+
 #: fixed pivot columns — explicit values keep the output schema stable (and
 #: skip the extra distinct-values job Spark runs for an open pivot)
 EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
@@ -445,6 +471,7 @@ ANALYTICS_QUERIES: dict[str, tuple] = {
     "events_pivot_user_counts": (events_pivot_user_counts, EVENTS_PIVOT_SQL),
     "events_cube": (events_cube, EVENTS_CUBE_SQL),
     "active_user_set_ops": (active_user_set_ops, ACTIVE_USER_SET_OPS_SQL),
+    "big_orders_semi_join": (big_orders_semi_join, BIG_ORDERS_SEMI_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "q5_local_supplier": (q5_local_supplier, Q5_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
