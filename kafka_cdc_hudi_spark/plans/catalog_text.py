@@ -38,9 +38,12 @@ _INDEX_CACHE: dict = {}
 
 
 def _cached_index(kind: str, sf_dir: str, build):
-    key = (kind, sf_dir)
+    df0 = build()
+    # key includes the Spark application id: a cached frame from a stopped
+    # session must not be handed to a new session in the same process
+    key = (df0.sparkSession.sparkContext.applicationId, kind, sf_dir)
     if key not in _INDEX_CACHE:
-        df = build().persist()
+        df = df0.persist()
         df.count()  # materialize eagerly so all downstream references share it
         _INDEX_CACHE[key] = df
     return _INDEX_CACHE[key]
