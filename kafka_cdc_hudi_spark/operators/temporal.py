@@ -78,3 +78,47 @@ def asof_join(
     out_cols.append(F.col("__last_r.ts").alias(f"{prefix}ts"))
     out_cols += [F.col(f"__last_r.{c}").alias(f"{prefix}{c}") for c in right_cols]
     return filled.filter(F.col(_SIDE) == 1).select(*out_cols)
+
+
+def range_join(
+    left: DataFrame,
+    intervals: DataFrame,
+    on: Sequence[str],
+    left_ts: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Interval join: each left row paired with every interval (same key)
+    where ``start <= left_ts < end`` — half-open, SQL-null semantics (null
+    keys/bounds never match).
+
+    Spark-first scale path: a naive inequality join plans as a broadcast
+    nested loop (quadratic). Instead each interval is exploded to the
+    time buckets it spans and each left row computes its single bucket, so
+    the pairing becomes an EQUI-join on (key, bucket) + a residual range
+    filter — shuffle-partitionable, AQE-skew-splittable, linear in
+    (rows + interval-bucket spans). Pick ``bucket_seconds`` near the median
+    interval length: output duplicates are impossible (a left row lives in
+    exactly one bucket).
+    """
+    on = list(on)
+    b = F.lit(bucket_seconds)
+    iv = intervals.filter(F.col(start_col).isNotNull() & F.col(end_col).isNotNull())
+    for k in on:
+        iv = iv.filter(F.col(k).isNotNull())
+    # buckets covered by [start, end): floor(start/b) .. floor(end - epsilon)
+    last_bucket = F.floor(
+        (F.col(end_col).cast("double") - F.lit(1e-6)) / b
+    ).cast("long")
+    iv = iv.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(F.floor(F.col(start_col).cast("double") / b).cast("long"), last_bucket)
+        ),
+    )
+    lf = left.withColumn("__bucket", F.floor(F.col(left_ts).cast("double") / b).cast("long"))
+    joined = lf.join(iv, [*on, "__bucket"]).filter(
+        (F.col(left_ts) >= F.col(start_col)) & (F.col(left_ts) < F.col(end_col))
+    )
+    return joined.drop("__bucket")

@@ -337,6 +337,41 @@ FROM events
 """
 
 
+def range_join_post_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: every event within 2 hours after a purchase
+    by the same user. Bucketed equi-join scale path — see
+    operators/temporal.py:range_join (a naive inequality join would plan
+    as a nested loop)."""
+    from kafka_cdc_hudi_spark.operators.temporal import range_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+    )
+    out = range_join(
+        e.select("event_id", "user_id", "ts"),
+        purchases,
+        on=["user_id"],
+        start_col="start_ts",
+        end_col="end_ts",
+    )
+    return out.select("event_id", "user_id", "ts", "purchase_id", "start_ts", "end_ts")
+
+
+RANGE_JOIN_SQL = """
+SELECT l.event_id, l.user_id, l.ts, r.purchase_id, r.start_ts, r.end_ts
+FROM events l
+JOIN (
+  SELECT user_id, event_id AS purchase_id, ts AS start_ts,
+         ts + INTERVAL 2 HOUR AS end_ts
+  FROM events WHERE event_type = 'purchase'
+) r ON l.user_id = r.user_id AND l.ts >= r.start_ts AND l.ts < r.end_ts
+"""
+
+
 def big_orders_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: LEFT SEMI join against an aggregated subquery —
     orders whose lineitems total > 250 qty. The semi join keeps orders
@@ -472,6 +507,7 @@ ANALYTICS_QUERIES: dict[str, tuple] = {
     "events_cube": (events_cube, EVENTS_CUBE_SQL),
     "active_user_set_ops": (active_user_set_ops, ACTIVE_USER_SET_OPS_SQL),
     "big_orders_semi_join": (big_orders_semi_join, BIG_ORDERS_SEMI_SQL),
+    "range_join_post_purchase": (range_join_post_purchase, RANGE_JOIN_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "q5_local_supplier": (q5_local_supplier, Q5_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),

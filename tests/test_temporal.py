@@ -43,3 +43,23 @@ def test_asof_single_shuffle(spark):
     # union + one window: exactly one hash-partitioning exchange, no join op
     assert plan.count("hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_range_join_buckets_and_boundaries(spark):
+    from kafka_cdc_hudi_spark.operators.temporal import range_join
+
+    left = spark.createDataFrame(
+        [(1, 1, 0), (2, 1, 3600), (3, 1, 7199), (4, 1, 7200), (5, 2, 100), (6, None, 50)],
+        "event_id int, k int, ts int",
+    )
+    # interval spans 2 buckets (3600s each); half-open [0, 7200)
+    intervals = spark.createDataFrame(
+        [(1, 0, 7200, "a"), (2, None, 100, "b"), (None, 0, 100, "c")],
+        "k int, start int, end int, tag string",
+    )
+    out = {(r["event_id"], r["tag"]) for r in
+           range_join(left, intervals, on=["k"], left_ts="ts",
+                      start_col="start", end_col="end", bucket_seconds=3600).collect()}
+    # ts=0,3600,7199 inside [0,7200); 7200 excluded (half-open); null
+    # bounds/keys never match
+    assert out == {(1, "a"), (2, "a"), (3, "a")}
