@@ -337,6 +337,20 @@ FROM events
 """
 
 
+def events_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregations per event_type: HyperLogLog++ distinct users and
+    approximate value quantiles — the constant-memory estimators a 100 TB
+    aggregation uses where exact distinct/percentile would shuffle the full
+    key/value set. Approximate -> rows-only driver check; accuracy vs exact
+    is asserted in tests/test_sketches.py."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.95], 10_000).alias("value_p50_p95"),
+        F.count("*").alias("n"),
+    )
+
+
 def range_join_post_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range (interval) join: every event within 2 hours after a purchase
     by the same user. Bucketed equi-join scale path — see
@@ -508,6 +522,7 @@ ANALYTICS_QUERIES: dict[str, tuple] = {
     "active_user_set_ops": (active_user_set_ops, ACTIVE_USER_SET_OPS_SQL),
     "big_orders_semi_join": (big_orders_semi_join, BIG_ORDERS_SEMI_SQL),
     "range_join_post_purchase": (range_join_post_purchase, RANGE_JOIN_SQL),
+    "events_sketches": (events_sketches, None),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "q5_local_supplier": (q5_local_supplier, Q5_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),

@@ -1,0 +1,32 @@
+"""Sketch aggregations must land within documented error bounds of exact."""
+
+from pyspark.sql import functions as F
+
+from kafka_cdc_hudi_spark.plans.catalog_analytics import events_sketches
+from kafka_cdc_hudi_spark.sources.tables import load_table
+
+from .conftest import SF_DIR
+
+
+def test_sketches_within_tolerance(spark):
+    approx = {
+        r["event_type"]: (r["approx_users"], r["value_p50_p95"])
+        for r in events_sketches(spark, SF_DIR).collect()
+    }
+    e = load_table(spark, SF_DIR, "events")
+    exact = {
+        r["event_type"]: (r["nd"], r["p"])
+        for r in e.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("nd"),
+            F.expr("percentile(value, array(0.5, 0.95))").alias("p"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for t, (nd_a, q_a) in approx.items():
+        nd_e, q_e = exact[t]
+        assert abs(nd_a - nd_e) <= max(1, 0.05 * nd_e), f"{t}: HLL off {nd_a} vs {nd_e}"
+        spread = max(1e-9, q_e[1] - q_e[0])
+        for qa, qe in zip(q_a, q_e):
+            assert abs(qa - qe) <= 0.1 * spread + 1e-6, f"{t}: quantile {qa} vs {qe}"
