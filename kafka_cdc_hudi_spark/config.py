@@ -130,6 +130,11 @@ class JobConfig:
     dialect: str = DIALECT_DEBEZIUM
     tables: list[TableSpec] = field(default_factory=list)
     sink_root: str = "/tmp/cdc_sink"
+    #: "cow" rewrites the snapshot per commit (reference Hudi COPY_ON_WRITE);
+    #: "mor" appends delta commits + compaction (the write-throughput scale path)
+    sink_mode: str = "cow"
+    #: mor only: auto-compact after this many delta commits (None = manual)
+    compact_every: int | None = 10
     checkpoint_location: str = "/tmp/cdc_checkpoint"
     trigger_interval: str = "30 seconds"
     max_workers: int = 4
@@ -150,6 +155,10 @@ class JobConfig:
             dialect=props.get("cdc_format", DIALECT_DEBEZIUM),
             tables=tables,
             sink_root=props.get("sink_root", "/tmp/cdc_sink"),
+            sink_mode=props.get("sink_mode", "cow"),
+            compact_every=(
+                int(props["compact_every"]) if props.get("compact_every") else 10
+            ),
             checkpoint_location=props.get("checkpoint_location", "/tmp/cdc_checkpoint"),
             trigger_interval=f"{props.get('checkpoint_interval', '30')} seconds",
             max_workers=int(props.get("thread_max_workers", "4")),

@@ -49,6 +49,56 @@ def align_by_name(existing: DataFrame, batch: DataFrame) -> tuple[DataFrame, Dat
     return existing, batch.select(*existing.columns)
 
 
+def _with_det_tiebreak(df: DataFrame, exclude: Sequence[str]) -> tuple[DataFrame, str]:
+    """Attach a deterministic content-hash tiebreak column.
+
+    Without caller tiebreakers, rows sharing the ordering value would
+    resolve by partial-aggregation order — so synthesize a content hash:
+    the winner is arbitrary but IDENTICAL run-to-run and
+    replay-to-replay (idempotence depends on it). The hash covers a
+    canonical JSON serialization (NOT ``xxhash64(*cols)``, which skips
+    null children and would conflate column-swapped rows)."""
+    det_col = "__det_tb"
+    payload_cols = [c for c in df.columns if c not in exclude]
+    return (
+        df.withColumn(
+            det_col,
+            F.xxhash64(
+                F.to_json(
+                    F.struct(*[F.col(c) for c in payload_cols]),
+                    {"ignoreNullFields": "false"},
+                )
+            ),
+        ),
+        det_col,
+    )
+
+
+def dedupe_batch(
+    batch: DataFrame,
+    keys: Sequence[str],
+    order_col: str = "mtime",
+    deleted_col: str = "_deleted",
+    tiebreakers: Sequence[str] = (),
+) -> DataFrame:
+    """In-batch latest-per-key dedup that KEEPS delete tombstones.
+
+    Used by the merge-on-read sink to collapse a micro-batch to at most one
+    row per key before appending it as a delta commit: map-side combine
+    shrinks shuffle volume to ~unique-keys, and the read-time fold can then
+    break cross-delta ties purely by commit sequence. Deterministic via the
+    same content-hash tiebreak as :func:`merge_upsert`."""
+    if deleted_col not in batch.columns:
+        batch = batch.withColumn(deleted_col, F.lit(False))
+    tiebreakers = list(tiebreakers)
+    det_col = None
+    if not tiebreakers:
+        batch, det_col = _with_det_tiebreak(batch, exclude=())
+        tiebreakers = [det_col]
+    out = latest_per_key_agg(batch, keys, order_col=order_col, tiebreakers=tiebreakers)
+    return out.drop(det_col) if det_col is not None else out
+
+
 def merge_upsert(
     existing: DataFrame | None,
     batch: DataFrame,
@@ -76,25 +126,12 @@ def merge_upsert(
     else:
         unioned = batch
     # newest mtime wins; on ties the incoming batch wins (Hudi behavior),
-    # then caller tiebreakers keep it deterministic. Without caller
-    # tiebreakers, same-(mtime, src) rows (ms-resolution producers emit
-    # these routinely) would resolve by partial-aggregation order — so
-    # synthesize a content hash: the winner is arbitrary but IDENTICAL
-    # run-to-run and replay-to-replay (idempotence depends on it).
+    # then caller tiebreakers keep it deterministic (see _with_det_tiebreak
+    # for why a synthesized content hash is required when none are given)
     tiebreakers = list(tiebreakers)
     det_col = None
     if not tiebreakers:
-        det_col = "__det_tb"
-        payload_cols = [c for c in unioned.columns if c != _SRC_COL]
-        unioned = unioned.withColumn(
-            det_col,
-            F.xxhash64(
-                F.to_json(
-                    F.struct(*[F.col(c) for c in payload_cols]),
-                    {"ignoreNullFields": "false"},
-                )
-            ),
-        )
+        unioned, det_col = _with_det_tiebreak(unioned, exclude=(_SRC_COL,))
         tiebreakers = [det_col]
     merged = latest_per_key_agg(
         unioned, keys, order_col=order_col, tiebreakers=[_SRC_COL, *tiebreakers]

@@ -159,6 +159,53 @@ FROM merged WHERE NOT is_deleted
 """
 
 
+def cdc_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read sink: the same two-batch merge as
+    ``cdc_merge_two_batches`` but committed as O(batch) delta appends and
+    folded at read time (sinks/keyed_table.py mode="mor" — the Hudi
+    MERGE_ON_READ capability the reference's COW setup lacks).
+
+    Fold semantics = global latest per key by (mtime, commit, event_id)
+    with tombstones first-class, so the oracle is a single QUALIFY over the
+    union — delete tombstones suppress older cross-commit inserts (Hudi MOR
+    log-merge precombine), which is where this differs from the COW query.
+    """
+    import tempfile
+
+    env = debezium_envelopes(_events(spark, sf_dir))
+    parsed = parse_debezium(env, EVENTS_PAYLOAD_SCHEMA)
+    a = parsed.filter(F.col("event_id") % 2 == 0).drop("operation")
+    b = parsed.filter(F.col("event_id") % 2 == 1).drop("operation")
+    with tempfile.TemporaryDirectory(prefix="mor_query_") as root:
+        from kafka_cdc_hudi_spark.sinks.keyed_table import KeyedParquetTable
+
+        t = KeyedParquetTable(
+            root=root, keys=["user_id"], order_col="mtime",
+            tiebreakers=["event_id"], mode="mor",
+        )
+        t.merge_batch(spark, a, batch_id=0)
+        t.merge_batch(spark, b, batch_id=1)
+        out = t.read(spark).select(
+            "event_id", "ts", "user_id", "event_type", "value", "props", "mtime"
+        )
+        # materialize before the tmpdir vanishes; result is small (1 row/user)
+        return spark.createDataFrame(out.collect(), out.schema)
+
+
+CDC_MERGE_MOR_SQL = f"""
+WITH {_EVT_CTE},
+allrows AS (
+  SELECT *, CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END AS src FROM evt
+),
+merged AS (
+  SELECT * FROM allrows
+  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY mtime DESC, src DESC, event_id DESC) = 1
+)
+SELECT event_id, ts, user_id, event_type, value, props, mtime
+FROM merged WHERE NOT is_deleted
+"""
+
+
 def cdc_route_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O8: one stream carries two tables interleaved; route to `events`."""
     events = _events(spark, sf_dir)
@@ -185,5 +232,6 @@ CDC_QUERIES: dict[str, tuple] = {
         CDC_LATEST_PER_COMPOSITE_KEY_SQL,
     ),
     "cdc_merge_two_batches": (cdc_merge_two_batches, CDC_MERGE_TWO_BATCHES_SQL),
+    "cdc_merge_mor": (cdc_merge_mor, CDC_MERGE_MOR_SQL),
     "cdc_route_multitable": (cdc_route_multitable, CDC_ROUTE_MULTITABLE_SQL),
 }

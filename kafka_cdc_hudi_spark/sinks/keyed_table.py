@@ -1,18 +1,42 @@
 """Keyed, upsert-able parquet table — the pure-Spark stand-in for the
-reference's Hudi COPY_ON_WRITE sink (/root/reference/glue/cdc_hudi.py:179-216).
+reference's Hudi sink (/root/reference/glue/cdc_hudi.py:179-216), in both
+storage styles:
+
+- ``mode="cow"`` (default; the reference's COPY_ON_WRITE,
+  /root/reference/glue/cdc_hudi.py:186): every commit rewrites the full
+  merged snapshot. Cheapest reads, O(table) write cost per batch.
+- ``mode="mor"`` (Hudi MERGE_ON_READ, the scale path the reference lacks):
+  every commit appends only the deduped batch as a *delta*; readers fold
+  base + deltas on the fly; an explicit/automatic ``compact()`` folds the
+  deltas into a new base snapshot. Write cost per batch is O(batch) — at
+  100 TB with a 1M-event trigger this is the difference between rewriting
+  the table every 60 s and appending ~a few MB, exactly Hudi's COW-vs-MOR
+  trade (the per-batch COW rewrite dominates the measured streaming soak;
+  see PLANS.md).
 
 Layout::
 
     <root>/
-      v_00000001/ ... v_0000000N/   immutable parquet snapshots
-      _VERSION                      text file: latest committed version + batch id
+      v_00000001/ ...   immutable parquet base snapshots (COW commit or compaction)
+      d_00000002/ ...   immutable parquet delta commits (MOR appends)
+      _VERSION          text file: latest committed version + batch id
 
-Commit protocol: write the new snapshot directory fully, then atomically
-rewrite the ``_VERSION`` pointer (rename). Readers resolve the pointer first,
-so a crashed write leaves only an orphan directory, never a torn table —
-this is a miniature of Hudi's timeline/commit files. Old versions are pruned
-keeping ``keep_versions`` (reference cleaner retained=2..4 commits,
-/root/reference/glue/cdc_hudi.py:198-200).
+Commit protocol: write the new snapshot/delta directory fully, then
+atomically rewrite the ``_VERSION`` pointer (rename). Readers resolve the
+pointer first, so a crashed write leaves only an orphan directory, never a
+torn table — a miniature of Hudi's timeline/commit files. Old versions are
+pruned keeping ``keep_versions`` bases (reference cleaner retained=2..4
+commits, /root/reference/glue/cdc_hudi.py:198-200); deltas are pruned at
+compaction.
+
+Read-time fold (MOR): base ∪ deltas → latest-per-key by
+``(order_col, commit_seq)`` → drop tombstones. Precombine semantics match
+the COW merge (newest ``mtime`` wins; ties go to the later commit) with one
+documented divergence: a delete tombstone with a newer ``mtime`` keeps
+suppressing an older insert that arrives in a LATER commit until compaction
+drops the tombstone — Hudi's own MOR log-merge behavior
+(ordering-value precombine against delete markers), whereas COW filters
+deletes at each commit so the older insert would resurrect the row.
 
 Exactly-once on top of at-least-once ``foreachBatch``: the pointer records
 the last merged streaming batch id; replaying an already-committed batch is
@@ -28,8 +52,17 @@ import shutil
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from kafka_cdc_hudi_spark.operators.merge import merge_upsert
+from kafka_cdc_hudi_spark.operators.dedup import latest_per_key_agg
+from kafka_cdc_hudi_spark.operators.merge import align_by_name, dedupe_batch, merge_upsert
+
+#: commit-sequence column persisted in delta files; breaks cross-commit
+#: precombine ties toward the later commit (Hudi: incoming record wins)
+_SEQ_COL = "__commit_seq"
+
+MODE_COW = "cow"
+MODE_MOR = "mor"
 
 
 class KeyedParquetTable:
@@ -41,13 +74,20 @@ class KeyedParquetTable:
         deleted_col: str = "_deleted",
         tiebreakers: Sequence[str] = (),
         keep_versions: int = 3,
+        mode: str = MODE_COW,
+        compact_every: int | None = None,
     ):
+        if mode not in (MODE_COW, MODE_MOR):
+            raise ValueError(f"mode must be '{MODE_COW}' or '{MODE_MOR}', got {mode!r}")
         self.root = root
         self.keys = list(keys)
         self.order_col = order_col
         self.deleted_col = deleted_col
         self.tiebreakers = list(tiebreakers)
         self.keep_versions = keep_versions
+        self.mode = mode
+        #: MOR only: auto-compact once this many deltas accumulate past the base
+        self.compact_every = compact_every
 
     # -- pointer management -------------------------------------------------
     @property
@@ -70,6 +110,28 @@ class KeyedParquetTable:
     def _version_dir(self, version: int) -> str:
         return os.path.join(self.root, f"v_{version:08d}")
 
+    def _delta_dir(self, version: int) -> str:
+        return os.path.join(self.root, f"d_{version:08d}")
+
+    def _commit_dirs(self) -> tuple[list[int], list[int]]:
+        """(base_versions, delta_versions) present on disk, each sorted.
+        Orphans past the committed pointer are excluded by callers via the
+        resolved version bound."""
+        try:
+            names = os.listdir(self.root)
+        except FileNotFoundError:
+            return [], []
+        bases = sorted(int(n[2:]) for n in names if n.startswith("v_") and n[2:].isdigit())
+        deltas = sorted(int(n[2:]) for n in names if n.startswith("d_") and n[2:].isdigit())
+        return bases, deltas
+
+    def _resolve(self, version: int) -> tuple[int | None, list[int]]:
+        """Base snapshot and ordered delta commits making up ``version``."""
+        bases, deltas = self._commit_dirs()
+        base = max((b for b in bases if b <= version), default=None)
+        floor = base if base is not None else 0
+        return base, [d for d in deltas if floor < d <= version]
+
     # -- public API ---------------------------------------------------------
     def exists(self) -> bool:
         return self._read_pointer() is not None
@@ -86,23 +148,54 @@ class KeyedParquetTable:
         if p is None:
             return None
         v = p["version"] if version is None else version
-        path = self._version_dir(v)
-        if not os.path.isdir(path):
+        base, deltas = self._resolve(v)
+        if not deltas:
+            if base != v or base is None:
+                raise FileNotFoundError(
+                    f"version {v} not available (retention keeps {self.keep_versions}; "
+                    f"latest is {p['version']})"
+                )
+            return spark.read.parquet(self._version_dir(base))
+        if deltas[-1] != v and base != v:
             raise FileNotFoundError(
                 f"version {v} not available (retention keeps {self.keep_versions}; "
                 f"latest is {p['version']})"
             )
-        return spark.read.parquet(path)
+        return self._fold(spark, base, deltas)
+
+    def _fold(self, spark: SparkSession, base: int | None, deltas: list[int]) -> DataFrame:
+        """Merge-on-read: base ∪ delta commits → latest per key by
+        ``(order_col, commit_seq)`` → drop tombstones. One shuffle on the
+        key; deltas were already collapsed to ≤1 row per key at commit time,
+        so the commit sequence alone breaks cross-commit ties."""
+        delta_df = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*[self._delta_dir(d) for d in deltas])
+        )
+        unioned = delta_df
+        if base is not None:
+            base_df = (
+                spark.read.parquet(self._version_dir(base))
+                .withColumn(self.deleted_col, F.lit(False))
+                .withColumn(_SEQ_COL, F.lit(base))
+            )
+            base_df, delta_df = align_by_name(base_df, delta_df)
+            unioned = base_df.unionByName(delta_df)
+        merged = latest_per_key_agg(
+            unioned, self.keys, order_col=self.order_col,
+            tiebreakers=[_SEQ_COL, *self.tiebreakers],
+        )
+        return merged.filter(
+            ~F.coalesce(F.col(self.deleted_col), F.lit(False))
+        ).drop(_SEQ_COL, self.deleted_col)
 
     def versions(self) -> list[int]:
-        """Committed versions still on disk, oldest first."""
-        try:
-            dirs = [d for d in os.listdir(self.root) if d.startswith("v_")]
-        except FileNotFoundError:
-            return []
+        """Committed versions still on disk, oldest first (bases and, in
+        merge-on-read mode, delta commits — any of them time-travel-readable)."""
+        bases, deltas = self._commit_dirs()
         p = self._read_pointer()
         latest = p["version"] if p else 0
-        return sorted(int(d[2:]) for d in dirs if int(d[2:]) <= latest)
+        return sorted(v for v in {*bases, *deltas} if v <= latest)
 
     def diff(
         self, spark: SparkSession, from_version: int, to_version: int | None = None
@@ -172,6 +265,24 @@ class KeyedParquetTable:
             return False
         if batch.isEmpty():  # empty-slice gate (/root/reference/glue/cdc_hudi.py:231,246)
             return False
+        new_version = 1 if p is None else p["version"] + 1
+        os.makedirs(self.root, exist_ok=True)
+        if self.mode == MODE_MOR:
+            # O(batch) commit: collapse to ≤1 row per key (map-side combine),
+            # keep tombstones, stamp the commit sequence, append as a delta
+            delta = dedupe_batch(
+                batch,
+                self.keys,
+                order_col=self.order_col,
+                deleted_col=self.deleted_col,
+                tiebreakers=self.tiebreakers,
+            ).withColumn(_SEQ_COL, F.lit(new_version))
+            delta.write.mode("overwrite").parquet(self._delta_dir(new_version))
+            self._write_pointer(new_version, batch_id)
+            _, pending = self._resolve(new_version)
+            if self.compact_every is not None and len(pending) >= self.compact_every:
+                self.compact(spark)
+            return True
         existing = self.read(spark)
         merged = merge_upsert(
             existing,
@@ -181,12 +292,34 @@ class KeyedParquetTable:
             deleted_col=self.deleted_col,
             tiebreakers=self.tiebreakers,
         )
-        new_version = 1 if p is None else p["version"] + 1
-        os.makedirs(self.root, exist_ok=True)
         merged.write.mode("overwrite").parquet(self._version_dir(new_version))
         self._write_pointer(new_version, batch_id)
         self._prune(new_version)
         return True
+
+    def compact(self, spark: SparkSession) -> int | None:
+        """Fold all pending deltas into a new base snapshot (Hudi MOR
+        compaction). Returns the new base version, or None when there was
+        nothing to compact. Tombstones are dropped in the compacted base —
+        the retention point past which a delete can no longer suppress an
+        older late-arriving insert (same horizon Hudi's cleaner gives).
+        Deltas at-or-below the new base and bases beyond ``keep_versions``
+        are pruned; the compacted snapshot commits as a new version so
+        readers never see a half-built base."""
+        p = self._read_pointer()
+        if p is None:
+            return None
+        base, deltas = self._resolve(p["version"])
+        if not deltas:
+            return None
+        merged = self._fold(spark, base, deltas)
+        new_version = p["version"] + 1
+        merged.write.mode("overwrite").parquet(self._version_dir(new_version))
+        self._write_pointer(new_version, p.get("last_batch_id"))
+        for d in deltas:
+            shutil.rmtree(self._delta_dir(d), ignore_errors=True)
+        self._prune(new_version)
+        return new_version
 
     def _prune(self, current: int) -> None:
         try:

@@ -62,6 +62,8 @@ class CdcStreamDriver:
                 root=f"{self.config.sink_root}/{spec.db}/{spec.table}",
                 keys=list(spec.primary_keys),
                 order_col=spec.precombine_field,
+                mode=self.config.sink_mode,
+                compact_every=self.config.compact_every,
             )
         return self._sinks[key]
 

@@ -1,0 +1,252 @@
+"""Merge-on-read sink mode (sinks/keyed_table.py mode="mor").
+
+The scale path the reference's Hudi COW setup lacks: O(batch) delta commits
++ read-time fold + compaction. Asserts (a) MOR read state ≡ COW state for
+the same commit sequence, (b) the documented tombstone divergence, (c)
+compaction equivalence + pruning, (d) replay/time-travel/diff behavior.
+"""
+
+import pytest
+
+from kafka_cdc_hudi_spark.operators.merge import merge_upsert
+from kafka_cdc_hudi_spark.sinks.keyed_table import KeyedParquetTable
+
+SCHEMA = "id long, val string, mtime long, _deleted boolean"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _state(df):
+    return {r["id"]: (r["val"], r["mtime"]) for r in df.collect()}
+
+
+BATCHES = [
+    [(1, "a", 10, False), (2, "b", 10, False), (1, "a1", 11, False)],  # in-batch dup
+    [(1, "a2", 20, False), (2, None, 20, True), (3, "c", 20, False)],  # delete
+    [(1, "stale", 5, False), (4, "d", 30, False)],                     # late event
+    [(3, "c2", 40, False), (4, None, 41, True)],
+]
+
+
+def _mor(tmp_path, name="t", **kw):
+    return KeyedParquetTable(
+        root=str(tmp_path / name), keys=["id"], order_col="mtime", mode="mor", **kw
+    )
+
+
+class TestMorEquivalence:
+    def test_matches_cow_fold(self, spark, tmp_path):
+        cow = KeyedParquetTable(root=str(tmp_path / "cow"), keys=["id"])
+        mor = _mor(tmp_path)
+        for i, rows in enumerate(BATCHES):
+            b = _df(spark, rows)
+            assert cow.merge_batch(spark, b, batch_id=i)
+            assert mor.merge_batch(spark, b, batch_id=i)
+        assert _state(mor.read(spark)) == _state(cow.read(spark)) == {
+            1: ("a2", 20),
+            3: ("c2", 40),
+        }
+
+    def test_compaction_preserves_state_and_prunes_deltas(self, spark, tmp_path):
+        mor = _mor(tmp_path)
+        for i, rows in enumerate(BATCHES):
+            mor.merge_batch(spark, _df(spark, rows), batch_id=i)
+        before = _state(mor.read(spark))
+        v = mor.compact(spark)
+        assert v == 5  # 4 delta commits + compaction commit
+        assert _state(mor.read(spark)) == before
+        bases, deltas = mor._commit_dirs()
+        assert deltas == [] and bases == [5]
+        # second compact is a no-op
+        assert mor.compact(spark) is None
+
+    def test_auto_compaction(self, spark, tmp_path):
+        mor = _mor(tmp_path, name="auto", compact_every=2)
+        for i, rows in enumerate(BATCHES):
+            mor.merge_batch(spark, _df(spark, rows), batch_id=i)
+        bases, deltas = mor._commit_dirs()
+        assert len(deltas) < 2  # never accumulates compact_every deltas
+        assert _state(mor.read(spark)) == {1: ("a2", 20), 3: ("c2", 40)}
+
+    def test_commits_resume_after_compaction(self, spark, tmp_path):
+        mor = _mor(tmp_path)
+        for i, rows in enumerate(BATCHES[:2]):
+            mor.merge_batch(spark, _df(spark, rows), batch_id=i)
+        mor.compact(spark)
+        mor.merge_batch(spark, _df(spark, BATCHES[2]), batch_id=2)
+        assert _state(mor.read(spark)) == {1: ("a2", 20), 3: ("c", 20), 4: ("d", 30)}
+
+
+class TestMorSemantics:
+    def test_replayed_batch_is_noop(self, spark, tmp_path):
+        mor = _mor(tmp_path)
+        b = _df(spark, BATCHES[0])
+        assert mor.merge_batch(spark, b, batch_id=0)
+        assert not mor.merge_batch(spark, b, batch_id=0)
+        assert len(mor.versions()) == 1
+
+    def test_empty_batch_skipped(self, spark, tmp_path):
+        mor = _mor(tmp_path)
+        assert not mor.merge_batch(spark, _df(spark, []), batch_id=0)
+        assert not mor.exists()
+
+    def test_tombstone_suppresses_older_late_insert_until_compaction(
+        self, spark, tmp_path
+    ):
+        """Documented MOR/COW divergence (Hudi MOR log-merge): a delete with
+        newer mtime beats an older insert arriving in a later commit; after
+        compaction the tombstone is gone and the horizon resets."""
+        mor = _mor(tmp_path)
+        mor.merge_batch(spark, _df(spark, [(1, None, 100, True)]), batch_id=0)
+        mor.merge_batch(spark, _df(spark, [(1, "late-old", 50, False)]), batch_id=1)
+        assert _state(mor.read(spark)) == {}  # tombstone wins by mtime
+        mor.compact(spark)
+        mor.merge_batch(spark, _df(spark, [(1, "late-old2", 60, False)]), batch_id=2)
+        assert _state(mor.read(spark)) == {1: ("late-old2", 60)}
+
+    def test_delete_then_newer_reinsert(self, spark, tmp_path):
+        mor = _mor(tmp_path)
+        mor.merge_batch(spark, _df(spark, [(1, "a", 10, False)]), batch_id=0)
+        mor.merge_batch(spark, _df(spark, [(1, None, 20, True)]), batch_id=1)
+        assert _state(mor.read(spark)) == {}
+        mor.merge_batch(spark, _df(spark, [(1, "back", 30, False)]), batch_id=2)
+        assert _state(mor.read(spark)) == {1: ("back", 30)}
+
+    def test_schema_drift_across_deltas(self, spark, tmp_path):
+        mor = _mor(tmp_path)
+        mor.merge_batch(spark, _df(spark, [(1, "a", 10, False)]), batch_id=0)
+        drifted = spark.createDataFrame(
+            [(2, "b", 20, False, "extra")],
+            "id long, val string, mtime long, _deleted boolean, note string",
+        )
+        mor.merge_batch(spark, drifted, batch_id=1)
+        got = {r["id"]: r["note"] for r in mor.read(spark).collect()}
+        assert got == {1: None, 2: "extra"}
+        mor.compact(spark)
+        got = {r["id"]: r["note"] for r in mor.read(spark).collect()}
+        assert got == {1: None, 2: "extra"}
+
+
+class TestMorTimeTravelAndDiff:
+    def test_time_travel_reads_delta_versions(self, spark, tmp_path):
+        mor = _mor(tmp_path)
+        for i, rows in enumerate(BATCHES):
+            mor.merge_batch(spark, _df(spark, rows), batch_id=i)
+        assert mor.versions() == [1, 2, 3, 4]
+        assert _state(mor.read(spark, version=1)) == {1: ("a1", 11), 2: ("b", 10)}
+        assert _state(mor.read(spark, version=2)) == {1: ("a2", 20), 3: ("c", 20)}
+
+    def test_pruned_version_raises(self, spark, tmp_path):
+        mor = _mor(tmp_path)
+        for i, rows in enumerate(BATCHES[:2]):
+            mor.merge_batch(spark, _df(spark, rows), batch_id=i)
+        mor.compact(spark)
+        with pytest.raises(FileNotFoundError):
+            mor.read(spark, version=1)
+
+    def test_diff_across_delta_versions(self, spark, tmp_path):
+        mor = _mor(tmp_path)
+        for i, rows in enumerate(BATCHES[:2]):
+            mor.merge_batch(spark, _df(spark, rows), batch_id=i)
+        d = mor.diff(spark, 1, 2)
+        changes = {r["id"]: r["_change_type"] for r in d.collect()}
+        assert changes == {1: "update", 2: "delete", 3: "insert"}
+
+
+class TestMorCompositeKeyAndDriverParity:
+    def test_composite_key(self, spark, tmp_path):
+        mor = KeyedParquetTable(
+            root=str(tmp_path / "ck"), keys=["id", "val"], order_col="mtime", mode="mor"
+        )
+        mor.merge_batch(
+            spark,
+            _df(spark, [(1, "x", 10, False), (1, "y", 10, False)]),
+            batch_id=0,
+        )
+        mor.merge_batch(spark, _df(spark, [(1, "x", 20, True)]), batch_id=1)
+        assert {(r["id"], r["val"]) for r in mor.read(spark).collect()} == {(1, "y")}
+
+    def test_mor_vs_cow_property(self, spark, tmp_path):
+        """Time-ordered commits (each commit's events newer than the last,
+        the normal CDC shape): MOR ≡ COW, including interleaved deletes and
+        in-batch duplicates. As long as no delete precedes an older insert
+        across commits the two modes agree (the divergence case is pinned in
+        TestMorSemantics)."""
+        rows = [
+            (i % 7, f"v{i}", 100 + i, (i % 11 == 0))
+            for i in range(60)
+        ]
+        chunks = [rows[i * 12 : (i + 1) * 12] for i in range(5)]
+        cow_state = None
+        mor = _mor(tmp_path, name="prop")
+        for i, chunk in enumerate(chunks):
+            b = _df(spark, chunk)
+            cow_state = merge_upsert(cow_state, b, ["id"])
+            mor.merge_batch(spark, b, batch_id=i)
+        assert _state(mor.read(spark)) == _state(cow_state)
+
+
+def test_streaming_driver_mor_end_to_end(spark, tmp_path):
+    """Full driver path with sink_mode=mor: parse -> route -> delta commits,
+    auto-compaction, and final state parity with the declared semantics."""
+    import json as _json
+
+    from kafka_cdc_hudi_spark.config import DIALECT_DEBEZIUM, JobConfig, TableSpec
+    from kafka_cdc_hudi_spark.sources.kafka import json_file_value_stream
+    from kafka_cdc_hudi_spark.streaming.driver import CdcStreamDriver
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    payload = StructType(
+        [StructField("id", LongType(), True), StructField("val", StringType(), True)]
+    )
+
+    def dbz(op, after=None, before=None, ts_ms=0):
+        return _json.dumps(
+            {"before": before, "after": after, "op": op, "ts_ms": ts_ms, "db": "d1", "table": "t1"}
+        )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    cfg = JobConfig(
+        dialect=DIALECT_DEBEZIUM,
+        tables=[TableSpec("d1", "t1", ("id",))],
+        sink_root=str(tmp_path / "sink"),
+        sink_mode="mor",
+        compact_every=2,
+        checkpoint_location=str(tmp_path / "ckpt"),
+        trigger_interval="1 seconds",
+        max_workers=1,
+    )
+    driver = CdcStreamDriver(spark, cfg, payload_schemas={"t1": payload})
+    (src / "b1.json").write_text(
+        "\n".join(
+            [
+                dbz("c", after={"id": 1, "val": "a"}, ts_ms=10),
+                dbz("u", after={"id": 1, "val": "a2"}, ts_ms=20),
+                dbz("c", after={"id": 2, "val": "b"}, ts_ms=10),
+            ]
+        )
+        + "\n"
+    )
+    (src / "b2.json").write_text(
+        "\n".join(
+            [
+                dbz("d", before={"id": 2, "val": "b"}, ts_ms=30),
+                dbz("c", after={"id": 3, "val": "c"}, ts_ms=30),
+            ]
+        )
+        + "\n"
+    )
+    q = driver.start(json_file_value_stream(spark, str(src), max_files_per_trigger=1))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    sink = driver.sink_for(cfg.tables[0])
+    assert sink.mode == "mor"
+    got = {(r["id"], r["val"]) for r in sink.read(spark).collect()}
+    assert got == {(1, "a2"), (3, "c")}
+    bases, deltas = sink._commit_dirs()
+    assert bases, "auto-compaction should have produced a base snapshot"
