@@ -344,10 +344,23 @@ def events_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     key/value set. Approximate -> rows-only driver check; accuracy vs exact
     is asserted in tests/test_sketches.py."""
     e = load_table(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.percentile_approx("value", [0.5, 0.95], 10_000).alias("value_p50_p95"),
-        F.count("*").alias("n"),
+    # One percentile_approx sketch pass, projected into scalar columns
+    # (array output breaks value-hash canonicalization and is a worse schema
+    # for consumers anyway).
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.percentile_approx("value", [0.5, 0.95], 10_000).alias("_pcts"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "event_type",
+            "approx_users",
+            F.element_at("_pcts", 1).alias("value_p50"),
+            F.element_at("_pcts", 2).alias("value_p95"),
+            "n",
+        )
     )
 
 

@@ -45,6 +45,22 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "events")
 
 
+#: session-scoped MOR sink scratch dirs, keyed by (application id, sf_dir) —
+#: same lifecycle as catalog_text._INDEX_CACHE. The dir must outlive the
+#: query function so the returned DataFrame stays a lazy file scan (the
+#: previous TemporaryDirectory forced a driver-side collect()).
+_MOR_SCRATCH: dict = {}
+
+
+def _mor_scratch_dir(spark: SparkSession, sf_dir: str) -> str:
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _MOR_SCRATCH:
+        _MOR_SCRATCH[key] = tempfile.mkdtemp(prefix="mor_query_")
+    return _MOR_SCRATCH[key]
+
+
 def _norm(df: DataFrame) -> DataFrame:
     """Rename engine helper column for oracle comparison."""
     return df.withColumnRenamed("_deleted", "is_deleted")
@@ -170,26 +186,26 @@ def cdc_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     union — delete tombstones suppress older cross-commit inserts (Hudi MOR
     log-merge precombine), which is where this differs from the COW query.
     """
-    import tempfile
-
     env = debezium_envelopes(_events(spark, sf_dir))
     parsed = parse_debezium(env, EVENTS_PAYLOAD_SCHEMA)
     a = parsed.filter(F.col("event_id") % 2 == 0).drop("operation")
     b = parsed.filter(F.col("event_id") % 2 == 1).drop("operation")
-    with tempfile.TemporaryDirectory(prefix="mor_query_") as root:
-        from kafka_cdc_hudi_spark.sinks.keyed_table import KeyedParquetTable
+    root = _mor_scratch_dir(spark, sf_dir)
+    from kafka_cdc_hudi_spark.sinks.keyed_table import KeyedParquetTable
 
-        t = KeyedParquetTable(
-            root=root, keys=["user_id"], order_col="mtime",
-            tiebreakers=["event_id"], mode="mor",
-        )
-        t.merge_batch(spark, a, batch_id=0)
-        t.merge_batch(spark, b, batch_id=1)
-        out = t.read(spark).select(
-            "event_id", "ts", "user_id", "event_type", "value", "props", "mtime"
-        )
-        # materialize before the tmpdir vanishes; result is small (1 row/user)
-        return spark.createDataFrame(out.collect(), out.schema)
+    t = KeyedParquetTable(
+        root=root, keys=["user_id"], order_col="mtime",
+        tiebreakers=["event_id"], mode="mor",
+    )
+    # Idempotent on re-invocation: merge_batch replays are no-ops for
+    # already-committed batch ids (sinks/keyed_table.py pointer protocol).
+    t.merge_batch(spark, a, batch_id=0)
+    t.merge_batch(spark, b, batch_id=1)
+    # Lazy read straight off the sink files — O(1) driver memory; the MOR
+    # fold (delta union + latest-per-key) runs distributed at action time.
+    return t.read(spark).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props", "mtime"
+    )
 
 
 CDC_MERGE_MOR_SQL = f"""

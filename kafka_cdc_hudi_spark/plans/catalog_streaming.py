@@ -69,11 +69,15 @@ def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVENTS_SLIDING_SQL = """
 WITH starts AS (
-  SELECT to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT)) AS ws,
+  -- DuckDB's to_timestamp returns TIMESTAMP WITH TIME ZONE; cast to plain
+  -- TIMESTAMP so the schema matches Spark's tz-naive window bounds.
+  SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT))
+              AS TIMESTAMP) AS ws,
          event_type
   FROM events
   UNION ALL
-  SELECT to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 - 1800 AS BIGINT)),
+  SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 - 1800 AS BIGINT))
+              AS TIMESTAMP),
          event_type
   FROM events
 )

@@ -39,9 +39,6 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
         s = df[c]
         if s.dtype == object and len(s) and isinstance(s.dropna().iloc[0] if len(s.dropna()) else None, (list, tuple)):
             df[c] = s.map(lambda v: tuple(v) if v is not None else None)
-        # tz-aware -> naive UTC
-        if isinstance(s.dtype, pd.DatetimeTZDtype):
-            df[c] = s.dt.tz_convert("UTC").dt.tz_localize(None)
     df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="last")
     return df.reset_index(drop=True)
 
@@ -54,6 +51,13 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, float_ulp_exact:
         return False, f"columns differ: spark={list(got.columns)} oracle={list(exp.columns)}"
     if len(got) != len(exp):
         return False, f"row count differs: spark={len(got)} oracle={len(exp)}"
+    for c in got.columns:
+        # Mirror the driver's schema check: a tz-aware oracle column vs a
+        # tz-naive Spark column is a schema mismatch, not something to paper
+        # over by normalizing (caught us once: DuckDB to_timestamp -> TIMESTAMPTZ).
+        gt, et = got[c].dtype, exp[c].dtype
+        if isinstance(gt, pd.DatetimeTZDtype) != isinstance(et, pd.DatetimeTZDtype):
+            return False, f"col {c}: tz-awareness differs: spark={gt} oracle={et}"
     for c in got.columns:
         a, b = got[c], exp[c]
         for i, (x, y) in enumerate(zip(a, b)):

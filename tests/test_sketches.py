@@ -10,7 +10,7 @@ from .conftest import SF_DIR
 
 def test_sketches_within_tolerance(spark):
     approx = {
-        r["event_type"]: (r["approx_users"], r["value_p50_p95"])
+        r["event_type"]: (r["approx_users"], [r["value_p50"], r["value_p95"]])
         for r in events_sketches(spark, SF_DIR).collect()
     }
     e = load_table(spark, SF_DIR, "events")
