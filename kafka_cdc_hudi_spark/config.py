@@ -86,6 +86,17 @@ def _unescape(v: str) -> str:
             i += 1
     return "".join(out)
 
+def _normalize_interval(value: str) -> str:
+    """The reference's job.properties passes ``checkpoint_interval`` verbatim
+    to ``processingTime`` and ships it as ``'30 seconds'``
+    (/root/reference/config/job.properties) — but bare numbers are also in
+    the wild. Append a unit only when the value is a bare number; a value
+    that already carries one (e.g. ``30 seconds``, ``1 minute``) passes
+    through untouched."""
+    v = value.strip().strip("'\"")
+    return f"{v} seconds" if v.isdigit() else v
+
+
 DIALECT_DMS = "DMS-CDC"
 DIALECT_FLINK = "FLINK-CDC"
 DIALECT_DEBEZIUM = "MSK-DEBEZIUM-CDC"
@@ -151,6 +162,14 @@ class JobConfig:
         """Build from a java-properties-style dict (reference parity:
         /root/reference/config/job.properties)."""
         tables = [TableSpec.from_dict(t) for t in json.loads(props.get("sync_table_list", "[]"))]
+        # Reference overloads startingOffsets: anything that isn't
+        # earliest/latest is a starting timestamp
+        # (/root/reference/glue/cdc_hudi.py:89-92).
+        raw_offsets = props.get("startingOffsets", "earliest")
+        if raw_offsets in ("earliest", "latest"):
+            offsets, ts = raw_offsets, props.get("consumer_starting_timestamp")
+        else:
+            offsets, ts = "earliest", raw_offsets
         return JobConfig(
             dialect=props.get("cdc_format", DIALECT_DEBEZIUM),
             tables=tables,
@@ -160,14 +179,16 @@ class JobConfig:
                 int(props["compact_every"]) if props.get("compact_every") else 10
             ),
             checkpoint_location=props.get("checkpoint_location", "/tmp/cdc_checkpoint"),
-            trigger_interval=f"{props.get('checkpoint_interval', '30')} seconds",
+            trigger_interval=_normalize_interval(props.get("checkpoint_interval", "30")),
             max_workers=int(props.get("thread_max_workers", "4")),
             kafka_bootstrap_servers=props.get("kafka_broker"),
             topic=props.get("topic"),
-            starting_offsets=props.get("startingOffsets", "earliest"),
-            starting_timestamp=props.get("consumer_starting_timestamp"),
+            starting_offsets=offsets,
+            starting_timestamp=ts,
             max_offsets_per_trigger=int(props.get("max_offsets_per_trigger", "1000000")),
-            consumer_group=props.get("kafka_consumer_group"),
+            # reference key is consumer_group (/root/reference/glue/cdc_hudi.py:74);
+            # kafka_consumer_group kept for earlier configs of this package
+            consumer_group=props.get("consumer_group", props.get("kafka_consumer_group")),
         )
 
     @staticmethod

@@ -22,12 +22,16 @@ Layout::
       _VERSION          text file: latest committed version + batch id
 
 Commit protocol: write the new snapshot/delta directory fully, then
-atomically rewrite the ``_VERSION`` pointer (rename). Readers resolve the
-pointer first, so a crashed write leaves only an orphan directory, never a
-torn table — a miniature of Hudi's timeline/commit files. Old versions are
-pruned keeping ``keep_versions`` bases (reference cleaner retained=2..4
-commits, /root/reference/glue/cdc_hudi.py:198-200); deltas are pruned at
-compaction.
+atomically rewrite the ``_VERSION`` pointer (rename). The pointer carries a
+manifest of committed versions (``commits: {version: "base"|"delta"}``) —
+readers resolve ONLY manifested directories, so a crashed write leaves an
+orphan directory that is never read and is swept at the next prune — a
+miniature of Hudi's timeline/commit files. New versions are allocated past
+``max(committed version, any directory on disk)`` so an orphan base from a
+crashed compaction can never collide with (and shadow) the next delta
+commit. Old versions are pruned keeping ``keep_versions`` bases (reference
+cleaner retained=2..4 commits, /root/reference/glue/cdc_hudi.py:198-200);
+deltas are pruned at compaction.
 
 Read-time fold (MOR): base ∪ deltas → latest-per-key by
 ``(order_col, commit_seq)`` → drop tombstones. Precombine semantics match
@@ -101,10 +105,19 @@ class KeyedParquetTable:
         except (FileNotFoundError, json.JSONDecodeError):
             return None
 
-    def _write_pointer(self, version: int, batch_id: int | None) -> None:
+    def _write_pointer(
+        self, version: int, batch_id: int | None, commits: dict[int, str]
+    ) -> None:
         tmp = self._pointer_path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"version": version, "last_batch_id": batch_id}, f)
+            json.dump(
+                {
+                    "version": version,
+                    "last_batch_id": batch_id,
+                    "commits": {str(v): k for v, k in sorted(commits.items())},
+                },
+                f,
+            )
         os.replace(tmp, self._pointer_path)  # atomic on POSIX
 
     def _version_dir(self, version: int) -> str:
@@ -114,9 +127,9 @@ class KeyedParquetTable:
         return os.path.join(self.root, f"d_{version:08d}")
 
     def _commit_dirs(self) -> tuple[list[int], list[int]]:
-        """(base_versions, delta_versions) present on disk, each sorted.
-        Orphans past the committed pointer are excluded by callers via the
-        resolved version bound."""
+        """(base_versions, delta_versions) present ON DISK, each sorted —
+        includes orphans from crashed writes. Used only for version
+        allocation and orphan sweeping; readers go through the manifest."""
         try:
             names = os.listdir(self.root)
         except FileNotFoundError:
@@ -125,9 +138,32 @@ class KeyedParquetTable:
         deltas = sorted(int(n[2:]) for n in names if n.startswith("d_") and n[2:].isdigit())
         return bases, deltas
 
-    def _resolve(self, version: int) -> tuple[int | None, list[int]]:
-        """Base snapshot and ordered delta commits making up ``version``."""
+    def _commits_map(self, p: dict | None) -> dict[int, str]:
+        """Committed {version: "base"|"delta"} from the pointer manifest.
+        Pre-manifest tables (pointer without ``commits``) fall back to the
+        disk listing — the legacy behavior, adopted into the manifest on the
+        next commit."""
+        if p is not None and "commits" in p:
+            return {int(v): k for v, k in p["commits"].items()}
         bases, deltas = self._commit_dirs()
+        return {**{b: "base" for b in bases}, **{d: "delta" for d in deltas}}
+
+    def _next_version(self, p: dict | None) -> int:
+        """Allocate past both the committed version AND anything on disk, so
+        an orphan directory from a crashed write (e.g. compaction that died
+        between base write and pointer update) is never reused — reusing it
+        would let a stale base shadow the delta committed under the same
+        number, silently losing that batch."""
+        bases, deltas = self._commit_dirs()
+        committed = p["version"] if p is not None else 0
+        return max([committed, *bases, *deltas]) + 1
+
+    def _resolve(self, version: int, p: dict | None = None) -> tuple[int | None, list[int]]:
+        """Base snapshot and ordered delta commits making up ``version`` —
+        manifested commits only; torn/orphan directories are invisible."""
+        commits = self._commits_map(self._read_pointer() if p is None else p)
+        bases = sorted(v for v, k in commits.items() if k == "base")
+        deltas = sorted(v for v, k in commits.items() if k == "delta")
         base = max((b for b in bases if b <= version), default=None)
         floor = base if base is not None else 0
         return base, [d for d in deltas if floor < d <= version]
@@ -148,7 +184,13 @@ class KeyedParquetTable:
         if p is None:
             return None
         v = p["version"] if version is None else version
-        base, deltas = self._resolve(v)
+        if v > p["version"]:
+            # never read past the committed pointer: a higher-numbered dir is
+            # an in-flight or crashed write, not a committed snapshot
+            raise FileNotFoundError(
+                f"version {v} not committed (latest is {p['version']})"
+            )
+        base, deltas = self._resolve(v, p)
         if not deltas:
             if base != v or base is None:
                 raise FileNotFoundError(
@@ -192,10 +234,9 @@ class KeyedParquetTable:
     def versions(self) -> list[int]:
         """Committed versions still on disk, oldest first (bases and, in
         merge-on-read mode, delta commits — any of them time-travel-readable)."""
-        bases, deltas = self._commit_dirs()
         p = self._read_pointer()
         latest = p["version"] if p else 0
-        return sorted(v for v in {*bases, *deltas} if v <= latest)
+        return sorted(v for v in self._commits_map(p) if v <= latest)
 
     def diff(
         self, spark: SparkSession, from_version: int, to_version: int | None = None
@@ -265,8 +306,9 @@ class KeyedParquetTable:
             return False
         if batch.isEmpty():  # empty-slice gate (/root/reference/glue/cdc_hudi.py:231,246)
             return False
-        new_version = 1 if p is None else p["version"] + 1
         os.makedirs(self.root, exist_ok=True)
+        new_version = self._next_version(p)
+        commits = self._commits_map(p)
         if self.mode == MODE_MOR:
             # O(batch) commit: collapse to ≤1 row per key (map-side combine),
             # keep tombstones, stamp the commit sequence, append as a delta
@@ -278,7 +320,8 @@ class KeyedParquetTable:
                 tiebreakers=self.tiebreakers,
             ).withColumn(_SEQ_COL, F.lit(new_version))
             delta.write.mode("overwrite").parquet(self._delta_dir(new_version))
-            self._write_pointer(new_version, batch_id)
+            commits[new_version] = "delta"
+            self._write_pointer(new_version, batch_id, commits)
             _, pending = self._resolve(new_version)
             if self.compact_every is not None and len(pending) >= self.compact_every:
                 self.compact(spark)
@@ -293,7 +336,8 @@ class KeyedParquetTable:
             tiebreakers=self.tiebreakers,
         )
         merged.write.mode("overwrite").parquet(self._version_dir(new_version))
-        self._write_pointer(new_version, batch_id)
+        commits[new_version] = "base"
+        self._write_pointer(new_version, batch_id, commits)
         self._prune(new_version)
         return True
 
@@ -309,23 +353,47 @@ class KeyedParquetTable:
         p = self._read_pointer()
         if p is None:
             return None
-        base, deltas = self._resolve(p["version"])
+        base, deltas = self._resolve(p["version"], p)
         if not deltas:
             return None
         merged = self._fold(spark, base, deltas)
-        new_version = p["version"] + 1
+        new_version = self._next_version(p)
         merged.write.mode("overwrite").parquet(self._version_dir(new_version))
-        self._write_pointer(new_version, p.get("last_batch_id"))
+        commits = self._commits_map(p)
+        for d in deltas:
+            commits.pop(d, None)
+        commits[new_version] = "base"
+        # pointer first (atomic commit), then remove the folded delta dirs —
+        # a crash in between leaves unmanifested dirs for _prune to sweep
+        self._write_pointer(new_version, p.get("last_batch_id"), commits)
         for d in deltas:
             shutil.rmtree(self._delta_dir(d), ignore_errors=True)
         self._prune(new_version)
         return new_version
 
     def _prune(self, current: int) -> None:
-        try:
-            dirs = sorted(d for d in os.listdir(self.root) if d.startswith("v_"))
-        except FileNotFoundError:
+        """Retention: drop old bases past ``keep_versions``, sweep orphan
+        directories from crashed writes, and record both in the manifest.
+        Safe against in-flight writers: any live write is allocated ABOVE
+        the committed pointer (``_next_version``), and only dirs at-or-below
+        it are swept."""
+        p = self._read_pointer()
+        if p is None:
             return
-        for d in dirs[: -self.keep_versions]:
-            if int(d[2:]) < current:
-                shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
+        commits = self._commits_map(p)
+        bases = sorted(v for v, k in commits.items() if k == "base")
+        dropped = False
+        for b in bases[: -self.keep_versions]:
+            if b < current:
+                shutil.rmtree(self._version_dir(b), ignore_errors=True)
+                commits.pop(b, None)
+                dropped = True
+        disk_bases, disk_deltas = self._commit_dirs()
+        for v in disk_bases:
+            if v <= p["version"] and commits.get(v) != "base":
+                shutil.rmtree(self._version_dir(v), ignore_errors=True)
+        for v in disk_deltas:
+            if v <= p["version"] and commits.get(v) != "delta":
+                shutil.rmtree(self._delta_dir(v), ignore_errors=True)
+        if dropped:
+            self._write_pointer(p["version"], p.get("last_batch_id"), commits)

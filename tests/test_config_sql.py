@@ -62,6 +62,24 @@ def test_job_config_from_properties_text():
     assert cfg.tables[1].primary_keys == ("id", "kind")
 
 
+def test_job_config_reference_properties_format():
+    """The reference's own job.properties: checkpoint_interval carries its
+    unit ('30 seconds', passed verbatim to processingTime at
+    /root/reference/glue/cdc_hudi.py:282) and the group key is
+    consumer_group. Regression: the unit used to be appended twice."""
+    cfg = JobConfig.from_properties_text(
+        "checkpoint_interval = 30 seconds\n"
+        "consumer_group = cdc-hudi-glue-g1\n"
+        "startingOffsets = latest\n"
+    )
+    assert cfg.trigger_interval == "30 seconds"
+    assert cfg.consumer_group == "cdc-hudi-glue-g1"
+    # reference overload: non-earliest/latest startingOffsets is a timestamp
+    cfg2 = JobConfig.from_properties_text("startingOffsets = 2023-01-01 00:00:00\n")
+    assert cfg2.starting_timestamp == "2023-01-01 00:00:00"
+    assert cfg2.starting_offsets == "earliest"
+
+
 def dbz(op, after=None, before=None, ts_ms=0, db="d1", table="t1"):
     return json.dumps(
         {"before": before, "after": after, "op": op, "ts_ms": ts_ms, "db": db, "table": table}

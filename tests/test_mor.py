@@ -155,6 +155,78 @@ class TestMorTimeTravelAndDiff:
         assert changes == {1: "update", 2: "delete", 3: "insert"}
 
 
+class TestMorCrashRecovery:
+    """The commit protocol must survive a writer dying at any point between
+    directory write and pointer update (the manifest makes orphan dirs
+    invisible; version allocation never reuses their numbers)."""
+
+    def test_crashed_compaction_does_not_lose_next_commit(self, spark, tmp_path):
+        """Regression: compact() dying after the base write but before the
+        pointer update used to leave an orphan base v_{N+1}; the next delta
+        commit then took the same number, _resolve preferred the stale base,
+        and that committed batch silently vanished."""
+        mor = _mor(tmp_path)
+        for i, rows in enumerate(BATCHES[:2]):
+            mor.merge_batch(spark, _df(spark, rows), batch_id=i)
+        before = _state(mor.read(spark))
+
+        class Crash(RuntimeError):
+            pass
+
+        real_write = mor._write_pointer
+
+        def dying_write(*a, **kw):
+            raise Crash("died between base write and pointer update")
+
+        mor._write_pointer = dying_write
+        with pytest.raises(Crash):
+            mor.compact(spark)
+        mor._write_pointer = real_write
+
+        # orphan base exists on disk but is not committed
+        disk_bases, _ = mor._commit_dirs()
+        assert disk_bases, "crash left an orphan base"
+        assert _state(mor.read(spark)) == before  # reads unaffected
+
+        # the next committed batch must survive the orphan
+        assert mor.merge_batch(spark, _df(spark, BATCHES[2]), batch_id=2)
+        assert _state(mor.read(spark)) == {
+            1: ("a2", 20), 3: ("c", 20), 4: ("d", 30),
+        }
+        # recovery compaction folds the real state and sweeps the orphan
+        v = mor.compact(spark)
+        assert v is not None
+        assert _state(mor.read(spark)) == {1: ("a2", 20), 3: ("c", 20), 4: ("d", 30)}
+        disk_bases, disk_deltas = mor._commit_dirs()
+        assert disk_bases == [v] and disk_deltas == []
+
+    def test_crashed_delta_write_is_invisible_and_replay_safe(self, spark, tmp_path):
+        """A delta dir written without its pointer update (crash mid-commit)
+        must not leak into reads; the stream replays the batch under a new
+        version and the fold dedupes."""
+        mor = _mor(tmp_path)
+        mor.merge_batch(spark, _df(spark, BATCHES[0]), batch_id=0)
+
+        real_write = mor._write_pointer
+        mor._write_pointer = lambda *a, **kw: (_ for _ in ()).throw(RuntimeError("crash"))
+        with pytest.raises(RuntimeError):
+            mor.merge_batch(spark, _df(spark, BATCHES[1]), batch_id=1)
+        mor._write_pointer = real_write
+
+        # orphan delta on disk, but reads see only batch 0
+        assert _state(mor.read(spark)) == {1: ("a1", 11), 2: ("b", 10)}
+        assert mor.last_batch_id() == 0
+        # at-least-once replay commits the batch for real
+        assert mor.merge_batch(spark, _df(spark, BATCHES[1]), batch_id=1)
+        assert _state(mor.read(spark)) == {1: ("a2", 20), 3: ("c", 20)}
+
+    def test_read_beyond_committed_version_raises(self, spark, tmp_path):
+        mor = _mor(tmp_path)
+        mor.merge_batch(spark, _df(spark, BATCHES[0]), batch_id=0)
+        with pytest.raises(FileNotFoundError):
+            mor.read(spark, version=99)
+
+
 class TestMorCompositeKeyAndDriverParity:
     def test_composite_key(self, spark, tmp_path):
         mor = KeyedParquetTable(
