@@ -127,16 +127,23 @@ def srp_topk(
 def ivf_train_centroids(
     df: DataFrame, dim: int, n_cells: int = 16, iters: int = 5, sample: int = 2048, col: str = "embedding"
 ) -> np.ndarray:
-    """Driver-side kmeans-lite on a deterministic sample (ORDER BY id).
-    At 100 TB you train once on a sample and broadcast — the index build
-    must not scan the full corpus."""
-    rows = (
-        df.orderBy(df.columns[0])
+    """Driver-side kmeans-lite on a deterministic sample. At 100 TB you
+    train once on a sample and broadcast — the index build must not scan
+    (let alone globally SORT) the full corpus, so the sample is taken with
+    a deterministic hash filter: ``xxhash64(id) % 4 == 0`` spreads the
+    picks across the corpus, ``limit`` caps the scan (CollectLimit stops
+    consuming partitions once satisfied), and the driver-side sort of the
+    ≤``sample`` collected ids pins the kmeans init order."""
+    id_col = df.columns[0]
+    pdf = (
+        df.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(4)) == 0)
         .limit(sample)
-        .select(col)
-        .toPandas()[col]
-        .tolist()
+        .select(id_col, col)
+        .toPandas()
     )
+    if len(pdf) < n_cells:  # tiny corpus: the 1-in-4 filter left too few
+        pdf = df.limit(sample).select(id_col, col).toPandas()
+    rows = pdf.sort_values(id_col)[col].tolist()
     x = np.array([np.asarray(v, dtype=np.float64) for v in rows])
     cents = x[:: max(1, len(x) // n_cells)][:n_cells].copy()
     for _ in range(iters):

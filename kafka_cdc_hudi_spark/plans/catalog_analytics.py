@@ -290,11 +290,15 @@ GROUP BY ROLLUP (event_type, user_bucket)
 
 
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Anti join: customers that never placed an order (broadcast the
-    distinct key set when small; at scale this is a shuffled left-anti —
-    still one shuffle, no row explosion)."""
+    """Anti join: customers with no COMPLETED ('F') order. The filter is on
+    the build side, so the pushed-down predicate shrinks the anti-join input
+    before the shuffle (at scale: one shuffled left-anti, no row explosion).
+
+    The synthetic fixture gives every customer at least one order, which
+    made the unfiltered version a vacuous 0-row oracle — the status slice
+    keeps the answer non-empty at every driver scale factor."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     return (
         c.join(o.select("o_custkey"), c.c_custkey == F.col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name", "c_nationkey")
@@ -304,7 +308,10 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 CUSTOMERS_WITHOUT_ORDERS_SQL = """
 SELECT c_custkey, c_name, c_nationkey
 FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+WHERE c_custkey NOT IN (
+  SELECT o_custkey FROM orders
+  WHERE o_orderstatus = 'F' AND o_custkey IS NOT NULL
+)
 """
 
 

@@ -15,10 +15,10 @@ Oracle notes:
   midnight-aligned in both engines).
 - Spark session windows are half-open: an event exactly ``gap`` after the
   previous one starts a NEW session, hence ``>= gap`` in the island break.
-- ANN scale paths (IVF, SRP-LSH) are approximate + centroid-dependent, so
-  not SQL-expressible: registered without an oracle (driver rows-only
-  check); their recall against the exact brute-force oracle is asserted in
-  tests/test_similarity.py.
+- ANN scale paths: SRP-LSH is deterministic (seeded planes) and carries a
+  full DuckDB oracle; IVF is centroid-dependent (kmeans not SQL-expressible)
+  and self-checks recall in-query, raising on regression. Recall bounds are
+  additionally asserted in tests/test_similarity.py.
 """
 
 from __future__ import annotations
@@ -160,27 +160,102 @@ GROUP BY e.user_id, l.last_ts, l.last_event_type
 """
 
 
-# -- ANN scale paths (approximate: rows-only driver check, recall in tests) ---
+# -- ANN scale paths ----------------------------------------------------------
+#
+# SRP is fully deterministic (seeded md5 hyperplanes), so it gets a REAL
+# DuckDB oracle: the same planes are emitted as SQL literals and the same
+# unnest-sum dot product reproduces Spark's fold bit-for-bit (verified
+# exact-float-equal). IVF's kmeans centroids can't be recomputed in SQL, so
+# it self-checks: recall@k against the in-query brute-force truth must clear
+# a floor or the query RAISES — a regression turns the driver row red
+# instead of silently passing rows-only.
+
+#: minimum acceptable recall@10 for the IVF catalog entry (n_probe=3 of 8
+#: cells measures ~0.6; 0.45 leaves margin for sample jitter across SFs
+#: while still catching a broken quantizer, which craters toward ~0.1)
+IVF_MIN_RECALL = 0.45
 
 
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-10: kmeans-lite centroids trained on a deterministic sample
-    (driver-side, broadcast as literals), candidates pruned to the 2 best
+    (driver-side, broadcast as literals), candidates pruned to the 3 best
     cells per query. At scale the full corpus is scanned once for assignment
-    and once per query batch within probed cells only."""
+    and once per query batch within probed cells only.
+
+    Self-checking (approximate -> no SQL oracle): recall@10 against the
+    exact brute-force neighbors is computed in-query and must be >=
+    IVF_MIN_RECALL, else this raises and the driver records the failure."""
+    from kafka_cdc_hudi_spark.plans.catalog_text import ann_topk_bruteforce
+
     e = load_table(spark, sf_dir, "embeddings")
     cents = ivf_train_centroids(e, EMBEDDING_DIM, n_cells=8, iters=4)
     assigned = ivf_assign(e, cents)
     q = e.filter(F.col("vec_id") < 10)
-    return ivf_topk(q, assigned, cents, k=10, n_probe=2)
+    approx = ivf_topk(q, assigned, cents, k=10, n_probe=3)
+    exact = ann_topk_bruteforce(spark, sf_dir).select("qid", "nid")
+    n_exact = exact.count()
+    n_hit = approx.select("qid", "nid").join(exact, ["qid", "nid"]).count()
+    recall = n_hit / max(1, n_exact)
+    if recall < IVF_MIN_RECALL:
+        raise AssertionError(
+            f"ann_topk_ivf recall@10 regressed: {recall:.3f} < {IVF_MIN_RECALL}"
+        )
+    return approx
 
 
 def ann_topk_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-LSH top-10: signed-random-projection signatures (seeded, so
-    deterministic across runs), exact cosine only on bucket collisions."""
+    deterministic across runs), exact cosine only on bucket collisions.
+    Deterministic end-to-end -> full DuckDB oracle (ANN_TOPK_SRP_SQL)."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
     return srp_topk(q, e, EMBEDDING_DIM, k=10, n_bits=4, n_tables=8)
+
+
+# SRP oracle: regenerate the seeded hyperplanes as SQL literals. The dot
+# product uses the same positional unnest-sum the other vector oracles use
+# (bit-identical to Spark's F.aggregate fold, proven by ann_topk_bruteforce
+# hash-matching), so the sign bits — and therefore the buckets, candidate
+# sets, cosines, and ranks — are exactly equal.
+_SRP_BITS, _SRP_TABLES, _SRP_K = 4, 8, 10
+
+_DOT = "(SELECT sum(CAST(a AS DOUBLE) * CAST(b AS DOUBLE)) FROM (SELECT unnest({A}) a, unnest({B}) b))"
+_NORM = "sqrt((SELECT sum(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) FROM (SELECT unnest({A}) a)))"
+
+
+def _srp_sig_sql(col: str, table: int) -> str:
+    from kafka_cdc_hudi_spark.operators.similarity import _srp_planes
+
+    planes = _srp_planes(EMBEDDING_DIM, _SRP_BITS, table)
+    terms = []
+    for b in range(_SRP_BITS):
+        lit = "[" + ",".join(repr(float(v)) for v in planes[b]) + "]"
+        terms.append(f"(CASE WHEN {_DOT.format(A=col, B=lit)} > 0 THEN {2 ** b} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _srp_bucket_sql(rel: str, idc: str, ec: str) -> str:
+    rows = ", ".join(f"({t}, {_srp_sig_sql(ec, t)})" for t in range(_SRP_TABLES))
+    return f"SELECT {idc} AS id, {ec} AS e, t.tbl, t.sig FROM {rel}, LATERAL (VALUES {rows}) t(tbl, sig)"
+
+
+ANN_TOPK_SRP_SQL = f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+qb AS ({_srp_bucket_sql('q', 'vec_id', 'embedding')}),
+cb AS ({_srp_bucket_sql('embeddings', 'vec_id', 'embedding')}),
+cand AS (
+  SELECT DISTINCT qb.id AS qid, qb.e AS qe, cb.id AS nid, cb.e AS ne
+  FROM qb JOIN cb ON qb.tbl = cb.tbl AND qb.sig = cb.sig AND qb.id <> cb.id
+),
+scored AS (
+  SELECT qid, nid,
+         {_DOT.format(A='qe', B='ne')} / ({_NORM.format(A='qe')} * {_NORM.format(A='ne')}) AS cosine
+  FROM cand
+)
+SELECT qid, nid, cosine,
+       CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS INT) AS rank
+FROM scored QUALIFY rank <= {_SRP_K}
+"""
 
 
 STREAMING_QUERIES: dict[str, tuple] = {
@@ -188,6 +263,6 @@ STREAMING_QUERIES: dict[str, tuple] = {
     "events_sliding_windows": (events_sliding_windows, EVENTS_SLIDING_SQL),
     "events_session_windows": (events_session_windows, EVENTS_SESSION_SQL),
     "user_running_stats_batch": (user_running_stats_batch, USER_RUNNING_STATS_SQL),
-    "ann_topk_ivf": (ann_topk_ivf, None),
-    "ann_topk_srp": (ann_topk_srp, None),
+    "ann_topk_ivf": (ann_topk_ivf, None),  # self-checking: raises on recall regression
+    "ann_topk_srp": (ann_topk_srp, ANN_TOPK_SRP_SQL),
 }

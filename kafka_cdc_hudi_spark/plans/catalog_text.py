@@ -508,9 +508,15 @@ QUALIFY rank <= 10
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: label-blocked exact cosine >= 0.9.
+    """Embedding near-dup pairs: label-blocked exact cosine above threshold.
     Blocking key stands in for the coarse quantizer an IVF index would
-    use — all-pairs only within a block."""
+    use — all-pairs only within a block.
+
+    Threshold 0.35 is calibrated to the synthetic fixture: its embeddings
+    are near-orthogonal random vectors (max pairwise cosine ~0.47), so a
+    real-world 0.9 near-dup cutoff matched nothing and the oracle passed
+    vacuously on 0 rows. 0.35 keeps tens of pairs at every driver scale
+    factor while still selecting the extreme tail."""
     e = load_table(spark, sf_dir, "embeddings")
     a = e.select(F.col("label").alias("l"), F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     b = e.select(F.col("label").alias("l"), F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
@@ -518,7 +524,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "l")
         .filter(F.col("vec_a") < F.col("vec_b"))
         .withColumn("cosine", cosine(F.col("ea"), F.col("eb")))
-        .filter(F.col("cosine") >= 0.9)
+        .filter(F.col("cosine") >= 0.35)
         .select(F.col("l").alias("label"), "vec_a", "vec_b", "cosine")
     )
 
@@ -529,7 +535,7 @@ SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
        / ({_DK_NORM.format(A="a.embedding")} * {_DK_NORM.format(A="b.embedding")}) AS cosine
 FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE {_DK_DOT.format(A="a.embedding", B="b.embedding")}
-      / ({_DK_NORM.format(A="a.embedding")} * {_DK_NORM.format(A="b.embedding")}) >= 0.9
+      / ({_DK_NORM.format(A="a.embedding")} * {_DK_NORM.format(A="b.embedding")}) >= 0.35
 """
 
 

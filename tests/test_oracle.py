@@ -29,3 +29,14 @@ def test_all_queries_return_rows(spark):
     for name, (fn, _sql) in REGISTRY.items():
         df = fn(spark, SF_DIR)
         assert df.columns, f"{name}: no columns"
+
+
+#: queries whose oracle pass was once vacuous (0 rows == 0 rows proves
+#: nothing); their fixtures/thresholds are calibrated to stay non-empty
+_MUST_BE_NONEMPTY = ("dedup_embedding_cosine", "customers_without_orders")
+
+
+@pytest.mark.parametrize("name", _MUST_BE_NONEMPTY)
+def test_calibrated_queries_stay_nonvacuous(spark, name):
+    fn, _sql = REGISTRY[name]
+    assert fn(spark, SF_DIR).limit(1).count() == 1, f"{name}: vacuous again"
