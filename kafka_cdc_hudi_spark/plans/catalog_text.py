@@ -301,6 +301,14 @@ def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle carries only K ints per doc).
     """
     d = load_table(spark, sf_dir, "documents")
+    # The fixture parquet is a single row group, so the scan yields ONE
+    # input partition and the whole tokenize->shingle->md5 build would run
+    # on one core (measured 6s of the 7s build at sf0.1). Fan the docs out
+    # across the cluster first: the raw text is tiny relative to the
+    # per-shingle hashing work below, so this round-robin shuffle buys full
+    # parallelism for the expensive projection. On a real multi-file corpus
+    # this is a near-no-op (already ~defaultParallelism input splits).
+    d = d.repartition(spark.sparkContext.defaultParallelism)
     sh = d.select("doc_id", F.explode(shingles(tokens("text"))).alias("s"))
     # one digest per shingle; 15 hex chars = 60 bits, exact in a bigint
     x = (
