@@ -74,6 +74,21 @@ class CdcStreamDriver:
             spec.qualified_name, self.payload_schemas.get(spec.table)
         )
 
+    def _exact_route_raw(self, df: DataFrame, spec: TableSpec) -> DataFrame:
+        """EXACT routing on raw JSON (``get_json_object`` on the dialect's
+        routing fields). The contains-prefilter is a superset (it may keep
+        foreign-table rows); anything feeding schema inference must be
+        exactly this table's events, or the cached payload schema would
+        permanently absorb other tables' columns as null-filled fields."""
+        if self.config.dialect == DIALECT_DMS:
+            db_path, tbl_path = "$['metadata']['schema-name']", "$['metadata']['table-name']"
+        else:
+            db_path, tbl_path = "$['db']", "$['table']"
+        return df.filter(
+            (F.get_json_object("value", db_path) == spec.db)
+            & (F.get_json_object("value", tbl_path) == spec.table)
+        )
+
     def _schema_for(self, spec: TableSpec, table_slice: DataFrame) -> StructType | None:
         declared = self._declared_schema(spec)
         if declared is not None:
@@ -81,6 +96,7 @@ class CdcStreamDriver:
         cached = self._inferred.get(spec.qualified_name)
         if cached is not None:
             return cached
+        table_slice = self._exact_route_raw(table_slice, spec)
         if table_slice.isEmpty():
             return None
         env = infer_json_schema(self.spark, table_slice)
@@ -122,9 +138,9 @@ class CdcStreamDriver:
         ``from_json`` output (PERMISSIVE mode silently ignores extras), and
         re-running full inference per batch is the reference's big
         inefficiency (SURVEY §4.3.3) — this pays the full inference job only
-        when drift actually happened. The slice may still hold foreign-table
-        rows (prefilter is a superset), so foreign keys can cause a spurious
-        re-infer; that costs one extra job, never wrong results.
+        when drift actually happened. The probe runs on the exactly-routed
+        slice so foreign-table payload keys can neither trigger a spurious
+        re-infer nor leak into the merged schema.
         """
         arrs = ", ".join(
             f"coalesce(json_object_keys(get_json_object(value, '{p}')), "
@@ -161,7 +177,7 @@ class CdcStreamDriver:
         if (
             self._declared_schema(spec) is None  # dynamic mode only
             and spec.qualified_name in self._inferred
-            and self._drifted(sliced, schema)
+            and self._drifted(self._exact_route_raw(sliced, spec), schema)
         ):
             old = schema
             self.invalidate_schema(spec)

@@ -125,6 +125,45 @@ def test_dynamic_schema_inference_stream(spark, tmp_path):
     assert rows == {1: ("a", None), 2: ("b", 7)}
 
 
+def test_dynamic_inference_ignores_foreign_table_columns(spark, tmp_path):
+    """Schema inference must run on the EXACTLY-routed slice: a foreign
+    table sharing the topic (and slipping through the contains-prefilter as
+    a superset) must not leak its columns into this table's cached schema
+    as permanent null-filled fields."""
+    src = tmp_path / "src"
+    src.mkdir()
+    cfg = JobConfig(
+        dialect=DIALECT_DEBEZIUM,
+        tables=[TableSpec("d1", "t1", ("id",))],
+        sink_root=str(tmp_path / "sink"),
+        checkpoint_location=str(tmp_path / "ckpt"),
+        max_workers=1,
+    )
+    driver = CdcStreamDriver(spark, cfg)  # dynamic inference
+    # the foreign row mentions "t1"/"d1" as payload VALUES, so the raw
+    # contains-prefilter keeps it; only exact routing can exclude it
+    _write_lines(
+        src / "b1.json",
+        [
+            dbz("c", after={"id": 1, "val": "a"}, ts_ms=10),
+            dbz(
+                "c",
+                after={"id": 9, "foreign_col": "x", "note": "db d1 table t1"},
+                ts_ms=10,
+                table="other",
+            ),
+        ],
+    )
+    q = driver.start(json_file_value_stream(spark, str(src)))
+    q.processAllAvailable()
+    q.stop()
+    t1 = driver.sink_for(cfg.tables[0]).read(spark)
+    assert set(t1.columns) & {"foreign_col", "note"} == set(), t1.columns
+    assert [r["id"] for r in t1.collect()] == [1]
+    inferred = driver._inferred["d1.t1"]
+    assert "foreign_col" not in inferred.fieldNames()
+
+
 def dms(op, data=None, ts="2024-01-01T00:00:00.000Z", db="d1", table="t1", rtype="data"):
     return json.dumps(
         {
