@@ -105,6 +105,37 @@ def infer_json_schema(spark: SparkSession, df: DataFrame, value_col: str = "valu
 DEFAULT_JSON_OPTIONS = {"timestampFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS"}
 
 
+_BARRIER_COL = "__parse_barrier"
+
+
+def _parsed_with_barrier(
+    df: DataFrame, value_col: str, env: StructType, opts: dict[str, str]
+) -> DataFrame:
+    """``from_json`` projection plus a pushdown-barrier column.
+
+    Without a barrier, Catalyst substitutes the downstream envelope filters
+    through this projection (predicate becomes ``from_json(value).op IN
+    (...)``) and pushes them below the upstream exchange — so every
+    envelope is JSON-parsed TWICE (once pre-shuffle for the pushed
+    predicate, once post-shuffle for the payload), and with a single-split
+    source the predicate parse runs on ONE task (measured 4.3s vs 1.1s for
+    the parse at sf0.1). Filters built with :func:`_barrier_keep` reference
+    the nondeterministic column, which legally pins them above this
+    projection (pruning cannot drop the column, pushdown cannot cross a
+    nondeterministic projection a predicate references)."""
+    return df.select(
+        F.from_json(F.col(value_col).cast("string"), env, opts).alias("e"),
+        F.monotonically_increasing_id().alias(_BARRIER_COL),
+    )
+
+
+def _barrier_keep(cond: Column) -> Column:
+    """``cond`` OR an always-false term referencing the barrier column
+    (``monotonically_increasing_id() < 0`` can never hold) — a semantic
+    no-op that makes the filter unpushable past the parse projection."""
+    return cond | (F.col(_BARRIER_COL) < 0)
+
+
 def parse_debezium(
     df: DataFrame,
     payload_schema: StructType,
@@ -121,10 +152,13 @@ def parse_debezium(
     """
     env = debezium_envelope_schema(payload_schema)
     opts = DEFAULT_JSON_OPTIONS if json_options is None else json_options
-    e = df.select(F.from_json(F.col(value_col).cast("string"), env, opts).alias("e"))
-    e = e.filter(F.col("e.op").isin(*DEBEZIUM_OPS))
-    # delete normalization, natively: a delete carries its row in `before`
+    e = _parsed_with_barrier(df, value_col, env, opts)
+    # delete normalization, natively: a delete carries its row in `before`;
+    # tombstones (before AND after null) drop with the payload-null check
     payload = F.coalesce(F.col("e.after"), F.col("e.before"))
+    e = e.filter(
+        _barrier_keep(F.col("e.op").isin(*DEBEZIUM_OPS) & payload.isNotNull())
+    )
     out = e.select(
         payload.alias("p"),
         F.col("e.ts_ms").alias(MTIME_COL),
@@ -132,7 +166,7 @@ def parse_debezium(
         (F.col("e.op") == "d").alias(DELETED_COL),
         F.col("e.db").alias(DB_COL),
         F.col("e.table").alias(TABLE_COL),
-    ).filter(F.col("p").isNotNull())
+    )
     cols = ["p.*", MTIME_COL, OP_COL, DELETED_COL]
     if keep_routing:
         cols += [DB_COL, TABLE_COL]
@@ -155,10 +189,13 @@ def parse_dms(
     """
     env = dms_envelope_schema(payload_schema)
     opts = DEFAULT_JSON_OPTIONS if json_options is None else json_options
-    e = df.select(F.from_json(F.col(value_col).cast("string"), env, opts).alias("e"))
+    e = _parsed_with_barrier(df, value_col, env, opts)
     e = e.filter(
-        (F.col("e.metadata.`record-type`") == "data")
-        & F.col("e.metadata.operation").isin(*DMS_OPS)
+        _barrier_keep(
+            (F.col("e.metadata.`record-type`") == "data")
+            & F.col("e.metadata.operation").isin(*DMS_OPS)
+            & F.col("e.data").isNotNull()
+        )
     )
     out = e.select(
         F.col("e.data").alias("p"),
@@ -167,7 +204,7 @@ def parse_dms(
         (F.col("e.metadata.operation") == "delete").alias(DELETED_COL),
         F.col("e.metadata.`schema-name`").alias(DB_COL),
         F.col("e.metadata.`table-name`").alias(TABLE_COL),
-    ).filter(F.col("p").isNotNull())
+    )
     cols = ["p.*", MTIME_COL, OP_COL, DELETED_COL]
     if keep_routing:
         cols += [DB_COL, TABLE_COL]
