@@ -370,7 +370,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_sql() -> str:
+def _minhash_ctes() -> tuple[str, str]:
+    """(CTE chain, final SELECT) of the MinHash-LSH oracle — split so the
+    cluster-assignment oracle can extend the same chain with a recursive
+    connected-components CTE."""
     mins = ", ".join(
         f"min(({a} * x + {b}) % {MINHASH_P}) AS h{i}"
         for i, (a, b) in enumerate(MINHASH_FAMILY)
@@ -386,8 +389,7 @@ def _minhash_sql() -> str:
         for bi in range(n_bands)
     )
     est = " + ".join(f"(CASE WHEN x.h{i} = y.h{i} THEN 1 ELSE 0 END)" for i in range(MINHASH_K))
-    return f"""
-WITH tok AS (SELECT doc_id, {_DK_TOKS} AS toks FROM documents),
+    ctes = f"""tok AS (SELECT doc_id, {_DK_TOKS} AS toks FROM documents),
 sh AS (SELECT doc_id, unnest({_DK_SHINGLES}) AS s FROM tok),
 shx AS (SELECT doc_id,
                CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT) % {MINHASH_P} AS x
@@ -397,14 +399,16 @@ bands AS ({band_selects}),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
-)
+)"""
+    final = f"""
 SELECT doc_a, doc_b, CAST({est} AS DOUBLE) / {MINHASH_K} AS est_jaccard
 FROM cand JOIN sig x ON doc_a = x.doc_id JOIN sig y ON doc_b = y.doc_id
 WHERE CAST({est} AS DOUBLE) / {MINHASH_K} >= 0.5
 """
+    return ctes, final
 
 
-DEDUP_MINHASH_LSH_SQL = _minhash_sql()
+DEDUP_MINHASH_LSH_SQL = "WITH {0}{1}".format(*_minhash_ctes())
 
 
 def _simhash_shift(expr: str, r: int, dialect: str) -> str:
@@ -547,6 +551,144 @@ WHERE {_DK_DOT.format(A="a.embedding", B="b.embedding")}
 """
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup FAMILY assignment: MinHash-LSH pairs -> connected components
+    -> every document labeled with its cluster's canonical (minimum) doc_id;
+    docs in no pair are their own singleton cluster. This is the step that
+    turns pairwise similarity into the actual keep/drop decision of a
+    training-data dedup pass (keep cluster_id == doc_id, drop the rest).
+
+    Iterative min-label propagation (operators/graph.py): one shuffle per
+    round, rounds = family diameter (≤3 for banding-derived pairs)."""
+    from kafka_cdc_hudi_spark.operators.graph import connected_components
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.join(cc, docs.doc_id == cc.node, "left").select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
+        F.col("component").isNotNull().alias("has_near_dup"),
+    )
+
+
+def _dedup_clusters_sql() -> str:
+    ctes, _ = _minhash_ctes()
+    est = " + ".join(
+        f"(CASE WHEN x.h{i} = y.h{i} THEN 1 ELSE 0 END)" for i in range(MINHASH_K)
+    )
+    return f"""
+WITH RECURSIVE {ctes},
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM cand JOIN sig x ON doc_a = x.doc_id JOIN sig y ON doc_b = y.doc_id
+  WHERE CAST({est} AS DOUBLE) / {MINHASH_K} >= 0.5
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
+),
+comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+SELECT d.doc_id,
+       COALESCE(c.component, d.doc_id) AS cluster_id,
+       c.component IS NOT NULL AS has_near_dup
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+"""
+
+
+DEDUP_CLUSTERS_SQL = _dedup_clusters_sql()
+
+
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage/serving
+    compression step of an embedding pipeline (scale = max|x|/127,
+    q = round(x/scale), dequant = q*scale). Output is scalar per vector:
+    the scale, mean absolute dequantization error, and cosine between the
+    original and dequantized vector (the fidelity metric that decides
+    whether int8 serving is acceptable). Pure higher-order expressions,
+    single pass, no shuffle."""
+    from kafka_cdc_hudi_spark.functions.vectors import cosine as _cos
+
+    e = load_table(spark, sf_dir, "embeddings")
+    x = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    ed = e.select("vec_id", x.alias("x"))
+    scale = F.greatest(
+        F.array_max(F.transform(F.col("x"), F.abs)) / F.lit(127.0), F.lit(1e-12)
+    )
+    ed = ed.withColumn("scale", scale)
+    dq = F.transform(F.col("x"), lambda v: F.round(v / F.col("scale")) * F.col("scale"))
+    ed = ed.withColumn("dq", dq)
+    abs_err = F.aggregate(
+        F.zip_with(F.col("x"), F.col("dq"), lambda a, b: F.abs(a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    ) / F.size(F.col("x"))
+    return ed.select(
+        "vec_id",
+        F.col("scale"),
+        abs_err.alias("mean_abs_err"),
+        _cos(F.col("x"), F.col("dq")).alias("cos_fidelity"),
+    )
+
+
+EMBEDDING_QUANTIZE_INT8_SQL = f"""
+WITH x AS (
+  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, e,
+         greatest(list_max(list_transform(e, v -> abs(v))) / 127.0, 1e-12) AS scale
+  FROM x
+),
+d AS (
+  SELECT vec_id, e, scale,
+         list_transform(e, v -> round(v / scale) * scale) AS dq
+  FROM s
+)
+SELECT vec_id, scale,
+       (SELECT sum(abs(a - b)) FROM (SELECT unnest(e) a, unnest(dq) b)) / len(e) AS mean_abs_err,
+       {_DK_DOT.format(A="e", B="dq")} / ({_DK_NORM.format(A="e")} * {_DK_NORM.format(A="dq")}) AS cos_fidelity
+FROM d
+"""
+
+
+def text_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-50 tokens by term frequency with document
+    frequency — the vocab-build / stopword-discovery pass of a training
+    pipeline. One explode + one shuffle on token (partial counts map-side;
+    the distinct-doc count shuffles (token, doc_id) pairs once). Hot tokens
+    are exactly the skew case partial aggregation exists for."""
+    d = load_table(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("token"))
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count("*").alias("term_freq"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.col("term_freq").desc(), "token")
+        .limit(50)
+    )
+
+
+TEXT_TOKEN_TOPK_SQL = f"""
+WITH tok AS (SELECT doc_id, unnest({_DK_TOKS}) AS token FROM documents)
+SELECT token, COUNT(*) AS term_freq, COUNT(DISTINCT doc_id) AS doc_freq
+FROM tok
+GROUP BY token
+ORDER BY term_freq DESC, token
+LIMIT 50
+"""
+
+
 # -- multimodal plumbing ------------------------------------------------------
 
 
@@ -626,7 +768,10 @@ TEXT_QUERIES: dict[str, tuple] = {
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_LSH_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
+    "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
     "embedding_norms": (embedding_norms, EMBEDDING_NORMS_SQL),
+    "embedding_quantize_int8": (embedding_quantize_int8, EMBEDDING_QUANTIZE_INT8_SQL),
+    "text_token_topk": (text_token_topk, TEXT_TOKEN_TOPK_SQL),
     "ann_topk_bruteforce": (ann_topk_bruteforce, ANN_TOPK_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL),
     "multimodal_meta": (multimodal_meta, MULTIMODAL_META_SQL),

@@ -1,0 +1,55 @@
+"""Connected components (operators/graph.py): the near-dup cluster step."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_cdc_hudi_spark.operators.graph import connected_components
+
+
+def _cc(spark, pairs, **kw):
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    return {
+        r["node"]: r["component"]
+        for r in connected_components(df, **kw).collect()
+    }
+
+
+def test_two_components_and_chain(spark):
+    # component {1,2,3} via chain, component {10,11} — direction mixed
+    got = _cc(spark, [(2, 1), (2, 3), (11, 10)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_long_chain_converges(spark):
+    n = 12
+    got = _cc(spark, [(i, i + 1) for i in range(n)])
+    assert set(got.values()) == {0}
+    assert len(got) == n + 1
+
+
+def test_triangle_plus_bridge(spark):
+    got = _cc(spark, [(5, 6), (6, 7), (7, 5), (7, 8)])
+    assert got == {5: 5, 6: 5, 7: 5, 8: 5}
+
+
+def test_non_convergence_raises(spark):
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _cc(spark, [(i, i + 1) for i in range(8)], max_iter=2)
+
+
+def test_cluster_query_canonical_assignment(spark):
+    """dedup_clusters: every pair member shares a cluster; canonical is the
+    min doc_id; singletons map to themselves."""
+    from kafka_cdc_hudi_spark.plans.catalog_text import dedup_clusters, dedup_minhash_lsh
+
+    from .conftest import SF_DIR
+
+    pairs = dedup_minhash_lsh(spark, SF_DIR).collect()
+    clusters = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(spark, SF_DIR).collect()}
+    assert pairs, "fixture must produce near-dup pairs"
+    for p in pairs:
+        assert clusters[p["doc_a"]] == clusters[p["doc_b"]]
+        assert clusters[p["doc_a"]] <= min(p["doc_a"], p["doc_b"])
+    in_pairs = {p["doc_a"] for p in pairs} | {p["doc_b"] for p in pairs}
+    singles = [d for d, c in clusters.items() if d not in in_pairs]
+    assert all(clusters[d] == d for d in singles)
