@@ -671,6 +671,40 @@ WHERE l_partkey = p_partkey
 """
 
 
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-active week, distinct
+    actives counted per subsequent week offset. Two shuffles total — one
+    to find each user's cohort (min-agg, map-side partial), one for the
+    (cohort, offset) distinct-user count; the user->cohort side is a
+    broadcast at dimension scale and a shuffle join at 100 TB."""
+    e = load_table(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.col("ts"))
+    first = e.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    active = e.select("user_id", week.alias("week")).distinct()
+    return (
+        active.join(first, "user_id")
+        .withColumn("week_offset", (F.datediff("week", "cohort_week") / 7).cast("int"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+EVENTS_RETENTION_SQL = """
+WITH first AS (
+  SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+)
+SELECT f.cohort_week,
+       CAST(date_diff('day', f.cohort_week, a.week) / 7 AS INT) AS week_offset,
+       COUNT(DISTINCT a.user_id) AS n_users
+FROM active a JOIN first f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 ANALYTICS_QUERIES: dict[str, tuple] = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "asof_join_last_click": (asof_join_last_click, ASOF_JOIN_SQL),
@@ -683,6 +717,7 @@ ANALYTICS_QUERIES: dict[str, tuple] = {
     "big_orders_semi_join": (big_orders_semi_join, BIG_ORDERS_SEMI_SQL),
     "range_join_post_purchase": (range_join_post_purchase, RANGE_JOIN_SQL),
     "events_sketches": (events_sketches, None),
+    "events_retention_cohorts": (events_retention_cohorts, EVENTS_RETENTION_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "q4_order_priority": (q4_order_priority, Q4_SQL),
     "q5_local_supplier": (q5_local_supplier, Q5_SQL),

@@ -689,6 +689,72 @@ LIMIT 50
 """
 
 
+def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (80/10/10) by salted md5 of
+    the document key — the reproducible split step of a training pipeline.
+    Hash-based (not random) so the split is stable across runs, engines,
+    and re-partitioning; the salt versions the split. Pure projection, no
+    shuffle, trivially parallel at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|split_v1"))), 1, 15),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return d.select("doc_id", bucket.alias("bucket"), split.alias("split"))
+
+
+DATASET_SPLIT_SQL = """
+SELECT doc_id,
+       CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|split_v1'), 1, 15)) AS BIGINT) % 100 AS bucket,
+       CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|split_v1'), 1, 15)) AS BIGINT) % 100 < 80 THEN 'train'
+            WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|split_v1'), 1, 15)) AS BIGINT) % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text cleaning pass: lowercase, strip non-alphanumerics to spaces,
+    collapse whitespace, trim — with before/after length accounting. The
+    canonicalization step ahead of exact dedup/tokenization; single
+    codegen'd projection."""
+    d = load_table(spark, sf_dir, "documents")
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9\\s]", " "),
+            "\\s+",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        cleaned.alias("clean_text"),
+        F.length("text").alias("n_chars_raw"),
+        F.length(cleaned).alias("n_chars_clean"),
+    )
+
+
+TEXT_NORMALIZE_SQL = """
+WITH c AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+                             '\\s+', ' ', 'g')) AS clean_text
+  FROM documents
+)
+SELECT doc_id, clean_text,
+       CAST(length(text) AS INT) AS n_chars_raw,
+       CAST(length(clean_text) AS INT) AS n_chars_clean
+FROM c
+"""
+
+
 # -- multimodal plumbing ------------------------------------------------------
 
 
@@ -772,6 +838,8 @@ TEXT_QUERIES: dict[str, tuple] = {
     "embedding_norms": (embedding_norms, EMBEDDING_NORMS_SQL),
     "embedding_quantize_int8": (embedding_quantize_int8, EMBEDDING_QUANTIZE_INT8_SQL),
     "text_token_topk": (text_token_topk, TEXT_TOKEN_TOPK_SQL),
+    "dataset_split_assign": (dataset_split_assign, DATASET_SPLIT_SQL),
+    "text_normalize": (text_normalize, TEXT_NORMALIZE_SQL),
     "ann_topk_bruteforce": (ann_topk_bruteforce, ANN_TOPK_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL),
     "multimodal_meta": (multimodal_meta, MULTIMODAL_META_SQL),
