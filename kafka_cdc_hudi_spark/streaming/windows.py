@@ -135,6 +135,53 @@ def streaming_dedup(
     return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    on: Iterable[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    within: str = "30 minutes",
+    watermark: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: right events within
+    ``[left_ts, left_ts + within]`` for the same key (click-attribution
+    shape). On streams BOTH sides carry watermarks and the time-range
+    predicate is the form Spark's streaming joiner needs to derive a state
+    eviction bound — without it state grows forever; with it each side
+    buffers only the watermark + interval horizon. The same builder runs on
+    batch frames (no watermark) as the oracle path — the batch shape is the
+    bucketed ``range_join`` family (operators/temporal.py) but expressed as
+    a direct time-condition join, which Spark plans hash-join + filter on
+    the equi-keys here (no row explosion: the key join is the narrow part).
+
+    Right columns are suffixed ``_r`` on name collisions.
+    """
+    on = list(on)
+    l, r = left, right
+    if l.isStreaming:
+        l = l.withWatermark(left_ts, watermark)
+    if r.isStreaming:
+        r = r.withWatermark(right_ts, watermark)
+    collide = {c for c in r.columns if c in l.columns and c not in on}
+    for c in collide:
+        r = r.withColumnRenamed(c, f"{c}_r")
+    rts = f"{right_ts}_r" if right_ts in collide else right_ts
+    cond = None
+    for k in on:
+        c = l[k] == r[k]
+        cond = c if cond is None else cond & c
+    cond = (
+        cond
+        & (r[rts] >= l[left_ts])
+        & (r[rts] <= l[left_ts] + F.expr(f"INTERVAL {within}"))
+    )
+    joined = l.join(r, cond, how)
+    # drop the duplicated right-side key columns
+    return joined.drop(*[r[k] for k in on])
+
+
 # -- custom stateful operator -------------------------------------------------
 
 RUNNING_STATS_SCHEMA = StructType(

@@ -37,6 +37,43 @@ def test_non_convergence_raises(spark):
         _cc(spark, [(i, i + 1) for i in range(8)], max_iter=2)
 
 
+def _union_find(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical = min member of each component
+    comp = {}
+    for n in list(parent):
+        comp[n] = find(n)
+    return comp
+
+
+def test_random_graphs_match_union_find(spark):
+    """Seeded random graphs: distributed propagation == driver union-find."""
+    import random
+
+    rng = random.Random(42)
+    for trial in range(3):
+        n = 40
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(30)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        got = _cc(spark, edges)
+        exp = _union_find(edges)
+        assert got == exp, f"trial {trial}"
+
+
 def test_cluster_query_canonical_assignment(spark):
     """dedup_clusters: every pair member shares a cluster; canonical is the
     min doc_id; singletons map to themselves."""

@@ -140,6 +140,65 @@ def test_streaming_dedup_batch_and_stream(spark, events, tmp_path):
     assert got == {(1, 1.0), (2, 2.0)}
 
 
+def test_interval_join_two_streams_matches_batch(spark, tmp_path):
+    """Stream-stream interval join (click attribution shape): purchases
+    within 30 min after a click by the same user, two real file streams,
+    compared against the same builder on batch frames."""
+    from kafka_cdc_hudi_spark.streaming.windows import interval_join_streams
+
+    clicks = [
+        {"user_id": 1, "ts": "2024-01-01 10:00:00", "click_id": 100},
+        {"user_id": 2, "ts": "2024-01-01 10:05:00", "click_id": 200},
+        {"user_id": 1, "ts": "2024-01-01 12:00:00", "click_id": 101},
+    ]
+    purchases = [
+        {"user_id": 1, "ts": "2024-01-01 10:20:00", "purchase_id": 900},  # joins 100
+        {"user_id": 2, "ts": "2024-01-01 11:00:00", "purchase_id": 901},  # outside 30m
+        {"user_id": 1, "ts": "2024-01-01 12:10:00", "purchase_id": 902},  # joins 101
+    ]
+    csrc, psrc = tmp_path / "clicks", tmp_path / "purch"
+    csrc.mkdir(); psrc.mkdir()
+    (csrc / "c.json").write_text("\n".join(json.dumps(c) for c in clicks))
+    (psrc / "p.json").write_text("\n".join(json.dumps(p) for p in purchases))
+    cs = "user_id long, ts timestamp, click_id long"
+    ps = "user_id long, ts timestamp, purchase_id long"
+
+    def run(left, right):
+        return interval_join_streams(
+            left, right, on=["user_id"], within="30 minutes", watermark="2 hours"
+        )
+
+    # batch oracle path (string ts -> cast)
+    lb = spark.createDataFrame(
+        [tuple(c.values()) for c in clicks], "user_id long, ts string, click_id long"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    rb = spark.createDataFrame(
+        [tuple(p.values()) for p in purchases], "user_id long, ts string, purchase_id long"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    exp = {
+        (r["click_id"], r["purchase_id"]) for r in run(lb, rb).collect()
+    }
+    assert exp == {(100, 900), (101, 902)}
+
+    lstream = spark.readStream.format("json").schema(cs).load(str(csrc))
+    rstream = spark.readStream.format("json").schema(ps).load(str(psrc))
+    q = (
+        run(lstream, rstream)
+        .writeStream.format("memory")
+        .queryName("sj_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sj"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["click_id"], r["purchase_id"])
+        for r in spark.sql("select click_id, purchase_id from sj_test").collect()
+    }
+    assert got == exp
+
+
 def test_running_user_stats_stateful(spark, tmp_path):
     src = tmp_path / "src"
     src.mkdir()
