@@ -293,6 +293,39 @@ class KeyedParquetTable:
             .select(*cols, "_change_type")
         )
 
+    def stream_changes(self, spark: SparkSession) -> DataFrame:
+        """Tail this MOR table's delta commits as a structured stream — the
+        Hudi incremental-streaming-read analog, so a downstream pipeline can
+        chain off the sink without re-scanning snapshots. Each delta row
+        carries the payload + tombstone flag + ``__commit_seq``.
+
+        Semantics: at-least-once per commit. The file source discovers delta
+        files at trigger time, so in the rare crashed-commit case a replayed
+        batch appears under two commit seqs (same rows — any keyed consumer
+        folding by (key, order_col) converges, exactly like the MOR read
+        fold) and an orphan batch that never commits NOR replays may surface
+        once; consumers needing exactly-once should gate on the pointer
+        manifest via ``versions()``.
+
+        MOR only: COW commits rewrite full snapshots, which is a table scan
+        per commit, not a change stream — use ``diff()`` for those."""
+        if self.mode != MODE_MOR:
+            raise ValueError("stream_changes requires mode='mor' (COW has no delta log; use diff())")
+        p = self._read_pointer()
+        if p is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        _, deltas = self._resolve(p["version"], p)
+        bases, disk_deltas = self._commit_dirs()
+        sample = deltas[-1] if deltas else (disk_deltas[-1] if disk_deltas else None)
+        if sample is None:
+            raise FileNotFoundError(
+                "no delta commits to derive a schema from (compact() prunes "
+                "deltas; start the tail before compaction or pass a schema "
+                "by reading a base snapshot)"
+            )
+        schema = spark.read.parquet(self._delta_dir(sample)).schema
+        return spark.readStream.schema(schema).parquet(os.path.join(self.root, "d_*"))
+
     def merge_batch(self, spark: SparkSession, batch: DataFrame, batch_id: int | None = None) -> bool:
         """Upsert one normalized CDC batch; returns False if skipped
         (already-committed batch id replay, or empty batch)."""

@@ -227,6 +227,42 @@ class TestMorCrashRecovery:
             mor.read(spark, version=99)
 
 
+class TestMorChangeStream:
+    def test_stream_changes_tails_new_commits(self, spark, tmp_path):
+        """Downstream chaining: a structured stream over the delta log sees
+        commits made after the stream started, with commit seq + tombstones."""
+        mor = _mor(tmp_path)
+        mor.merge_batch(spark, _df(spark, BATCHES[0]), batch_id=0)
+        q = (
+            mor.stream_changes(spark)
+            .writeStream.format("memory")
+            .queryName("mor_tail")
+            .option("checkpointLocation", str(tmp_path / "ckpt_tail"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            mor.merge_batch(spark, _df(spark, BATCHES[1]), batch_id=1)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        rows = spark.sql(
+            "select id, val, _deleted, __commit_seq from mor_tail"
+        ).collect()
+        by_seq = {}
+        for r in rows:
+            by_seq.setdefault(r["__commit_seq"], set()).add((r["id"], r["val"], r["_deleted"]))
+        # commit 1 = batch 0 deduped (latest per key kept), commit 2 = batch 1
+        assert by_seq[1] == {(1, "a1", False), (2, "b", False)}
+        assert by_seq[2] == {(1, "a2", False), (2, None, True), (3, "c", False)}
+
+    def test_stream_changes_rejects_cow(self, spark, tmp_path):
+        cow = KeyedParquetTable(root=str(tmp_path / "cw"), keys=["id"])
+        cow.merge_batch(spark, _df(spark, BATCHES[0]), batch_id=0)
+        with pytest.raises(ValueError, match="requires mode='mor'"):
+            cow.stream_changes(spark)
+
+
 class TestMorCompositeKeyAndDriverParity:
     def test_composite_key(self, spark, tmp_path):
         mor = KeyedParquetTable(
