@@ -11,19 +11,104 @@ converges in a handful of rounds. Each round is ONE shuffle (join on node
 + min-aggregate with map-side partial agg); the convergence probe is a
 ``limit(1).count()`` on the label-change set, not a full count.
 
-Scale note: for adversarially long chain graphs (diameter ~ n) production
-systems switch to alternating large-star/small-star (Kiveris et al.,
-"Connected Components in MapReduce and Beyond"), which converges in
-O(log n) rounds of the same join+min shape. Near-dup clustering never has
-that shape — a chain of pairwise-similar-but-transitively-different docs
-that long does not survive an est-Jaccard threshold — so the simple
-propagation is the right cost here and ``max_iter`` guards the pathology.
+Two variants:
+
+- :func:`connected_components` — plain min-label propagation; rounds =
+  component diameter. The right default for near-dup families (banding
+  pairs form near-cliques, diameter ≤ 2-3).
+- :func:`connected_components_star` — alternating large-star/small-star
+  (Kiveris et al., "Connected Components in MapReduce and Beyond");
+  O(log n) rounds on ANY shape, including chain graphs. Use when the edge
+  distribution is unknown or adversarial.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 40,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") — the
+    scale path for ARBITRARY graph shapes: converges in O(log n) rounds
+    even on chain graphs where min-label propagation needs diameter rounds.
+
+    Each round is two grouped-min joins over the current edge set; the edge
+    set only shrinks toward star form (every node directly attached to its
+    component's minimum), so per-round cost falls as it converges. Returns
+    ``DataFrame[node, component]`` for every node appearing in an edge.
+
+    large-star(u): attach every neighbor v > u to m = min(N(u) ∪ {u}).
+    small-star(u): attach every neighbor v < u (and u) to the minimum of
+    those. Both preserve connectivity; alternating them contracts any
+    component to a star in logarithmic rounds.
+    """
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    all_nodes = (
+        canon.select(F.col("a").alias("node"))
+        .unionByName(canon.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def sym(c: DataFrame) -> DataFrame:
+        return c.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+            c.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+
+    for _ in range(max_iter):
+        s = sym(canon)
+        # large-star: m = min over the FULL neighborhood (and u itself)
+        mins_all = s.groupBy("u").agg(F.min("v").alias("mn"))
+        ls = (
+            s.filter(F.col("v") > F.col("u"))
+            .join(mins_all, "u")
+            .select(
+                F.least(F.col("mn"), F.col("u")).alias("a"),
+                F.col("v").alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # small-star over the large-star output
+        s2 = sym(ls)
+        below = s2.filter(F.col("v") < F.col("u"))
+        mins_b = below.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            below.join(mins_b, "u")
+            .select(F.col("m").alias("a"), F.col("v").alias("b"))
+            .unionByName(mins_b.select(F.col("m").alias("a"), F.col("u").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        changed = (
+            ss.exceptAll(canon).limit(1).count() + canon.exceptAll(ss).limit(1).count()
+        )
+        canon = ss
+        if changed == 0:
+            # star form: every edge is (component-min, member)
+            members = canon.select(F.col("b").alias("node"), F.col("a").alias("component"))
+            roots = all_nodes.join(
+                canon.select(F.col("b").alias("node")), "node", "left_anti"
+            ).withColumn("component", F.col("node"))
+            return members.unionByName(roots)
+    raise RuntimeError(f"connected_components_star did not converge in {max_iter} rounds")
 
 
 def connected_components(
@@ -74,6 +159,6 @@ def connected_components(
             return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds "
-        "(graph diameter exceeds the near-dup assumption; use a "
-        "large-star/small-star variant for chain-shaped graphs)"
+        "(graph diameter exceeds the near-dup assumption; use "
+        "connected_components_star for chain-shaped graphs)"
     )

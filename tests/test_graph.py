@@ -3,15 +3,15 @@
 import pytest
 from pyspark.sql import functions as F
 
-from kafka_cdc_hudi_spark.operators.graph import connected_components
+from kafka_cdc_hudi_spark.operators.graph import (
+    connected_components,
+    connected_components_star,
+)
 
 
-def _cc(spark, pairs, **kw):
+def _cc(spark, pairs, algo=connected_components, **kw):
     df = spark.createDataFrame(pairs, "src long, dst long")
-    return {
-        r["node"]: r["component"]
-        for r in connected_components(df, **kw).collect()
-    }
+    return {r["node"]: r["component"] for r in algo(df, **kw).collect()}
 
 
 def test_two_components_and_chain(spark):
@@ -72,6 +72,21 @@ def test_random_graphs_match_union_find(spark):
         got = _cc(spark, edges)
         exp = _union_find(edges)
         assert got == exp, f"trial {trial}"
+
+
+def test_star_variant_matches_union_find(spark):
+    """large-star/small-star: same answers on random graphs AND on a chain
+    long enough that plain propagation would need diameter rounds."""
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(25)]
+    edges = [(a, b) for a, b in edges if a != b]
+    assert _cc(spark, edges, algo=connected_components_star) == _union_find(edges)
+
+    chain = [(i, i + 1) for i in range(30)]
+    got = _cc(spark, chain, algo=connected_components_star, max_iter=10)
+    assert set(got.values()) == {0} and len(got) == 31
 
 
 def test_cluster_query_canonical_assignment(spark):
