@@ -186,26 +186,33 @@ def cdc_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     union — delete tombstones suppress older cross-commit inserts (Hudi MOR
     log-merge precombine), which is where this differs from the COW query.
     """
-    env = debezium_envelopes(_events(spark, sf_dir))
-    parsed = parse_debezium(env, EVENTS_PAYLOAD_SCHEMA)
-    a = parsed.filter(F.col("event_id") % 2 == 0).drop("operation")
-    b = parsed.filter(F.col("event_id") % 2 == 1).drop("operation")
-    root = _mor_scratch_dir(spark, sf_dir)
-    from kafka_cdc_hudi_spark.sinks.keyed_table import KeyedParquetTable
-
-    t = KeyedParquetTable(
-        root=root, keys=["user_id"], order_col="mtime",
-        tiebreakers=["event_id"], mode="mor",
-    )
-    # Idempotent on re-invocation: merge_batch replays are no-ops for
-    # already-committed batch ids (sinks/keyed_table.py pointer protocol).
-    t.merge_batch(spark, a, batch_id=0)
-    t.merge_batch(spark, b, batch_id=1)
+    t = _mor_table(spark, sf_dir)
     # Lazy read straight off the sink files — O(1) driver memory; the MOR
     # fold (delta union + latest-per-key) runs distributed at action time.
     return t.read(spark).select(
         "event_id", "ts", "user_id", "event_type", "value", "props", "mtime"
     )
+
+
+def _mor_table(spark: SparkSession, sf_dir: str):
+    """Two-batch MOR table in the session-scoped scratch dir (batch A = even
+    event_id as commit v1, batch B = odd as v2). Idempotent on
+    re-invocation: merge_batch replays are no-ops for already-committed
+    batch ids (sinks/keyed_table.py pointer protocol), so every query
+    sharing this table sees the same v1/v2 history."""
+    from kafka_cdc_hudi_spark.sinks.keyed_table import KeyedParquetTable
+
+    env = debezium_envelopes(_events(spark, sf_dir))
+    parsed = parse_debezium(env, EVENTS_PAYLOAD_SCHEMA)
+    a = parsed.filter(F.col("event_id") % 2 == 0).drop("operation")
+    b = parsed.filter(F.col("event_id") % 2 == 1).drop("operation")
+    t = KeyedParquetTable(
+        root=_mor_scratch_dir(spark, sf_dir), keys=["user_id"], order_col="mtime",
+        tiebreakers=["event_id"], mode="mor",
+    )
+    t.merge_batch(spark, a, batch_id=0)
+    t.merge_batch(spark, b, batch_id=1)
+    return t
 
 
 CDC_MERGE_MOR_SQL = f"""
@@ -219,6 +226,77 @@ merged AS (
 )
 SELECT event_id, ts, user_id, event_type, value, props, mtime
 FROM merged WHERE NOT is_deleted
+"""
+
+
+def cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel: the MOR table's state AS OF commit v1 (batch A only) —
+    the Hudi/Delta versioned-read capability on the pure-Spark sink. The
+    oracle recomputes state-after-A directly from events: latest-per-key of
+    the even-id slice with tombstones dropped at read (MOR fold)."""
+    t = _mor_table(spark, sf_dir)
+    return t.read(spark, version=1).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props", "mtime"
+    )
+
+
+CDC_TIME_TRAVEL_SQL = f"""
+WITH {_EVT_CTE},
+s1 AS (
+  SELECT * FROM evt WHERE event_id % 2 = 0
+  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY mtime DESC, event_id DESC) = 1
+)
+SELECT event_id, ts, user_id, event_type, value, props, mtime
+FROM s1 WHERE NOT is_deleted
+"""
+
+
+def cdc_incremental_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental read: per-key changes between commit v1 (batch A) and
+    v2 (final state) — insert/update/delete rows with delete rows carrying
+    the key and null payload (the Hudi incremental-query shape). One
+    full-outer shuffle join on the key; unchanged keys drop out via the
+    row-hash comparison."""
+    t = _mor_table(spark, sf_dir)
+    return t.diff(spark, 1, 2).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props", "mtime",
+        "_change_type",
+    )
+
+
+CDC_INCREMENTAL_DIFF_SQL = f"""
+WITH {_EVT_CTE},
+s1 AS (
+  SELECT event_id, ts, user_id, event_type, value, props, mtime
+  FROM (
+    SELECT * FROM evt WHERE event_id % 2 = 0
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY mtime DESC, event_id DESC) = 1
+  ) WHERE NOT is_deleted
+),
+allrows AS (
+  SELECT *, CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END AS src FROM evt
+),
+s2 AS (
+  SELECT event_id, ts, user_id, event_type, value, props, mtime
+  FROM (
+    SELECT * FROM allrows
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY mtime DESC, src DESC, event_id DESC) = 1
+  ) WHERE NOT is_deleted
+)
+SELECT s2.event_id, s2.ts,
+       COALESCE(s2.user_id, s1.user_id) AS user_id,
+       s2.event_type, s2.value, s2.props, s2.mtime,
+       CASE WHEN s1.user_id IS NULL THEN 'insert'
+            WHEN s2.user_id IS NULL THEN 'delete'
+            ELSE 'update' END AS _change_type
+FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id
+WHERE s1.user_id IS NULL OR s2.user_id IS NULL
+   OR s1.event_id IS DISTINCT FROM s2.event_id
+   OR s1.ts IS DISTINCT FROM s2.ts
+   OR s1.event_type IS DISTINCT FROM s2.event_type
+   OR s1.value IS DISTINCT FROM s2.value
+   OR s1.props IS DISTINCT FROM s2.props
+   OR s1.mtime IS DISTINCT FROM s2.mtime
 """
 
 
@@ -249,5 +327,7 @@ CDC_QUERIES: dict[str, tuple] = {
     ),
     "cdc_merge_two_batches": (cdc_merge_two_batches, CDC_MERGE_TWO_BATCHES_SQL),
     "cdc_merge_mor": (cdc_merge_mor, CDC_MERGE_MOR_SQL),
+    "cdc_time_travel": (cdc_time_travel, CDC_TIME_TRAVEL_SQL),
+    "cdc_incremental_diff": (cdc_incremental_diff, CDC_INCREMENTAL_DIFF_SQL),
     "cdc_route_multitable": (cdc_route_multitable, CDC_ROUTE_MULTITABLE_SQL),
 }
