@@ -371,6 +371,30 @@ def events_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch maintenance: per-(hour, event_type) HLL sketches of
+    distinct users, then re-aggregated to per-type estimates by sketch
+    UNION — without rescanning the events. This is the 100 TB pattern for
+    incremental distinct-count maintenance: store the fine-grained sketch
+    table once (constant bytes per bucket), answer any coarser rollup by
+    merging sketches instead of re-shuffling raw user ids. Estimator ->
+    rows-only driver check; accuracy vs exact is asserted in
+    tests/test_sketches.py."""
+    e = load_table(spark, sf_dir, "events")
+    per_hour = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"), F.count("*").alias("n"))
+    return (
+        per_hour.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+            F.sum("n").alias("n_events"),
+            F.count("*").alias("n_hour_buckets"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def range_join_post_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range (interval) join: every event within 2 hours after a purchase
     by the same user. Bucketed equi-join scale path — see
@@ -718,6 +742,7 @@ ANALYTICS_QUERIES: dict[str, tuple] = {
     "range_join_post_purchase": (range_join_post_purchase, RANGE_JOIN_SQL),
     "events_sketches": (events_sketches, None),
     "events_retention_cohorts": (events_retention_cohorts, EVENTS_RETENTION_SQL),
+    "events_hll_mergeable_rollup": (events_hll_mergeable_rollup, None),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "q4_order_priority": (q4_order_priority, Q4_SQL),
     "q5_local_supplier": (q5_local_supplier, Q5_SQL),

@@ -8,6 +8,26 @@ from kafka_cdc_hudi_spark.sources.tables import load_table
 from .conftest import SF_DIR
 
 
+def test_hll_mergeable_rollup_matches_exact_within_tolerance(spark):
+    """Sketch-union rollup must land near the exact distinct count — the
+    merge path (union of per-hour sketches) is what's under test, not just
+    the base estimator."""
+    from kafka_cdc_hudi_spark.plans.catalog_analytics import events_hll_mergeable_rollup
+
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in events_hll_mergeable_rollup(spark, SF_DIR).collect()
+    }
+    e = load_table(spark, SF_DIR, "events")
+    exact = {
+        r["event_type"]: r["nd"]
+        for r in e.groupBy("event_type").agg(F.countDistinct("user_id").alias("nd")).collect()
+    }
+    assert set(approx) == set(exact)
+    for t, est in approx.items():
+        assert abs(est - exact[t]) <= max(2, 0.05 * exact[t]), (t, est, exact[t])
+
+
 def test_sketches_within_tolerance(spark):
     approx = {
         r["event_type"]: (r["approx_users"], [r["value_p50"], r["value_p95"]])
