@@ -147,6 +147,11 @@ class JobConfig:
     #: mor only: auto-compact after this many delta commits (None = manual)
     compact_every: int | None = 10
     checkpoint_location: str = "/tmp/cdc_checkpoint"
+    #: dead-letter dir: raw records that fail envelope parsing are written
+    #: under <quarantine_dir>/batch_<id>/ (overwrite per batch -> replay
+    #: idempotent). None = malformed records are silently dropped by the
+    #: PERMISSIVE parse, the reference's behavior.
+    quarantine_dir: str | None = None
     trigger_interval: str = "30 seconds"
     max_workers: int = 4
     # Kafka source options (/root/reference/glue/cdc_hudi.py:82-93)
@@ -179,6 +184,7 @@ class JobConfig:
                 int(props["compact_every"]) if props.get("compact_every") else 10
             ),
             checkpoint_location=props.get("checkpoint_location", "/tmp/cdc_checkpoint"),
+            quarantine_dir=props.get("quarantine_dir"),
             trigger_interval=_normalize_interval(props.get("checkpoint_interval", "30")),
             max_workers=int(props.get("thread_max_workers", "4")),
             kafka_bootstrap_servers=props.get("kafka_broker"),

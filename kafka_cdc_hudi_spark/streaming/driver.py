@@ -191,6 +191,26 @@ class CdcStreamDriver:
         # would pay a full extra shuffle per table per batch for nothing
         return self.sink_for(spec).merge_batch(self.spark, routed, batch_id=batch_id)
 
+    def _quarantine(self, batch_df: DataFrame, batch_id: int) -> None:
+        """Dead-letter pass: raw records that cannot carry this pipeline's
+        envelope (unparseable JSON, or missing the dialect's operation
+        field) are preserved under ``<quarantine_dir>/batch_<id>/`` instead
+        of silently vanishing in the PERMISSIVE parse — the operational gap
+        the reference leaves open. Per-batch overwrite keeps replays
+        idempotent. Detection is one codegen'd ``get_json_object`` probe
+        over the already-persisted batch; the happy path pays ~nothing."""
+        if self.config.quarantine_dir is None:
+            return
+        op_path = (
+            "$['metadata']['operation']" if self.config.dialect == DIALECT_DMS else "$['op']"
+        )
+        bad = batch_df.filter(F.get_json_object("value", op_path).isNull())
+        if bad.isEmpty():
+            return
+        out = f"{self.config.quarantine_dir}/batch_{batch_id}"
+        bad.write.mode("overwrite").text(out)
+        log.warning("quarantined malformed records from batch %s to %s", batch_id, out)
+
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """The ``foreachBatch`` callback (reference ``process_batch``,
         /root/reference/glue/cdc_hudi.py:254-276)."""
@@ -198,6 +218,7 @@ class CdcStreamDriver:
         try:
             if batch_df.isEmpty():  # single-action gate (vs reference double count)
                 return
+            self._quarantine(batch_df, batch_id)
             specs = self.config.tables
             if self.config.max_workers > 1 and len(specs) > 1:
                 # FAIR-scheduled concurrent per-table jobs (reference O7)

@@ -125,6 +125,45 @@ def test_dynamic_schema_inference_stream(spark, tmp_path):
     assert rows == {1: ("a", None), 2: ("b", 7)}
 
 
+def test_quarantine_captures_malformed_records(spark, tmp_path):
+    """Dead-letter path: unparseable lines are preserved under the
+    quarantine dir (per-batch, replay-idempotent) while valid records keep
+    flowing; without quarantine_dir they are silently dropped (reference
+    behavior)."""
+    src = tmp_path / "src"
+    src.mkdir()
+    qdir = tmp_path / "quarantine"
+    cfg = JobConfig(
+        dialect=DIALECT_DEBEZIUM,
+        tables=[TableSpec("d1", "t1", ("id",))],
+        sink_root=str(tmp_path / "sink"),
+        checkpoint_location=str(tmp_path / "ckpt"),
+        quarantine_dir=str(qdir),
+        max_workers=1,
+    )
+    driver = CdcStreamDriver(spark, cfg, payload_schemas={"t1": PAYLOAD})
+    _write_lines(
+        src / "b1.json",
+        [
+            dbz("c", after={"id": 1, "val": "a"}, ts_ms=10),
+            "THIS IS NOT JSON {{{",
+            json.dumps({"valid_json": "but not an envelope"}),
+            dbz("c", after={"id": 2, "val": "b"}, ts_ms=10),
+        ],
+    )
+    q = driver.start(json_file_value_stream(spark, str(src)))
+    q.processAllAvailable()
+    q.stop()
+    # valid rows merged
+    got = {r["id"] for r in driver.sink_for(cfg.tables[0]).read(spark).collect()}
+    assert got == {1, 2}
+    # malformed rows preserved verbatim
+    quarantined = set(
+        spark.read.text(str(qdir / "batch_0")).toPandas()["value"]
+    )
+    assert quarantined == {"THIS IS NOT JSON {{{", json.dumps({"valid_json": "but not an envelope"})}
+
+
 def test_dynamic_inference_ignores_foreign_table_columns(spark, tmp_path):
     """Schema inference must run on the EXACTLY-routed slice: a foreign
     table sharing the topic (and slipping through the contains-prefilter as
