@@ -48,17 +48,21 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: session-scoped MOR sink scratch dirs, keyed by (application id, sf_dir) —
 #: same lifecycle as catalog_text._INDEX_CACHE. The dir must outlive the
 #: query function so the returned DataFrame stays a lazy file scan (the
-#: previous TemporaryDirectory forced a driver-side collect()).
+#: previous TemporaryDirectory forced a driver-side collect()). Lock: the
+#: three queries sharing the table may be invoked concurrently by a
+#: harness; two mkdtemp winners would split the v1/v2 history across dirs.
 _MOR_SCRATCH: dict = {}
+_MOR_LOCK = __import__("threading").Lock()
 
 
 def _mor_scratch_dir(spark: SparkSession, sf_dir: str) -> str:
     import tempfile
 
     key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _MOR_SCRATCH:
-        _MOR_SCRATCH[key] = tempfile.mkdtemp(prefix="mor_query_")
-    return _MOR_SCRATCH[key]
+    with _MOR_LOCK:
+        if key not in _MOR_SCRATCH:
+            _MOR_SCRATCH[key] = tempfile.mkdtemp(prefix="mor_query_")
+        return _MOR_SCRATCH[key]
 
 
 def _norm(df: DataFrame) -> DataFrame:
@@ -210,8 +214,11 @@ def _mor_table(spark: SparkSession, sf_dir: str):
         root=_mor_scratch_dir(spark, sf_dir), keys=["user_id"], order_col="mtime",
         tiebreakers=["event_id"], mode="mor",
     )
-    t.merge_batch(spark, a, batch_id=0)
-    t.merge_batch(spark, b, batch_id=1)
+    # serialize the build: concurrent first-invocations would race the
+    # batch-id replay check and double-commit
+    with _MOR_LOCK:
+        t.merge_batch(spark, a, batch_id=0)
+        t.merge_batch(spark, b, batch_id=1)
     return t
 
 
