@@ -371,6 +371,70 @@ def events_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_funnel_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel sequence detection: purchases preceded (per user, in order)
+    by a view then a click, with view->purchase within 24 hours — counted per
+    day (horizon calibrated to the synthetic fixture: within 1 h the
+    funnel matched nothing at any SF). One shuffle on user_id; the three running ``last(...ignorenulls)``
+    windows share a single sort, so sequence detection costs one ordered
+    pass regardless of funnel depth (no self-joins, no row explosion —
+    the win over the naive N-way join formulation of funnels)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    def last_ts_of(t: str):
+        return F.last(
+            F.when(F.col("event_type") == t, F.col("ts")), ignorenulls=True
+        ).over(w)
+
+    flagged = e.select(
+        "event_id", "user_id", "ts", "event_type",
+        last_ts_of("view").alias("v_ts"),
+        last_ts_of("click").alias("c_ts"),
+    ).filter(F.col("event_type") == "purchase")
+    conv = flagged.filter(
+        F.col("v_ts").isNotNull()
+        & F.col("c_ts").isNotNull()
+        & (F.col("v_ts") <= F.col("c_ts"))
+        & (F.col("c_ts") <= F.col("ts"))
+        & ((F.col("ts").cast("double") - F.col("v_ts").cast("double")) <= 86400.0)
+    )
+    return (
+        conv.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            F.count("*").alias("n_conversions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+EVENTS_FUNNEL_SQL = """
+WITH flagged AS (
+  SELECT event_id, user_id, ts, event_type,
+         last_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ts,
+         last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_ts
+  FROM events
+)
+SELECT date_trunc('day', ts) AS day,
+       COUNT(*) AS n_conversions,
+       COUNT(DISTINCT user_id) AS n_users
+FROM flagged
+WHERE event_type = 'purchase'
+  AND v_ts IS NOT NULL AND c_ts IS NOT NULL
+  AND v_ts <= c_ts AND c_ts <= ts
+  AND epoch(ts) - epoch(v_ts) <= 86400.0
+GROUP BY 1
+"""
+
+
 def events_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch maintenance: per-(hour, event_type) HLL sketches of
     distinct users, then re-aggregated to per-type estimates by sketch
@@ -743,6 +807,7 @@ ANALYTICS_QUERIES: dict[str, tuple] = {
     "events_sketches": (events_sketches, None),
     "events_retention_cohorts": (events_retention_cohorts, EVENTS_RETENTION_SQL),
     "events_hll_mergeable_rollup": (events_hll_mergeable_rollup, None),
+    "events_funnel_conversions": (events_funnel_conversions, EVENTS_FUNNEL_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "q4_order_priority": (q4_order_priority, Q4_SQL),
     "q5_local_supplier": (q5_local_supplier, Q5_SQL),

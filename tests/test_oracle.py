@@ -33,7 +33,11 @@ def test_all_queries_return_rows(spark):
 
 #: queries whose oracle pass was once vacuous (0 rows == 0 rows proves
 #: nothing); their fixtures/thresholds are calibrated to stay non-empty
-_MUST_BE_NONEMPTY = ("dedup_embedding_cosine", "customers_without_orders")
+_MUST_BE_NONEMPTY = (
+    "dedup_embedding_cosine",
+    "customers_without_orders",
+    "events_funnel_conversions",
+)
 
 
 @pytest.mark.parametrize("name", _MUST_BE_NONEMPTY)
