@@ -73,13 +73,27 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
     )
 
 
-def media_repartition(df: DataFrame, target_rows_per_partition: int = 1024) -> DataFrame:
-    """Bound Arrow batch size ahead of a decode stage. At scale you would
-    compute partitions from SUM(byte_len)/budget; locally row-count is a
-    fine proxy. Costs one count() of the input — cache upstream if the
-    lineage is expensive. Ceil division: floor would leave up to 2x the
-    budget in one partition."""
-    n_rows = df.count()
+def media_repartition(
+    df: DataFrame,
+    target_rows_per_partition: int = 1024,
+    avg_row_bytes: int = 64 * 1024,
+    exact: bool = False,
+) -> DataFrame:
+    """Bound Arrow batch size ahead of a decode stage.
+
+    Default sizing uses Catalyst's plan statistics (``sizeInBytes`` — file
+    metadata, NO job) divided by an assumed blob size: free, and accurate
+    enough for a batch-size bound where only the order of magnitude
+    matters. ``exact=True`` restores the row-count job for callers that
+    need the tight bound and have a cached upstream (the former behavior —
+    a full count of an expensive lineage was the cost the default now
+    avoids). Ceil division: floor would leave up to 2x the budget in one
+    partition."""
+    if exact:
+        n_rows = df.count()
+    else:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        n_rows = max(1, size // max(1, avg_row_bytes))
     n = max(1, -(-n_rows // target_rows_per_partition))
     return df.repartition(n)
 
