@@ -125,6 +125,41 @@ def test_dynamic_schema_inference_stream(spark, tmp_path):
     assert rows == {1: ("a", None), 2: ("b", 7)}
 
 
+def test_metrics_listener_records_batches(spark, tmp_path):
+    """Observability: the progress listener captures per-batch input rows
+    and durations for the CDC stream."""
+    from kafka_cdc_hudi_spark.streaming.metrics import attach_metrics
+
+    src = tmp_path / "src"
+    src.mkdir()
+    cfg = JobConfig(
+        dialect=DIALECT_DEBEZIUM,
+        tables=[TableSpec("d1", "t1", ("id",))],
+        sink_root=str(tmp_path / "sink"),
+        checkpoint_location=str(tmp_path / "ckpt"),
+        max_workers=1,
+    )
+    driver = CdcStreamDriver(spark, cfg, payload_schemas={"t1": PAYLOAD})
+    _write_lines(src / "b1.json", [dbz("c", after={"id": 1, "val": "a"}, ts_ms=10)])
+    _write_lines(src / "b2.json", [dbz("c", after={"id": 2, "val": "b"}, ts_ms=20)])
+    listener = attach_metrics(spark)
+    try:
+        q = driver.start(json_file_value_stream(spark, str(src)))
+        q.processAllAvailable()
+        q.stop()
+        # listener callbacks are async; poll briefly for delivery
+        import time
+
+        deadline = time.time() + 15
+        while time.time() < deadline and listener.totals()["total_input_rows"] < 2:
+            time.sleep(0.3)
+        t = listener.totals()
+        assert t["total_input_rows"] >= 2, listener.progress
+        assert t["n_batches"] >= 1
+    finally:
+        spark.streams.removeListener(listener)
+
+
 def test_quarantine_captures_malformed_records(spark, tmp_path):
     """Dead-letter path: unparseable lines are preserved under the
     quarantine dir (per-batch, replay-idempotent) while valid records keep
