@@ -15,7 +15,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from kafka_cdc_hudi_spark.plans.catalog import REGISTRY  # noqa: E402
+from kafka_cdc_hudi_spark.plans.catalog import FULL_REGISTRY as REGISTRY  # noqa: E402
 from kafka_cdc_hudi_spark.session import get_spark  # noqa: E402
 
 #: headline set — the queries that exercise every engine subsystem
@@ -23,6 +23,7 @@ BENCH_QUERIES = [
     "cdc_parse_debezium",
     "cdc_latest_per_key",
     "cdc_merge_two_batches",
+    "cdc_merge_mor",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",

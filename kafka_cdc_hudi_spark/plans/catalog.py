@@ -1,5 +1,17 @@
 """Unified query registry: name -> (spark_fn, oracle_sql | None).
 
+Two views of the same catalog:
+
+- ``FULL_REGISTRY`` — every implemented query. tests/test_oracle.py and
+  tests/test_plan_invariants.py run ALL of these against their DuckDB
+  oracles / plan invariants locally, so nothing loses verification.
+- ``REGISTRY`` — the driver-facing subset (the correctness driver evaluates
+  at most ~50 entries, in order). Ordered so the entries whose fixes are
+  freshest — the ones that most need a driver row — come first, and pruned
+  of near-duplicate plan *shapes* whose operators are fully exercised by a
+  surviving entry (see ``PRUNED`` for the covered-by mapping). Pruned
+  queries remain implemented, exported, and locally oracle-verified.
+
 Consumed by __spark_entry__.py (driver contract) and bench.py.
 """
 
@@ -10,14 +22,99 @@ from kafka_cdc_hudi_spark.plans.catalog_cdc import CDC_QUERIES
 from kafka_cdc_hudi_spark.plans.catalog_streaming import STREAMING_QUERIES
 from kafka_cdc_hudi_spark.plans.catalog_text import TEXT_QUERIES
 
-REGISTRY: dict[str, tuple] = {}
-REGISTRY.update(CDC_QUERIES)
-REGISTRY.update(ANALYTICS_QUERIES)
-REGISTRY.update(TEXT_QUERIES)
-REGISTRY.update(STREAMING_QUERIES)
+FULL_REGISTRY: dict[str, tuple] = {}
+FULL_REGISTRY.update(CDC_QUERIES)
+FULL_REGISTRY.update(ANALYTICS_QUERIES)
+FULL_REGISTRY.update(TEXT_QUERIES)
+FULL_REGISTRY.update(STREAMING_QUERIES)
+
+#: held out of the driver-facing registry (entry cap) — each is a
+#: near-duplicate of a surviving entry's physical plan shape; the operator
+#: itself stays covered by the named survivor + local oracle tests
+PRUNED: dict[str, str] = {
+    "cdc_latest_per_key": "cdc_latest_per_composite_key (same dedup operator, composite keys)",
+    "q6_forecast_revenue": "q1_pricing_summary/q14 (filter+agg; pushdown pinned in test_plan_invariants)",
+    "global_counts": "events_sketches n / q1 count_order (count aggregate everywhere)",
+    "events_rollup": "events_cube (same Expand/grouping-sets shape)",
+    "events_user_cumsum": "topk_orders_per_customer + events_funnel_conversions (ordered windows)",
+    "events_type_stats": "events_sketches (same per-type exact stats, plus sketch self-check)",
+    "customers_per_region": "q5_local_supplier/q10 (broadcast-chain dim join + agg)",
+    "big_orders_semi_join": "q4_order_priority (left-semi against aggregated/filtered build side)",
+    "events_tumbling_windows": "events_hourly_agg (same bucketed agg) + test_streaming_windows builder tests",
+    "embedding_norms": "ann_topk_bruteforce (computes the same norms) + embedding_quantize_int8",
+    "text_token_count": "text_token_topk + text_quality_score (same tokenizer expressions)",
+}
+
+#: driver evaluation order: previously-unverified entries first (registry
+#: tail was past the driver's entry cap in round 2), then fresh/changed
+#: entries, then the long-green remainder
+_DRIVER_ORDER = [
+    # -- no driver row yet (round-2 tail) --
+    "events_sliding_windows",
+    "ann_topk_srp",
+    "ann_topk_ivf",
+    "dedup_embedding_cosine",
+    "multimodal_meta",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "events_session_windows",
+    "user_running_stats_batch",
+    # -- new or changed this round --
+    "dedup_clusters_star",
+    "events_sketches",
+    "events_hll_mergeable_rollup",
+    "q12_priority_by_linestatus",
+    # -- green in round 2 --
+    "cdc_parse_debezium",
+    "cdc_parse_dms",
+    "cdc_latest_per_composite_key",
+    "cdc_merge_two_batches",
+    "cdc_merge_mor",
+    "cdc_time_travel",
+    "cdc_incremental_diff",
+    "cdc_route_multitable",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "events_hourly_agg",
+    "topk_orders_per_customer",
+    "asof_join_last_click",
+    "customers_without_orders",
+    "events_pivot_user_counts",
+    "events_cube",
+    "active_user_set_ops",
+    "range_join_post_purchase",
+    "events_retention_cohorts",
+    "events_funnel_conversions",
+    "text_quality_score",
+    "text_language_id",
+    "text_fingerprint",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_clusters",
+    "embedding_quantize_int8",
+    "text_token_topk",
+    "dataset_split_assign",
+    "text_normalize",
+    "ann_topk_bruteforce",
+]
+
+assert set(_DRIVER_ORDER) | set(PRUNED) == set(FULL_REGISTRY), (
+    set(_DRIVER_ORDER) ^ (set(FULL_REGISTRY) - set(PRUNED))
+)
+assert not set(_DRIVER_ORDER) & set(PRUNED)
+assert len(_DRIVER_ORDER) <= 50, len(_DRIVER_ORDER)
+
+REGISTRY: dict[str, tuple] = {n: FULL_REGISTRY[n] for n in _DRIVER_ORDER}
 
 
 def register(name: str, fn, oracle_sql: str | None) -> None:
+    FULL_REGISTRY[name] = (fn, oracle_sql)
     REGISTRY[name] = (fn, oracle_sql)
 
 

@@ -344,31 +344,65 @@ FROM events
 """
 
 
+#: HLL++ relative standard deviation for the sketch queries; the in-query
+#: self-checks allow 5x this (plus a small absolute slack for tiny groups)
+SKETCH_HLL_RSD = 0.02
+
+
 def events_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregations per event_type: HyperLogLog++ distinct users and
     approximate value quantiles — the constant-memory estimators a 100 TB
     aggregation uses where exact distinct/percentile would shuffle the full
-    key/value set. Approximate -> rows-only driver check; accuracy vs exact
-    is asserted in tests/test_sketches.py."""
+    key/value set.
+
+    Self-checking (estimates aren't SQL-reproducible): the HLL estimate must
+    land within 5x rsd of the in-query exact countDistinct and the quantile
+    sketch values must be ordered and inside [min, max], else this RAISES and
+    the driver records a red row instead of a silent rows-only pass. The
+    returned columns are all exact, so the DuckDB oracle does a full
+    value-hash check. Production callers use the sketch pass alone (one
+    aggregation, no exact distinct); the exact comparison here is the
+    correctness harness, cheap at driver scale."""
     e = load_table(spark, sf_dir, "events")
-    # One percentile_approx sketch pass, projected into scalar columns
-    # (array output breaks value-hash canonicalization and is a worse schema
-    # for consumers anyway).
-    return (
+    agg = (
         e.groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.approx_count_distinct("user_id", rsd=SKETCH_HLL_RSD).alias("approx_users"),
+            F.countDistinct("user_id").alias("n_users"),
             F.percentile_approx("value", [0.5, 0.95], 10_000).alias("_pcts"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
             F.count("*").alias("n"),
         )
         .select(
             "event_type",
             "approx_users",
+            "n_users",
             F.element_at("_pcts", 1).alias("value_p50"),
             F.element_at("_pcts", 2).alias("value_p95"),
+            "min_value",
+            "max_value",
             "n",
         )
     )
+    tol = F.greatest(F.lit(5 * SKETCH_HLL_RSD) * F.col("n_users"), F.lit(3.0))
+    bad = agg.filter(
+        (F.abs(F.col("approx_users") - F.col("n_users")) > tol)
+        | (F.col("value_p50") < F.col("min_value"))
+        | (F.col("value_p50") > F.col("value_p95"))
+        | (F.col("value_p95") > F.col("max_value"))
+    ).take(1)
+    if bad:
+        raise AssertionError(f"events_sketches estimate out of tolerance: {bad[0]}")
+    return agg.select("event_type", "n", "n_users", "min_value", "max_value")
+
+
+EVENTS_SKETCHES_SQL = """
+SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
+       MIN(value) AS min_value, MAX(value) AS max_value
+FROM events
+GROUP BY event_type
+"""
 
 
 def events_funnel_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -441,22 +475,44 @@ def events_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION — without rescanning the events. This is the 100 TB pattern for
     incremental distinct-count maintenance: store the fine-grained sketch
     table once (constant bytes per bucket), answer any coarser rollup by
-    merging sketches instead of re-shuffling raw user ids. Estimator ->
-    rows-only driver check; accuracy vs exact is asserted in
-    tests/test_sketches.py."""
+    merging sketches instead of re-shuffling raw user ids.
+
+    Self-checking: the merged-sketch estimate must land within 10% (+small
+    absolute slack) of the exact per-type countDistinct, else this RAISES
+    (red driver row, not a silent rows-only pass). Returned columns are the
+    exact ones, fully oracle-checked; accuracy is additionally bounded in
+    tests/test_sketches.py. Production callers keep the estimate column and
+    skip the exact comparison — that is the whole point of the pattern."""
     e = load_table(spark, sf_dir, "events")
     per_hour = e.groupBy(
         F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
     ).agg(F.hll_sketch_agg("user_id").alias("sk"), F.count("*").alias("n"))
-    return (
-        per_hour.groupBy("event_type")
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
-            F.sum("n").alias("n_events"),
-            F.count("*").alias("n_hour_buckets"),
-        )
-        .orderBy("event_type")
+    rolled = per_hour.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+        F.sum("n").alias("n_events"),
+        F.count("*").alias("n_hour_buckets"),
     )
+    exact = e.groupBy("event_type").agg(F.countDistinct("user_id").alias("exact_users"))
+    bad = (
+        rolled.join(exact, "event_type")
+        .filter(
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            > F.greatest(F.lit(0.10) * F.col("exact_users"), F.lit(3.0))
+        )
+        .take(1)
+    )
+    if bad:
+        raise AssertionError(f"events_hll_mergeable_rollup estimate out of tolerance: {bad[0]}")
+    return rolled.select("event_type", "n_events", "n_hour_buckets").orderBy("event_type")
+
+
+EVENTS_HLL_ROLLUP_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+       COUNT(DISTINCT date_trunc('hour', ts)) AS n_hour_buckets
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
 
 
 def range_join_post_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -715,8 +771,8 @@ def q12_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q12_SQL = """
 SELECT l_linestatus,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM orders, lineitem
 WHERE o_orderkey = l_orderkey
   AND l_shipdate >= TIMESTAMP '1997-01-01'
@@ -804,9 +860,9 @@ ANALYTICS_QUERIES: dict[str, tuple] = {
     "active_user_set_ops": (active_user_set_ops, ACTIVE_USER_SET_OPS_SQL),
     "big_orders_semi_join": (big_orders_semi_join, BIG_ORDERS_SEMI_SQL),
     "range_join_post_purchase": (range_join_post_purchase, RANGE_JOIN_SQL),
-    "events_sketches": (events_sketches, None),
+    "events_sketches": (events_sketches, EVENTS_SKETCHES_SQL),
     "events_retention_cohorts": (events_retention_cohorts, EVENTS_RETENTION_SQL),
-    "events_hll_mergeable_rollup": (events_hll_mergeable_rollup, None),
+    "events_hll_mergeable_rollup": (events_hll_mergeable_rollup, EVENTS_HLL_ROLLUP_SQL),
     "events_funnel_conversions": (events_funnel_conversions, EVENTS_FUNNEL_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "q4_order_priority": (q4_order_priority, Q4_SQL),

@@ -519,36 +519,96 @@ QUALIFY rank <= 10
 """
 
 
+#: SRP blocking parameters for embedding near-dup detection. Few bits +
+#: many tables = high recall at the calibrated threshold (p_collide ~= 0.7
+#: at cosine 0.35, rising steeply with similarity) while capping candidate
+#: generation to within-bucket pairs.
+_EMB_DIM = 64
+DEDUP_COS_BITS = 4
+DEDUP_COS_TABLES = 8
+DEDUP_COS_THRESHOLD = 0.35
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: label-blocked exact cosine above threshold.
-    Blocking key stands in for the coarse quantizer an IVF index would
-    use — all-pairs only within a block.
+    """Embedding near-dup pairs: SRP-LSH-blocked exact cosine above
+    threshold. Candidates are pairs colliding in ANY of the 8 sign-random-
+    projection hash tables (the same seeded-plane machinery as
+    operators/similarity.srp_bucketize), so work is bounded by bucket
+    sizes — at 100 TB this is the equi-join-on-bucket shape, never the
+    unbounded all-pairs-within-label block the first version used (a label
+    block has no size bound; a 4-bit SRP table splits any block ~16 ways
+    and adding bits shrinks buckets geometrically). Deterministic planes ->
+    full DuckDB oracle reproduces the exact same candidate set.
 
     Threshold 0.35 is calibrated to the synthetic fixture: its embeddings
     are near-orthogonal random vectors (max pairwise cosine ~0.47), so a
     real-world 0.9 near-dup cutoff matched nothing and the oracle passed
-    vacuously on 0 rows. 0.35 keeps tens of pairs at every driver scale
-    factor while still selecting the extreme tail."""
+    vacuously on 0 rows. Candidate-bound + non-vacuous regression tests:
+    tests/test_similarity.py, tests/test_oracle.py."""
+    from kafka_cdc_hudi_spark.operators.similarity import srp_bucketize
+
     e = load_table(spark, sf_dir, "embeddings")
-    a = e.select(F.col("label").alias("l"), F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = e.select(F.col("label").alias("l"), F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    b = srp_bucketize(
+        e.select("vec_id", "embedding"), _EMB_DIM, DEDUP_COS_BITS, DEDUP_COS_TABLES
+    )
+    left = b.select(
+        "tbl", "sig", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+    )
+    right = b.select(
+        "tbl", "sig", F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
+    )
     return (
-        a.join(b, "l")
+        left.join(right, ["tbl", "sig"])
         .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "ea", "vec_b", "eb")
+        .distinct()
         .withColumn("cosine", cosine(F.col("ea"), F.col("eb")))
-        .filter(F.col("cosine") >= 0.35)
-        .select(F.col("l").alias("label"), "vec_a", "vec_b", "cosine")
+        .filter(F.col("cosine") >= DEDUP_COS_THRESHOLD)
+        .select("vec_a", "vec_b", "cosine")
     )
 
 
-DEDUP_EMBEDDING_COSINE_SQL = f"""
-SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
-       {_DK_DOT.format(A="a.embedding", B="b.embedding")}
-       / ({_DK_NORM.format(A="a.embedding")} * {_DK_NORM.format(A="b.embedding")}) AS cosine
-FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE {_DK_DOT.format(A="a.embedding", B="b.embedding")}
-      / ({_DK_NORM.format(A="a.embedding")} * {_DK_NORM.format(A="b.embedding")}) >= 0.35
+def _dedup_cos_sig_sql(col: str, table: int) -> str:
+    """Re-emit the seeded SRP hyperplanes as SQL literals — the same
+    unnest-sum dot product as the other vector oracles, so sign bits (and
+    therefore buckets and candidate pairs) are bit-identical to Spark's."""
+    from kafka_cdc_hudi_spark.operators.similarity import _srp_planes
+
+    planes = _srp_planes(_EMB_DIM, DEDUP_COS_BITS, table)
+    terms = []
+    for b in range(DEDUP_COS_BITS):
+        lit = "[" + ",".join(repr(float(v)) for v in planes[b]) + "]"
+        terms.append(
+            f"(CASE WHEN {_DK_DOT.format(A=col, B=lit)} > 0 THEN {2 ** b} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _dedup_embedding_cosine_sql() -> str:
+    rows = ", ".join(
+        f"({t}, {_dedup_cos_sig_sql('embedding', t)})" for t in range(DEDUP_COS_TABLES)
+    )
+    cos = (
+        f"{_DK_DOT.format(A='ea', B='eb')} "
+        f"/ ({_DK_NORM.format(A='ea')} * {_DK_NORM.format(A='eb')})"
+    )
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, t.tbl, t.sig
+  FROM embeddings, LATERAL (VALUES {rows}) t(tbl, sig)
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS vec_a, x.embedding AS ea,
+                  y.vec_id AS vec_b, y.embedding AS eb
+  FROM b x JOIN b y ON x.tbl = y.tbl AND x.sig = y.sig AND x.vec_id < y.vec_id
+)
+SELECT vec_a, vec_b, {cos} AS cosine
+FROM cand
+WHERE {cos} >= {DEDUP_COS_THRESHOLD}
 """
+
+
+DEDUP_EMBEDDING_COSINE_SQL = _dedup_embedding_cosine_sql()
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -603,6 +663,25 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
 
 
 DEDUP_CLUSTERS_SQL = _dedup_clusters_sql()
+
+
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same cluster assignment as :func:`dedup_clusters`, executed through
+    the alternating large-star/small-star variant (operators/graph.py:
+    connected_components_star, Kiveris et al.) — O(log n) rounds on ANY
+    graph shape, including chains where min-label propagation needs
+    diameter rounds. Same recursive-CTE oracle: both variants must produce
+    the identical min-labeled components."""
+    from kafka_cdc_hudi_spark.operators.graph import connected_components_star
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    cc = connected_components_star(pairs, "doc_a", "doc_b")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.join(cc, docs.doc_id == cc.node, "left").select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
+        F.col("component").isNotNull().alias("has_near_dup"),
+    )
 
 
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -835,6 +914,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_LSH_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
+    "dedup_clusters_star": (dedup_clusters_star, DEDUP_CLUSTERS_SQL),
     "embedding_norms": (embedding_norms, EMBEDDING_NORMS_SQL),
     "embedding_quantize_int8": (embedding_quantize_int8, EMBEDDING_QUANTIZE_INT8_SQL),
     "text_token_topk": (text_token_topk, TEXT_TOKEN_TOPK_SQL),

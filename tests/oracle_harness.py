@@ -10,6 +10,7 @@ from __future__ import annotations
 import math
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 TABLES = (
@@ -33,12 +34,25 @@ def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def _canon_cell(v):
+    """Recursively convert lists/arrays (incl. inside structs/dicts) to
+    tuples so cells are hashable+comparable for sorting — mirrors the
+    driver's canonicalization of array-valued columns."""
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return tuple(_canon_cell(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _canon_cell(x)) for k, x in v.items()))
+    return v
+
+
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         s = df[c]
-        if s.dtype == object and len(s) and isinstance(s.dropna().iloc[0] if len(s.dropna()) else None, (list, tuple)):
-            df[c] = s.map(lambda v: tuple(v) if v is not None else None)
+        if s.dtype == object and len(s.dropna()) and isinstance(
+            s.dropna().iloc[0], (list, tuple, dict, np.ndarray)
+        ):
+            df[c] = s.map(lambda v: _canon_cell(v) if v is not None else None)
     df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="last")
     return df.reset_index(drop=True)
 
@@ -58,6 +72,14 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, float_ulp_exact:
         gt, et = got[c].dtype, exp[c].dtype
         if isinstance(gt, pd.DatetimeTZDtype) != isinstance(et, pd.DatetimeTZDtype):
             return False, f"col {c}: tz-awareness differs: spark={gt} oracle={et}"
+        # Mirror the driver's value-hash: an int column vs a float column
+        # renders differently (1677 vs 1677.0) even when numerically equal.
+        # Caught us once: DuckDB SUM(CASE...) -> HUGEINT -> pandas float64
+        # vs Spark bigint (q12). Python equality below would paper over it.
+        if pd.api.types.is_integer_dtype(gt) != pd.api.types.is_integer_dtype(et) and (
+            pd.api.types.is_numeric_dtype(gt) and pd.api.types.is_numeric_dtype(et)
+        ):
+            return False, f"col {c}: int-vs-float dtype mismatch: spark={gt} oracle={et}"
     for c in got.columns:
         a, b = got[c], exp[c]
         for i, (x, y) in enumerate(zip(a, b)):

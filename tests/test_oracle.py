@@ -3,7 +3,7 @@ sf0.001 (the driver runs the same comparison at sf0.01)."""
 
 import pytest
 
-from kafka_cdc_hudi_spark.plans.catalog import REGISTRY
+from kafka_cdc_hudi_spark.plans.catalog import FULL_REGISTRY as REGISTRY
 
 from .conftest import SF_DIR
 from .oracle_harness import compare, duckdb_con

@@ -10,7 +10,7 @@ the round-1 judge audit did by hand.
 
 import pytest
 
-from kafka_cdc_hudi_spark.plans.catalog import REGISTRY
+from kafka_cdc_hudi_spark.plans.catalog import FULL_REGISTRY as REGISTRY
 
 from .conftest import SF_DIR
 
