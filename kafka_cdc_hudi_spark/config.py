@@ -154,6 +154,11 @@ class JobConfig:
     quarantine_dir: str | None = None
     trigger_interval: str = "30 seconds"
     max_workers: int = 4
+    #: register each synced table in the Spark catalog after every commit
+    #: (reference hive_sync parity: hoodie.datasource.hive_sync.*,
+    #: /root/reference/glue/cdc_hudi.py:190-194). Tables appear as
+    #: ``db.table`` (COW) / ``db.table_ro`` (MOR read-optimized).
+    catalog_sync: bool = False
     # Kafka source options (/root/reference/glue/cdc_hudi.py:82-93)
     kafka_bootstrap_servers: str | None = None
     topic: str | None = None
@@ -187,6 +192,9 @@ class JobConfig:
             quarantine_dir=props.get("quarantine_dir"),
             trigger_interval=_normalize_interval(props.get("checkpoint_interval", "30")),
             max_workers=int(props.get("thread_max_workers", "4")),
+            # reference enables hive sync unconditionally; here it is opt-in
+            catalog_sync=props.get("hive_sync", "false").strip().lower()
+            in ("true", "1", "yes"),
             kafka_bootstrap_servers=props.get("kafka_broker"),
             topic=props.get("topic"),
             starting_offsets=offsets,

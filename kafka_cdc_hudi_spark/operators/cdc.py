@@ -122,17 +122,27 @@ def _parsed_with_barrier(
     the parse at sf0.1). Filters built with :func:`_barrier_keep` reference
     the nondeterministic column, which legally pins them above this
     projection (pruning cannot drop the column, pushdown cannot cross a
-    nondeterministic projection a predicate references)."""
+    nondeterministic projection a predicate references).
+
+    Streaming frames get ``rand()`` as the barrier instead:
+    ``monotonically_increasing_id`` is rejected by the streaming
+    UnsupportedOperationChecker, while ``rand`` is streaming-legal and
+    equally nondeterministic to the optimizer (``rand() < 0`` is likewise
+    never true). The driver only ever parses inside ``foreachBatch``
+    (batch frames), but the parse_* operators are public and must stay
+    applicable to a streaming DataFrame directly."""
+    barrier = F.rand(seed=0) if df.isStreaming else F.monotonically_increasing_id()
     return df.select(
         F.from_json(F.col(value_col).cast("string"), env, opts).alias("e"),
-        F.monotonically_increasing_id().alias(_BARRIER_COL),
+        barrier.alias(_BARRIER_COL),
     )
 
 
 def _barrier_keep(cond: Column) -> Column:
     """``cond`` OR an always-false term referencing the barrier column
-    (``monotonically_increasing_id() < 0`` can never hold) — a semantic
-    no-op that makes the filter unpushable past the parse projection."""
+    (neither ``monotonically_increasing_id()`` nor ``rand()`` is ever
+    ``< 0``) — a semantic no-op that makes the filter unpushable past the
+    parse projection."""
     return cond | (F.col(_BARRIER_COL) < 0)
 
 

@@ -73,6 +73,16 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
     )
 
 
+#: sizeInBytes at/above this is Catalyst's "no statistics" placeholder
+#: (spark.sql.defaultSizeInBytes = Long.MaxValue, possibly scaled by a
+#: join estimate) rather than a real measurement
+_NO_STATS_SIZE = 1 << 60
+#: hard ceiling on computed partition counts — far above any sane local or
+#: cluster fan-out, low enough that a garbage estimate cannot melt the
+#: scheduler with ~10^11 empty tasks
+_MAX_PARTITIONS = 100_000
+
+
 def media_repartition(
     df: DataFrame,
     target_rows_per_partition: int = 1024,
@@ -88,13 +98,21 @@ def media_repartition(
     need the tight bound and have a cached upstream (the former behavior —
     a full count of an expensive lineage was the cost the default now
     avoids). Ceil division: floor would leave up to 2x the budget in one
-    partition."""
+    partition.
+
+    Plans with NO file statistics (non-file sources, post-join/UDF lineage)
+    report ``spark.sql.defaultSizeInBytes`` (Long.MaxValue) — that sentinel
+    falls back to the exact count instead of planning ~10^11 partitions,
+    and the result is clamped to ``_MAX_PARTITIONS`` either way."""
     if exact:
         n_rows = df.count()
     else:
         size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-        n_rows = max(1, size // max(1, avg_row_bytes))
-    n = max(1, -(-n_rows // target_rows_per_partition))
+        if size >= _NO_STATS_SIZE:
+            n_rows = df.count()  # stats are the Long.MaxValue placeholder
+        else:
+            n_rows = max(1, size // max(1, avg_row_bytes))
+    n = max(1, min(_MAX_PARTITIONS, -(-n_rows // target_rows_per_partition)))
     return df.repartition(n)
 
 

@@ -100,10 +100,40 @@ class HudiKeyedTable:
                 "KeyedParquetTable emulation (sinks/keyed_table.py)"
             )
 
+    # -- replay guard --------------------------------------------------------
+    # Same contract as KeyedParquetTable.merge_batch: an at-least-once
+    # foreachBatch replay of an already-committed batch id is a no-op. The
+    # marker lives NEXT TO the table as a one-row text dataset (written via
+    # Spark, so it works on any Hadoop-compatible filesystem, not just
+    # local paths). Written AFTER both Hudi writes — a crash in between
+    # replays the batch, which is safe for precombine upserts and matches
+    # the pure-Spark sink's belt-and-braces stance; unlike the pointer
+    # manifest there is no atomic swap, the Hudi timeline itself remains
+    # the source of truth for data commits.
+    @property
+    def _batch_marker_dir(self) -> str:
+        return f"{self.root}_last_batch_id"
+
+    def last_batch_id(self, spark: SparkSession) -> int | None:
+        try:
+            row = spark.read.text(self._batch_marker_dir).first()
+            return int(row[0]) if row is not None else None
+        except Exception:
+            return None  # marker absent (new table) or unreadable
+
+    def _write_batch_marker(self, spark: SparkSession, batch_id: int) -> None:
+        spark.createDataFrame([(str(batch_id),)], "value string").coalesce(
+            1
+        ).write.mode("overwrite").text(self._batch_marker_dir)
+
     def merge_batch(
         self, spark: SparkSession, batch: DataFrame, batch_id: int | None = None
     ) -> bool:
         self._require_available(spark)
+        if batch_id is not None:
+            last = self.last_batch_id(spark)
+            if last is not None and batch_id <= last:
+                return False  # replayed batch: already committed
         if batch.isEmpty():
             return False
         from pyspark.sql import functions as F
@@ -121,6 +151,8 @@ class HudiKeyedTable:
             deletes.write.format("hudi").options(**self._options("delete")).mode(
                 "append"
             ).save()
+        if batch_id is not None:
+            self._write_batch_marker(spark, batch_id)
         return True
 
     def read(self, spark: SparkSession) -> DataFrame:

@@ -307,6 +307,13 @@ class KeyedParquetTable:
         once; consumers needing exactly-once should gate on the pointer
         manifest via ``versions()``.
 
+        Retention interaction: ``compact()``/``_prune`` DELETE folded and
+        unmanifested ``d_*`` directories. A tail that discovered such a
+        file but has not processed it yet fails its next micro-batch
+        (FileNotFoundException) — same contract as tailing any file source
+        with a retention sweeper. Keep ``compact_every`` comfortably above
+        the tail's trigger cadence, or pause compaction while a tail runs.
+
         MOR only: COW commits rewrite full snapshots, which is a table scan
         per commit, not a change stream — use ``diff()`` for those."""
         if self.mode != MODE_MOR:
@@ -314,17 +321,72 @@ class KeyedParquetTable:
         p = self._read_pointer()
         if p is None:
             raise FileNotFoundError(f"no committed version at {self.root}")
-        _, deltas = self._resolve(p["version"], p)
-        bases, disk_deltas = self._commit_dirs()
-        sample = deltas[-1] if deltas else (disk_deltas[-1] if disk_deltas else None)
-        if sample is None:
-            raise FileNotFoundError(
-                "no delta commits to derive a schema from (compact() prunes "
-                "deltas; start the tail before compaction or pass a schema "
-                "by reading a base snapshot)"
+        base, deltas = self._resolve(p["version"], p)
+        if deltas:
+            schema = spark.read.parquet(self._delta_dir(deltas[-1])).schema
+        elif base is not None:
+            # No manifested delta to sample. NEVER sample an unmanifested
+            # d_* dir — it may be a torn write with an unreadable/mismatched
+            # footer. The delta schema is the base schema + the tombstone
+            # flag + the commit sequence (exactly what merge_batch writes).
+            from pyspark.sql.types import (
+                BooleanType,
+                LongType,
+                StructField,
+                StructType,
             )
-        schema = spark.read.parquet(self._delta_dir(sample)).schema
+
+            schema = StructType(
+                spark.read.parquet(self._version_dir(base)).schema.fields
+                + [
+                    StructField(self.deleted_col, BooleanType()),
+                    StructField(_SEQ_COL, LongType()),
+                ]
+            )
+        else:
+            raise FileNotFoundError(
+                "no committed delta or base to derive a schema from "
+                "(commit at least one batch before tailing)"
+            )
         return spark.readStream.schema(schema).parquet(os.path.join(self.root, "d_*"))
+
+    def sync_catalog(self, spark: SparkSession, name: str) -> str | None:
+        """Register this table in the Spark catalog (the metastore when Hive
+        support is enabled) as an EXTERNAL parquet table over the current
+        committed snapshot — the pure-Spark analog of the reference's
+        per-commit Glue/Hive sync (``hoodie.datasource.hive_sync.*``,
+        /root/reference/glue/cdc_hudi.py:190-194), so downstream SQL engines
+        can ``SELECT ... FROM db.tbl`` with no knowledge of the sink's path
+        layout or pointer protocol.
+
+        COW: registers ``name`` over the latest base snapshot (always the
+        current state). MOR: registers ``name_ro`` over the latest base —
+        the read-optimized view, deltas excluded — the same contract as
+        Hudi's hive-synced ``_ro`` table; the real-time fold needs the
+        engine (``read()``), exactly as Hudi's ``_rt`` table needs the Hudi
+        reader. Returns the registered name, or None when no base snapshot
+        exists yet (MOR before first compaction).
+
+        Re-pointing on a new commit is metadata-only (drop + re-create
+        external + refresh) — no data is copied. The drop/create pair is
+        not atomic for concurrent readers mid-query; at streaming cadence
+        this mirrors hive-sync's own update window."""
+        p = self._read_pointer()
+        if p is None:
+            return None
+        base, _deltas = self._resolve(p["version"], p)
+        if base is None:
+            return None
+        reg = name if self.mode == MODE_COW else f"{name}_ro"
+        loc = self._version_dir(base)
+        if "." in reg:
+            db = reg.split(".", 1)[0]
+            spark.sql(f"CREATE DATABASE IF NOT EXISTS `{db}`")
+        quoted = ".".join(f"`{part}`" for part in reg.split("."))
+        spark.sql(f"DROP TABLE IF EXISTS {quoted}")
+        spark.sql(f"CREATE TABLE {quoted} USING parquet LOCATION '{loc}'")
+        spark.catalog.refreshTable(quoted)
+        return reg
 
     def merge_batch(self, spark: SparkSession, batch: DataFrame, batch_id: int | None = None) -> bool:
         """Upsert one normalized CDC batch; returns False if skipped

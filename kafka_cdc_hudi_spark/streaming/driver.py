@@ -189,7 +189,12 @@ class CdcStreamDriver:
         # no pre-merge dedup: merge_upsert's own latest_per_key_agg collapses
         # in-batch duplicates map-side over the union — a separate pass here
         # would pay a full extra shuffle per table per batch for nothing
-        return self.sink_for(spec).merge_batch(self.spark, routed, batch_id=batch_id)
+        sink = self.sink_for(spec)
+        committed = sink.merge_batch(self.spark, routed, batch_id=batch_id)
+        if committed and self.config.catalog_sync:
+            # reference hive-syncs on every commit; metadata-only re-point
+            sink.sync_catalog(self.spark, spec.qualified_name)
+        return committed
 
     def _quarantine(self, batch_df: DataFrame, batch_id: int) -> None:
         """Dead-letter pass: raw records that cannot carry this pipeline's

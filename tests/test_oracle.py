@@ -44,3 +44,32 @@ _MUST_BE_NONEMPTY = (
 def test_calibrated_queries_stay_nonvacuous(spark, name):
     fn, _sql = REGISTRY[name]
     assert fn(spark, SF_DIR).limit(1).count() == 1, f"{name}: vacuous again"
+
+
+def test_normalize_handles_struct_nested_lists():
+    """Canonicalization must handle array columns AND arrays nested inside
+    structs (dicts) — struct<array> cells must become hashable/sortable
+    tuples instead of raising on sort_values."""
+    import pandas as pd
+
+    from .oracle_harness import _normalize
+
+    df = pd.DataFrame(
+        {
+            "id": [2, 1, 3],
+            "s": [
+                {"xs": [3, 4], "tag": "b"},
+                {"xs": [1, 2], "tag": "a"},
+                None,
+            ],
+            "arr": [[5, 6], [7, [8, 9]], None],
+        }
+    )
+    out = _normalize(df)
+    assert list(out.columns) == ["arr", "id", "s"]
+    # rows sort by arr first: (5,6) [tag b], (7,(8,9)) [tag a], None last
+    assert out["s"].iloc[0] == (("tag", "b"), ("xs", (3, 4)))
+    assert out["s"].iloc[1] == (("tag", "a"), ("xs", (1, 2)))
+    assert out["arr"].iloc[1] == (7, (8, 9))
+    # deterministic: same input, same order
+    assert _normalize(df).equals(out)

@@ -93,3 +93,42 @@ def test_ivf_assign_pandas_null_embedding(spark, emb):
     rows = {r["vec_id"]: r["cell"] for r in ivf_assign_pandas(with_null, cents).collect()}
     assert rows[0] is None
     assert all(v is not None for k, v in rows.items() if k != 0)
+
+
+def test_dedup_embedding_cosine_candidates_bounded(spark, emb):
+    """The SRP-blocked near-dup pass must generate far fewer candidate
+    pairs than all-pairs, and per-bucket work must be bounded: bucket
+    sizes split ~16 ways per 4-bit table, so the largest bucket stays a
+    small fraction of the corpus (the scale guarantee the old unbounded
+    label-block version lacked)."""
+    from kafka_cdc_hudi_spark.plans.catalog_text import (
+        DEDUP_COS_BITS,
+        DEDUP_COS_TABLES,
+    )
+
+    n = emb.count()
+    b = srp_bucketize(emb.select("vec_id", "embedding"), DIM, DEDUP_COS_BITS, DEDUP_COS_TABLES)
+    sizes = b.groupBy("tbl", "sig").count().collect()
+    max_bucket = max(r["count"] for r in sizes)
+    assert max_bucket <= n * 0.45, f"degenerate bucket: {max_bucket}/{n}"
+
+    n_candidates = (
+        b.alias("x")
+        .join(b.alias("y"), ["tbl", "sig"])
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select("x.vec_id", "y.vec_id")
+        .distinct()
+        .count()
+    )
+    all_pairs = n * (n - 1) / 2
+    assert n_candidates < 0.6 * all_pairs, f"{n_candidates} of {all_pairs} pairs examined"
+
+
+def test_dedup_embedding_cosine_plan_is_equijoin(spark):
+    """The candidate join must plan as an equi-join on the bucket keys —
+    never a cartesian/broadcast-nested-loop all-pairs."""
+    from kafka_cdc_hudi_spark.plans.catalog_text import dedup_embedding_cosine
+
+    plan = dedup_embedding_cosine(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

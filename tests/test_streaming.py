@@ -346,3 +346,35 @@ def test_schema_drift_mid_stream(spark, tmp_path):
     t1 = driver.sink_for(cfg.tables[0]).read(spark)
     rows = {r["id"]: (r["val"], r["score"]) for r in t1.collect()}
     assert rows == {1: ("a2", 1.5), 2: ("c", 2.5)}
+
+
+def test_parse_operators_streaming_legal(spark, tmp_path):
+    """parse_debezium must apply DIRECTLY to a streaming DataFrame: the
+    pushdown barrier uses a streaming-legal nondeterministic expression
+    (monotonically_increasing_id is rejected by the streaming checker)."""
+    from kafka_cdc_hudi_spark.operators.cdc import parse_debezium
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_lines(
+        src / "b1.json",
+        [
+            dbz("c", after={"id": 1, "val": "a"}, ts_ms=10),
+            dbz("d", before={"id": 2, "val": "gone"}, ts_ms=20),
+        ],
+    )
+    parsed = parse_debezium(json_file_value_stream(spark, str(src)), PAYLOAD)
+    assert parsed.isStreaming
+    q = (
+        parsed.writeStream.format("memory")
+        .queryName("parsed_probe")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM parsed_probe").collect()
+    assert {(r["id"], r["val"], r["_deleted"]) for r in rows} == {
+        (1, "a", False),
+        (2, "gone", True),
+    }
