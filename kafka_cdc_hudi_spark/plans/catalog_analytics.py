@@ -363,8 +363,26 @@ def events_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-hash check. Production callers use the sketch pass alone (one
     aggregation, no exact distinct); the exact comparison here is the
     correctness harness, cheap at driver scale."""
+    agg = events_sketches_estimates(spark, sf_dir)
+    tol = F.greatest(F.lit(5 * SKETCH_HLL_RSD) * F.col("n_users"), F.lit(3.0))
+    bad = agg.filter(
+        (F.abs(F.col("approx_users") - F.col("n_users")) > tol)
+        | (F.col("value_p50") < F.col("min_value"))
+        | (F.col("value_p50") > F.col("value_p95"))
+        | (F.col("value_p95") > F.col("max_value"))
+    ).take(1)
+    if bad:
+        raise AssertionError(f"events_sketches estimate out of tolerance: {bad[0]}")
+    return agg.select("event_type", "n", "n_users", "min_value", "max_value")
+
+
+def events_sketches_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The estimate-bearing sketch aggregation (HLL distinct + quantile
+    sketch next to the exact columns) — the production frame; accuracy is
+    asserted against exact in tests/test_sketches.py and in-query by
+    :func:`events_sketches`."""
     e = load_table(spark, sf_dir, "events")
-    agg = (
+    return (
         e.groupBy("event_type")
         .agg(
             F.approx_count_distinct("user_id", rsd=SKETCH_HLL_RSD).alias("approx_users"),
@@ -385,16 +403,6 @@ def events_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
-    tol = F.greatest(F.lit(5 * SKETCH_HLL_RSD) * F.col("n_users"), F.lit(3.0))
-    bad = agg.filter(
-        (F.abs(F.col("approx_users") - F.col("n_users")) > tol)
-        | (F.col("value_p50") < F.col("min_value"))
-        | (F.col("value_p50") > F.col("value_p95"))
-        | (F.col("value_p95") > F.col("max_value"))
-    ).take(1)
-    if bad:
-        raise AssertionError(f"events_sketches estimate out of tolerance: {bad[0]}")
-    return agg.select("event_type", "n", "n_users", "min_value", "max_value")
 
 
 EVENTS_SKETCHES_SQL = """
@@ -484,14 +492,7 @@ def events_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_sketches.py. Production callers keep the estimate column and
     skip the exact comparison — that is the whole point of the pattern."""
     e = load_table(spark, sf_dir, "events")
-    per_hour = e.groupBy(
-        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
-    ).agg(F.hll_sketch_agg("user_id").alias("sk"), F.count("*").alias("n"))
-    rolled = per_hour.groupBy("event_type").agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
-        F.sum("n").alias("n_events"),
-        F.count("*").alias("n_hour_buckets"),
-    )
+    rolled = events_hll_rollup_estimates(spark, sf_dir)
     exact = e.groupBy("event_type").agg(F.countDistinct("user_id").alias("exact_users"))
     bad = (
         rolled.join(exact, "event_type")
@@ -504,6 +505,22 @@ def events_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     if bad:
         raise AssertionError(f"events_hll_mergeable_rollup estimate out of tolerance: {bad[0]}")
     return rolled.select("event_type", "n_events", "n_hour_buckets").orderBy("event_type")
+
+
+def events_hll_rollup_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The estimate-bearing mergeable rollup (per-hour HLL sketches unioned
+    to per-type estimates) — the production frame; accuracy is asserted in
+    tests/test_sketches.py and in-query by
+    :func:`events_hll_mergeable_rollup`."""
+    e = load_table(spark, sf_dir, "events")
+    per_hour = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"), F.count("*").alias("n"))
+    return per_hour.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+        F.sum("n").alias("n_events"),
+        F.count("*").alias("n_hour_buckets"),
+    )
 
 
 EVENTS_HLL_ROLLUP_SQL = """

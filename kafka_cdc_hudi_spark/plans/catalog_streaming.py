@@ -184,7 +184,12 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Self-checking (approximate -> no SQL oracle): recall@10 against the
     exact brute-force neighbors is computed in-query and must be >=
-    IVF_MIN_RECALL, else this raises and the driver records the failure."""
+    IVF_MIN_RECALL, else this raises and the driver records the failure.
+
+    NOTE: the self-check triples the work of the ANN path itself (exact
+    brute-force truth + two count actions) — acceptable as a correctness
+    harness at driver scale factors. Production callers use ``ivf_topk``
+    directly and bound recall offline (tests/test_similarity.py)."""
     from kafka_cdc_hudi_spark.plans.catalog_text import ann_topk_bruteforce
 
     e = load_table(spark, sf_dir, "embeddings")

@@ -2,7 +2,12 @@
 
 from pyspark.sql import functions as F
 
-from kafka_cdc_hudi_spark.plans.catalog_analytics import events_sketches
+from kafka_cdc_hudi_spark.plans.catalog_analytics import (
+    events_hll_mergeable_rollup,
+    events_hll_rollup_estimates,
+    events_sketches,
+    events_sketches_estimates,
+)
 from kafka_cdc_hudi_spark.sources.tables import load_table
 
 from .conftest import SF_DIR
@@ -12,11 +17,9 @@ def test_hll_mergeable_rollup_matches_exact_within_tolerance(spark):
     """Sketch-union rollup must land near the exact distinct count — the
     merge path (union of per-hour sketches) is what's under test, not just
     the base estimator."""
-    from kafka_cdc_hudi_spark.plans.catalog_analytics import events_hll_mergeable_rollup
-
     approx = {
         r["event_type"]: r["approx_users"]
-        for r in events_hll_mergeable_rollup(spark, SF_DIR).collect()
+        for r in events_hll_rollup_estimates(spark, SF_DIR).collect()
     }
     e = load_table(spark, SF_DIR, "events")
     exact = {
@@ -31,7 +34,7 @@ def test_hll_mergeable_rollup_matches_exact_within_tolerance(spark):
 def test_sketches_within_tolerance(spark):
     approx = {
         r["event_type"]: (r["approx_users"], [r["value_p50"], r["value_p95"]])
-        for r in events_sketches(spark, SF_DIR).collect()
+        for r in events_sketches_estimates(spark, SF_DIR).collect()
     }
     e = load_table(spark, SF_DIR, "events")
     exact = {
@@ -50,3 +53,14 @@ def test_sketches_within_tolerance(spark):
         spread = max(1e-9, q_e[1] - q_e[0])
         for qa, qe in zip(q_a, q_e):
             assert abs(qa - qe) <= 0.1 * spread + 1e-6, f"{t}: quantile {qa} vs {qe}"
+
+
+def test_sketch_catalog_entries_self_check_and_return_exact_columns(spark):
+    """The registered queries must pass their in-query tolerance gates (a
+    raise here = red driver row) and expose only exact-oracle-able columns."""
+    s = events_sketches(spark, SF_DIR)
+    assert s.columns == ["event_type", "n", "n_users", "min_value", "max_value"]
+    assert s.count() > 0
+    r = events_hll_mergeable_rollup(spark, SF_DIR)
+    assert r.columns == ["event_type", "n_events", "n_hour_buckets"]
+    assert r.count() > 0
