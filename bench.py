@@ -24,6 +24,7 @@ BENCH_QUERIES = [
     "cdc_latest_per_key",
     "cdc_merge_two_batches",
     "cdc_merge_mor",
+    "cdc_merge_bucketed",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",

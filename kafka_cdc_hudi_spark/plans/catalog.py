@@ -43,6 +43,11 @@ PRUNED: dict[str, str] = {
     "events_tumbling_windows": "events_hourly_agg (same bucketed agg) + test_streaming_windows builder tests",
     "embedding_norms": "ann_topk_bruteforce (computes the same norms) + embedding_quantize_int8",
     "text_token_count": "text_token_topk + text_quality_score (same tokenizer expressions)",
+    "cdc_merge_bucketed": (
+        "cdc_merge_two_batches (state-equivalent by construction — same oracle SQL; "
+        "the O(touched-buckets) commit property is pinned in test_bucketed_cow.py "
+        "and the entry is benched in bench.py)"
+    ),
 }
 
 #: driver evaluation order: previously-unverified entries first (registry

@@ -236,6 +236,47 @@ FROM merged WHERE NOT is_deleted
 """
 
 
+def cdc_merge_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-COW sink: the same two-batch merge as
+    ``cdc_merge_two_batches`` but committed through mode="cow-bucketed"
+    (sinks/keyed_table.py) — each commit merges and rewrites only the key
+    buckets the batch touches (Hudi file-group semantics), so commit cost is
+    O(touched fraction), not O(table), while reads keep the COW profile
+    (no fold). State is equivalent to plain COW by construction, so the
+    oracle is the COW two-batch QUALIFY; the O(touched)-rewrite property
+    itself is pinned in tests/test_bucketed_cow.py."""
+    t = _bucketed_table(spark, sf_dir)
+    return t.read(spark).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props", "mtime"
+    )
+
+
+def _bucketed_table(spark: SparkSession, sf_dir: str):
+    """Two-batch bucketed-COW table in a session-scoped scratch dir (same
+    lifecycle/locking rationale as :func:`_mor_table`)."""
+    from kafka_cdc_hudi_spark.sinks.keyed_table import (
+        MODE_COW_BUCKETED,
+        KeyedParquetTable,
+    )
+
+    env = debezium_envelopes(_events(spark, sf_dir))
+    parsed = parse_debezium(env, EVENTS_PAYLOAD_SCHEMA)
+    a = parsed.filter(F.col("event_id") % 2 == 0).drop("operation")
+    b = parsed.filter(F.col("event_id") % 2 == 1).drop("operation")
+    t = KeyedParquetTable(
+        root=_mor_scratch_dir(spark, f"bucketed|{sf_dir}"),
+        keys=["user_id"],
+        order_col="mtime",
+        tiebreakers=["event_id"],
+        mode=MODE_COW_BUCKETED,
+        n_buckets=16,
+    )
+    with _MOR_LOCK:
+        t.merge_batch(spark, a, batch_id=0)
+        t.merge_batch(spark, b, batch_id=1)
+    return t
+
+
 def cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time travel: the MOR table's state AS OF commit v1 (batch A only) —
     the Hudi/Delta versioned-read capability on the pure-Spark sink. The
@@ -334,6 +375,8 @@ CDC_QUERIES: dict[str, tuple] = {
     ),
     "cdc_merge_two_batches": (cdc_merge_two_batches, CDC_MERGE_TWO_BATCHES_SQL),
     "cdc_merge_mor": (cdc_merge_mor, CDC_MERGE_MOR_SQL),
+    # state-equivalent to COW -> same oracle; bucketed layout pinned in tests
+    "cdc_merge_bucketed": (cdc_merge_bucketed, CDC_MERGE_TWO_BATCHES_SQL),
     "cdc_time_travel": (cdc_time_travel, CDC_TIME_TRAVEL_SQL),
     "cdc_incremental_diff": (cdc_incremental_diff, CDC_INCREMENTAL_DIFF_SQL),
     "cdc_route_multitable": (cdc_route_multitable, CDC_ROUTE_MULTITABLE_SQL),
