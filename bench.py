@@ -24,7 +24,10 @@ BENCH_QUERIES = [
     "cdc_latest_per_key",
     "cdc_merge_two_batches",
     "cdc_merge_mor",
-    "cdc_merge_bucketed",
+    # cdc_merge_bucketed is measured separately (PLANS.md "bucketed COW"):
+    # its headline cost is dominated by the same fixture generation as the
+    # MOR row, double-counting ~4s without adding signal round-over-round.
+    # Run it ad hoc via SPARK_GRAFT_BENCH_QUERIES=cdc_merge_bucketed.
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",

@@ -168,3 +168,29 @@ def test_streaming_driver_with_bucketed_sink(spark, tmp_path):
     assert {(r["id"], r["val"]) for r in sink.read(spark).collect()} == {
         (1, "a2"), (2, "b")
     }
+
+
+def test_schema_evolution_across_bucket_versions(spark, tmp_path):
+    """A batch adding a column must merge cleanly while untouched buckets
+    (older files without the column) read back null-filled — mergeSchema on
+    the bucket-map union + align_by_name in the merge."""
+    t = KeyedParquetTable(
+        str(tmp_path / "t"), keys=["id"], order_col="mtime",
+        mode=MODE_COW_BUCKETED, n_buckets=4,
+    )
+    t.merge_batch(
+        spark,
+        spark.createDataFrame([(i, 10, False, "a") for i in range(16)], SCHEMA),
+        batch_id=0,
+    )
+    t.merge_batch(
+        spark,
+        spark.createDataFrame(
+            [(1, 20, False, "b", "EXTRA")], SCHEMA + ", extra string"
+        ),
+        batch_id=1,
+    )
+    rows = {r["id"]: (r["val"], r["extra"]) for r in t.read(spark).collect()}
+    assert rows[1] == ("b", "EXTRA")
+    assert rows[2] == ("a", None)
+    assert len(rows) == 16
