@@ -48,6 +48,11 @@ PRUNED: dict[str, str] = {
         "the O(touched-buckets) commit property is pinned in test_bucketed_cow.py "
         "and the entry is benched in bench.py)"
     ),
+    # new this round, locally oracle-verified; rotate into the driver list
+    # next round once the 13 head entries have green rows
+    "text_repetition_stats": "driver cap — full DuckDB oracle in test_oracle.py",
+    "text_pii_scrub": "driver cap — full DuckDB oracle in test_oracle.py",
+    "text_decontaminate": "driver cap — full DuckDB oracle in test_oracle.py",
 }
 
 #: driver evaluation order: previously-unverified entries first (registry

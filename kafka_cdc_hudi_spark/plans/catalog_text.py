@@ -834,6 +834,196 @@ FROM c
 """
 
 
+# -- pipeline hygiene: repetition, PII, decontamination -----------------------
+
+
+def _ngrams_expr(toks_col: str, n: int) -> F.Column:
+    """Sliding n-token windows, space-joined — native expression (slice is
+    1-based; the CASE guards short docs: sequence(1,0) would DESCEND)."""
+    return F.expr(
+        f"CASE WHEN size({toks_col}) < {n} THEN array() "
+        f"ELSE transform(sequence(1, size({toks_col})-{n - 1}), "
+        f"i -> concat_ws(' ', slice({toks_col}, i, {n}))) END"
+    )
+
+
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition quality signals (the Gopher-style rules a
+    training pipeline filters on): distinct-token ratio and the fraction of
+    the document claimed by its single most-frequent bigram. One explode +
+    one (doc, bigram) shuffle with map-side partial counts — per-doc work,
+    embarrassingly parallel at any corpus size."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    d = d.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+        F.explode(_ngrams_expr("toks", 2)).alias("bigram"),
+    )
+    counts = d.groupBy("doc_id", "n_tokens", "n_distinct", "bigram").agg(
+        F.count("*").alias("c")
+    )
+    return (
+        counts.groupBy("doc_id", "n_tokens", "n_distinct")
+        .agg(
+            F.max("c").alias("top"),
+            F.sum("c").alias("total"),
+            F.countDistinct("bigram").alias("n_distinct_bigrams"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_distinct").cast("double") / F.col("n_tokens").cast("double")).alias(
+                "distinct_token_ratio"
+            ),
+            (F.col("top").cast("double") / F.col("total").cast("double")).alias(
+                "top_bigram_frac"
+            ),
+            "n_distinct_bigrams",
+        )
+    )
+
+
+TEXT_REPETITION_SQL = f"""
+WITH tok AS (SELECT doc_id, {_DK_TOKS} AS toks FROM documents),
+bg AS (
+  SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+         CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+         array_to_string(toks[g.i:g.i+1], ' ') AS bigram
+  FROM tok, LATERAL unnest(generate_series(1, len(toks)-1)) AS g(i)
+),
+counts AS (
+  SELECT doc_id, n_tokens, n_distinct, bigram, COUNT(*) AS c
+  FROM bg GROUP BY 1, 2, 3, 4
+)
+SELECT doc_id, n_tokens,
+       CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS distinct_token_ratio,
+       CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_bigram_frac,
+       COUNT(DISTINCT bigram) AS n_distinct_bigrams
+FROM counts
+GROUP BY doc_id, n_tokens, n_distinct
+"""
+
+
+#: the synthetic corpus carries no real PII, so the scrubber is exercised on
+#: a deterministic augmentation: every document gets one email and one phone
+#: appended in-query (same expression in the SQL oracle) — redaction counts
+#: are then provably exact (1 and 1), not vacuously zero
+_PII_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PII_PHONE_RE = "\\+1-555-[0-9]{4}"
+
+
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (emails, phone numbers) with per-doc redaction
+    accounting — the compliance step of a training pipeline. Pure codegen'd
+    regexp projection, zero shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    d = d.select("doc_id", aug.alias("aug"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("aug"), _PII_EMAIL_RE, "<EMAIL>"),
+        _PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        scrubbed.alias("scrubbed_text"),
+        F.size(F.regexp_extract_all("aug", F.lit(_PII_EMAIL_RE), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all("aug", F.lit(_PII_PHONE_RE), F.lit(0))).alias(
+            "n_phones"
+        ),
+    )
+
+
+TEXT_PII_SCRUB_SQL = f"""
+WITH a AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +1-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS aug
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(aug, '{_PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{_PII_PHONE_RE}', '<PHONE>', 'g') AS scrubbed_text,
+       CAST(len(regexp_extract_all(aug, '{_PII_EMAIL_RE}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(aug, '{_PII_PHONE_RE}')) AS INT) AS n_phones
+FROM a
+"""
+
+
+#: decontamination parameters: 3-token shingles (short enough that the
+#: word-salad fixture produces cross-doc collisions at every SF — a larger n
+#: would make the check vacuous below sf0.01), flag at >=3 shared
+_DECON_N = 3
+_DECON_FLAG_MIN = 3
+
+
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: score every training document by how many
+    distinct token 3-grams it shares with a held-out benchmark slice
+    (``doc_id % 10 == 0``), flagging docs over the threshold — the
+    train/eval-overlap check run before any training job. The benchmark
+    shingle set is tiny and broadcast; the probe is an equi-join on the
+    shingle — at 100 TB this is one broadcast-hash-join pass over the
+    corpus, never a doc-by-doc scan of the benchmark."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    shingled = d.select("doc_id", F.explode(_ngrams_expr("toks", _DECON_N)).alias("ng"))
+    bench = (
+        shingled.filter(F.col("doc_id") % 10 == 0).select("ng").distinct()
+    )
+    train = shingled.filter(F.col("doc_id") % 10 != 0)
+    shared = (
+        train.join(F.broadcast(bench), "ng")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("ng").alias("n_shared"))
+    )
+    return (
+        d.filter(F.col("doc_id") % 10 != 0)
+        .select("doc_id")
+        .join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_shared"), F.lit(0)).alias("n_shared_shingles"),
+            (F.coalesce(F.col("n_shared"), F.lit(0)) >= _DECON_FLAG_MIN).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+TEXT_DECONTAMINATE_SQL = f"""
+WITH tok AS (SELECT doc_id, {_DK_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id, array_to_string(toks[g.i:g.i+{_DECON_N - 1}], ' ') AS ng
+  FROM tok, LATERAL unnest(generate_series(1, len(toks)-{_DECON_N - 1})) AS g(i)
+),
+bench AS (SELECT DISTINCT ng FROM sh WHERE doc_id % 10 = 0),
+shared AS (
+  SELECT s.doc_id, COUNT(DISTINCT s.ng) AS n_shared
+  FROM sh s JOIN bench b ON s.ng = b.ng
+  WHERE s.doc_id % 10 <> 0
+  GROUP BY s.doc_id
+),
+train AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 10 <> 0)
+SELECT t.doc_id,
+       COALESCE(sh2.n_shared, 0) AS n_shared_shingles,
+       COALESCE(sh2.n_shared, 0) >= {_DECON_FLAG_MIN} AS contaminated
+FROM train t LEFT JOIN shared sh2 ON t.doc_id = sh2.doc_id
+"""
+
+
 # -- multimodal plumbing ------------------------------------------------------
 
 
@@ -920,6 +1110,9 @@ TEXT_QUERIES: dict[str, tuple] = {
     "text_token_topk": (text_token_topk, TEXT_TOKEN_TOPK_SQL),
     "dataset_split_assign": (dataset_split_assign, DATASET_SPLIT_SQL),
     "text_normalize": (text_normalize, TEXT_NORMALIZE_SQL),
+    "text_repetition_stats": (text_repetition_stats, TEXT_REPETITION_SQL),
+    "text_pii_scrub": (text_pii_scrub, TEXT_PII_SCRUB_SQL),
+    "text_decontaminate": (text_decontaminate, TEXT_DECONTAMINATE_SQL),
     "ann_topk_bruteforce": (ann_topk_bruteforce, ANN_TOPK_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL),
     "multimodal_meta": (multimodal_meta, MULTIMODAL_META_SQL),
