@@ -194,3 +194,27 @@ def test_schema_evolution_across_bucket_versions(spark, tmp_path):
     assert rows[1] == ("b", "EXTRA")
     assert rows[2] == ("a", None)
     assert len(rows) == 16
+
+
+def test_cluster_cols_sort_within_bucket_files(spark, tmp_path):
+    """cluster_cols must physically order rows inside each bucket file so
+    parquet row-group min/max stats carry real selectivity for range
+    predicates (the Hudi/Delta clustering lever)."""
+    t = KeyedParquetTable(
+        str(tmp_path / "t"), keys=["id"], order_col="mtime",
+        mode=MODE_COW_BUCKETED, n_buckets=4, cluster_cols=["mtime"],
+    )
+    rows = [(i, (i * 37) % 1000, False, f"v{i}") for i in range(200)]
+    t.merge_batch(spark, rows_df(spark, rows), batch_id=0)
+    per_file = (
+        t.read(spark)
+        .withColumn("f", F.input_file_name())
+        .select("f", "mtime")
+        .collect()
+    )
+    by_file = {}
+    for r in per_file:
+        by_file.setdefault(r["f"], []).append(r["mtime"])
+    assert len(by_file) >= 2
+    for f, mtimes in by_file.items():
+        assert mtimes == sorted(mtimes), f"unsorted within {f}"
