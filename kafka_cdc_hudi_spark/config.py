@@ -146,6 +146,10 @@ class JobConfig:
     sink_mode: str = "cow"
     #: mor only: auto-compact after this many delta commits (None = manual)
     compact_every: int | None = 10
+    #: cow-bucketed only: key-bucket count (rewrite granularity)
+    sink_n_buckets: int = 16
+    #: cow-bucketed only: sort-within-bucket clustering columns
+    sink_cluster_cols: tuple[str, ...] = ()
     checkpoint_location: str = "/tmp/cdc_checkpoint"
     #: dead-letter dir: raw records that fail envelope parsing are written
     #: under <quarantine_dir>/batch_<id>/ (overwrite per batch -> replay
@@ -187,6 +191,12 @@ class JobConfig:
             sink_mode=props.get("sink_mode", "cow"),
             compact_every=(
                 int(props["compact_every"]) if props.get("compact_every") else 10
+            ),
+            sink_n_buckets=int(props.get("sink_n_buckets", "16")),
+            sink_cluster_cols=tuple(
+                c.strip()
+                for c in props.get("sink_cluster_cols", "").split(",")
+                if c.strip()
             ),
             checkpoint_location=props.get("checkpoint_location", "/tmp/cdc_checkpoint"),
             quarantine_dir=props.get("quarantine_dir"),

@@ -64,6 +64,8 @@ class CdcStreamDriver:
                 order_col=spec.precombine_field,
                 mode=self.config.sink_mode,
                 compact_every=self.config.compact_every,
+                n_buckets=self.config.sink_n_buckets,
+                cluster_cols=self.config.sink_cluster_cols,
             )
         return self._sinks[key]
 

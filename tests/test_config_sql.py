@@ -118,3 +118,17 @@ def test_register_table_views_sql(spark, tmp_path):
     # ...until re-registered
     register_table_views(spark, driver)
     assert spark.sql("SELECT val FROM d1_t1 WHERE id = 1").collect()[0][0] == "a9"
+
+
+def test_bucketed_sink_properties():
+    cfg = JobConfig.from_properties_text(
+        "sink_mode = cow-bucketed\n"
+        "sink_n_buckets = 64\n"
+        "sink_cluster_cols = mtime, event_type\n"
+    )
+    assert cfg.sink_mode == "cow-bucketed"
+    assert cfg.sink_n_buckets == 64
+    assert cfg.sink_cluster_cols == ("mtime", "event_type")
+    # defaults
+    cfg2 = JobConfig.from_properties_text("")
+    assert cfg2.sink_n_buckets == 16 and cfg2.sink_cluster_cols == ()
