@@ -61,6 +61,14 @@ Exactly-once on top of at-least-once ``foreachBatch``: the pointer records
 the last merged streaming batch id; replaying an already-committed batch is
 a no-op (SURVEY §7 hard-part 5). The merge itself is also idempotent, so
 this is belt and braces.
+
+Concurrency contract: ONE writer per table root (the Structured Streaming
+model — one query owns one sink; the driver serializes per-table work onto
+one thread). Readers are always safe against a concurrent writer (they
+resolve only manifested directories through the atomic pointer). Two
+concurrent WRITERS would race the pointer rewrite last-wins and silently
+drop the loser's commit — the same reason Hudi requires a lock provider for
+multi-writer; put a distributed lock around ``merge_batch`` if you need it.
 """
 
 from __future__ import annotations
