@@ -353,14 +353,32 @@ class KeyedParquetTable:
         p = self._read_pointer()
         return None if p is None else p.get("last_batch_id")
 
-    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame | None:
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        read_optimized: bool = False,
+    ) -> DataFrame | None:
         """Current state, or a past snapshot via ``version`` (time travel —
         any version still within the ``keep_versions`` retention horizon;
-        mirrors Hudi/Delta incremental-query capability on the COW layout)."""
+        mirrors Hudi/Delta incremental-query capability on the COW layout).
+
+        ``read_optimized=True`` (MOR only) reads the latest base snapshot
+        and SKIPS the delta fold — Hudi's ``_ro`` query type: stale up to
+        the last compaction but scan-only cost, the trade analytics readers
+        take on write-heavy tables. This is exactly the state the
+        catalog-synced ``<name>_ro`` table exposes. Returns None when no
+        base exists yet (delta-only table). COW/bucketed reads are already
+        fold-free, so the flag is a no-op there."""
         p = self._read_pointer()
         if p is None:
             return None
         v = p["version"] if version is None else version
+        if self.mode == MODE_MOR and read_optimized and version is None:
+            base, _deltas = self._resolve(p["version"], p)
+            if base is None:
+                return None
+            return spark.read.parquet(self._version_dir(base))
         if self.mode == MODE_COW_BUCKETED:
             return self._read_bucketed(spark, p, v)
         if v > p["version"]:

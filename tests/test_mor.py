@@ -358,3 +358,27 @@ def test_streaming_driver_mor_end_to_end(spark, tmp_path):
     assert got == {(1, "a2"), (3, "c")}
     bases, deltas = sink._commit_dirs()
     assert bases, "auto-compaction should have produced a base snapshot"
+
+
+def test_read_optimized_skips_delta_fold(spark, tmp_path):
+    """read(read_optimized=True) = latest base only (Hudi _ro query type):
+    stale up to the last compaction, scan-only cost, and exactly what the
+    catalog-synced _ro table exposes."""
+    from kafka_cdc_hudi_spark.sinks.keyed_table import KeyedParquetTable
+
+    t = KeyedParquetTable(str(tmp_path / "t"), keys=["id"], order_col="mtime", mode="mor")
+    b1 = spark.createDataFrame(
+        [(1, 10, False, "x"), (2, 10, False, "y")],
+        "id long, mtime long, _deleted boolean, val string",
+    )
+    t.merge_batch(spark, b1, batch_id=0)
+    assert t.read(spark, read_optimized=True) is None  # delta-only: no base yet
+    t.compact(spark)
+    b2 = spark.createDataFrame(
+        [(1, 20, False, "x2")], "id long, mtime long, _deleted boolean, val string"
+    )
+    t.merge_batch(spark, b2, batch_id=1)
+    rt = {(r["id"], r["val"]) for r in t.read(spark).collect()}
+    ro = {(r["id"], r["val"]) for r in t.read(spark, read_optimized=True).collect()}
+    assert rt == {(1, "x2"), (2, "y")}  # real-time: delta folded
+    assert ro == {(1, "x"), (2, "y")}  # read-optimized: base as of compaction
