@@ -85,4 +85,7 @@ def test_sync_catalog_mor_registers_read_optimized(spark, tmp_path):
     assert reg == "d1.m1_ro"
     rows = {(r["id"], r["val"]) for r in spark.table("d1.m1_ro").collect()}
     assert rows == {(1, "x"), (2, "y")}
+    # the catalog _ro table is exactly the read-optimized API read
+    ro = {(r["id"], r["val"]) for r in t.read(spark, read_optimized=True).collect()}
+    assert ro == rows
     spark.sql("DROP TABLE IF EXISTS d1.m1_ro")
