@@ -101,6 +101,41 @@ def infer_json_schema(spark: SparkSession, df: DataFrame, value_col: str = "valu
     return spark.read.json(ds.rdd.map(lambda r: r[0])).schema
 
 
+def merge_payload_schemas(old: StructType, new: StructType) -> StructType:
+    """Union of fields for schema drift: existing fields keep their
+    established type (a drifting producer can ADD columns but not silently
+    retype them), new fields append in arrival order. Used both by the
+    streaming driver's drift re-inference (streaming/driver.py) and batch
+    callers merging ``after``/``before`` or cross-batch inferences."""
+    names = set(old.fieldNames())
+    return StructType(list(old.fields) + [f for f in new.fields if f.name not in names])
+
+
+def infer_payload_schema(
+    spark: SparkSession, df: DataFrame, dialect: str, value_col: str = "value"
+) -> StructType:
+    """O10 end-to-end: infer the envelope schema from raw JSON values and
+    extract+merge the payload struct(s) for ``dialect`` — ``data`` for DMS,
+    the union of ``after`` and ``before`` for Debezium-likes (a delete-only
+    slice has ``after`` null everywhere, and dropped-at-source columns live
+    on in deletes' ``before``; both must parse). Replaces the reference's
+    per-batch full re-inference (/root/reference/glue/cdc_hudi.py:234) as a
+    call-on-drift slow path."""
+    env = infer_json_schema(spark, df, value_col)
+    fields = ("data",) if dialect == DIALECT_DMS else ("after", "before")
+    structs = [
+        f.dataType
+        for f in env.fields
+        if f.name in fields and isinstance(f.dataType, StructType)
+    ]
+    if not structs:
+        raise ValueError(f"cannot infer a {dialect} payload schema from {value_col!r}")
+    payload = structs[0]
+    for s in structs[1:]:
+        payload = merge_payload_schemas(payload, s)
+    return payload
+
+
 #: default JSON parse options: microsecond timestamps in payloads
 DEFAULT_JSON_OPTIONS = {"timestampFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS"}
 

@@ -124,6 +124,18 @@ def srp_topk(
 # -- IVF ----------------------------------------------------------------------
 
 
+def ivf_static_codebook(dim: int, n_cells: int = 8, seed: str = "ivf") -> np.ndarray:
+    """Deterministic unit-norm codebook from the seeded md5 generator (same
+    construction as the SRP hyperplanes). This is the QUERY-TIME contract of
+    IVF at scale: the codebook is a build artifact loaded by every executor
+    and every query — queries never retrain it — so the catalog entry built
+    on this is exactly reproducible in SQL (centroids as literals), while
+    data-adapted training (:func:`ivf_train_centroids`) remains the offline
+    index-build path with recall-floor coverage in tests/test_similarity.py."""
+    cents = _srp_planes(dim, n_cells, table=0, seed=seed)
+    return cents / (np.linalg.norm(cents, axis=1, keepdims=True) + 1e-12)
+
+
 def ivf_train_centroids(
     df: DataFrame, dim: int, n_cells: int = 16, iters: int = 5, sample: int = 2048, col: str = "embedding"
 ) -> np.ndarray:

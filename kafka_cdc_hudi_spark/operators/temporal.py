@@ -25,6 +25,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from kafka_cdc_hudi_spark.functions.timefns import MICROS_PER_SEC, epoch_micros
+
 _SIDE = "__side"
 _TS = "__evt_ts"
 _R = "__r"
@@ -103,21 +105,21 @@ def range_join(
     exactly one bucket).
     """
     on = list(on)
-    b = F.lit(bucket_seconds)
+    # exact integer-micros bucketing (NTZ-safe via epoch_micros; no float
+    # epsilon needed: the last covered bucket is floor((end - 1us) / b))
+    b_us = F.lit(bucket_seconds * MICROS_PER_SEC)
     iv = intervals.filter(F.col(start_col).isNotNull() & F.col(end_col).isNotNull())
     for k in on:
         iv = iv.filter(F.col(k).isNotNull())
-    # buckets covered by [start, end): floor(start/b) .. floor(end - epsilon)
-    last_bucket = F.floor(
-        (F.col(end_col).cast("double") - F.lit(1e-6)) / b
-    ).cast("long")
+    # buckets covered by [start, end): floor(start/b) .. floor((end - 1us)/b)
+    last_bucket = F.floor((epoch_micros(end_col) - F.lit(1)) / b_us).cast("long")
     iv = iv.withColumn(
         "__bucket",
         F.explode(
-            F.sequence(F.floor(F.col(start_col).cast("double") / b).cast("long"), last_bucket)
+            F.sequence(F.floor(epoch_micros(start_col) / b_us).cast("long"), last_bucket)
         ),
     )
-    lf = left.withColumn("__bucket", F.floor(F.col(left_ts).cast("double") / b).cast("long"))
+    lf = left.withColumn("__bucket", F.floor(epoch_micros(left_ts) / b_us).cast("long"))
     joined = lf.join(iv, [*on, "__bucket"]).filter(
         (F.col(left_ts) >= F.col(start_col)) & (F.col(left_ts) < F.col(end_col))
     )

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_cdc_hudi_spark.functions.numeric import DEC, dsum as _dsum
+from kafka_cdc_hudi_spark.functions.timefns import epoch_seconds
 from kafka_cdc_hudi_spark.sources.tables import load_table
 
 
@@ -328,7 +329,7 @@ def events_user_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.sum(F.col("value").cast(DEC)).over(cum).cast("double").alias("cum_value"),
         (
-            F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+            epoch_seconds("ts") - F.lag(epoch_seconds("ts")).over(w)
         ).alias("secs_since_prev"),
     )
 
@@ -443,7 +444,7 @@ def events_funnel_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("c_ts").isNotNull()
         & (F.col("v_ts") <= F.col("c_ts"))
         & (F.col("c_ts") <= F.col("ts"))
-        & ((F.col("ts").cast("double") - F.col("v_ts").cast("double")) <= 86400.0)
+        & ((epoch_seconds("ts") - epoch_seconds("v_ts")) <= 86400.0)
     )
     return (
         conv.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))

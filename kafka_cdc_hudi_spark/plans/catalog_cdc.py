@@ -365,6 +365,40 @@ FROM evt WHERE event_id % 3 <> 0
 """
 
 
+def cdc_schema_drift_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O10: dynamic schema inference + drift merge, end-to-end with NO
+    declared schema. The fixture's producer added a ``score`` column
+    mid-stream (odd event_ids); the engine infers the payload schema from
+    the legacy slice, detects the drifted slice widens it, merges the two
+    inferences (``merge_payload_schemas`` — same code the streaming driver's
+    drift hook runs), and parses the WHOLE stream with the merged schema.
+    Legacy rows surface ``score`` as null. Inference types everything from
+    JSON (ts stays a string — the reference's infer-per-batch behavior,
+    /root/reference/glue/cdc_hudi.py:234); the declared-schema entries above
+    prove the typed fast path."""
+    from kafka_cdc_hudi_spark.operators.cdc import infer_payload_schema, merge_payload_schemas
+    from kafka_cdc_hudi_spark.plans.cdc_fixtures import drifted_debezium_envelopes
+
+    stream = drifted_debezium_envelopes(_events(spark, sf_dir))
+    legacy = stream.filter(~F.col("value").contains('"score"'))
+    drifted = stream.filter(F.col("value").contains('"score"'))
+    cached = infer_payload_schema(spark, legacy, "MSK-DEBEZIUM-CDC")
+    assert "score" not in cached.fieldNames()  # fixture really drifts
+    widened = infer_payload_schema(spark, drifted, "MSK-DEBEZIUM-CDC")
+    merged = merge_payload_schemas(cached, widened)
+    return _norm(parse_debezium(stream, merged))
+
+
+CDC_SCHEMA_DRIFT_SQL = f"""
+WITH {_EVT_CTE}
+SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts, user_id, event_type,
+       value, props,
+       CASE WHEN event_id % 2 = 1 THEN user_id + 1000 END AS score,
+       mtime, operation, is_deleted
+FROM evt
+"""
+
+
 CDC_QUERIES: dict[str, tuple] = {
     "cdc_parse_debezium": (cdc_parse_debezium, CDC_PARSE_DEBEZIUM_SQL),
     "cdc_parse_dms": (cdc_parse_dms, CDC_PARSE_DMS_SQL),
@@ -380,4 +414,5 @@ CDC_QUERIES: dict[str, tuple] = {
     "cdc_time_travel": (cdc_time_travel, CDC_TIME_TRAVEL_SQL),
     "cdc_incremental_diff": (cdc_incremental_diff, CDC_INCREMENTAL_DIFF_SQL),
     "cdc_route_multitable": (cdc_route_multitable, CDC_ROUTE_MULTITABLE_SQL),
+    "cdc_schema_drift_parse": (cdc_schema_drift_parse, CDC_SCHEMA_DRIFT_SQL),
 }

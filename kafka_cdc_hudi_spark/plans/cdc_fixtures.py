@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from kafka_cdc_hudi_spark.functions.timefns import epoch_millis
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -95,11 +97,55 @@ def debezium_envelopes(events: DataFrame, db: str = "test_db", table: str = "eve
         F.when(op == "d", p).alias("before"),  # null unless delete
         F.when(op != "d", p).alias("after"),  # null on delete (FIXTURES A1)
         op.alias("op"),
-        F.unix_millis("ts").alias("ts_ms"),
+        # epoch_millis, not bare unix_millis: robust if a caller feeds raw
+        # TIMESTAMP_NTZ frames (unix_millis rejects NTZ; date_format doesn't)
+        epoch_millis("ts").alias("ts_ms"),
         F.lit(db).alias("db"),
         F.lit(table).alias("table"),
     )
     return events.select(F.to_json(env).alias("value"))
+
+
+def drifted_debezium_envelopes(events: DataFrame, db: str = "test_db", table: str = "events") -> DataFrame:
+    """Schema-drift fixture: odd ``event_id`` rows carry an EXTRA payload
+    column ``score`` (= user_id + 1000, integral for exact oracle math);
+    even rows keep the original payload — a producer that added a column
+    mid-stream. Deletes (id % 10 == 0, all even) still carry the row in
+    ``before`` only, so inference must union ``after``+``before``."""
+    events = _spread(events)
+    p = _payload_struct()
+    p_ext = F.struct(
+        F.col("event_id"),
+        F.date_format("ts", TS_FMT).alias("ts"),
+        F.col("user_id"),
+        F.col("event_type"),
+        F.col("value"),
+        F.col("props"),
+        (F.col("user_id") + 1000).alias("score"),
+    )
+    op = _debezium_op()
+
+    def env(pay):
+        return F.struct(
+            F.when(op == "d", pay).alias("before"),
+            F.when(op != "d", pay).alias("after"),
+            op.alias("op"),
+            epoch_millis("ts").alias("ts_ms"),
+            F.lit(db).alias("db"),
+            F.lit(table).alias("table"),
+        )
+
+    # two JSON shapes: to_json omits nothing per-row, so drifted rows must
+    # serialize through the extended struct and legacy rows through the
+    # original one (a single nullable `score` would emit "score":null for
+    # legacy rows — not drift, just a wider schema)
+    legacy = events.filter(F.col("event_id") % 2 == 0).select(
+        F.to_json(env(p)).alias("value")
+    )
+    drifted = events.filter(F.col("event_id") % 2 == 1).select(
+        F.to_json(env(p_ext)).alias("value")
+    )
+    return legacy.unionByName(drifted)
 
 
 def dms_envelopes(

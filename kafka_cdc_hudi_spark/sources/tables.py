@@ -1,10 +1,21 @@
 """Batch table loading for the analytics surface + test data (TESTDATA.md).
 
-The driver's parquet stores timestamps as TIMESTAMP(NANOS), which Spark has
-no native type for; with ``spark.sql.legacy.parquet.nanosAsLong=true`` (set
-in session.py) they surface as epoch-nano longs and are converted here to
-microsecond timestamps (truncation — the same thing DuckDB's TIMESTAMP cast
-does, so oracle comparisons agree).
+The driver's parquet timestamp encoding has changed between rounds and may
+change again, so ``load_table`` normalizes EVERY flavor to session-UTC
+TIMESTAMP before anything downstream sees it:
+
+- ``TIMESTAMP(NANOS)``: Spark has no nanos type; with
+  ``spark.sql.legacy.parquet.nanosAsLong=true`` (set in session.py) the
+  column surfaces as an epoch-nano long and is truncated to micros here
+  (the same thing DuckDB's TIMESTAMP cast does, so oracles agree).
+- ``TIMESTAMP(MICROS)`` without UTC adjustment: Spark reads TIMESTAMP_NTZ;
+  cast to TIMESTAMP interprets the wall clock in the session time zone
+  (UTC), matching DuckDB's naive read.
+- ``TIMESTAMP(MICROS)`` UTC-adjusted: already TIMESTAMP; untouched.
+
+Downstream operators therefore only ever handle one type, and the
+NTZ-robust helpers in functions/timefns.py guard the arithmetic paths for
+callers that bypass this loader.
 """
 
 from __future__ import annotations
@@ -13,7 +24,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLE_NAMES = (
     "region",
@@ -28,7 +39,10 @@ TABLE_NAMES = (
     "embeddings",
 )
 
-#: columns stored as TIMESTAMP(NANOS) in the testdata parquet
+#: columns that are timestamps-stored-as-epoch-nano-longs when the parquet
+#: physical type is TIMESTAMP(NANOS) (read via the nanosAsLong legacy conf);
+#: a generic schema scan can't distinguish those longs from real integers,
+#: hence the explicit list
 NANO_TS_COLS = {
     "orders": ("o_orderdate",),
     "lineitem": ("l_shipdate",),
@@ -36,15 +50,29 @@ NANO_TS_COLS = {
 }
 
 
+def normalize_timestamps(df: DataFrame, nano_long_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Coerce every timestamp flavor in ``df`` to session-UTC TIMESTAMP."""
+    exprs = []
+    changed = False
+    for field in df.schema.fields:
+        if isinstance(field.dataType, TimestampNTZType):
+            exprs.append(F.col(field.name).cast("timestamp").alias(field.name))
+            changed = True
+        elif field.name in nano_long_cols and isinstance(field.dataType, LongType):
+            # integer `div`: epoch-nanos exceed double's 53-bit mantissa, so
+            # float division would corrupt the microseconds
+            exprs.append(
+                F.expr(f"timestamp_micros(`{field.name}` div 1000)").alias(field.name)
+            )
+            changed = True
+        else:
+            exprs.append(F.col(field.name))
+    return df.select(*exprs) if changed else df
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    for c in NANO_TS_COLS.get(name, ()):
-        if c in df.columns and isinstance(df.schema[c].dataType, LongType):
-            # integer `div`: epoch-nanos exceed double's 53-bit mantissa, so
-            # float division would corrupt the microseconds
-            df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
-    return df
+    return normalize_timestamps(df, NANO_TS_COLS.get(name, ()))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

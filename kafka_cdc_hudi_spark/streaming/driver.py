@@ -35,7 +35,8 @@ from pyspark.sql.types import StructType
 
 from kafka_cdc_hudi_spark.config import DIALECT_DMS, JobConfig, TableSpec
 from kafka_cdc_hudi_spark.operators.cdc import (
-    infer_json_schema,
+    infer_payload_schema,
+    merge_payload_schemas,
     parse_stream,
     raw_route_prefilter,
     route,
@@ -101,24 +102,7 @@ class CdcStreamDriver:
         table_slice = self._exact_route_raw(table_slice, spec)
         if table_slice.isEmpty():
             return None
-        env = infer_json_schema(self.spark, table_slice)
-        if self.config.dialect == DIALECT_DMS:
-            fields = ("data",)
-        else:
-            # union after+before: a delete-only slice has after=null
-            # everywhere (inferred as string), and dropped-at-source columns
-            # live on in deletes' `before` — both must parse
-            fields = ("after", "before")
-        structs = [
-            f.dataType
-            for f in env.fields
-            if f.name in fields and isinstance(f.dataType, StructType)
-        ]
-        if not structs:
-            raise ValueError(f"cannot infer payload schema for {spec.qualified_name}")
-        payload = structs[0]
-        for s in structs[1:]:
-            payload = self._merge_schemas(payload, s)
+        payload = infer_payload_schema(self.spark, table_slice, self.config.dialect)
         self._inferred[spec.qualified_name] = payload
         return payload
 
@@ -160,8 +144,7 @@ class CdcStreamDriver:
     def _merge_schemas(self, old: StructType, new: StructType) -> StructType:
         """Union of fields; existing fields keep their established type so a
         drifting producer can add columns but not silently retype them."""
-        names = set(old.fieldNames())
-        return StructType(list(old.fields) + [f for f in new.fields if f.name not in names])
+        return merge_payload_schemas(old, new)
 
     # -- per-batch processing --------------------------------------------------
     def _run_table(self, spec: TableSpec, raw_batch: DataFrame, batch_id: int) -> bool:

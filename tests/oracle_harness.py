@@ -38,6 +38,8 @@ def _canon_cell(v):
     """Recursively convert lists/arrays (incl. inside structs/dicts) to
     tuples so cells are hashable+comparable for sorting — mirrors the
     driver's canonicalization of array-valued columns."""
+    if isinstance(v, (bytearray, memoryview)):
+        return bytes(v)  # Spark binary collects as bytearray, DuckDB as bytes
     if isinstance(v, (list, tuple, np.ndarray)):
         return tuple(_canon_cell(x) for x in v)
     if isinstance(v, dict):
