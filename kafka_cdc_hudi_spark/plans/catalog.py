@@ -56,6 +56,10 @@ PRUNED: dict[str, str] = {
     "q14_promo_revenue": "q12_priority_by_linestatus (conditional aggregation over a date slice)",
     "text_normalize": "text_quality_score/text_fingerprint (same projection-only text shape)",
     "dataset_split_assign": "text_fingerprint (same deterministic-hash projection)",
+    "dedup_clusters": (
+        "dedup_clusters_star (IDENTICAL oracle SQL and output — two strategies of one "
+        "operator; label-prop stays oracle-checked in test_oracle.py + test_graph.py)"
+    ),
 }
 
 #: driver evaluation order: previously-unverified entries first (registry
@@ -67,6 +71,7 @@ _DRIVER_ORDER = [
     "text_pii_scrub",
     "text_decontaminate",
     "cdc_schema_drift_parse",
+    "dataset_pack_sequences",
     # -- green since round 3 --
     "events_sliding_windows",
     "ann_topk_srp",
@@ -112,7 +117,6 @@ _DRIVER_ORDER = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "dedup_clusters",
     "embedding_quantize_int8",
     "text_token_topk",
     "ann_topk_bruteforce",

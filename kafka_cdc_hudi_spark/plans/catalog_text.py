@@ -1024,6 +1024,38 @@ FROM train t LEFT JOIN shared sh2 ON t.doc_id = sh2.doc_id
 """
 
 
+def dataset_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-pretraining sequence packing (concat-and-chunk): deterministic
+    hash-sharding + per-shard token cumsum -> (seq_id, offset_in_seq) per
+    document under 2048-token sequences. One shuffle; parallelism = shards
+    (operators/packing.py has the 100 TB shape notes)."""
+    from kafka_cdc_hudi_spark.operators.packing import pack_sequences
+
+    return pack_sequences(
+        load_table(spark, sf_dir, "documents"), seq_tokens=2048, n_shards=8
+    )
+
+
+DATASET_PACK_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|pack_v1'), 1, 15)) AS BIGINT) % 8 AS shard,
+         CAST(len({_DK_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT *,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM t
+)
+SELECT doc_id, shard, n_tokens,
+       CAST(cum_before // 2048 AS BIGINT) AS seq_id,
+       CAST(cum_before % 2048 AS BIGINT) AS offset_in_seq
+FROM c
+"""
+
+
 # -- multimodal plumbing ------------------------------------------------------
 
 
@@ -1136,6 +1168,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "embedding_quantize_int8": (embedding_quantize_int8, EMBEDDING_QUANTIZE_INT8_SQL),
     "text_token_topk": (text_token_topk, TEXT_TOKEN_TOPK_SQL),
     "dataset_split_assign": (dataset_split_assign, DATASET_SPLIT_SQL),
+    "dataset_pack_sequences": (dataset_pack_sequences, DATASET_PACK_SQL),
     "text_normalize": (text_normalize, TEXT_NORMALIZE_SQL),
     "text_repetition_stats": (text_repetition_stats, TEXT_REPETITION_SQL),
     "text_pii_scrub": (text_pii_scrub, TEXT_PII_SCRUB_SQL),
