@@ -60,6 +60,11 @@ PRUNED: dict[str, str] = {
         "dedup_clusters_star (IDENTICAL oracle SQL and output — two strategies of one "
         "operator; label-prop stays oracle-checked in test_oracle.py + test_graph.py)"
     ),
+    # new in round 5, full DuckDB oracles in test_oracle.py; rotate into the
+    # driver list next round (swap against long-green hash-projection /
+    # window-topk shapes)
+    "dataset_sample_stratified": "driver cap — full DuckDB oracle in test_oracle.py",
+    "text_tfidf_topk": "driver cap — full DuckDB oracle in test_oracle.py",
 }
 
 #: driver evaluation order: previously-unverified entries first (registry

@@ -1024,6 +1024,108 @@ FROM train t LEFT JOIN shared sh2 ON t.doc_id = sh2.doc_id
 """
 
 
+#: per-language keep-rates for the stratified sample, in basis points of
+#: 10000 — the data-MIXING shape: downsample the dominant language, keep
+#: the tail. Hash-based (not random): reproducible across runs/engines.
+STRATIFIED_RATES_BP = {"en": 2500, "zh": 5000}
+STRATIFIED_DEFAULT_BP = 10000
+STRATIFIED_SALT = "sample_v1"
+
+
+def dataset_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling by language: each doc keeps iff its
+    salted-md5 bucket (0-9999) falls under its stratum's rate. Pure
+    projection + filter — no shuffle, no RNG state, stable under
+    repartitioning; at 100 TB this is a scan-local filter that composes
+    with any downstream (the split/pack operators use the same idiom)."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f"|{STRATIFIED_SALT}"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 10000
+    )
+    rate = F.lit(STRATIFIED_DEFAULT_BP)
+    for lang, bp in STRATIFIED_RATES_BP.items():
+        rate = F.when(F.col("lang") == lang, bp).otherwise(rate)
+    return (
+        d.select("doc_id", "lang", bucket.alias("bucket"), rate.alias("rate_bp"))
+        .filter(F.col("bucket") < F.col("rate_bp"))
+    )
+
+
+_DK_SAMPLE_RATE = "CASE " + " ".join(
+    f"WHEN lang = '{lang}' THEN {bp}" for lang, bp in STRATIFIED_RATES_BP.items()
+) + f" ELSE {STRATIFIED_DEFAULT_BP} END"
+
+DATASET_SAMPLE_STRATIFIED_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|{STRATIFIED_SALT}'), 1, 15)) AS BIGINT) % 10000 AS bucket,
+         CAST({_DK_SAMPLE_RATE} AS BIGINT) AS rate_bp
+  FROM documents
+)
+SELECT doc_id, lang, bucket, rate_bp FROM t WHERE bucket < rate_bp
+"""
+
+
+#: top-k terms per document for the tf-idf query
+TFIDF_TOPK = 5
+
+
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 tf-idf terms per document — the relevance/quality-scoring
+    primitive. idf uses the BM25-style RATIONAL form
+    ``(N - df + 0.5) / (df + 0.5)`` instead of a logarithm: same ranking
+    monotonicity, but pure +-*/ on exact integer inputs, so Spark and
+    DuckDB produce bit-identical doubles (ln() rounding is libm-dependent
+    and would break the value hash).
+
+    Plan: one explode pass -> (doc, term) counts (shuffle 1, map-side
+    partials) -> term document-frequencies from those counts (shuffle 2,
+    input already one row per (doc, term)) -> join back (AQE picks
+    broadcast when the term dictionary is small) -> per-doc top-5 via
+    row_number (WindowGroupLimit prunes before the final sort)."""
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.groupBy().agg(F.count("*").alias("n_docs"))
+    tf = (
+        d.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    score = F.col("tf") * ((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOPK)
+        .select("doc_id", "rank", "term", "tf", "df", "score")
+    )
+
+
+TEXT_TFIDF_SQL = f"""
+WITH tok AS (SELECT doc_id, unnest({_DK_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tf * ((n_docs - df + 0.5) / (df + 0.5)) DESC, term) AS INT) AS rank,
+       term, tf, df,
+       tf * ((n_docs - df + 0.5) / (df + 0.5)) AS score
+FROM tf JOIN dfreq USING (term) CROSS JOIN n
+QUALIFY rank <= {TFIDF_TOPK}
+"""
+
+
 def dataset_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM-pretraining sequence packing (concat-and-chunk): deterministic
     hash-sharding + per-shard token cumsum -> (seq_id, offset_in_seq) per
@@ -1169,6 +1271,8 @@ TEXT_QUERIES: dict[str, tuple] = {
     "text_token_topk": (text_token_topk, TEXT_TOKEN_TOPK_SQL),
     "dataset_split_assign": (dataset_split_assign, DATASET_SPLIT_SQL),
     "dataset_pack_sequences": (dataset_pack_sequences, DATASET_PACK_SQL),
+    "dataset_sample_stratified": (dataset_sample_stratified, DATASET_SAMPLE_STRATIFIED_SQL),
+    "text_tfidf_topk": (text_tfidf_topk, TEXT_TFIDF_SQL),
     "text_normalize": (text_normalize, TEXT_NORMALIZE_SQL),
     "text_repetition_stats": (text_repetition_stats, TEXT_REPETITION_SQL),
     "text_pii_scrub": (text_pii_scrub, TEXT_PII_SCRUB_SQL),
