@@ -68,3 +68,26 @@ def test_dimension_joins_broadcast(spark):
     for name in ("q3_shipping_priority", "q5_local_supplier", "q10_returned_items"):
         plan = _plan(spark, name)
         assert "BroadcastHashJoin" in plan, f"{name}: no broadcast join in plan"
+
+
+def test_tfidf_topk_shape(spark):
+    """tf-idf: the per-doc rank-limit must prune before the final sort and
+    the one-row corpus count must broadcast, not shuffle."""
+    plan = _plan(spark, "text_tfidf_topk")
+    assert "WindowGroupLimit" in plan, "tfidf: rank-limit pushdown missing"
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, (
+        "tfidf: n_docs scalar not broadcast"
+    )
+
+
+def test_stratified_sample_is_scan_local(spark):
+    """Stratified sampling must stay a projection+filter — zero shuffles."""
+    plan = _plan(spark, "dataset_sample_stratified")
+    assert "Exchange" not in plan, f"stratified sample shuffles:\n{plan}"
+
+
+def test_ann_ivf_no_cartesian(spark):
+    """IVF candidate pairing must be the cell equi-join, never a cross
+    product (the all-pairs anti-pattern the bucketing exists to avoid)."""
+    plan = _plan(spark, "ann_topk_ivf")
+    assert "CartesianProduct" not in plan, "ivf: cartesian product in plan"
