@@ -43,5 +43,25 @@ def epoch_millis(c: Column | str) -> Column:
 def epoch_seconds(c: Column | str) -> Column:
     """Epoch seconds as DOUBLE with microsecond precision — the NTZ-safe
     replacement for ``cast(ts as double)`` (illegal on TIMESTAMP_NTZ).
-    Exact: epoch micros (~2e15) stay under DOUBLE's 53-bit mantissa."""
+    The micros LONG itself is exact (< 2^53); the /1e6 division then rounds
+    like any binary double, so cross-engine comparisons only hold when the
+    other engine performs the same single micros/1e6 division (DuckDB's
+    ``epoch()`` does; the oracles rely on that, not on decimal exactness)."""
     return epoch_micros(c) / F.lit(float(MICROS_PER_SEC))
+
+
+def floordiv_long(c: Column, divisor: int) -> Column:
+    """EXACT floor division of a LONG column by a positive int literal.
+    ``floor(a / b)`` on doubles rounds once ``a`` exceeds 2^53 (and Spark's
+    ``/`` promotes longs to doubles BEFORE dividing), so: ``pmod``
+    (non-negative remainder, so the result is floor- not truncate-division
+    even for negative ``a`` such as pre-1970 timestamps) reduces the
+    numerator to an exact multiple of ``divisor``, and the division runs in
+    DECIMAL(38,0) where the integer quotient is always exactly
+    representable. Matches DuckDB's ``//`` on BIGINT bit-for-bit."""
+    if divisor <= 0:
+        raise ValueError(f"divisor must be positive, got {divisor}")
+    d = F.lit(divisor).cast("long")
+    # subtract in decimal too: long-domain `c - pmod` can wrap at Long.MIN
+    exact_multiple = c.cast("decimal(38,0)") - F.pmod(c, d).cast("decimal(38,0)")
+    return (exact_multiple / F.lit(divisor).cast("decimal(38,0)")).cast("long")

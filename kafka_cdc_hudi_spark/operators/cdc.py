@@ -112,7 +112,11 @@ def merge_payload_schemas(old: StructType, new: StructType) -> StructType:
 
 
 def infer_payload_schema(
-    spark: SparkSession, df: DataFrame, dialect: str, value_col: str = "value"
+    spark: SparkSession,
+    df: DataFrame,
+    dialect: str,
+    value_col: str = "value",
+    what: str | None = None,
 ) -> StructType:
     """O10 end-to-end: infer the envelope schema from raw JSON values and
     extract+merge the payload struct(s) for ``dialect`` — ``data`` for DMS,
@@ -129,7 +133,10 @@ def infer_payload_schema(
         if f.name in fields and isinstance(f.dataType, StructType)
     ]
     if not structs:
-        raise ValueError(f"cannot infer a {dialect} payload schema from {value_col!r}")
+        # `what` carries caller context (e.g. the table name in a multi-table
+        # fan-out) so the fail-stop batch error names the failing slice
+        ctx = f" for {what}" if what else ""
+        raise ValueError(f"cannot infer a {dialect} payload schema from {value_col!r}{ctx}")
     payload = structs[0]
     for s in structs[1:]:
         payload = merge_payload_schemas(payload, s)

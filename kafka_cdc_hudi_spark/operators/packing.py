@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from kafka_cdc_hudi_spark.functions.textfns import token_count
+from kafka_cdc_hudi_spark.functions.timefns import floordiv_long
 
 
 def shard_assign(id_col: Column | str, n_shards: int, salt: str) -> Column:
@@ -76,10 +77,13 @@ def pack_sequences(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("bigint"))
+    # floordiv_long, not floor(double division): past 2^53 cumulative tokens
+    # per shard the double quotient rounds while the % stays exact, making
+    # (seq_id, offset_in_seq) internally inconsistent
     return d.select(
         id_col,
         "shard",
         "n_tokens",
-        F.floor(cum_before / seq_tokens).cast("bigint").alias("seq_id"),
+        floordiv_long(cum_before, seq_tokens).alias("seq_id"),
         (cum_before % seq_tokens).alias("offset_in_seq"),
     )

@@ -25,7 +25,11 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from kafka_cdc_hudi_spark.functions.timefns import MICROS_PER_SEC, epoch_micros
+from kafka_cdc_hudi_spark.functions.timefns import (
+    MICROS_PER_SEC,
+    epoch_micros,
+    floordiv_long,
+)
 
 _SIDE = "__side"
 _TS = "__evt_ts"
@@ -106,20 +110,21 @@ def range_join(
     """
     on = list(on)
     # exact integer-micros bucketing (NTZ-safe via epoch_micros; no float
-    # epsilon needed: the last covered bucket is floor((end - 1us) / b))
-    b_us = F.lit(bucket_seconds * MICROS_PER_SEC)
+    # epsilon needed, and floordiv_long keeps the division in integer/
+    # decimal arithmetic — floor(double/double) rounds past 2^53 micros)
+    b_us = bucket_seconds * MICROS_PER_SEC
     iv = intervals.filter(F.col(start_col).isNotNull() & F.col(end_col).isNotNull())
     for k in on:
         iv = iv.filter(F.col(k).isNotNull())
     # buckets covered by [start, end): floor(start/b) .. floor((end - 1us)/b)
-    last_bucket = F.floor((epoch_micros(end_col) - F.lit(1)) / b_us).cast("long")
+    last_bucket = floordiv_long(epoch_micros(end_col) - F.lit(1), b_us)
     iv = iv.withColumn(
         "__bucket",
         F.explode(
-            F.sequence(F.floor(epoch_micros(start_col) / b_us).cast("long"), last_bucket)
+            F.sequence(floordiv_long(epoch_micros(start_col), b_us), last_bucket)
         ),
     )
-    lf = left.withColumn("__bucket", F.floor(epoch_micros(left_ts) / b_us).cast("long"))
+    lf = left.withColumn("__bucket", floordiv_long(epoch_micros(left_ts), b_us))
     joined = lf.join(iv, [*on, "__bucket"]).filter(
         (F.col(left_ts) >= F.col(start_col)) & (F.col(left_ts) < F.col(end_col))
     )

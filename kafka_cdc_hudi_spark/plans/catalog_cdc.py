@@ -376,15 +376,17 @@ def cdc_schema_drift_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     JSON (ts stays a string — the reference's infer-per-batch behavior,
     /root/reference/glue/cdc_hudi.py:234); the declared-schema entries above
     prove the typed fast path."""
+    from kafka_cdc_hudi_spark.config import DIALECT_DEBEZIUM
     from kafka_cdc_hudi_spark.operators.cdc import infer_payload_schema, merge_payload_schemas
     from kafka_cdc_hudi_spark.plans.cdc_fixtures import drifted_debezium_envelopes
 
     stream = drifted_debezium_envelopes(_events(spark, sf_dir))
     legacy = stream.filter(~F.col("value").contains('"score"'))
     drifted = stream.filter(F.col("value").contains('"score"'))
-    cached = infer_payload_schema(spark, legacy, "MSK-DEBEZIUM-CDC")
-    assert "score" not in cached.fieldNames()  # fixture really drifts
-    widened = infer_payload_schema(spark, drifted, "MSK-DEBEZIUM-CDC")
+    cached = infer_payload_schema(spark, legacy, DIALECT_DEBEZIUM, what="legacy slice")
+    if "score" in cached.fieldNames():  # not assert: must survive python -O
+        raise ValueError("drift fixture regressed: legacy slice already carries 'score'")
+    widened = infer_payload_schema(spark, drifted, DIALECT_DEBEZIUM, what="drifted slice")
     merged = merge_payload_schemas(cached, widened)
     return _norm(parse_debezium(stream, merged))
 

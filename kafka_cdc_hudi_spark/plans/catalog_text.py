@@ -1242,9 +1242,11 @@ MULTIMODAL_RESIZE_SQL = """
 WITH m AS (
   -- documents are ASCII, so md5 over VARCHAR == md5 over the raw bytes
   -- (same equivalence MULTIMODAL_META_SQL relies on); the repeated md5 hex
-  -- string IS the payload's lowercase hex (16-byte digest = 32 hex chars)
-  SELECT doc_id AS media_id, text,
-         least(octet_length(encode(text)), 32 * 32) AS n
+  -- string IS the payload's lowercase hex (16-byte digest = 32 hex chars).
+  -- coalesce mirrors the kernel's `c or b""` null handling: a NULL blob
+  -- resizes to the empty payload, not NULL
+  SELECT doc_id AS media_id, coalesce(text, '') AS text,
+         least(octet_length(encode(coalesce(text, ''))), 32 * 32) AS n
   FROM documents
 )
 SELECT media_id,

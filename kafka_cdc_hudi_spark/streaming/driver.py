@@ -102,7 +102,9 @@ class CdcStreamDriver:
         table_slice = self._exact_route_raw(table_slice, spec)
         if table_slice.isEmpty():
             return None
-        payload = infer_payload_schema(self.spark, table_slice, self.config.dialect)
+        payload = infer_payload_schema(
+            self.spark, table_slice, self.config.dialect, what=spec.qualified_name
+        )
         self._inferred[spec.qualified_name] = payload
         return payload
 

@@ -73,6 +73,25 @@ def test_ivf_topk_recall(spark, emb, exact):
     assert r >= 0.5, f"IVF recall@10 too low: {r}"
 
 
+def test_ivf_static_codebook_recall(spark, emb, exact):
+    """The SHIPPED catalog entry (ann_topk_ivf) runs the static seeded
+    codebook with n_probe=3 of 8 cells; its DuckDB oracle is generated from
+    the same codebook, so oracle parity alone cannot catch an ANN-quality
+    regression (a degenerate seed, a probe cut, a broken quantizer would
+    stay hash-green). This floor pins the entry's actual recall."""
+    from kafka_cdc_hudi_spark.operators.similarity import ivf_static_codebook
+    from kafka_cdc_hudi_spark.plans.catalog_streaming import _IVF_CELLS, _IVF_PROBE
+
+    cents = ivf_static_codebook(DIM, _IVF_CELLS)
+    assigned = ivf_assign(emb, cents)
+    n_cells_used = assigned.select("cell").distinct().count()
+    assert n_cells_used > 1, "static codebook degenerate: all vectors in one cell"
+    q = emb.filter(F.col("vec_id") < 10)
+    approx = ivf_topk(q, assigned, cents, k=10, n_probe=_IVF_PROBE).collect()
+    r = _recall(approx, exact)
+    assert r >= 0.3, f"static-codebook IVF recall@10 too low: {r}"
+
+
 def test_ivf_assign_pandas_matches_native(spark, emb):
     from kafka_cdc_hudi_spark.operators.similarity import ivf_assign_pandas
 

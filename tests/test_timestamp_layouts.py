@@ -51,6 +51,36 @@ def test_layout_normalizes_to_utc_timestamp(spark, tmp_path, layout):
     assert [r["ts"] for r in rows] == _TS, layout
 
 
+def test_floordiv_long_exact_beyond_double_precision(spark):
+    """floordiv_long must stay exact where floor(a/b) on doubles rounds:
+    values past 2^53, negative values (floor, not truncate), and both small
+    and large divisors."""
+    import pyspark.sql.functions as F
+
+    from kafka_cdc_hudi_spark.functions.timefns import floordiv_long
+
+    cases = [
+        (2**53 + 1, 2048),          # smallest double-unrepresentable long
+        (2**62 + 12345, 2048),      # deep past 2^53, small divisor
+        (2**62 + 12345, 3_600_000_000),  # hour-of-micros divisor
+        (-7, 3),                    # floor(-7/3) = -3, not trunc -2
+        (-(2**53) - 1, 2048),
+        (0, 5),
+        (9_223_372_036_854_775_807, 7),  # Long.MAX
+    ]
+    df = spark.createDataFrame([(a, b) for a, b in cases], "a long, b long")
+    rows = []
+    for a, b in cases:
+        got = (
+            df.filter((F.col("a") == a) & (F.col("b") == b))
+            .select(floordiv_long(F.col("a"), b).alias("q"))
+            .collect()[0]["q"]
+        )
+        rows.append((a, b, got, a // b))
+    for a, b, got, want in rows:
+        assert got == want, f"floordiv_long({a}, {b}) = {got}, want {want}"
+
+
 def test_all_layouts_agree_downstream(spark, tmp_path):
     """Same values AND working arithmetic (epoch_millis / epoch_seconds /
     date arithmetic) through every physical layout."""
