@@ -65,6 +65,7 @@ PRUNED: dict[str, str] = {
     # window-topk shapes)
     "dataset_sample_stratified": "driver cap — full DuckDB oracle in test_oracle.py",
     "text_tfidf_topk": "driver cap — full DuckDB oracle in test_oracle.py",
+    "events_user_rate_window": "driver cap — full DuckDB oracle in test_oracle.py",
 }
 
 #: driver evaluation order: previously-unverified entries first (registry

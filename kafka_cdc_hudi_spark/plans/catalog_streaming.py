@@ -23,7 +23,7 @@ Oracle notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_cdc_hudi_spark.operators.similarity import (
@@ -33,6 +33,7 @@ from kafka_cdc_hudi_spark.operators.similarity import (
     srp_topk,
 )
 from kafka_cdc_hudi_spark.functions.numeric import DEC
+from kafka_cdc_hudi_spark.functions.timefns import epoch_micros
 from kafka_cdc_hudi_spark.sources.tables import load_table
 from kafka_cdc_hudi_spark.streaming.windows import (
     session_windows,
@@ -157,6 +158,43 @@ SELECT e.user_id,
        l.last_event_type
 FROM events e JOIN last l USING (user_id)
 GROUP BY e.user_id, l.last_ts, l.last_event_type
+"""
+
+
+def events_user_rate_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing event-time aggregates: for EVERY event, the count
+    and value-sum of the same user's events in the preceding hour — the
+    rate-limiting / velocity-check / fraud-window primitive. This is a
+    RANGE-frame window (frame bounds in event-time VALUES, not row
+    positions), a distinct physical shape from the rows-frame and bucketed
+    windows elsewhere in the catalog: one shuffle on user_id, one sort, and
+    the running frame never materializes per-row candidate sets (contrast a
+    self-join on ts BETWEEN, which explodes quadratically on hot users).
+    Tie semantics are value-based (all equal-ts rows share a frame), so the
+    result is deterministic without a tiebreaker column."""
+    e = load_table(spark, sf_dir, "events")
+    us = epoch_micros("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, -1)  # (ts - 1h, ts) exclusive of self
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_prev_1h"),
+        F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("sum_value_prev_1h"),
+    )
+
+
+EVENTS_USER_RATE_SQL = f"""
+SELECT event_id, user_id, ts,
+       COUNT(*) OVER w AS n_prev_1h,
+       CAST(SUM(CAST(value AS {DEC})) OVER w AS DOUBLE) AS sum_value_prev_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING)
 """
 
 
@@ -304,6 +342,7 @@ STREAMING_QUERIES: dict[str, tuple] = {
     "events_sliding_windows": (events_sliding_windows, EVENTS_SLIDING_SQL),
     "events_session_windows": (events_session_windows, EVENTS_SESSION_SQL),
     "user_running_stats_batch": (user_running_stats_batch, USER_RUNNING_STATS_SQL),
+    "events_user_rate_window": (events_user_rate_window, EVENTS_USER_RATE_SQL),
     "ann_topk_ivf": (ann_topk_ivf, ANN_TOPK_IVF_SQL),
     "ann_topk_srp": (ann_topk_srp, ANN_TOPK_SRP_SQL),
 }
