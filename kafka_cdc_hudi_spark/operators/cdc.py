@@ -38,6 +38,8 @@ from Catalyst, so a downstream projection prunes JSON parsing work too.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, LongType, StructField, StructType
@@ -101,14 +103,35 @@ def infer_json_schema(spark: SparkSession, df: DataFrame, value_col: str = "valu
     return spark.read.json(ds.rdd.map(lambda r: r[0])).schema
 
 
-def merge_payload_schemas(old: StructType, new: StructType) -> StructType:
+def merge_payload_schemas(
+    old: StructType, new: StructType, strict: bool = False
+) -> StructType:
     """Union of fields for schema drift: existing fields keep their
     established type (a drifting producer can ADD columns but not silently
     retype them), new fields append in arrival order. Used both by the
     streaming driver's drift re-inference (streaming/driver.py) and batch
-    callers merging ``after``/``before`` or cross-batch inferences."""
-    names = set(old.fieldNames())
-    return StructType(list(old.fields) + [f for f in new.fields if f.name not in names])
+    callers merging ``after``/``before`` or cross-batch inferences.
+
+    A field the producer RETYPED (same name, different inferred type) keeps
+    the established type, which means the drifted values parse to NULL.
+    That is deliberate policy, but it must be observable: retypes are
+    WARN-logged always, and ``strict=True`` raises instead — for callers
+    that would rather fail the batch than silently null a column."""
+    by_name = {f.name: f for f in old.fields}
+    retyped = [
+        f"{f.name}: {by_name[f.name].dataType.simpleString()} -> {f.dataType.simpleString()}"
+        for f in new.fields
+        if f.name in by_name and f.dataType != by_name[f.name].dataType
+    ]
+    if retyped:
+        msg = (
+            "schema drift RETYPED field(s) — established type kept, drifted "
+            "values will parse to NULL: " + "; ".join(retyped)
+        )
+        if strict:
+            raise ValueError(msg)
+        logging.getLogger(__name__).warning(msg)
+    return StructType(list(old.fields) + [f for f in new.fields if f.name not in by_name])
 
 
 def infer_payload_schema(

@@ -12,11 +12,15 @@ Design for 100 TB of image/audio/video:
   decode stage so one Arrow batch fits comfortably in worker memory
   (``media_repartition``).
 
-The actual codecs (PIL/ffmpeg/librosa) are NOT in this container, so the
-decode kernel is stubbed: ``decode_images(..., fake=True)`` produces
-deterministic pseudo-features from the bytes (md5-derived), and
-``fake=False`` raises ``NotImplementedError`` at evaluation time. The
-Spark-side plumbing — schema, batching, UDF signature — is real and tested.
+Codec status: PNG decode and PNG resize are REAL — a pure-stdlib codec
+(``functions/png.py``: zlib inflate + full filter-type-0..4 unfiltering,
+CRC-checked) runs inside the same mapInPandas kernels; ``documents_as_png``
+synthesizes genuine PNG blobs from document bytes so the real path is
+exercised end-to-end with a DuckDB value oracle (catalog entry
+``multimodal_decode_png``). Non-PNG raster formats (jpeg/webp) and video
+keyframe sampling still need external codecs (libjpeg/ffmpeg) that are not
+in this container: those paths raise ``NotImplementedError`` and the
+deterministic fake kernels (``fake=True``) remain for plumbing coverage.
 """
 
 from __future__ import annotations
@@ -57,6 +61,52 @@ IMAGE_FEATURES_SCHEMA = StructType(
         StructField("feature_hash", StringType(), True),
     ]
 )
+
+
+#: dimension formulas for the synthesized-PNG fixture — mirrored verbatim in
+#: the DuckDB oracle (plans/catalog_text.py MULTIMODAL_DECODE_PNG_SQL).
+#: width in [4,16], height in [3,8] -> w*h in [12,128]; callers filter to
+#: docs with >= 128 bytes so the pixel payload is always text[:w*h]
+PNG_FIXTURE_MIN_BYTES = 128
+
+
+def _png_fixture_dims(doc_id: int) -> tuple[int, int]:
+    return 4 + doc_id % 13, 3 + doc_id % 6
+
+
+def documents_as_png(docs: DataFrame) -> DataFrame:
+    """Synthesize REAL PNG blobs from document text: a grayscale 8-bit image
+    of doc-id-derived dims whose pixel samples are the first width*height
+    text bytes. Filter types cycle 0..4 across scanlines, so decoding
+    exercises every unfilter rule (incl. Paeth). Output is MEDIA_SCHEMA
+    with genuine image bytes — the real-codec decode path's input.
+
+    The encode itself is an Arrow-batched mapInPandas stage (it is fixture
+    synthesis standing in for stored media, and also models the re-encode
+    half of a real transform stage)."""
+    from kafka_cdc_hudi_spark.functions.png import encode_png
+
+    src = docs.filter(
+        F.octet_length("text") >= PNG_FIXTURE_MIN_BYTES
+    ).select(F.col("doc_id").alias("media_id"), "text")
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for mid, text in zip(pdf["media_id"], pdf["text"]):
+                w, h = _png_fixture_dims(int(mid))
+                pixels = text.encode("utf-8")[: w * h]
+                blobs.append(encode_png(pixels, w, h, channels=1, filter_cycle=True))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "content": blobs,
+                    "format": ["png"] * len(pdf),
+                    "byte_len": pd.Series([len(b) for b in blobs], dtype="int64"),
+                }
+            )
+
+    return src.mapInPandas(encode_batches, MEDIA_SCHEMA)
 
 
 def documents_as_media(docs: DataFrame) -> DataFrame:
@@ -129,20 +179,30 @@ def _fake_decode(content: bytes) -> tuple[int, int, int, str]:
 def decode_images(df: DataFrame, fake: bool = False) -> DataFrame:
     """Decode stage: media frame -> IMAGE_FEATURES_SCHEMA frame.
 
-    ``fake=False`` is the real-codec path — unavailable here, raises
-    ``NotImplementedError`` inside the workers (by design; see module
-    docstring). ``fake=True`` runs the deterministic stub through the SAME
-    mapInPandas machinery, so batching/schema/serialization are exercised.
+    ``fake=False`` is the REAL-codec path: PNG blobs decode through the
+    pure-stdlib codec (``functions/png.py`` — inflate + unfilter, CRC
+    checked) and ``feature_hash`` is the md5 of the reconstructed raw pixel
+    samples. Non-PNG formats raise ``NotImplementedError`` (libjpeg/libwebp
+    are not in this container). ``fake=True`` runs the deterministic stub
+    through the SAME mapInPandas machinery for the other formats' plumbing
+    coverage.
     """
+    from kafka_cdc_hudi_spark.functions.png import PNG_SIGNATURE, decode_png
+
+    def _real_decode(content: bytes) -> tuple[int, int, int, str]:
+        content = content or b""
+        if not content.startswith(PNG_SIGNATURE):
+            raise NotImplementedError(
+                "real decode implemented for PNG only; jpeg/webp need "
+                "external codecs not present in this container (use fake=True)"
+            )
+        width, height, channels, pixels = decode_png(content)
+        return width, height, channels, hashlib.md5(pixels).hexdigest()
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kernel = _fake_decode if fake else _real_decode
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real image codecs are not available in this environment; "
-                    "install PIL/ffmpeg and implement the kernel here, or use fake=True"
-                )
-            feats = [_fake_decode(c) for c in pdf["content"]]
+            feats = [kernel(c) for c in pdf["content"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].astype("int64"),
@@ -170,22 +230,42 @@ RESIZED_SCHEMA = StructType(
 def resize_images(df: DataFrame, width: int, height: int, fake: bool = False) -> DataFrame:
     """Resize stage: media frame -> RESIZED_SCHEMA frame at (width, height).
 
-    Real path (``fake=False``) would decode + resample + re-encode per
-    batch; stubbed here (no codecs in the container). The fake kernel emits
-    a deterministic payload derived from the input bytes and the target
-    dims, sized min(byte_len, width*height) — small enough to exercise
-    Arrow round-trips without blowing memory.
+    Real path (``fake=False``): decode PNG -> nearest-neighbor resample
+    (one vectorized numpy gather per image) -> re-encode PNG, all through
+    the pure-stdlib codec. Non-PNG inputs raise ``NotImplementedError``
+    (no libjpeg/libwebp in the container). The fake kernel emits a
+    deterministic payload derived from the input bytes and the target dims,
+    sized min(byte_len, width*height) — it remains the fully-SQL-oracled
+    plumbing check (catalog entry ``multimodal_resize``); the real path is
+    pinned by round-trip tests (decode(resize(x)) == numpy resample of
+    decode(x), tests/test_multimodal.py).
     """
+    import numpy as np
+
+    from kafka_cdc_hudi_spark.functions.png import PNG_SIGNATURE, decode_png, encode_png
+
+    def _real_resize(content: bytes) -> bytes:
+        content = content or b""
+        if not content.startswith(PNG_SIGNATURE):
+            raise NotImplementedError(
+                "real resize implemented for PNG only; jpeg/webp need "
+                "external codecs not present in this container (use fake=True)"
+            )
+        w0, h0, ch, pixels = decode_png(content)
+        img = np.frombuffer(pixels, dtype=np.uint8).reshape(h0, w0, ch)
+        # nearest-neighbor: pixel (y, x) samples source (y*h0//height, x*w0//width)
+        ys = (np.arange(height) * h0) // height
+        xs = (np.arange(width) * w0) // width
+        resized = img[ys][:, xs]
+        return encode_png(resized.tobytes(), width, height, channels=ch)
 
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real image codecs are not available in this environment; "
-                    "install PIL and implement the resample kernel, or use fake=True"
-                )
             out_bytes = []
             for c in pdf["content"]:
+                if not fake:
+                    out_bytes.append(_real_resize(c))
+                    continue
                 c = c or b""
                 seed = hashlib.md5(c + f"{width}x{height}".encode()).digest()
                 n = min(len(c), width * height)

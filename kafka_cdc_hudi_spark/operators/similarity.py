@@ -136,6 +136,55 @@ def ivf_static_codebook(dim: int, n_cells: int = 8, seed: str = "ivf") -> np.nda
     return cents / (np.linalg.norm(cents, axis=1, keepdims=True) + 1e-12)
 
 
+def kmeans_lite(x: np.ndarray, n_cells: int, iters: int) -> np.ndarray:
+    """The shared numpy kmeans core: deterministic stride init, cosine
+    assignment, mean update, unit-norm output. Bit-identical given the same
+    float64 input rows in the same order — which is what lets the trained
+    IVF catalog entry carry a FULL SQL oracle (the oracle builder reruns
+    THIS function on the same rows read via DuckDB and emits the resulting
+    centroids as literals)."""
+    n_cells = min(n_cells, len(x))
+    cents = x[:: max(1, len(x) // n_cells)][:n_cells].copy()
+    for _ in range(iters):
+        sims = x @ cents.T / (
+            np.linalg.norm(x, axis=1, keepdims=True) * np.linalg.norm(cents, axis=1) + 1e-12
+        )
+        assign = sims.argmax(axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    # unit-norm: downstream ivf_assign argmaxes a raw dot, and with unit
+    # centroids that IS the cosine argmax (no large-norm bias)
+    return cents / (np.linalg.norm(cents, axis=1, keepdims=True) + 1e-12)
+
+
+#: deterministic SQL-expressible training sample: vec_id % MOD == 0 AND
+#: vec_id < BOUND. Bounds the driver collect to BOUND/MOD rows regardless of
+#: corpus size, prunes at the scan (plain comparisons push down), and is
+#: trivially reproducible in any SQL engine — unlike xxhash64 sampling.
+TRAIN_SAMPLE_MOD, TRAIN_SAMPLE_BOUND = 4, 8192
+
+
+def ivf_train_sql_sample(
+    df: DataFrame, n_cells: int = 8, iters: int = 5, id_col: str = "vec_id", col: str = "embedding"
+) -> np.ndarray:
+    """Train kmeans-lite on the deterministic SQL-expressible sample. The
+    collect is hard-bounded at TRAIN_SAMPLE_BOUND/TRAIN_SAMPLE_MOD = 2048
+    rows; ordering is pinned by the driver-side sort on ``id_col``."""
+    pdf = (
+        df.filter(
+            (F.col(id_col) % TRAIN_SAMPLE_MOD == 0)
+            & (F.col(id_col) < TRAIN_SAMPLE_BOUND)
+        )
+        .select(id_col, col)
+        .toPandas()
+        .sort_values(id_col)
+    )
+    x = np.array([np.asarray(v, dtype=np.float64) for v in pdf[col]])
+    return kmeans_lite(x, n_cells, iters)
+
+
 def ivf_train_centroids(
     df: DataFrame, dim: int, n_cells: int = 16, iters: int = 5, sample: int = 2048, col: str = "embedding"
 ) -> np.ndarray:
@@ -157,21 +206,7 @@ def ivf_train_centroids(
         pdf = df.limit(sample).select(id_col, col).toPandas()
     rows = pdf.sort_values(id_col)[col].tolist()
     x = np.array([np.asarray(v, dtype=np.float64) for v in rows])
-    cents = x[:: max(1, len(x) // n_cells)][:n_cells].copy()
-    for _ in range(iters):
-        sims = x @ cents.T / (
-            np.linalg.norm(x, axis=1, keepdims=True) * np.linalg.norm(cents, axis=1) + 1e-12
-        )
-        assign = sims.argmax(axis=1)
-        for c in range(len(cents)):
-            members = x[assign == c]
-            if len(members):
-                cents[c] = members.mean(axis=0)
-    # return UNIT-NORM centroids: training assigns by cosine, and downstream
-    # ivf_assign/ivf_topk argmax a raw dot — with unit centroids the raw-dot
-    # argmax IS the cosine argmax, so assignment matches the trained
-    # partition instead of biasing toward large-norm centroids
-    return cents / (np.linalg.norm(cents, axis=1, keepdims=True) + 1e-12)
+    return kmeans_lite(x, n_cells, iters)
 
 
 def _centroid_sim_cols(cents: np.ndarray, col: str) -> list[F.Column]:

@@ -28,6 +28,36 @@ FULL_REGISTRY.update(ANALYTICS_QUERIES)
 FULL_REGISTRY.update(TEXT_QUERIES)
 FULL_REGISTRY.update(STREAMING_QUERIES)
 
+#: ROTATION SCHEDULE (round-6 commitment, per VERDICT r5 item 7):
+#: every FULL_REGISTRY entry re-earns a driver CORRECTNESS row within 2
+#: rounds of being rotated out. All entries stay locally oracle-checked in
+#: test_oracle.py every session regardless of driver status.
+#:
+#:   round | rotated IN (earn a row)                      | rotated OUT (due back by)
+#:   ------+----------------------------------------------+--------------------------
+#:   r5    | text_repetition_stats, text_pii_scrub,       | q10_returned_items,
+#:         | text_decontaminate, cdc_schema_drift_parse,  | q14_promo_revenue,
+#:         | dataset_pack_sequences                       | text_normalize,
+#:         |                                              | dataset_split_assign,
+#:         |                                              | dedup_clusters  (due r7)
+#:   r6    | dataset_sample_stratified, text_tfidf_topk,  | text_fingerprint,
+#:         | events_user_rate_window,                     | text_language_id,
+#:         | multimodal_decode_png (NEW),                 | embedding_quantize_int8,
+#:         | ann_topk_ivf_trained (NEW)                   | events_pivot_user_counts,
+#:         |                                              | active_user_set_ops (due r8)
+#:   r7    | the 5 due-r7 above + first half of the       | 5+ long-green swaps from the
+#:         | legacy-pruned pool (cdc_latest_per_key,      | r6 IN set / stable block
+#:         | q6_forecast_revenue, events_rollup,          |
+#:         | events_tumbling_windows, text_token_count,   |
+#:         | cdc_merge_bucketed)                          |
+#:   r8    | the 5 due-r8 + second half of the legacy     | swaps as needed under cap
+#:         | pool (global_counts, events_user_cumsum,     |
+#:         | events_type_stats, customers_per_region,     |
+#:         | big_orders_semi_join, embedding_norms)       |
+#:
+#: From r7 on the two halves of the legacy pool alternate with their named
+#: survivors each round, so no entry is ever >2 rounds without a row.
+
 #: held out of the driver-facing registry (entry cap) — each is a
 #: near-duplicate of a surviving entry's physical plan shape; the operator
 #: itself stays covered by the named survivor + local oracle tests
@@ -41,38 +71,43 @@ PRUNED: dict[str, str] = {
     "customers_per_region": "q5_local_supplier/q10 (broadcast-chain dim join + agg)",
     "big_orders_semi_join": "q4_order_priority (left-semi against aggregated/filtered build side)",
     "events_tumbling_windows": "events_hourly_agg (same bucketed agg) + test_streaming_windows builder tests",
-    "embedding_norms": "ann_topk_bruteforce (computes the same norms) + embedding_quantize_int8",
+    "embedding_norms": "ann_topk_bruteforce (computes the same norms)",
     "text_token_count": "text_token_topk + text_quality_score (same tokenizer expressions)",
     "cdc_merge_bucketed": (
         "cdc_merge_two_batches (state-equivalent by construction — same oracle SQL; "
         "the O(touched-buckets) commit property is pinned in test_bucketed_cow.py "
         "and the entry is benched in bench.py)"
     ),
-    # rotated OUT in round 5 to admit text_repetition_stats/text_pii_scrub/
-    # text_decontaminate/cdc_schema_drift_parse under the ~50-entry cap; all
-    # four below were driver-green in r2+r3+r4 and their plan shapes survive
-    # in the named entries (still fully oracle-checked in test_oracle.py)
+    # rotated OUT in round 5 (driver-green r2-r4); DUE BACK r7 per the
+    # schedule above
     "q10_returned_items": "q3_shipping_priority + q5_local_supplier (join-chain + agg + top-k)",
     "q14_promo_revenue": "q12_priority_by_linestatus (conditional aggregation over a date slice)",
-    "text_normalize": "text_quality_score/text_fingerprint (same projection-only text shape)",
-    "dataset_split_assign": "text_fingerprint (same deterministic-hash projection)",
+    "text_normalize": "text_quality_score (same projection-only text shape)",
+    "dataset_split_assign": "dataset_sample_stratified (same salted-md5-bucket projection)",
     "dedup_clusters": (
         "dedup_clusters_star (IDENTICAL oracle SQL and output — two strategies of one "
         "operator; label-prop stays oracle-checked in test_oracle.py + test_graph.py)"
     ),
-    # new in round 5, full DuckDB oracles in test_oracle.py; rotate into the
-    # driver list next round (swap against long-green hash-projection /
-    # window-topk shapes)
-    "dataset_sample_stratified": "driver cap — full DuckDB oracle in test_oracle.py",
-    "text_tfidf_topk": "driver cap — full DuckDB oracle in test_oracle.py",
-    "events_user_rate_window": "driver cap — full DuckDB oracle in test_oracle.py",
+    # rotated OUT in round 6 (driver-green r2-r5, pure projection / single-agg
+    # shapes, the shape class with the most survivors); DUE BACK r8
+    "text_fingerprint": "dataset_sample_stratified + text_quality_score (deterministic-hash projection)",
+    "text_language_id": "text_quality_score (regex/ratio scoring projection)",
+    "embedding_quantize_int8": "ann_topk_bruteforce (same array math, zero-shuffle projection)",
+    "events_pivot_user_counts": "events_cube (Expand agg) + events_hourly_agg (one-shuffle keyed agg)",
+    "active_user_set_ops": "customers_without_orders (anti/semi) + events_retention_cohorts (set overlap)",
 }
 
 #: driver evaluation order: previously-unverified entries first (registry
 #: tail was past the driver's entry cap in round 2), then fresh/changed
 #: entries, then the long-green remainder
 _DRIVER_ORDER = [
-    # -- no driver row yet (rotated in round 5) --
+    # -- no driver row yet (rotated in / NEW in round 6) --
+    "dataset_sample_stratified",
+    "text_tfidf_topk",
+    "events_user_rate_window",
+    "multimodal_decode_png",
+    "ann_topk_ivf_trained",
+    # -- green since round 5 --
     "text_repetition_stats",
     "text_pii_scrub",
     "text_decontaminate",
@@ -110,20 +145,15 @@ _DRIVER_ORDER = [
     "topk_orders_per_customer",
     "asof_join_last_click",
     "customers_without_orders",
-    "events_pivot_user_counts",
     "events_cube",
-    "active_user_set_ops",
     "range_join_post_purchase",
     "events_retention_cohorts",
     "events_funnel_conversions",
     "text_quality_score",
-    "text_language_id",
-    "text_fingerprint",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "embedding_quantize_int8",
     "text_token_topk",
     "ann_topk_bruteforce",
 ]

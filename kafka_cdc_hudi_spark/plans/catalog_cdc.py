@@ -381,8 +381,14 @@ def cdc_schema_drift_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_cdc_hudi_spark.plans.cdc_fixtures import drifted_debezium_envelopes
 
     stream = drifted_debezium_envelopes(_events(spark, sf_dir))
-    legacy = stream.filter(~F.col("value").contains('"score"'))
-    drifted = stream.filter(F.col("value").contains('"score"'))
+    # JSON-path presence test, not a substring match: a payload whose TEXT
+    # happens to contain '"score"' (e.g. inside props) must not be
+    # misclassified as drifted. Drifted rows are odd event_ids, which are
+    # never deletes (id % 10 == 0 is even), so `after` is always populated
+    # there and score = user_id + 1000 is never null.
+    has_score = F.get_json_object(F.col("value"), "$.after.score").isNotNull()
+    legacy = stream.filter(~has_score)
+    drifted = stream.filter(has_score)
     cached = infer_payload_schema(spark, legacy, DIALECT_DEBEZIUM, what="legacy slice")
     if "score" in cached.fieldNames():  # not assert: must survive python -O
         raise ValueError("drift fixture regressed: legacy slice already carries 'score'")

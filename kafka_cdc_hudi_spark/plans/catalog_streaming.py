@@ -30,6 +30,7 @@ from kafka_cdc_hudi_spark.operators.similarity import (
     ivf_assign,
     ivf_static_codebook,
     ivf_topk,
+    ivf_train_sql_sample,
     srp_topk,
 )
 from kafka_cdc_hudi_spark.functions.numeric import DEC
@@ -200,13 +201,22 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
 
 # -- ANN scale paths ----------------------------------------------------------
 #
-# SRP is fully deterministic (seeded md5 hyperplanes), so it gets a REAL
-# DuckDB oracle: the same planes are emitted as SQL literals and the same
-# unnest-sum dot product reproduces Spark's fold bit-for-bit (verified
-# exact-float-equal). IVF's kmeans centroids can't be recomputed in SQL, so
-# it self-checks: recall@k against the in-query brute-force truth must clear
-# a floor or the query RAISES — a regression turns the driver row red
-# instead of silently passing rows-only.
+# Both paths carry REAL DuckDB value oracles:
+#
+# - SRP: seeded md5 hyperplanes re-emitted as SQL literals; the same
+#   unnest-sum dot product reproduces Spark's fold bit-for-bit.
+# - IVF (static codebook): the deterministic seeded codebook re-emitted as
+#   SQL literals — assignment, probe order, cosines, ranks all reproduce
+#   exactly. Retrieval QUALITY is pinned separately by
+#   tests/test_similarity.py::test_ivf_static_codebook_recall (recall@10
+#   floor vs brute-force truth) and an in-test cell-occupancy balance check;
+#   the oracle proves the computation, the test pins that the computation is
+#   worth doing.
+# - IVF (trained): ann_topk_ivf_trained trains kmeans-lite on a
+#   deterministic, SQL-expressible sample (vec_id % 4 == 0 AND vec_id <
+#   8192) and the oracle-SQL builder reruns the IDENTICAL numpy trainer on
+#   the same rows read via DuckDB, then emits the trained centroids as
+#   literals — training + assignment + probe are end-to-end hash-verified.
 
 #: IVF catalog-entry hyperparameters (shared by the Spark query and the
 #: SQL-literal oracle below)
@@ -295,8 +305,7 @@ FROM scored QUALIFY rank <= {_SRP_K}
 # the identical positional-sum dot product on the identical literals.
 
 
-def _ivf_cents_values() -> str:
-    cents = ivf_static_codebook(EMBEDDING_DIM, _IVF_CELLS)
+def _cents_values(cents) -> str:
     return ", ".join(
         "({i}, [{vals}]::DOUBLE[])".format(
             i=i, vals=",".join(repr(float(v)) for v in c)
@@ -305,8 +314,9 @@ def _ivf_cents_values() -> str:
     )
 
 
-ANN_TOPK_IVF_SQL = f"""
-WITH cents(cell, c) AS (VALUES {_ivf_cents_values()}),
+def _ivf_sql(cents_values: str) -> str:
+    return f"""
+WITH cents(cell, c) AS (VALUES {cents_values}),
 asg_d AS (
   SELECT e.vec_id, e.embedding, cents.cell,
          {_DOT.format(A='e.embedding', B='cents.c')} AS d
@@ -337,6 +347,66 @@ FROM scored QUALIFY rank <= {_IVF_K}
 """
 
 
+ANN_TOPK_IVF_SQL = _ivf_sql(_cents_values(ivf_static_codebook(EMBEDDING_DIM, _IVF_CELLS)))
+
+
+# -- trained IVF: end-to-end (training + probe) hash-verified -----------------
+
+#: the correctness driver evaluates oracles at this scale factor (driver
+#: contract); the oracle-literal builder trains on the same parquet
+_ORACLE_SF_DIR = "/root/testdata/sf0.01"
+
+
+def ann_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-10 with TRAINED centroids, end-to-end oracle-verified:
+    kmeans-lite trains on the deterministic SQL-expressible sample
+    (vec_id % 4 == 0 AND vec_id < 8192, driver-bounded to <= 2048 rows,
+    scan-prunable), and the SAME numpy trainer runs at oracle-build time on
+    the same rows read via DuckDB — so the oracle's centroid literals are
+    bit-identical to the query's, and training + assignment + probe +
+    ranking all hash-match. Closes the round-5 gap where only the static
+    codebook was value-oracled and the trained path was recall-floored."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_train_sql_sample(e, n_cells=_IVF_CELLS, iters=5)
+    assigned = ivf_assign(e, cents)
+    q = e.filter(F.col("vec_id") < 10)
+    return ivf_topk(q, assigned, cents, k=_IVF_K, n_probe=_IVF_PROBE)
+
+
+def ivf_trained_sql_for(sf_dir: str) -> str | None:
+    """Build the trained-IVF oracle FOR A GIVEN SCALE FACTOR by rerunning
+    the shared kmeans core on that sf's parquet (read via DuckDB — no Spark
+    at import). The embeddings tables are generated independently per sf
+    (same vec_id != same vector), so the centroid literals are only valid
+    against the sf they were trained from: the registry bakes the driver's
+    correctness sf (sf0.01); tests/test_oracle.py rebuilds for its local
+    SF_DIR via this function. Returns None (weaker rows-only driver check)
+    if the testdata is absent, so importing never fails data-less."""
+    import duckdb
+
+    from kafka_cdc_hudi_spark.operators.similarity import (
+        TRAIN_SAMPLE_BOUND,
+        TRAIN_SAMPLE_MOD,
+        kmeans_lite,
+    )
+
+    try:
+        rows = duckdb.sql(
+            f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
+            f"WHERE vec_id % {TRAIN_SAMPLE_MOD} = 0 AND vec_id < {TRAIN_SAMPLE_BOUND} "
+            "ORDER BY vec_id"
+        ).fetchall()
+    except Exception:
+        return None
+    import numpy as np
+
+    x = np.array([np.asarray(r[0], dtype=np.float64) for r in rows])
+    return _ivf_sql(_cents_values(kmeans_lite(x, _IVF_CELLS, iters=5)))
+
+
+ANN_TOPK_IVF_TRAINED_SQL = ivf_trained_sql_for(_ORACLE_SF_DIR)
+
+
 STREAMING_QUERIES: dict[str, tuple] = {
     "events_tumbling_windows": (events_tumbling_windows, EVENTS_TUMBLING_SQL),
     "events_sliding_windows": (events_sliding_windows, EVENTS_SLIDING_SQL),
@@ -344,5 +414,6 @@ STREAMING_QUERIES: dict[str, tuple] = {
     "user_running_stats_batch": (user_running_stats_batch, USER_RUNNING_STATS_SQL),
     "events_user_rate_window": (events_user_rate_window, EVENTS_USER_RATE_SQL),
     "ann_topk_ivf": (ann_topk_ivf, ANN_TOPK_IVF_SQL),
+    "ann_topk_ivf_trained": (ann_topk_ivf_trained, ANN_TOPK_IVF_TRAINED_SQL),
     "ann_topk_srp": (ann_topk_srp, ANN_TOPK_SRP_SQL),
 }

@@ -1257,6 +1257,54 @@ FROM m
 """
 
 
+def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, end-to-end: synthesize genuine PNG blobs from
+    document bytes (grayscale, doc-id-derived dims, scanline filters cycling
+    0..4 incl. Paeth), then run the real-codec path of ``decode_images`` —
+    the pure-stdlib PNG decoder (functions/png.py: CRC-checked chunk walk,
+    zlib inflate, full unfilter). No ``fake=True`` anywhere in this entry.
+
+    FULL value oracle: the fixture puts the first width*height text bytes in
+    the pixels, so DuckDB predicts the decoder's output exactly —
+    ``feature_hash`` is md5 of the substring (documents are ASCII, so
+    VARCHAR substring == byte slice, same invariant the other multimodal
+    oracles use). A decoder bug anywhere (CRC, inflate framing, any of the
+    five filter reconstructions) changes the recovered pixels and turns the
+    hash red.
+
+    Scale shape: encode and decode are Arrow-batched mapInPandas stages over
+    media_repartition-bounded partitions; per-row work is O(pixels)."""
+    from kafka_cdc_hudi_spark.operators.multimodal import (
+        decode_images,
+        documents_as_png,
+        media_repartition,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = media_repartition(documents_as_png(docs), avg_row_bytes=512)
+    return decode_images(media)  # fake=False: the REAL codec
+
+
+MULTIMODAL_DECODE_PNG_SQL = """
+WITH m AS (
+  -- dims mirror operators/multimodal.py::_png_fixture_dims; the >= 128
+  -- filter guarantees the payload is exactly text[:w*h] (max w*h = 128)
+  SELECT doc_id,
+         4 + doc_id % 13 AS w,
+         3 + doc_id % 6 AS h,
+         text
+  FROM documents
+  WHERE octet_length(encode(text)) >= 128
+)
+SELECT doc_id AS media_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(1 AS INT) AS n_channels,
+       md5(substring(text, 1, w * h)) AS feature_hash
+FROM m
+"""
+
+
 TEXT_QUERIES: dict[str, tuple] = {
     "text_token_count": (text_token_count, TEXT_TOKEN_COUNT_SQL),
     "text_quality_score": (text_quality_score, TEXT_QUALITY_SQL),
@@ -1284,4 +1332,5 @@ TEXT_QUERIES: dict[str, tuple] = {
     "multimodal_meta": (multimodal_meta, MULTIMODAL_META_SQL),
     "multimodal_frame_sample": (multimodal_frame_sample, MULTIMODAL_FRAME_SAMPLE_SQL),
     "multimodal_resize": (multimodal_resize, MULTIMODAL_RESIZE_SQL),
+    "multimodal_decode_png": (multimodal_decode_png, MULTIMODAL_DECODE_PNG_SQL),
 }

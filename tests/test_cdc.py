@@ -192,3 +192,34 @@ class TestSchemaInference:
         out = parse_debezium(df, payload, json_options={})
         assert "extra" in out.columns
         assert out.filter(F.col("extra") == 42).count() == 1
+
+    def test_merge_schemas_keeps_type_and_warns_on_retype(self, caplog):
+        import logging
+
+        from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+        from kafka_cdc_hudi_spark.operators.cdc import merge_payload_schemas
+
+        old = StructType([StructField("a", LongType()), StructField("b", StringType())])
+        new = StructType([StructField("a", StringType()), StructField("c", LongType())])
+        with caplog.at_level(logging.WARNING, "kafka_cdc_hudi_spark.operators.cdc"):
+            merged = merge_payload_schemas(old, new)
+        # established type kept, new field appended, retype observable in logs
+        assert [f.name for f in merged.fields] == ["a", "b", "c"]
+        assert merged["a"].dataType == LongType()
+        assert any("RETYPED" in r.message and "a: bigint -> string" in r.message
+                   for r in caplog.records)
+
+    def test_merge_schemas_strict_raises_on_retype(self):
+        import pytest
+        from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+        from kafka_cdc_hudi_spark.operators.cdc import merge_payload_schemas
+
+        old = StructType([StructField("a", LongType())])
+        new = StructType([StructField("a", StringType())])
+        with pytest.raises(ValueError, match="RETYPED"):
+            merge_payload_schemas(old, new, strict=True)
+        # no retype -> strict is silent
+        ok = merge_payload_schemas(old, old, strict=True)
+        assert ok == old

@@ -43,7 +43,9 @@ def test_fake_decode_deterministic(spark, media):
     assert all(64 <= w < 2048 and 64 <= h < 2048 and 1 <= c <= 4 for (w, h, c) in rows.values())
 
 
-def test_real_decode_raises_not_implemented(spark, media):
+def test_real_decode_raises_for_non_png(spark, media):
+    # documents_as_media blobs are raw text bytes (no PNG signature): the
+    # real-codec path must refuse them, not guess
     with pytest.raises(Exception) as ei:
         decode_images(media.limit(2), fake=False).collect()
     assert "NotImplementedError" in str(ei.value)
@@ -62,6 +64,100 @@ def test_resize_deterministic_and_sized(spark, media):
     # different target dims -> different payloads
     other = {r["media_id"]: r["content"] for r in resize_images(media, 16, 16, fake=True).collect()}
     assert any(rows[m][: len(other[m])] != other[m] for m in rows)
+
+
+# -- real PNG codec path ------------------------------------------------------
+
+
+def test_png_codec_roundtrip_all_filters_and_channels():
+    """Pure-codec property: encode -> decode is identity for every filter
+    type (cycled across scanlines) and every supported channel count."""
+    import random
+
+    from kafka_cdc_hudi_spark.functions.png import decode_png, encode_png
+
+    rng = random.Random(42)
+    for ch in (1, 2, 3, 4):
+        w, h = rng.randint(1, 33), rng.randint(5, 29)  # h >= 5 cycles all filters
+        px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        for cyc in (False, True):
+            assert decode_png(encode_png(px, w, h, channels=ch, filter_cycle=cyc)) == (
+                w, h, ch, px
+            )
+
+
+def test_png_codec_rejects_corruption_and_unsupported():
+    from kafka_cdc_hudi_spark.functions.png import decode_png, encode_png
+
+    data = bytearray(encode_png(bytes(range(16)), 4, 4))
+    data[-5] ^= 0x01  # flip a bit inside IEND CRC
+    with pytest.raises(ValueError):
+        decode_png(bytes(data))
+    with pytest.raises(ValueError):
+        decode_png(b"not a png at all")
+
+
+def test_png_codec_decodes_real_world_files():
+    """Cross-validate against PNGs produced by standard encoders (libpng),
+    if the host has any — proves the decoder isn't merely self-consistent."""
+    import glob
+
+    from kafka_cdc_hudi_spark.functions.png import decode_png
+
+    found = 0
+    for p in glob.glob("/usr/share/doc/python3/_static/*.png"):
+        try:
+            w, h, ch, px = decode_png(open(p, "rb").read())
+        except NotImplementedError:
+            continue  # palette/16-bit variants are out of scope
+        assert w > 0 and h > 0 and len(px) == w * h * ch
+        found += 1
+    if not found:
+        pytest.skip("no decodable system PNGs on this host")
+
+
+def test_real_decode_png_end_to_end(spark):
+    """documents -> real PNG encode -> REAL stdlib decode: dims and pixel
+    hash must equal the fixture formulas (no fake anywhere)."""
+    import hashlib
+
+    from kafka_cdc_hudi_spark.operators.multimodal import (
+        _png_fixture_dims,
+        documents_as_png,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = {r["media_id"]: r for r in decode_images(documents_as_png(docs)).collect()}
+    src = {r["doc_id"]: r["text"] for r in docs.collect() if len(r["text"].encode()) >= 128}
+    assert set(out) == set(src) and out
+    for mid, row in out.items():
+        w, h = _png_fixture_dims(mid)
+        assert (row["width"], row["height"], row["n_channels"]) == (w, h, 1)
+        assert row["feature_hash"] == hashlib.md5(src[mid].encode()[: w * h]).hexdigest()
+
+
+def test_real_resize_png_roundtrip(spark):
+    """Real resize path: decode(resize(png)) equals the numpy nearest-
+    neighbor resample of decode(png) — pinned per-pixel, not just shapes."""
+    import numpy as np
+
+    from kafka_cdc_hudi_spark.functions.png import decode_png
+    from kafka_cdc_hudi_spark.operators.multimodal import documents_as_png
+
+    docs = load_table(spark, SF_DIR, "documents")
+    media = documents_as_png(docs).limit(20).cache()
+    src = {r["media_id"]: bytes(r["content"]) for r in media.collect()}
+    out = {r["media_id"]: r for r in resize_images(media, 8, 6, fake=False).collect()}
+    assert set(out) == set(src)
+    for mid, row in out.items():
+        w2, h2, ch, px = decode_png(bytes(row["content"]))
+        assert (w2, h2, ch) == (8, 6, 1)
+        w0, h0, _, px0 = decode_png(src[mid])
+        img = np.frombuffer(px0, dtype=np.uint8).reshape(h0, w0)
+        ys = (np.arange(6) * h0) // 6
+        xs = (np.arange(8) * w0) // 8
+        assert px == img[ys][:, xs].tobytes()
+    media.unpersist()
 
 
 def test_sample_frames_cardinality_and_hashes(spark, media):

@@ -16,7 +16,20 @@ def con():
     c.close()
 
 
-ORACLE_CASES = [(n, fn, sql) for n, (fn, sql) in REGISTRY.items() if sql is not None]
+def _local_sql(name: str, sql: str) -> str:
+    # the trained-IVF oracle bakes centroid literals per scale factor
+    # (embeddings are generated independently per sf); the registry carries
+    # the driver's sf0.01 build — rebuild for the local SF_DIR here
+    if name == "ann_topk_ivf_trained":
+        from kafka_cdc_hudi_spark.plans.catalog_streaming import ivf_trained_sql_for
+
+        return ivf_trained_sql_for(SF_DIR) or sql
+    return sql
+
+
+ORACLE_CASES = [
+    (n, fn, _local_sql(n, sql)) for n, (fn, sql) in REGISTRY.items() if sql is not None
+]
 
 
 @pytest.mark.parametrize("name,fn,sql", ORACLE_CASES, ids=[c[0] for c in ORACLE_CASES])

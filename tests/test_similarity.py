@@ -84,12 +84,36 @@ def test_ivf_static_codebook_recall(spark, emb, exact):
 
     cents = ivf_static_codebook(DIM, _IVF_CELLS)
     assigned = ivf_assign(emb, cents)
-    n_cells_used = assigned.select("cell").distinct().count()
-    assert n_cells_used > 1, "static codebook degenerate: all vectors in one cell"
+    occupancy = {r["cell"]: r["n"] for r in assigned.groupBy("cell").agg(F.count("*").alias("n")).collect()}
+    assert len(occupancy) > 1, "static codebook degenerate: all vectors in one cell"
+    # occupancy balance: no cell may swallow the corpus (a near-degenerate
+    # codebook keeps the oracle hash-green but guts the probe pruning that
+    # justifies IVF at scale)
+    n_total = sum(occupancy.values())
+    assert max(occupancy.values()) <= 0.6 * n_total, f"cell imbalance: {occupancy}"
     q = emb.filter(F.col("vec_id") < 10)
     approx = ivf_topk(q, assigned, cents, k=10, n_probe=_IVF_PROBE).collect()
     r = _recall(approx, exact)
     assert r >= 0.3, f"static-codebook IVF recall@10 too low: {r}"
+
+
+def test_ivf_trained_entry_recall_and_balance(spark, emb, exact):
+    """The trained catalog entry (ann_topk_ivf_trained) is hash-oracled
+    end-to-end, but hash parity can't catch a QUALITY regression in the
+    trainer itself — pin recall (trained should beat the static floor) and
+    cell balance on the SQL-sample-trained centroids."""
+    from kafka_cdc_hudi_spark.operators.similarity import ivf_train_sql_sample
+    from kafka_cdc_hudi_spark.plans.catalog_streaming import _IVF_CELLS, _IVF_PROBE
+
+    cents = ivf_train_sql_sample(emb, n_cells=_IVF_CELLS, iters=5)
+    assigned = ivf_assign(emb, cents)
+    occupancy = {r["cell"]: r["n"] for r in assigned.groupBy("cell").agg(F.count("*").alias("n")).collect()}
+    n_total = sum(occupancy.values())
+    assert len(occupancy) > 1 and max(occupancy.values()) <= 0.6 * n_total
+    q = emb.filter(F.col("vec_id") < 10)
+    approx = ivf_topk(q, assigned, cents, k=10, n_probe=_IVF_PROBE).collect()
+    r = _recall(approx, exact)
+    assert r >= 0.5, f"trained IVF recall@10 too low: {r}"
 
 
 def test_ivf_assign_pandas_matches_native(spark, emb):
