@@ -33,6 +33,75 @@ def test_salted_phase1_bounds_rows(spark):
     assert per_key[0] <= 5 * 8
 
 
+def test_hot_key_merge_agg_skew_immunity(spark):
+    """VERDICT r5 item 6, mechanized: on a hot-key batch (80% of 2M events
+    on one PK) the ``latest_per_key_agg`` merge strategy stays flat because
+    map-side combine collapses the hot key per input partition BEFORE the
+    shuffle — an operator property, independent of optimizer rules. The
+    window strategy is only saved by Catalyst's WindowGroupLimit partial
+    mode; with that rule disabled (threshold=-1) the hot partition must
+    sort ~1.6M rows in one task and measurably degrades (~4x on local[32];
+    asserted >= 2x with flake margin), while the agg strategy is unaffected
+    by the same knob. This is why the keyed-merge sinks fold with
+    ``latest_per_key_agg`` (sinks/keyed_table.py): at 100 TB a hot key
+    cannot pin a reducer.
+
+    Both strategies agree on the result (asserted exactly)."""
+    import time
+
+    from kafka_cdc_hudi_spark.operators.dedup import latest_per_key, latest_per_key_agg
+
+    n = 2_000_000
+    df = (
+        spark.range(n)
+        .select(
+            F.when(F.col("id") % 5 != 0, 0)
+            .otherwise(F.pmod(F.col("id"), 100_000) + 1)
+            .alias("pk"),
+            F.col("id").alias("mtime"),
+            (F.col("id") % 997).alias("payload"),
+        )
+        .repartition(32)
+        .cache()
+    )
+    df.count()
+
+    def best_of(fn, runs=2):
+        best = None
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn().count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return best
+
+    window = lambda: latest_per_key(df, ["pk"], "mtime", tiebreakers=["payload"])  # noqa: E731
+    agg = lambda: latest_per_key_agg(df, ["pk"], "mtime", tiebreakers=["payload"])  # noqa: E731
+
+    key = "spark.sql.optimizer.windowGroupLimitThreshold"
+    default = spark.conf.get(key)
+    try:
+        w_on, a_on = best_of(window), best_of(agg)
+        spark.conf.set(key, "-1")
+        w_off, a_off = best_of(window), best_of(agg)
+    finally:
+        spark.conf.set(key, default)
+        df.unpersist()
+
+    print(
+        f"\nhot-key merge: window {w_on:.2f}s/{w_off:.2f}s (limit on/off), "
+        f"agg {a_on:.2f}s/{a_off:.2f}s, degradation {w_off / a_off:.2f}x"
+    )
+    # agg is skew-immune by construction: the optimizer knob must not matter
+    assert a_off <= a_on * 2 + 0.5, f"agg became rule-dependent: {a_on:.2f}s -> {a_off:.2f}s"
+    # the un-pruned window pays the hot-partition sort; agg does not
+    assert w_off >= 2.0 * a_off, f"expected >=2x window degradation, got {w_off / a_off:.2f}x"
+    # and the two strategies compute the same thing
+    a_rows = {tuple(r) for r in agg().collect()}
+    w_rows = {tuple(r) for r in window().collect()}
+    assert a_rows == w_rows
+
+
 def test_salt_spreads_constant_order_values(spark):
     """A hot key whose rows all share one mtime must still spread across
     salt buckets (the all-columns hash), not collapse into one."""
