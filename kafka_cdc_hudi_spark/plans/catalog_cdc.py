@@ -207,7 +207,13 @@ def _mor_table(spark: SparkSession, sf_dir: str):
     from kafka_cdc_hudi_spark.sinks.keyed_table import KeyedParquetTable
 
     env = debezium_envelopes(_events(spark, sf_dir))
-    parsed = parse_debezium(env, EVENTS_PAYLOAD_SCHEMA)
+    # Batch cache (reference O5, /root/reference/glue/cdc_hudi.py:255): the
+    # two commits below are separate WRITE actions, and without a persist
+    # each re-executes the whole generate+to_json+from_json fixture lineage
+    # (~0.4s/commit at sf0.1, measured single-tenant r6). The streaming
+    # driver persists real batches the same way; safe to unpersist eagerly
+    # because the fold-read scans sink files, not this lineage.
+    parsed = parse_debezium(env, EVENTS_PAYLOAD_SCHEMA).persist()
     a = parsed.filter(F.col("event_id") % 2 == 0).drop("operation")
     b = parsed.filter(F.col("event_id") % 2 == 1).drop("operation")
     t = KeyedParquetTable(
@@ -216,9 +222,12 @@ def _mor_table(spark: SparkSession, sf_dir: str):
     )
     # serialize the build: concurrent first-invocations would race the
     # batch-id replay check and double-commit
-    with _MOR_LOCK:
-        t.merge_batch(spark, a, batch_id=0)
-        t.merge_batch(spark, b, batch_id=1)
+    try:
+        with _MOR_LOCK:
+            t.merge_batch(spark, a, batch_id=0)
+            t.merge_batch(spark, b, batch_id=1)
+    finally:
+        parsed.unpersist()
     return t
 
 
@@ -260,7 +269,8 @@ def _bucketed_table(spark: SparkSession, sf_dir: str):
     )
 
     env = debezium_envelopes(_events(spark, sf_dir))
-    parsed = parse_debezium(env, EVENTS_PAYLOAD_SCHEMA)
+    # batch cache across the two write actions — see _mor_table
+    parsed = parse_debezium(env, EVENTS_PAYLOAD_SCHEMA).persist()
     a = parsed.filter(F.col("event_id") % 2 == 0).drop("operation")
     b = parsed.filter(F.col("event_id") % 2 == 1).drop("operation")
     t = KeyedParquetTable(
@@ -271,9 +281,12 @@ def _bucketed_table(spark: SparkSession, sf_dir: str):
         mode=MODE_COW_BUCKETED,
         n_buckets=16,
     )
-    with _MOR_LOCK:
-        t.merge_batch(spark, a, batch_id=0)
-        t.merge_batch(spark, b, batch_id=1)
+    try:
+        with _MOR_LOCK:
+            t.merge_batch(spark, a, batch_id=0)
+            t.merge_batch(spark, b, batch_id=1)
+    finally:
+        parsed.unpersist()
     return t
 
 

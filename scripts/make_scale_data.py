@@ -1,0 +1,91 @@
+"""Generate upsampled scale-test data (VERDICT r5 item 5).
+
+Upsamples /root/testdata/sf0.1 by an integer factor into
+.scaledata/sf{factor/10} (gitignored) so the heavy query set can be
+measured at ~10x and checked for ~linear scaling. Deterministic, preserves
+per-key density (both keys AND rows multiply by the factor):
+
+- events: copy i shifts event_id by i*100000 (a multiple of 10, so the
+  CDC fixtures' id%2 / id%10 op assignment distribution is preserved) and
+  user_id by i*1500 — events-per-user stays constant, sessions per user
+  stay constant, hot-key structure is replicated rather than inflated.
+- documents: copy i shifts doc_id by i*5000 and rotates the text alphabet
+  with copy-specific `translate` mappings, so cross-copy documents are NOT
+  near-duplicates — otherwise minhash/LSH candidate pairs would grow
+  quadratically in the copy factor instead of linearly with the corpus,
+  which would measure fixture artifacts, not scaling.
+
+Usage: python scripts/make_scale_data.py [factor]   (default 10)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from kafka_cdc_hudi_spark.session import get_spark
+from kafka_cdc_hudi_spark.sources.tables import load_table
+
+SRC = "/root/testdata/sf0.1"
+EVENT_ID_STEP = 100_000  # > max event_id, multiple of 10
+USER_ID_STEP = 1_500  # > max user_id
+DOC_ID_STEP = 5_000  # > max doc_id
+
+#: per-copy consonant rotations: each copy maps the alphabet differently so
+#: shingles differ across copies (vowels/spaces kept: text stays text-like)
+_SRC_ALPHA = "bcdfghjklmnpqrstvwxz"
+
+
+def _rot(i: int) -> str:
+    return _SRC_ALPHA[i % len(_SRC_ALPHA) :] + _SRC_ALPHA[: i % len(_SRC_ALPHA)]
+
+
+def main(factor: int = 10) -> str:
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scaledata",
+        f"sf{factor / 10:g}",
+    )
+    spark = get_spark(shuffle_partitions=32)
+
+    events = load_table(spark, SRC, "events")
+    copies = [
+        events.select(
+            (F.col("event_id") + i * EVENT_ID_STEP).alias("event_id"),
+            "ts",
+            (F.col("user_id") + i * USER_ID_STEP).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        for i in range(factor)
+    ]
+    ev = copies[0]
+    for c in copies[1:]:
+        ev = ev.unionByName(c)
+    ev.repartition(32).write.mode("overwrite").parquet(os.path.join(out_dir, "events.parquet"))
+
+    docs = load_table(spark, SRC, "documents")
+    dcopies = [
+        docs.select(
+            (F.col("doc_id") + i * DOC_ID_STEP).alias("doc_id"),
+            (F.translate(F.col("text"), _SRC_ALPHA, _rot(i)) if i else F.col("text")).alias("text"),
+            *[c for c in docs.columns if c not in ("doc_id", "text")],
+        )
+        for i in range(factor)
+    ]
+    dc = dcopies[0]
+    for c in dcopies[1:]:
+        dc = dc.unionByName(c)
+    dc.repartition(8).write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
+
+    print(f"wrote {out_dir}: events x{factor}, documents x{factor}")
+    return out_dir
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 10)

@@ -1,0 +1,102 @@
+"""Streaming soak: 100k Debezium events (sf0.1) through the full driver.
+
+Measures end-to-end micro-batch throughput (parse + route + merge + commit
+x 5 batches) for MOR and COW sinks and oracle-checks the final MOR state.
+This is the round-over-round throughput signal standing in for the
+reference's production workload (PLANS.md "Streaming throughput").
+
+Usage: python scripts/soak.py [mor|cow|both]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+from kafka_cdc_hudi_spark.config import DIALECT_DEBEZIUM, JobConfig, TableSpec  # noqa: E402
+from kafka_cdc_hudi_spark.plans.cdc_fixtures import debezium_envelopes  # noqa: E402
+from kafka_cdc_hudi_spark.session import get_spark  # noqa: E402
+from kafka_cdc_hudi_spark.sources.kafka import json_file_value_stream  # noqa: E402
+from kafka_cdc_hudi_spark.sources.tables import load_table  # noqa: E402
+from kafka_cdc_hudi_spark.streaming.driver import CdcStreamDriver  # noqa: E402
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_FILES = 5
+
+
+def run(spark, mode: str, src: str, n_events: int, check: bool = True) -> None:
+    work = tempfile.mkdtemp(prefix=f"soak_{mode}_")
+    spec = TableSpec(db="test_db", table="events", primary_keys=("user_id",))
+    cfg = JobConfig(
+        dialect=DIALECT_DEBEZIUM,
+        tables=[spec],
+        sink_root=os.path.join(work, "sink"),
+        checkpoint_location=os.path.join(work, "ckpt"),
+        sink_mode=mode,
+        trigger_interval="0 seconds",  # drain-the-source; 30s would serialize
+        max_workers=2,
+    )
+    driver = CdcStreamDriver(spark, cfg)
+    t0 = time.perf_counter()
+    q = driver.start(json_file_value_stream(spark, src, max_files_per_trigger=1))
+    q.processAllAvailable()
+    q.stop()
+    dt = time.perf_counter() - t0
+    state = driver.sink_for(spec).read(spark)
+    n_state = state.count()
+    print(f"{mode}: {dt:.1f} s  ({n_events / dt / 1000:.1f}k ev/s)  final state {n_state} rows")
+
+    if check and mode == "mor":  # oracle-exact check on the fold path
+        got = {(r["user_id"], r["event_id"]) for r in state.collect()}
+        want = {
+            tuple(r)
+            for r in duckdb.sql(f"""
+              SELECT user_id, event_id FROM (
+                SELECT user_id, event_id, event_id % 10 = 0 AS del
+                FROM read_parquet('{SF}/events.parquet')
+                QUALIFY row_number() OVER (PARTITION BY user_id
+                    ORDER BY ts DESC, event_id DESC) = 1
+              ) WHERE NOT del
+            """).fetchall()
+        }
+        assert got == want, f"MOR state mismatch: {len(got)} vs {len(want)}"
+        print("mor: state oracle-exact")
+    shutil.rmtree(work, ignore_errors=True)
+
+
+def main() -> None:
+    which = sys.argv[1] if len(sys.argv) > 1 else "both"
+    spark = get_spark(shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    src = tempfile.mkdtemp(prefix="soak_src_")
+    env = debezium_envelopes(load_table(spark, SF, "events"))
+    n_events = env.count()
+    # .write.text, NOT .write.json (which double-encodes into {"value": ...})
+    env.select("value").repartition(N_FILES).write.mode("overwrite").text(src)
+
+    # warmup: tiny end-to-end pass so the FIRST measured mode doesn't absorb
+    # ~10 s of one-time codegen (PLANS.md measurement trap #1)
+    warm_src = tempfile.mkdtemp(prefix="soak_warm_")
+    debezium_envelopes(load_table(spark, "/root/testdata/sf0.001", "events")).select(
+        "value"
+    ).coalesce(1).write.mode("overwrite").text(warm_src)
+    for m in ("mor", "cow") if which == "both" else (which,):
+        run(spark, m, warm_src, 1, check=False)
+    print(f"-- warmed; soaking {n_events} events from {N_FILES} files --")
+
+    for m in ("mor", "cow") if which == "both" else (which,):
+        run(spark, m, src, n_events)
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(warm_src, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
