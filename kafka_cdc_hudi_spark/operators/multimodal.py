@@ -26,6 +26,7 @@ deterministic fake kernels (``fake=True``) remain for plumbing coverage.
 from __future__ import annotations
 
 import hashlib
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -34,6 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -280,6 +282,112 @@ def resize_images(df: DataFrame, width: int, height: int, fake: bool = False) ->
             )
 
     return df.mapInPandas(resize_batches, RESIZED_SCHEMA)
+
+
+# -- audio (REAL stdlib WAV codec) -------------------------------------------
+
+#: audio decode output: container params + exact sample statistics
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_channels", IntegerType(), True),
+        StructField("n_samples", IntegerType(), True),
+        StructField("peak_amp", IntegerType(), True),
+        StructField("sum_sq", LongType(), True),
+        StructField("rms", DoubleType(), True),
+    ]
+)
+
+#: WAV fixture formulas — mirrored verbatim in the DuckDB oracle
+#: (plans/catalog_text.py MULTIMODAL_DECODE_WAV_SQL)
+WAV_FIXTURE_MAX_SAMPLES = 256
+
+
+def _wav_fixture_rate(doc_id: int) -> int:
+    return 8000 + (doc_id % 8) * 1000
+
+
+def documents_as_wav(docs: DataFrame) -> DataFrame:
+    """Synthesize REAL PCM16 WAV blobs from document text: sample i is
+    ``(byte_i - 128) * 256`` over the first 256 bytes, mono, doc-id-derived
+    sample rate. Output is MEDIA_SCHEMA with genuine RIFF/WAVE bytes — the
+    real audio decode path's input (same fixture idiom as
+    :func:`documents_as_png`)."""
+    from kafka_cdc_hudi_spark.functions.wav import encode_wav
+
+    src = docs.select(F.col("doc_id").alias("media_id"), "text")
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for mid, text in zip(pdf["media_id"], pdf["text"]):
+                raw = (text or "").encode("utf-8")[:WAV_FIXTURE_MAX_SAMPLES]
+                samples = [(b - 128) * 256 for b in raw] or [0]
+                blobs.append(encode_wav(samples, _wav_fixture_rate(int(mid)), channels=1))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "content": blobs,
+                    "format": ["wav"] * len(pdf),
+                    "byte_len": pd.Series([len(b) for b in blobs], dtype="int64"),
+                }
+            )
+
+    return src.mapInPandas(encode_batches, MEDIA_SCHEMA)
+
+
+def decode_audio(df: DataFrame) -> DataFrame:
+    """Audio decode stage: media frame -> AUDIO_FEATURES_SCHEMA through the
+    REAL pure-stdlib WAV codec (functions/wav.py). Emits exact integer
+    sample statistics (count, peak, sum of squares) plus RMS — the integer
+    stats make the stage fully SQL-oracle-able, and sqrt/division are
+    IEEE-correctly-rounded so even the double matches bit-for-bit.
+    Compressed audio (mp3/ogg) raises NotImplementedError: those need
+    external codecs this container lacks."""
+    from kafka_cdc_hudi_spark.functions.wav import decode_wav
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                content = bytes(content or b"")
+                if content[:4] != b"RIFF":
+                    raise NotImplementedError(
+                        "real audio decode implemented for PCM WAV only; "
+                        "compressed formats need external codecs"
+                    )
+                rate, channels, samples = decode_wav(content)
+                sum_sq = sum(s * s for s in samples)
+                # int/int true division and sqrt are both IEEE correctly
+                # rounded -> the double matches DuckDB's bit-for-bit
+                rms = math.sqrt(sum_sq / len(samples)) if samples else 0.0
+                rows.append(
+                    (
+                        int(mid),
+                        rate,
+                        channels,
+                        len(samples),
+                        max((abs(s) for s in samples), default=0),
+                        sum_sq,
+                        rms,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "n_channels", "n_samples",
+                    "peak_amp", "sum_sq", "rms",
+                ],
+            ).astype(
+                {
+                    "media_id": "int64", "sample_rate": "int32",
+                    "n_channels": "int32", "n_samples": "int32",
+                    "peak_amp": "int32", "sum_sq": "int64", "rms": "float64",
+                }
+            )
+
+    return df.mapInPandas(decode_batches, AUDIO_FEATURES_SCHEMA)
 
 
 #: frame-sample output: one row per sampled frame (one-to-many stage)

@@ -45,8 +45,10 @@ FULL_REGISTRY.update(STREAMING_QUERIES)
 #:         | multimodal_decode_png (NEW),                 | embedding_quantize_int8,
 #:         | ann_topk_ivf_trained (NEW)                   | events_pivot_user_counts,
 #:         |                                              | active_user_set_ops (due r8)
-#:   r7    | the 5 due-r7 above + first half of the       | 5+ long-green swaps from the
-#:         | legacy-pruned pool (cdc_latest_per_key,      | r6 IN set / stable block
+#:   r7    | multimodal_decode_wav, dataset_quota_per_    | matching long-green swaps
+#:         | group, text_rare_token_fraction (NEW r6,     | from the r6 IN set /
+#:         | born past the cap) + the 5 due-r7 above +    | stable block
+#:         | legacy-pool half A (cdc_latest_per_key,      |
 #:         | q6_forecast_revenue, events_rollup,          |
 #:         | events_tumbling_windows, text_token_count,   |
 #:         | cdc_merge_bucketed)                          |
@@ -95,6 +97,12 @@ PRUNED: dict[str, str] = {
     "embedding_quantize_int8": "ann_topk_bruteforce (same array math, zero-shuffle projection)",
     "events_pivot_user_counts": "events_cube (Expand agg) + events_hourly_agg (one-shuffle keyed agg)",
     "active_user_set_ops": "customers_without_orders (anti/semi) + events_retention_cohorts (set overlap)",
+    # NEW in round 6 (after the cap was already filled by this round's five
+    # rotations); full DuckDB oracles in test_oracle.py; first in the r7 IN
+    # set per the schedule above
+    "multimodal_decode_wav": "driver cap — NEW r6, full oracle locally; rotate in r7",
+    "dataset_quota_per_group": "driver cap — NEW r6, full oracle locally; rotate in r7",
+    "text_rare_token_fraction": "driver cap — NEW r6, full oracle locally; rotate in r7",
 }
 
 #: driver evaluation order: previously-unverified entries first (registry

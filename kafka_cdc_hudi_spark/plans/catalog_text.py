@@ -1305,6 +1305,141 @@ FROM m
 """
 
 
+def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, end-to-end: synthesize genuine PCM16 RIFF/WAVE
+    blobs from document bytes, then decode through the pure-stdlib WAV
+    codec (functions/wav.py: chunk walk with unknown-chunk skip + padding,
+    fmt validation, int16 unpack) and emit exact sample statistics. The
+    integer stats (count/peak/sum-of-squares) are predicted by DuckDB from
+    the fixture formulas; RMS = sqrt(sum_sq / n) matches bit-for-bit
+    because int/int division and sqrt are IEEE correctly rounded in both
+    engines. Audio counterpart of ``multimodal_decode_png`` — no fake
+    kernel anywhere in this entry."""
+    from kafka_cdc_hudi_spark.operators.multimodal import (
+        decode_audio,
+        documents_as_wav,
+        media_repartition,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = media_repartition(documents_as_wav(docs), avg_row_bytes=1024)
+    return decode_audio(media)
+
+
+MULTIMODAL_DECODE_WAV_SQL = """
+WITH s AS (
+  -- fixture formulas mirror operators/multimodal.py::documents_as_wav:
+  -- sample i = (byte_i - 128) * 256 over the first 256 bytes (ASCII docs,
+  -- so ascii(substring(..)) == the byte), rate = 8000 + doc_id%8 * 1000
+  SELECT doc_id,
+         CAST(8000 + (doc_id % 8) * 1000 AS INT) AS sample_rate,
+         (ascii(substring(text, CAST(i AS BIGINT), 1)) - 128) * 256 AS amp
+  FROM documents,
+       LATERAL unnest(generate_series(1, least(length(text), 256))) t(i)
+)
+SELECT doc_id AS media_id,
+       sample_rate,
+       CAST(1 AS INT) AS n_channels,
+       CAST(COUNT(*) AS INT) AS n_samples,
+       CAST(MAX(abs(amp)) AS INT) AS peak_amp,
+       CAST(SUM(amp * amp) AS BIGINT) AS sum_sq,
+       sqrt(CAST(SUM(amp * amp) AS DOUBLE) / COUNT(*)) AS rms
+FROM s
+GROUP BY doc_id, sample_rate
+"""
+
+
+#: max docs kept per language by the quota sampler
+QUOTA_PER_GROUP = 100
+QUOTA_SALT = "quota_v1"
+
+
+def dataset_quota_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-capped sampling: keep at most QUOTA_PER_GROUP docs per
+    language, chosen by deterministic salted-md5 order (not arrival order,
+    which is partition-layout-dependent). Complements the rate-based
+    stratified sampler: rates bound the FRACTION, quotas bound the COUNT —
+    the 'at most N examples per domain/source' rule of corpus mixing.
+
+    Scale shape: one shuffle on the group key + row_number, and
+    WindowGroupLimit prunes every input partition to its local top-N
+    before the exchange — so a dominant group (80% of a web corpus in one
+    language) moves at most N rows per upstream partition, not its whole
+    slice."""
+    d = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f"|{QUOTA_SALT}")))
+    w = Window.partitionBy("lang").orderBy(key.asc(), F.col("doc_id").asc())
+    return (
+        d.select("doc_id", "lang", key.alias("pick_key"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= QUOTA_PER_GROUP)
+        .select("doc_id", "lang", F.col("rank"))
+    )
+
+
+DATASET_QUOTA_SQL = f"""
+SELECT doc_id, lang,
+       CAST(row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || '|{QUOTA_SALT}'), doc_id
+       ) AS INT) AS rank
+FROM documents
+QUALIFY rank <= {QUOTA_PER_GROUP}
+"""
+
+
+#: corpus document-frequency at or below which a term counts as "rare"
+RARE_DF_MAX = 2
+
+
+def text_rare_token_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-aware quality signal: the fraction of each document's tokens
+    whose corpus document-frequency is <= RARE_DF_MAX — high fractions
+    flag gibberish/OCR noise/boilerplate-free outliers (the cheap stand-in
+    for LM-perplexity filtering, computable without a model). All counts
+    are integers and the fraction is a single int/int division, so the
+    doubles are bit-identical across engines (no log/exp).
+
+    Plan: same two-agg + join-back family as tf-idf — (doc, term) counts
+    with map-side partials, term document-frequencies from those counts,
+    join back (AQE broadcasts the term dictionary when small), one final
+    per-doc agg."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    rare_tf = F.when(F.col("df") <= RARE_DF_MAX, F.col("tf")).otherwise(F.lit(0))
+    return (
+        tf.join(dfreq, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(rare_tf).alias("n_rare_tokens"),
+        )
+        .withColumn(
+            "rare_fraction",
+            F.col("n_rare_tokens").cast("double") / F.col("n_tokens").cast("double"),
+        )
+    )
+
+
+TEXT_RARE_TOKEN_SQL = f"""
+WITH tok AS (SELECT doc_id, unnest({_DK_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
+SELECT doc_id,
+       CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN df <= {RARE_DF_MAX} THEN tf ELSE 0 END) AS BIGINT) AS n_rare_tokens,
+       CAST(SUM(CASE WHEN df <= {RARE_DF_MAX} THEN tf ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(tf) AS DOUBLE) AS rare_fraction
+FROM tf JOIN dfreq USING (term)
+GROUP BY doc_id
+"""
+
+
 TEXT_QUERIES: dict[str, tuple] = {
     "text_token_count": (text_token_count, TEXT_TOKEN_COUNT_SQL),
     "text_quality_score": (text_quality_score, TEXT_QUALITY_SQL),
@@ -1333,4 +1468,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "multimodal_frame_sample": (multimodal_frame_sample, MULTIMODAL_FRAME_SAMPLE_SQL),
     "multimodal_resize": (multimodal_resize, MULTIMODAL_RESIZE_SQL),
     "multimodal_decode_png": (multimodal_decode_png, MULTIMODAL_DECODE_PNG_SQL),
+    "multimodal_decode_wav": (multimodal_decode_wav, MULTIMODAL_DECODE_WAV_SQL),
+    "dataset_quota_per_group": (dataset_quota_per_group, DATASET_QUOTA_SQL),
+    "text_rare_token_fraction": (text_rare_token_fraction, TEXT_RARE_TOKEN_SQL),
 }

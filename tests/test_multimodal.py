@@ -160,6 +160,55 @@ def test_real_resize_png_roundtrip(spark):
     media.unpersist()
 
 
+# -- real WAV codec path ------------------------------------------------------
+
+
+def test_wav_codec_roundtrip_and_chunk_skip():
+    import random
+    import struct
+
+    from kafka_cdc_hudi_spark.functions.wav import decode_wav, encode_wav
+
+    rng = random.Random(11)
+    for _ in range(20):
+        ch = rng.choice([1, 2])
+        samples = [rng.randint(-32768, 32767) for _ in range(rng.randint(1, 300) * ch)]
+        rate = rng.choice([8000, 22050, 44100])
+        assert decode_wav(encode_wav(samples, rate, ch)) == (rate, ch, samples)
+    # real-world WAVs carry LIST/INFO chunks (odd sizes are word-padded):
+    # the decoder must skip unknown chunks, not choke
+    w = encode_wav([1, -2, 3], 8000)
+    lst = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    spliced = bytearray(w[:12] + lst + w[12:])
+    spliced[4:8] = struct.pack("<I", len(spliced) - 8)
+    assert decode_wav(bytes(spliced))[2] == [1, -2, 3]
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxNOPE")
+    with pytest.raises(ValueError):
+        decode_wav(w[:-3])  # truncated data chunk
+
+
+def test_real_decode_wav_end_to_end(spark):
+    """documents -> real WAV encode -> REAL stdlib decode: rates, counts,
+    and exact integer sample stats must match the fixture formulas."""
+    from kafka_cdc_hudi_spark.operators.multimodal import (
+        _wav_fixture_rate,
+        decode_audio,
+        documents_as_wav,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").limit(30)
+    out = {r["media_id"]: r for r in decode_audio(documents_as_wav(docs)).collect()}
+    src = {r["doc_id"]: r["text"].encode()[:256] for r in docs.collect()}
+    assert set(out) == set(src) and out
+    for mid, row in out.items():
+        amps = [(b - 128) * 256 for b in src[mid]]
+        assert row["sample_rate"] == _wav_fixture_rate(mid)
+        assert (row["n_channels"], row["n_samples"]) == (1, len(amps))
+        assert row["peak_amp"] == max(abs(a) for a in amps)
+        assert row["sum_sq"] == sum(a * a for a in amps)
+
+
 def test_sample_frames_cardinality_and_hashes(spark, media):
     import hashlib
 

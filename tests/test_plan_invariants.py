@@ -23,8 +23,14 @@ _PY_MARKERS = (
 )
 
 #: queries whose SEMANTICS require Python (Arrow-batched by design):
-#: multimodal decode plumbing runs mapInPandas
-_PY_EXEMPT = {"multimodal_meta", "multimodal_frame_sample", "multimodal_resize"}
+#: multimodal encode/decode kernels run mapInPandas
+_PY_EXEMPT = {
+    "multimodal_meta",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "multimodal_decode_png",
+    "multimodal_decode_wav",
+}
 
 #: iterative/self-checking queries that run driver-side loops — their
 #: RETURNED frame is still checked, but building them is slower; keep them
