@@ -46,8 +46,10 @@ FULL_REGISTRY.update(STREAMING_QUERIES)
 #:         | ann_topk_ivf_trained (NEW)                   | events_pivot_user_counts,
 #:         |                                              | active_user_set_ops (due r8)
 #:   r7    | multimodal_decode_wav, dataset_quota_per_    | matching long-green swaps
-#:         | group, text_rare_token_fraction (NEW r6,     | from the r6 IN set /
-#:         | born past the cap) + the 5 due-r7 above +    | stable block
+#:         | group, text_rare_token_fraction,             | from the r6 IN set /
+#:         | text_chunk_overlap, dedup_lines_reconstruct, | stable block
+#:         | text_html_strip (NEW r6,                     |
+#:         | born past the cap) + the 5 due-r7 above +    |
 #:         | legacy-pool half A (cdc_latest_per_key,      |
 #:         | q6_forecast_revenue, events_rollup,          |
 #:         | events_tumbling_windows, text_token_count,   |
@@ -103,6 +105,9 @@ PRUNED: dict[str, str] = {
     "multimodal_decode_wav": "driver cap — NEW r6, full oracle locally; rotate in r7",
     "dataset_quota_per_group": "driver cap — NEW r6, full oracle locally; rotate in r7",
     "text_rare_token_fraction": "driver cap — NEW r6, full oracle locally; rotate in r7",
+    "text_chunk_overlap": "driver cap — NEW r6, full oracle locally; rotate in r7",
+    "dedup_lines_reconstruct": "driver cap — NEW r6, full oracle locally; rotate in r7",
+    "text_html_strip": "driver cap — NEW r6, full oracle locally; rotate in r7",
 }
 
 #: driver evaluation order: previously-unverified entries first (registry

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kafka_cdc_hudi_spark.functions.timefns import floordiv_long
 from kafka_cdc_hudi_spark.functions.textfns import (
     HEX_DIGITS,
     MINHASH_BAND,
@@ -1440,6 +1441,220 @@ GROUP BY doc_id
 """
 
 
+# -- chunking / sub-document dedup / markup ingest ----------------------------
+
+#: token-window chunking: CHUNK_SIZE tokens per chunk, starts CHUNK_STRIDE
+#: apart -> CHUNK_SIZE - CHUNK_STRIDE tokens of overlap between neighbors
+#: (the RAG/pretraining chunker; the windowed complement of
+#: dataset_pack_sequences, which concatenates instead of splitting)
+CHUNK_SIZE, CHUNK_STRIDE = 32, 24
+
+
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split each document into overlapping token windows: chunk ``i``
+    covers tokens ``[i*stride, i*stride + size)``; the last window is the
+    first one that reaches the end of the document (short tail kept).
+
+    Scale shape: tokenize + ``sequence``/``explode`` + ``slice`` — a pure
+    codegen'd generate with ZERO shuffle; output rows ~= corpus_tokens /
+    stride regardless of document skew, and chunking parallelism is scan
+    parallelism. ``floordiv_long`` keeps the chunk-count math exact past
+    2^53 (pathological but free to guard)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n = F.size(toks).cast("long")
+    extra = floordiv_long(
+        n - CHUNK_SIZE + (CHUNK_STRIDE - 1), CHUNK_STRIDE
+    )  # = ceil((n - size) / stride) for n > size
+    n_chunks = F.when(n <= CHUNK_SIZE, F.lit(1).cast("long")).otherwise(1 + extra)
+    base = d.select("doc_id", toks.alias("toks"), n_chunks.alias("n_chunks"))
+    c = base.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.col("n_chunks") - 1)
+        ).alias("chunk_id"),
+        "toks",
+    )
+    chunk_toks = F.slice(
+        F.col("toks"), (F.col("chunk_id") * CHUNK_STRIDE + 1).cast("int"), CHUNK_SIZE
+    )
+    return c.select(
+        "doc_id",
+        "chunk_id",
+        F.array_join(chunk_toks, " ").alias("chunk_text"),
+        F.size(chunk_toks).cast("long").alias("n_tokens"),
+    )
+
+
+TEXT_CHUNK_OVERLAP_SQL = f"""
+WITH d AS (SELECT doc_id, {_DK_TOKS} AS toks FROM documents),
+t AS (SELECT doc_id, toks,
+             CASE WHEN len(toks) <= {CHUNK_SIZE} THEN 1
+                  ELSE 1 + (len(toks) - {CHUNK_SIZE} + {CHUNK_STRIDE - 1}) // {CHUNK_STRIDE}
+             END AS n_chunks
+      FROM d),
+c AS (SELECT doc_id, unnest(range(0, n_chunks)) AS chunk_id, toks FROM t)
+SELECT doc_id, chunk_id,
+       array_to_string(list_slice(toks, chunk_id * {CHUNK_STRIDE} + 1,
+                                  chunk_id * {CHUNK_STRIDE} + {CHUNK_SIZE}), ' ') AS chunk_text,
+       CAST(len(list_slice(toks, chunk_id * {CHUNK_STRIDE} + 1,
+                           chunk_id * {CHUNK_STRIDE} + {CHUNK_SIZE})) AS BIGINT) AS n_tokens
+FROM c
+"""
+
+
+#: sub-document dedup granularity: LINE_TOKENS-token segments ("lines" of
+#: the newline-free fixture). 4 tokens over the small fixture vocabulary
+#: collides across documents at every SF (same calibration argument as
+#: _DECON_N); real corpora would segment on '\n'
+LINE_TOKENS = 4
+
+
+def dedup_lines_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style sub-document deduplication: segment every document into
+    LINE_TOKENS-token lines, keep only the corpus-wide FIRST occurrence of
+    each distinct line (ordered by doc_id, line position), then reconstruct
+    each document from its surviving lines in original order. Documents
+    whose lines all lost vanish entirely — exactly C4's semantics.
+
+    Scale shape: one shuffle on line content for first-occurrence-wins
+    (``row_number`` rank-1 filter -> WindowGroupLimit prunes each input
+    partition to one candidate per line before the exchange, so a
+    boilerplate line repeated a billion times moves once per upstream
+    partition, not a billion rows), then one shuffle on doc_id to
+    reassemble. No join-back: the winner filter and the reassembly read the
+    same exploded stream."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n = F.size(toks).cast("long")
+    n_lines = floordiv_long(n + (LINE_TOKENS - 1), LINE_TOKENS)  # ceil(n / LINE)
+    base = d.select("doc_id", toks.alias("toks"), n_lines.alias("n_lines"))
+    lines = base.select(
+        "doc_id",
+        "n_lines",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.col("n_lines") - 1)
+        ).alias("line_no"),
+        "toks",
+    ).select(
+        "doc_id",
+        "n_lines",
+        "line_no",
+        F.array_join(
+            F.slice(
+                F.col("toks"),
+                (F.col("line_no") * LINE_TOKENS + 1).cast("int"),
+                LINE_TOKENS,
+            ),
+            " ",
+        ).alias("line_text"),
+    )
+    w = Window.partitionBy("line_text").orderBy("doc_id", "line_no")
+    kept = lines.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return kept.groupBy("doc_id").agg(
+        F.count("*").alias("kept_lines"),
+        F.first("n_lines").alias("total_lines"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_no", "line_text"))),
+                lambda x: x["line_text"],
+            ),
+            " ",
+        ).alias("text_dedup"),
+    )
+
+
+DEDUP_LINES_SQL = f"""
+WITH d AS (SELECT doc_id, {_DK_TOKS} AS toks FROM documents),
+t AS (SELECT doc_id, toks, (len(toks) + {LINE_TOKENS - 1}) // {LINE_TOKENS} AS n_lines FROM d),
+l AS (SELECT doc_id, n_lines, unnest(range(0, n_lines)) AS line_no, toks FROM t),
+lines AS (SELECT doc_id, n_lines, line_no,
+                 array_to_string(list_slice(toks, line_no * {LINE_TOKENS} + 1,
+                                            line_no * {LINE_TOKENS} + {LINE_TOKENS}), ' ') AS line_text
+          FROM l),
+kept AS (SELECT * FROM lines
+         QUALIFY row_number() OVER (PARTITION BY line_text ORDER BY doc_id, line_no) = 1)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS kept_lines,
+       any_value(n_lines) AS total_lines,
+       string_agg(line_text, ' ' ORDER BY line_no) AS text_dedup
+FROM kept
+GROUP BY doc_id
+"""
+
+
+_HTML_TAG_RE = "<[^>]+>"
+_HTML_WS_RE = r"\s+"
+_HTML_HREF_RE = 'href="[^"]*"'
+_HTML_TITLE_RE = "<title>([^<]*)</title>"
+
+
+def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup-ingest pass: strip HTML tags to plain text, pull the
+    ``<title>``, and count tags/links — the web-crawl -> training-text
+    extraction step. The fixture corpus is plain text, so deterministic
+    markup is injected first (same pattern as ``text_pii_scrub``'s PII
+    injection): the wrapper varies per doc_id (title, per-doc href, an
+    extra link on even ids) so every output column is value-bearing.
+
+    Pure codegen'd regexp projection, zero shuffle — scan parallelism is
+    the only knob at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    aug = F.concat(
+        F.lit("<html><head><title>Doc "),
+        sid,
+        F.lit("</title></head><body><p>"),
+        F.col("text"),
+        F.lit('</p><a href="https://example.com/d/'),
+        sid,
+        F.lit('">ref</a>'),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.lit('<a href="https://example.com/even">even</a>'),
+        ).otherwise(F.lit("")),
+        F.lit('<br/><div class="footer">end</div></body></html>'),
+    )
+    d = d.select("doc_id", aug.alias("aug"))
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.col("aug"), _HTML_TAG_RE, " "), _HTML_WS_RE, " "
+        )
+    )
+    return d.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.regexp_extract("aug", _HTML_TITLE_RE, 1).alias("title"),
+        F.size(F.regexp_extract_all("aug", F.lit(_HTML_TAG_RE), F.lit(0))).alias(
+            "n_tags"
+        ),
+        F.size(F.regexp_extract_all("aug", F.lit(_HTML_HREF_RE), F.lit(0))).alias(
+            "n_links"
+        ),
+    )
+
+
+TEXT_HTML_STRIP_SQL = f"""
+WITH a AS (
+  SELECT doc_id,
+         '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+         || '</title></head><body><p>' || text
+         || '</p><a href="https://example.com/d/' || CAST(doc_id AS VARCHAR) || '">ref</a>'
+         || CASE WHEN doc_id % 2 = 0
+                 THEN '<a href="https://example.com/even">even</a>' ELSE '' END
+         || '<br/><div class="footer">end</div></body></html>' AS aug
+  FROM documents
+)
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(aug, '{_HTML_TAG_RE}', ' ', 'g'),
+                           '{_HTML_WS_RE}', ' ', 'g')) AS clean_text,
+       regexp_extract(aug, '{_HTML_TITLE_RE}', 1) AS title,
+       CAST(len(regexp_extract_all(aug, '{_HTML_TAG_RE}')) AS INT) AS n_tags,
+       CAST(len(regexp_extract_all(aug, '{_HTML_HREF_RE}')) AS INT) AS n_links
+FROM a
+"""
+
+
 TEXT_QUERIES: dict[str, tuple] = {
     "text_token_count": (text_token_count, TEXT_TOKEN_COUNT_SQL),
     "text_quality_score": (text_quality_score, TEXT_QUALITY_SQL),
@@ -1471,4 +1686,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "multimodal_decode_wav": (multimodal_decode_wav, MULTIMODAL_DECODE_WAV_SQL),
     "dataset_quota_per_group": (dataset_quota_per_group, DATASET_QUOTA_SQL),
     "text_rare_token_fraction": (text_rare_token_fraction, TEXT_RARE_TOKEN_SQL),
+    "text_chunk_overlap": (text_chunk_overlap, TEXT_CHUNK_OVERLAP_SQL),
+    "dedup_lines_reconstruct": (dedup_lines_reconstruct, DEDUP_LINES_SQL),
+    "text_html_strip": (text_html_strip, TEXT_HTML_STRIP_SQL),
 }
