@@ -108,6 +108,11 @@ PRUNED: dict[str, str] = {
     "text_chunk_overlap": "driver cap — NEW r6, full oracle locally; rotate in r7",
     "dedup_lines_reconstruct": "driver cap — NEW r6, full oracle locally; rotate in r7",
     "text_html_strip": "driver cap — NEW r6, full oracle locally; rotate in r7",
+    "q7_volume_shipping": "driver cap — NEW r6, full oracle locally; rotate in r7",
+    "q13_customer_distribution": "driver cap — NEW r6, full oracle locally; rotate in r7",
+    "q18_large_volume_customers": "driver cap — NEW r6, full oracle locally; rotate in r7",
+    "q19_disjunctive_revenue": "driver cap — NEW r6, full oracle locally; rotate in r7",
+    "q22_sales_opportunity": "driver cap — NEW r6, full oracle locally; rotate in r7",
 }
 
 #: driver evaluation order: previously-unverified entries first (registry

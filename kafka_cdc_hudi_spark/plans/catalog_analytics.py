@@ -867,7 +867,230 @@ GROUP BY 1, 2
 """
 
 
+# -- TPC-H plan-shape completions (Q7/Q13/Q18/Q19/Q22 adapted to the ----------
+# -- fixture schemas: no o_comment/c_phone/p_container/partsupp columns) ------
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional nation-pair revenue by ship year.
+    Two aliases of the same dimension (nation as supplier-side and
+    customer-side) both broadcast; lineitem><orders shuffles once on
+    orderkey, everything downstream is broadcast-chained. The OR of the
+    two (supp, cust) orientations is evaluated post-join on broadcast
+    columns — no second shuffle."""
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    # two trading blocs, both orientations (the original uses two single
+    # nations; single-pair volumes in the fixture are too thin to stay
+    # non-vacuous at every SF, blocs of 3 are dense at all of them)
+    bloc_a = ("NATION_1", "NATION_2", "NATION_3")
+    bloc_b = ("NATION_10", "NATION_11", "NATION_12")
+    pair = (
+        F.col("supp_nation").isin(*bloc_a) & F.col("cust_nation").isin(*bloc_b)
+    ) | (F.col("supp_nation").isin(*bloc_b) & F.col("cust_nation").isin(*bloc_a))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
+Q7_SQL = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS {DEC})) AS DOUBLE) AS revenue
+FROM supplier, lineitem, orders, customer, nation n1, nation n2
+WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey AND c_custkey = o_custkey
+  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+  AND ((n1.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+          AND n2.n_name IN ('NATION_10', 'NATION_11', 'NATION_12'))
+    OR (n1.n_name IN ('NATION_10', 'NATION_11', 'NATION_12')
+          AND n2.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')))
+  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+"""
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: order-count-per-customer distribution INCLUDING
+    zero-order customers — the left-outer-join-then-histogram pattern.
+    (The original excludes orders by o_comment pattern; the fixture has no
+    comment column, so the excluded class is '1-URGENT' priority.)
+    One shuffle joins customer with filtered orders on custkey, the
+    per-custkey count reuses that partitioning, and the histogram agg
+    moves at most one row per distinct count value per partition."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+#: Q18 quantity threshold — ~99th percentile of per-order quantity sums in
+#: the fixture (qty/order p99 ~= 270), so the result is non-empty yet
+#: selective at every SF
+_Q18_MIN_QTY = 250
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered aggregate used as a join filter
+    (large-volume orders). The lineitem agg and the orders join share the
+    orderkey partitioning — one shuffle; the surviving order set is tiny
+    (>threshold ~= top 1%), so AQE broadcasts it into orders; customer is
+    a broadcast dim."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(_dsum("l_quantity", "total_qty"))
+        .filter(F.col("total_qty") > _Q18_MIN_QTY)
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+    )
+
+
+Q18_SQL = f"""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) AS total_qty
+FROM customer, orders, lineitem
+WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) > {_Q18_MIN_QTY})
+  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+GROUP BY 1, 2, 3, 4, 5
+"""
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs predicate spanning
+    both join sides (brand/size from part, quantity from lineitem).
+    part broadcasts; the disjunction evaluates post-join in one codegen
+    stage. The common `l_quantity <= 30` envelope is ALSO stated as a
+    conjunct so a derivable range predicate reaches the lineitem scan even
+    though the full disjunction can't be pushed."""
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") <= 30)
+    p = load_table(spark, sf_dir, "part")
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(branch)
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+Q19_SQL = f"""
+SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS {DEC})) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem, part
+WHERE l_partkey = p_partkey AND l_quantity <= 30
+  AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)
+    OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+    OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30))
+"""
+
+
+def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar aggregate subquery feeding a filter, plus
+    an anti join (rich customers with no COMPLETED order, per nation — the
+    fixture has no c_phone, so nationkey stands in for the country code,
+    and every customer has >=1 order so the anti join is against the 'F'
+    status slice, same calibration as customers_without_orders).
+    The scalar avg is one tiny agg broadcast into the filter; the anti
+    join shuffles on custkey only for the filtered (small) build side —
+    AQE converts it to broadcast-anti at dimension scale. Decimal avg ->
+    double on both engines, so the threshold compare is bit-identical."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    thr = c.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast(DEC)).cast("double") / F.count("*")
+        ).alias("avg_bal")
+    )
+    rich = c.crossJoin(F.broadcast(thr)).filter(F.col("c_acctbal") > F.col("avg_bal"))
+    return (
+        rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            _dsum("c_acctbal", "totacctbal"),
+        )
+    )
+
+
+Q22_SQL = f"""
+SELECT c_nationkey, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS {DEC})) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS {DEC})) AS DOUBLE) / COUNT(*)
+                   FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+GROUP BY c_nationkey
+"""
+
+
 ANALYTICS_QUERIES: dict[str, tuple] = {
+    "q7_volume_shipping": (q7_volume_shipping, Q7_SQL),
+    "q13_customer_distribution": (q13_customer_distribution, Q13_SQL),
+    "q18_large_volume_customers": (q18_large_volume_customers, Q18_SQL),
+    "q19_disjunctive_revenue": (q19_disjunctive_revenue, Q19_SQL),
+    "q22_sales_opportunity": (q22_sales_opportunity, Q22_SQL),
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "asof_join_last_click": (asof_join_last_click, ASOF_JOIN_SQL),
     "events_rollup": (events_rollup, EVENTS_ROLLUP_SQL),

@@ -50,6 +50,9 @@ _MUST_BE_NONEMPTY = (
     "dedup_embedding_cosine",
     "customers_without_orders",
     "events_funnel_conversions",
+    "q7_volume_shipping",
+    "q18_large_volume_customers",
+    "q22_sales_opportunity",
 )
 
 

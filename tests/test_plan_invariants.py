@@ -56,6 +56,9 @@ def test_pushdown_reaches_scans(spark):
         ("q6_forecast_revenue", "PushedFilters: ["),
         ("q1_pricing_summary", "PushedFilters: ["),
         ("q10_returned_items", "PushedFilters: ["),
+        # q19: only the conjunctive l_quantity<=30 envelope of the
+        # disjunction is derivable — it must still reach the scan
+        ("q19_disjunctive_revenue", "PushedFilters: ["),
     ]:
         plan = _plan(spark, name)
         scans = [l for l in plan.splitlines() if "FileScan" in l]
@@ -71,7 +74,14 @@ def test_topk_uses_window_group_limit(spark):
 
 
 def test_dimension_joins_broadcast(spark):
-    for name in ("q3_shipping_priority", "q5_local_supplier", "q10_returned_items"):
+    for name in (
+        "q3_shipping_priority",
+        "q5_local_supplier",
+        "q10_returned_items",
+        "q7_volume_shipping",
+        "q18_large_volume_customers",
+        "q22_sales_opportunity",
+    ):
         plan = _plan(spark, name)
         assert "BroadcastHashJoin" in plan, f"{name}: no broadcast join in plan"
 
