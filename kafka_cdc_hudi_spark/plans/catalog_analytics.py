@@ -1085,8 +1085,121 @@ GROUP BY c_nationkey
 """
 
 
+# -- pipeline data-quality surface --------------------------------------------
+
+
+def events_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style table profile in ONE scan: row count, per-column null
+    counts, exact distinct cardinalities, min/max ranges, and derived
+    constraint verdicts (pk uniqueness, completeness). The multi-distinct
+    agg plans as a single pass with Expand (3 distinct groups) — the
+    standard profile plan; at 100 TB you'd swap exact distincts for the
+    HLL sketch variant (events_sketches) and keep this exact pass for
+    audits."""
+    e = load_table(spark, sf_dir, "events")
+
+    def nulls(c: str):
+        return F.count(F.when(F.col(c).isNull(), 1)).alias(f"nulls_{c}")
+
+    return e.agg(
+        F.count("*").alias("n_rows"),
+        (F.count("*") - F.countDistinct("event_id")).alias("n_event_id_dupes"),
+        nulls("ts"),
+        nulls("user_id"),
+        nulls("event_type"),
+        nulls("value"),
+        nulls("props"),
+        F.countDistinct("event_type").alias("n_event_types"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+    ).withColumns(
+        {
+            "pk_unique": F.col("n_event_id_dupes") == 0,
+            "value_complete": F.col("nulls_value") == 0,
+        }
+    )
+
+
+EVENTS_DATA_PROFILE_SQL = """
+SELECT COUNT(*) AS n_rows,
+       COUNT(*) - COUNT(DISTINCT event_id) AS n_event_id_dupes,
+       COUNT(CASE WHEN ts IS NULL THEN 1 END) AS nulls_ts,
+       COUNT(CASE WHEN user_id IS NULL THEN 1 END) AS nulls_user_id,
+       COUNT(CASE WHEN event_type IS NULL THEN 1 END) AS nulls_event_type,
+       COUNT(CASE WHEN value IS NULL THEN 1 END) AS nulls_value,
+       COUNT(CASE WHEN props IS NULL THEN 1 END) AS nulls_props,
+       COUNT(DISTINCT event_type) AS n_event_types,
+       COUNT(DISTINCT user_id) AS n_users,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value,
+       MIN(ts) AS min_ts,
+       MAX(ts) AS max_ts,
+       COUNT(*) - COUNT(DISTINCT event_id) = 0 AS pk_unique,
+       COUNT(CASE WHEN value IS NULL THEN 1 END) = 0 AS value_complete
+FROM events
+"""
+
+#: z-score threshold — calibrated on the fixture's per-type value tails
+#: (|z| > 2.5 flags ~2-3% of events at every SF, non-vacuous and selective)
+_ZSCORE_FLAG = 2.5
+
+
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier flagging: per event_type moments in one
+    agg pass, broadcast back, flag |z| > threshold. Moments come from
+    EXACT decimal sums (sum and sum-of-squares), so mean/variance — and
+    therefore every z — are bit-identical across engines and
+    partitionings; the flagged subset hash-matches. Two scans of events
+    but only ONE shuffle (the tiny per-type moment agg); the join back is
+    a broadcast."""
+    e = load_table(spark, sf_dir, "events")
+    sq = (F.col("value") * F.col("value")).cast(DEC)
+    stats = (
+        e.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast(DEC)).alias("s"),
+            F.sum(sq).alias("s2"),
+        )
+        .withColumn("mean", F.col("s").cast("double") / F.col("n"))
+        .withColumn(
+            "var",
+            F.col("s2").cast("double") / F.col("n") - F.col("mean") * F.col("mean"),
+        )
+        .select("event_type", "mean", "var")
+    )
+    z = (F.col("value") - F.col("mean")) / F.sqrt(F.col("var"))
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .filter(F.col("var") > 0)
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) > _ZSCORE_FLAG)
+        .select("event_id", "event_type", "value", "z")
+    )
+
+
+EVENTS_ANOMALY_ZSCORE_SQL = f"""
+WITH stats AS (
+  SELECT event_type,
+         CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) / COUNT(*) AS mean,
+         CAST(SUM(CAST(value * value AS {DEC})) AS DOUBLE) / COUNT(*)
+           - (CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) / COUNT(*))
+             * (CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) / COUNT(*)) AS var
+  FROM events GROUP BY event_type
+)
+SELECT event_id, event_type, value, (value - mean) / sqrt(var) AS z
+FROM events JOIN stats USING (event_type)
+WHERE var > 0 AND abs((value - mean) / sqrt(var)) > {_ZSCORE_FLAG}
+"""
+
+
 ANALYTICS_QUERIES: dict[str, tuple] = {
     "q7_volume_shipping": (q7_volume_shipping, Q7_SQL),
+    "events_data_profile": (events_data_profile, EVENTS_DATA_PROFILE_SQL),
+    "events_anomaly_zscore": (events_anomaly_zscore, EVENTS_ANOMALY_ZSCORE_SQL),
     "q13_customer_distribution": (q13_customer_distribution, Q13_SQL),
     "q18_large_volume_customers": (q18_large_volume_customers, Q18_SQL),
     "q19_disjunctive_revenue": (q19_disjunctive_revenue, Q19_SQL),

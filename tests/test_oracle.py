@@ -53,6 +53,7 @@ _MUST_BE_NONEMPTY = (
     "q7_volume_shipping",
     "q18_large_volume_customers",
     "q22_sales_opportunity",
+    "events_anomaly_zscore",
 )
 
 

@@ -81,6 +81,7 @@ def test_dimension_joins_broadcast(spark):
         "q7_volume_shipping",
         "q18_large_volume_customers",
         "q22_sales_opportunity",
+        "events_anomaly_zscore",
     ):
         plan = _plan(spark, name)
         assert "BroadcastHashJoin" in plan, f"{name}: no broadcast join in plan"
