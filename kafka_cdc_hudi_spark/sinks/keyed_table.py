@@ -642,6 +642,60 @@ class KeyedParquetTable:
         self._prune(new_version)
         return True
 
+    def _commit_bucketed_snapshot(self, state: DataFrame, p: dict, new_version: int) -> int:
+        """Write ``state`` as a complete bucketed snapshot committed at
+        ``new_version``: full bucket map collapsed to one holder version, so
+        older version dirs become prunable. Shared by ``compact`` (file-count
+        hygiene) and ``restore`` (roll-forward revert)."""
+        maps = self._bucket_maps(p)
+        vdir = self._version_dir(new_version)
+        out = state.withColumn(_BUCKET_COL, self._bucket_expr()).repartition(
+            self.n_buckets, F.col(_BUCKET_COL)
+        )
+        if self.cluster_cols:
+            out = out.sortWithinPartitions(_BUCKET_COL, *self.cluster_cols)
+        out.write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(vdir)
+        present = {
+            int(n.split("=", 1)[1])
+            for n in os.listdir(vdir)
+            if n.startswith(f"{_BUCKET_COL}=")
+        }
+        maps[new_version] = {b: new_version for b in present}
+        retained = sorted(maps)[-self.keep_versions :]
+        maps = {v: maps[v] for v in retained}
+        commits = {v: "bucketed" for v in maps}
+        self._write_bucketed_pointer(new_version, p.get("last_batch_id"), commits, maps)
+        self._prune_bucketed(new_version, maps)
+        return new_version
+
+    def restore(self, spark: SparkSession, version: int) -> int:
+        """Roll-forward restore (Delta ``RESTORE TABLE`` / Hudi
+        savepoint-rollback parity, emulating what the reference would
+        delegate to Hudi's rollback CLI): commit a NEW version whose state
+        equals the ``version`` snapshot. History is never destroyed — the
+        restore is itself a commit, and intermediate versions stay
+        time-travel-readable until retention prunes them.
+
+        Streaming replay protection (``last_batch_id``) is intentionally
+        preserved: a restore reverts STATE, it does not re-open the offset
+        window, so a replayed micro-batch cannot double-apply on top of the
+        restored snapshot. In MOR mode the restored commit is written as a
+        BASE (compaction semantics — tombstones at or below ``version`` are
+        materialized away, the same retention horizon ``compact`` sets)."""
+        p = self._read_pointer()
+        if p is None:
+            raise FileNotFoundError("cannot restore: table has no commits")
+        state = self.read(spark, version=version)  # raises if not retained
+        new_version = self._next_version(p)
+        if self.mode == MODE_COW_BUCKETED:
+            return self._commit_bucketed_snapshot(state, p, new_version)
+        state.write.mode("overwrite").parquet(self._version_dir(new_version))
+        commits = self._commits_map(p)
+        commits[new_version] = "base"
+        self._write_pointer(new_version, p.get("last_batch_id"), commits)
+        self._prune(new_version)
+        return new_version
+
     def compact(self, spark: SparkSession) -> int | None:
         """MOR: fold all pending deltas into a new base snapshot.
         Bucketed COW: rewrite every bucket into one fresh version (file-count
@@ -662,28 +716,7 @@ class KeyedParquetTable:
             if not bmap or set(bmap.values()) == {p["version"]}:
                 return None  # empty, or already a single-version snapshot
             state = self._read_bucketed(spark, p, p["version"])
-            new_version = self._next_version(p)
-            vdir = self._version_dir(new_version)
-            out = state.withColumn(_BUCKET_COL, self._bucket_expr()).repartition(
-                self.n_buckets, F.col(_BUCKET_COL)
-            )
-            if self.cluster_cols:
-                out = out.sortWithinPartitions(_BUCKET_COL, *self.cluster_cols)
-            out.write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(vdir)
-            present = {
-                int(n.split("=", 1)[1])
-                for n in os.listdir(vdir)
-                if n.startswith(f"{_BUCKET_COL}=")
-            }
-            maps[new_version] = {b: new_version for b in present}
-            retained = sorted(maps)[-self.keep_versions :]
-            maps = {v: maps[v] for v in retained}
-            commits = {v: "bucketed" for v in maps}
-            self._write_bucketed_pointer(
-                new_version, p.get("last_batch_id"), commits, maps
-            )
-            self._prune_bucketed(new_version, maps)
-            return new_version
+            return self._commit_bucketed_snapshot(state, p, self._next_version(p))
         base, deltas = self._resolve(p["version"], p)
         if not deltas:
             return None
