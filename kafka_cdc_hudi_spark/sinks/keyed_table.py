@@ -81,6 +81,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kafka_cdc_hudi_spark.functions.zorder import zorder_key
 from kafka_cdc_hudi_spark.operators.dedup import latest_per_key_agg
 from kafka_cdc_hudi_spark.operators.merge import align_by_name, dedupe_batch, merge_upsert
 
@@ -112,6 +113,7 @@ class KeyedParquetTable:
         compact_every: int | None = None,
         n_buckets: int = 16,
         cluster_cols: Sequence[str] = (),
+        cluster_zorder: bool = False,
     ):
         if mode not in (MODE_COW, MODE_MOR, MODE_COW_BUCKETED):
             raise ValueError(
@@ -137,6 +139,13 @@ class KeyedParquetTable:
         #: id ranges) skip row groups instead of scanning the bucket — the
         #: same lever as Hudi/Delta clustering, paid once per rewrite
         self.cluster_cols: list[str] = list(cluster_cols)
+        #: when True, cluster by the Morton interleave of cluster_cols
+        #: (>=2 numeric columns) instead of their linear sort — row-group
+        #: stats become selective in EVERY clustered dimension at once
+        #: (Delta/Hudi Z-ORDER parity; see functions/zorder.py)
+        self.cluster_zorder = cluster_zorder
+        if cluster_zorder and len(self.cluster_cols) < 2:
+            raise ValueError("cluster_zorder needs >= 2 cluster_cols")
 
     # -- pointer management -------------------------------------------------
     @property
@@ -310,8 +319,7 @@ class KeyedParquetTable:
         out = merged.withColumn(_BUCKET_COL, self._bucket_expr()).repartition(
             max(1, len(touched)), F.col(_BUCKET_COL)
         )
-        if self.cluster_cols:
-            out = out.sortWithinPartitions(_BUCKET_COL, *self.cluster_cols)
+        out = self._cluster_sort(out)
         out.write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(vdir)
         present = {
             int(n.split("=", 1)[1])
@@ -642,6 +650,33 @@ class KeyedParquetTable:
         self._prune(new_version)
         return True
 
+    def _cluster_sort(self, out: DataFrame) -> DataFrame:
+        """Within-file ordering before a bucketed write: linear sort on
+        cluster_cols, or their Morton interleave when cluster_zorder is set.
+        Z-order bounds come from one min/max agg over the frame being
+        written (an extra pass over the commit's lineage — the
+        sampling-free variant of Delta's range-id computation; acceptable
+        because clustering already implies a rewrite of those rows)."""
+        if not self.cluster_cols:
+            return out
+        if not self.cluster_zorder:
+            return out.sortWithinPartitions(_BUCKET_COL, *self.cluster_cols)
+        row = out.agg(
+            *[
+                f
+                for c in self.cluster_cols
+                for f in (
+                    F.min(F.col(c).cast("double")).alias(f"_lo_{c}"),
+                    F.max(F.col(c).cast("double")).alias(f"_hi_{c}"),
+                )
+            ]
+        ).first()
+        bounds = [
+            (c, row[f"_lo_{c}"] or 0.0, row[f"_hi_{c}"] or 0.0)
+            for c in self.cluster_cols
+        ]
+        return out.sortWithinPartitions(_BUCKET_COL, zorder_key(bounds))
+
     def _commit_bucketed_snapshot(self, state: DataFrame, p: dict, new_version: int) -> int:
         """Write ``state`` as a complete bucketed snapshot committed at
         ``new_version``: full bucket map collapsed to one holder version, so
@@ -652,8 +687,7 @@ class KeyedParquetTable:
         out = state.withColumn(_BUCKET_COL, self._bucket_expr()).repartition(
             self.n_buckets, F.col(_BUCKET_COL)
         )
-        if self.cluster_cols:
-            out = out.sortWithinPartitions(_BUCKET_COL, *self.cluster_cols)
+        out = self._cluster_sort(out)
         out.write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(vdir)
         present = {
             int(n.split("=", 1)[1])

@@ -1,0 +1,107 @@
+"""Z-order clustering: Morton-key correctness vs a Python reference,
+the multi-dimensional locality property that justifies it, and the
+bucketed-sink integration."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_cdc_hudi_spark.functions.zorder import zorder_key
+from kafka_cdc_hudi_spark.sinks.keyed_table import KeyedParquetTable
+
+
+def _morton_py(cells, bits):
+    key = 0
+    n = len(cells)
+    for i in range(bits):
+        for j, c in enumerate(cells):
+            key |= ((c >> i) & 1) << (i * n + j)
+    return key
+
+
+def test_zorder_key_matches_python_reference(spark):
+    rows = [(i, (i * 37) % 100, (i * 53) % 1000) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, a long, b long")
+    got = {
+        r["id"]: r["z"]
+        for r in df.select(
+            "id", zorder_key([("a", 0, 99), ("b", 0, 999)], bits=8).alias("z")
+        ).collect()
+    }
+    for i, a, b in rows:
+        cell_a = min(255, int(a / 99 * 256))
+        cell_b = min(255, int(b / 999 * 256))
+        assert got[i] == _morton_py([cell_a, cell_b], 8), (i, a, b)
+
+
+def test_zorder_key_null_and_bounds_clamp(spark):
+    df = spark.createDataFrame(
+        [(1, None, 5.0), (2, -100.0, 2000.0)], "id long, a double, b double"
+    )
+    out = df.select(zorder_key([("a", 0, 99), ("b", 0, 999)]).alias("z")).collect()
+    assert all(r["z"] is not None and r["z"] >= 0 for r in out)
+
+
+def test_zorder_rejects_bad_config(spark):
+    with pytest.raises(ValueError):
+        zorder_key([("a", 0, 1)])
+    with pytest.raises(ValueError):
+        zorder_key([("a", 0, 1), ("b", 0, 1), ("c", 0, 1), ("d", 0, 1)], bits=16)
+    with pytest.raises(ValueError):
+        KeyedParquetTable(
+            "/tmp/x", keys=["id"], mode="cow-bucketed",
+            cluster_cols=("a",), cluster_zorder=True,
+        )
+
+
+def test_zorder_blocks_are_local_in_both_dims(spark):
+    """The property that buys file skipping: consecutive blocks of the
+    z-sorted sequence (stand-ins for row groups) span a small fraction of
+    EVERY dimension, where a linear sort leaves the secondary dimension
+    spanning ~its full range in every block."""
+    n, block = 4096, 64
+    df = spark.createDataFrame(
+        [(i, (i * 2654435761) % n, (i * 40503) % n) for i in range(n)],
+        "id long, x long, y long",
+    )
+
+    def avg_spans(order_col):
+        rows = df.orderBy(order_col, "id").select("x", "y").collect()
+        spans_x, spans_y = [], []
+        for s in range(0, n, block):
+            blk = rows[s : s + block]
+            spans_x.append(max(r["x"] for r in blk) - min(r["x"] for r in blk))
+            spans_y.append(max(r["y"] for r in blk) - min(r["y"] for r in blk))
+        return sum(spans_x) / len(spans_x) / n, sum(spans_y) / len(spans_y) / n
+
+    zx, zy = avg_spans(zorder_key([("x", 0, n - 1), ("y", 0, n - 1)]))
+    lx, ly = avg_spans(F.col("x"))
+    # linear: primary dimension tight, secondary spans ~everything
+    assert lx < 0.05 and ly > 0.8
+    # z-order: BOTH dimensions bounded well below the secondary's linear span
+    assert zx < 0.35 and zy < 0.35, (zx, zy)
+
+
+def test_bucketed_sink_zorder_roundtrip(spark, tmp_path):
+    t = KeyedParquetTable(
+        str(tmp_path / "z"),
+        keys=["id"],
+        order_col="mtime",
+        mode="cow-bucketed",
+        n_buckets=4,
+        cluster_cols=("mtime", "metric"),
+        cluster_zorder=True,
+    )
+    rows = [(i, (i * 7) % 100, False, float((i * 13) % 50)) for i in range(300)]
+    b = spark.createDataFrame(rows, "id long, mtime long, _deleted boolean, metric double")
+    assert t.merge_batch(spark, b, batch_id=0)
+    got = {(r["id"], r["mtime"], r["metric"]) for r in t.read(spark).collect()}
+    assert got == {(i, m, v) for i, m, _, v in rows}
+    # a second commit (partial rewrite) and a compaction both keep state
+    b2 = spark.createDataFrame(
+        [(1, 200, False, 9.0), (300, 200, False, 1.0)],
+        "id long, mtime long, _deleted boolean, metric double",
+    )
+    assert t.merge_batch(spark, b2, batch_id=1)
+    assert t.compact(spark) is not None
+    got = {(r["id"], r["mtime"]) for r in t.read(spark).collect()}
+    assert (1, 200) in got and (300, 200) in got and len(got) == 301
