@@ -159,15 +159,26 @@ class KeyedParquetTable:
         except (FileNotFoundError, json.JSONDecodeError):
             return None
 
+    def _savepoints(self, p: dict | None) -> dict[str, int]:
+        """Named savepoints from the pointer: {name: version}."""
+        return {n: int(v) for n, v in ((p or {}).get("savepoints") or {}).items()}
+
     def _write_pointer(
-        self, version: int, batch_id: int | None, commits: dict[int, str]
+        self,
+        version: int,
+        batch_id: int | None,
+        commits: dict[int, str],
+        savepoints: dict[str, int] | None = None,
     ) -> None:
+        if savepoints is None:  # preserve existing savepoints on every commit
+            savepoints = self._savepoints(self._read_pointer())
         tmp = self._pointer_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(
                 {
                     "version": version,
                     "last_batch_id": batch_id,
+                    "savepoints": savepoints,
                     "commits": {str(v): k for v, k in sorted(commits.items())},
                 },
                 f,
@@ -253,13 +264,17 @@ class KeyedParquetTable:
         batch_id: int | None,
         commits: dict[int, str],
         maps: dict[int, dict[int, int]],
+        savepoints: dict[str, int] | None = None,
     ) -> None:
+        if savepoints is None:  # preserve existing savepoints on every commit
+            savepoints = self._savepoints(self._read_pointer())
         tmp = self._pointer_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(
                 {
                     "version": version,
                     "last_batch_id": batch_id,
+                    "savepoints": savepoints,
                     "commits": {str(v): k for v, k in sorted(commits.items())},
                     "bucket_maps": {
                         str(v): {str(b): hv for b, hv in sorted(m.items())}
@@ -333,7 +348,8 @@ class KeyedParquetTable:
             else:
                 new_map.pop(b, None)  # bucket fully deleted by this batch
         maps[new_version] = new_map
-        retained = sorted(maps)[-self.keep_versions :]
+        protected = set(self._savepoints(p).values()) & set(maps)
+        retained = sorted(set(sorted(maps)[-self.keep_versions :]) | protected)
         maps = {v: maps[v] for v in retained}
         commits = self._commits_map(p)
         commits[new_version] = "bucketed"
@@ -695,14 +711,69 @@ class KeyedParquetTable:
             if n.startswith(f"{_BUCKET_COL}=")
         }
         maps[new_version] = {b: new_version for b in present}
-        retained = sorted(maps)[-self.keep_versions :]
+        protected = set(self._savepoints(p).values()) & set(maps)
+        retained = sorted(set(sorted(maps)[-self.keep_versions :]) | protected)
         maps = {v: maps[v] for v in retained}
         commits = {v: "bucketed" for v in maps}
         self._write_bucketed_pointer(new_version, p.get("last_batch_id"), commits, maps)
         self._prune_bucketed(new_version, maps)
         return new_version
 
-    def restore(self, spark: SparkSession, version: int) -> int:
+    def savepoints(self) -> dict[str, int]:
+        """Named savepoints: {name: pinned version}."""
+        return self._savepoints(self._read_pointer())
+
+    def savepoint(self, spark: SparkSession, name: str) -> int:
+        """Pin the CURRENT state under ``name`` so retention never prunes it
+        (Hudi savepoint parity — the cleaner skips savepointed commits, and
+        ``restore(name=...)`` rolls the table forward back to it).
+
+        MOR tables compact first so the savepoint pins a self-contained
+        BASE snapshot — otherwise honoring it would require retaining an
+        unbounded delta chain past every future compaction. Returns the
+        pinned version."""
+        p = self._read_pointer()
+        if p is None:
+            raise FileNotFoundError("cannot savepoint: table has no commits")
+        sps = self._savepoints(p)
+        if name in sps:
+            raise ValueError(f"savepoint {name!r} already exists (at v{sps[name]})")
+        if self.mode == MODE_MOR:
+            self.compact(spark)  # materialize pending deltas, if any
+            p = self._read_pointer()
+        version = p["version"]
+        sps[name] = version
+        if self.mode == MODE_COW_BUCKETED:
+            self._write_bucketed_pointer(
+                version, p.get("last_batch_id"), self._commits_map(p),
+                self._bucket_maps(p), savepoints=sps,
+            )
+        else:
+            self._write_pointer(
+                version, p.get("last_batch_id"), self._commits_map(p), savepoints=sps
+            )
+        return version
+
+    def drop_savepoint(self, name: str) -> None:
+        """Release a savepoint; its version becomes prunable on the next
+        commit's retention pass."""
+        p = self._read_pointer()
+        sps = self._savepoints(p)
+        if name not in sps:
+            raise KeyError(f"no savepoint {name!r}")
+        del sps[name]
+        if self.mode == MODE_COW_BUCKETED:
+            self._write_bucketed_pointer(
+                p["version"], p.get("last_batch_id"), self._commits_map(p),
+                self._bucket_maps(p), savepoints=sps,
+            )
+        else:
+            self._write_pointer(
+                p["version"], p.get("last_batch_id"), self._commits_map(p),
+                savepoints=sps,
+            )
+
+    def restore(self, spark: SparkSession, version: int | None = None, name: str | None = None) -> int:
         """Roll-forward restore (Delta ``RESTORE TABLE`` / Hudi
         savepoint-rollback parity, emulating what the reference would
         delegate to Hudi's rollback CLI): commit a NEW version whose state
@@ -715,10 +786,20 @@ class KeyedParquetTable:
         window, so a replayed micro-batch cannot double-apply on top of the
         restored snapshot. In MOR mode the restored commit is written as a
         BASE (compaction semantics — tombstones at or below ``version`` are
-        materialized away, the same retention horizon ``compact`` sets)."""
+        materialized away, the same retention horizon ``compact`` sets).
+
+        Target either an explicit ``version`` or a named savepoint via
+        ``name`` (exactly one of the two)."""
         p = self._read_pointer()
         if p is None:
             raise FileNotFoundError("cannot restore: table has no commits")
+        if (version is None) == (name is None):
+            raise ValueError("pass exactly one of version= or name=")
+        if name is not None:
+            sps = self._savepoints(p)
+            if name not in sps:
+                raise KeyError(f"no savepoint {name!r}")
+            version = sps[name]
         state = self.read(spark, version=version)  # raises if not retained
         new_version = self._next_version(p)
         if self.mode == MODE_COW_BUCKETED:
@@ -780,9 +861,10 @@ class KeyedParquetTable:
             return
         commits = self._commits_map(p)
         bases = sorted(v for v, k in commits.items() if k == "base")
+        protected = set(self._savepoints(p).values())
         dropped = False
         for b in bases[: -self.keep_versions]:
-            if b < current:
+            if b < current and b not in protected:
                 shutil.rmtree(self._version_dir(b), ignore_errors=True)
                 commits.pop(b, None)
                 dropped = True

@@ -71,3 +71,46 @@ def test_restore_mor_materializes_tombstone_horizon(spark, tmp_path):
     # write, so an older insert (mtime=5) now lands
     t.merge_batch(spark, _batch(spark, [(1, 5, False, "back")]), batch_id=2)
     assert _state(t, spark) == {(1, "back")}
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor", "cow-bucketed"])
+def test_savepoint_survives_retention_and_restores(spark, tmp_path, mode):
+    t = KeyedParquetTable(
+        str(tmp_path / f"sp-{mode}"), keys=["id"], order_col="mtime",
+        mode=mode, n_buckets=4, keep_versions=2,
+    )
+    t.merge_batch(spark, _batch(spark, [(1, 10, False, "a")]), batch_id=0)
+    v_pinned = t.savepoint(spark, "golden")
+    assert t.savepoints() == {"golden": v_pinned}
+    with pytest.raises(ValueError):
+        t.savepoint(spark, "golden")
+    # churn far past keep_versions=2 — retention must skip the savepoint
+    for i in range(5):
+        t.merge_batch(
+            spark, _batch(spark, [(1, 20 + i, False, f"v{i}"), (2 + i, 20 + i, False, "x")]),
+            batch_id=1 + i,
+        )
+        if mode == "mor":
+            t.compact(spark)
+    assert _state(t, spark, version=v_pinned) == {(1, "a")}
+    t.restore(spark, name="golden")
+    assert _state(t, spark) == {(1, "a")}
+    # released savepoints become prunable again
+    t.drop_savepoint("golden")
+    assert t.savepoints() == {}
+    with pytest.raises(KeyError):
+        t.drop_savepoint("golden")
+    with pytest.raises(KeyError):
+        t.restore(spark, name="golden")
+    with pytest.raises(ValueError):
+        t.restore(spark)
+
+
+def test_savepoint_mor_compacts_to_base(spark, tmp_path):
+    t = KeyedParquetTable(str(tmp_path / "spm"), keys=["id"], order_col="mtime", mode="mor")
+    t.merge_batch(spark, _batch(spark, [(1, 10, False, "a")]), batch_id=0)
+    t.merge_batch(spark, _batch(spark, [(2, 10, False, "b")]), batch_id=1)
+    v = t.savepoint(spark, "s")
+    # the savepoint pins a self-contained base (delta fold materialized)
+    base, deltas = t._resolve(v)
+    assert base == v and deltas == []
