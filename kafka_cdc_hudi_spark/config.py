@@ -150,6 +150,9 @@ class JobConfig:
     sink_n_buckets: int = 16
     #: cow-bucketed only: sort-within-bucket clustering columns
     sink_cluster_cols: tuple[str, ...] = ()
+    #: cow-bucketed only: Z-order the cluster columns (>=2, numeric)
+    #: instead of sorting them linearly (functions/zorder.py)
+    sink_cluster_zorder: bool = False
     checkpoint_location: str = "/tmp/cdc_checkpoint"
     #: dead-letter dir: raw records that fail envelope parsing are written
     #: under <quarantine_dir>/batch_<id>/ (overwrite per batch -> replay
@@ -198,6 +201,8 @@ class JobConfig:
                 for c in props.get("sink_cluster_cols", "").split(",")
                 if c.strip()
             ),
+            sink_cluster_zorder=props.get("sink_cluster_zorder", "false").lower()
+            == "true",
             checkpoint_location=props.get("checkpoint_location", "/tmp/cdc_checkpoint"),
             quarantine_dir=props.get("quarantine_dir"),
             trigger_interval=_normalize_interval(props.get("checkpoint_interval", "30")),

@@ -53,6 +53,14 @@ class CdcStreamDriver:
     #: declared payload StructType per table name (fast path); missing ->
     #: dynamic inference per table (slow path, cached across batches)
     payload_schemas: dict[str, StructType] = field(default_factory=dict)
+    #: optional per-table transforms applied post-route, pre-merge:
+    #: {table or qualified name: fn(parsed_df, batch_id) -> df}. The hook
+    #: runs inside the per-table FAIR pool and must stay lazy (return a
+    #: transformed frame, no actions) — the merge triggers execution. Used
+    #: for in-flight derivations and dimension enrichment (streaming.enrich
+    #: .DimLookup is the canonical hook: broadcast lookup join against a
+    #: dimension snapshot reloaded on a batch cadence)
+    transform_hooks: dict = field(default_factory=dict)
     _inferred: dict[str, StructType] = field(default_factory=dict, repr=False)
     _sinks: dict[str, KeyedParquetTable] = field(default_factory=dict, repr=False)
 
@@ -67,6 +75,7 @@ class CdcStreamDriver:
                 compact_every=self.config.compact_every,
                 n_buckets=self.config.sink_n_buckets,
                 cluster_cols=self.config.sink_cluster_cols,
+                cluster_zorder=self.config.sink_cluster_zorder,
             )
         return self._sinks[key]
 
@@ -173,6 +182,11 @@ class CdcStreamDriver:
             log.info("schema drift on %s: re-inferred to %s", spec.qualified_name, schema.simpleString())
         parsed = parse_stream(sliced, self.config.dialect, schema, keep_routing=True)
         routed = route(parsed, spec.db, spec.table)
+        hook = self.transform_hooks.get(
+            spec.qualified_name, self.transform_hooks.get(spec.table)
+        )
+        if hook is not None:
+            routed = hook(routed, batch_id)
         # no pre-merge dedup: merge_upsert's own latest_per_key_agg collapses
         # in-batch duplicates map-side over the union — a separate pass here
         # would pay a full extra shuffle per table per batch for nothing
