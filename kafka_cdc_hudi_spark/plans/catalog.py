@@ -113,6 +113,7 @@ PRUNED: dict[str, str] = {
     "q18_large_volume_customers": "driver cap — NEW r6, full oracle locally; rotate in r7",
     "q19_disjunctive_revenue": "driver cap — NEW r6, full oracle locally; rotate in r7",
     "q22_sales_opportunity": "driver cap — NEW r6, full oracle locally; rotate in r7",
+    "q17_small_quantity_revenue": "driver cap — NEW r6, full oracle locally; rotate in r7",
     "events_data_profile": "driver cap — NEW r6, full oracle locally; rotate in r7",
     "events_anomaly_zscore": "driver cap — NEW r6, full oracle locally; rotate in r7",
 }

@@ -1045,6 +1045,54 @@ WHERE l_partkey = p_partkey AND l_quantity <= 30
 """
 
 
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: per-group aggregate used as a correlated threshold
+    (lines below 20% of their part's average quantity). Decorrelated the
+    way Catalyst would: one partkey agg over lineitem, joined back on
+    partkey — the agg and the probe share the partkey partitioning, so the
+    subquery costs ONE extra shuffle-free stage; the part dimension
+    broadcast-filters both sides. The threshold is decimal-exact
+    (sum/count then one double multiply), so the flagged set and the final
+    sum hash-match cross-engine."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#5")
+    avg_q = (
+        l.groupBy("l_partkey")
+        .agg(
+            (F.sum(F.col("l_quantity").cast(DEC)).cast("double") / F.count("*")).alias(
+                "avg_qty"
+            )
+        )
+        .withColumnRenamed("l_partkey", "t_partkey")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(avg_q, l.l_partkey == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast(DEC)).cast("double") / 7.0).alias(
+                "avg_yearly"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+Q17_SQL = f"""
+WITH avg_q AS (
+  SELECT l_partkey AS t_partkey,
+         CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) / COUNT(*) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS {DEC})) AS DOUBLE) / 7.0 AS avg_yearly,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN avg_q ON t_partkey = l_partkey
+WHERE p_brand = 'Brand#5' AND l_quantity < 0.2 * avg_qty
+"""
+
+
 def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: scalar aggregate subquery feeding a filter, plus
     an anti join (rich customers with no COMPLETED order, per nation — the
@@ -1203,6 +1251,7 @@ ANALYTICS_QUERIES: dict[str, tuple] = {
     "q13_customer_distribution": (q13_customer_distribution, Q13_SQL),
     "q18_large_volume_customers": (q18_large_volume_customers, Q18_SQL),
     "q19_disjunctive_revenue": (q19_disjunctive_revenue, Q19_SQL),
+    "q17_small_quantity_revenue": (q17_small_quantity_revenue, Q17_SQL),
     "q22_sales_opportunity": (q22_sales_opportunity, Q22_SQL),
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "asof_join_last_click": (asof_join_last_click, ASOF_JOIN_SQL),

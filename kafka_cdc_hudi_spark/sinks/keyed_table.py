@@ -719,6 +719,34 @@ class KeyedParquetTable:
         self._prune_bucketed(new_version, maps)
         return new_version
 
+    def table_info(self) -> dict:
+        """Operational snapshot (Hudi CLI ``commits show`` parity): every
+        committed version with its kind, parquet file count, and bytes on
+        disk, plus the current version, replay high-water mark, and
+        savepoints. Metadata-only — walks the table directory, no Spark
+        job; cost is O(files in retained commits)."""
+        p = self._read_pointer()
+        if p is None:
+            return {"exists": False}
+        detail = {}
+        for v, kind in sorted(self._commits_map(p).items()):
+            d = self._delta_dir(v) if kind == "delta" else self._version_dir(v)
+            files = n_bytes = 0
+            for root, _dirs, names in os.walk(d):
+                for n in names:
+                    if n.endswith(".parquet"):
+                        files += 1
+                        n_bytes += os.path.getsize(os.path.join(root, n))
+            detail[v] = {"kind": kind, "files": files, "bytes": n_bytes}
+        return {
+            "exists": True,
+            "mode": self.mode,
+            "version": p["version"],
+            "last_batch_id": p.get("last_batch_id"),
+            "savepoints": self._savepoints(p),
+            "commits": detail,
+        }
+
     def savepoints(self) -> dict[str, int]:
         """Named savepoints: {name: pinned version}."""
         return self._savepoints(self._read_pointer())

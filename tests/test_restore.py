@@ -114,3 +114,18 @@ def test_savepoint_mor_compacts_to_base(spark, tmp_path):
     # the savepoint pins a self-contained base (delta fold materialized)
     base, deltas = t._resolve(v)
     assert base == v and deltas == []
+
+
+def test_table_info_reports_commits_and_savepoints(spark, tmp_path):
+    t = KeyedParquetTable(str(tmp_path / "i"), keys=["id"], order_col="mtime", mode="mor")
+    assert t.table_info() == {"exists": False}
+    t.merge_batch(spark, _batch(spark, [(1, 10, False, "a")]), batch_id=0)
+    t.merge_batch(spark, _batch(spark, [(2, 10, False, "b")]), batch_id=1)
+    info = t.table_info()
+    assert info["mode"] == "mor" and info["last_batch_id"] == 1
+    assert [c["kind"] for c in info["commits"].values()] == ["delta", "delta"]
+    assert all(c["files"] > 0 and c["bytes"] > 0 for c in info["commits"].values())
+    t.savepoint(spark, "g")  # compacts -> base
+    info = t.table_info()
+    assert info["savepoints"] == {"g": info["version"]}
+    assert info["commits"][info["version"]]["kind"] == "base"
