@@ -103,6 +103,22 @@ def test_stratified_sample_is_scan_local(spark):
     assert "Exchange" not in plan, f"stratified sample shuffles:\n{plan}"
 
 
+def test_projection_ops_are_scan_local(spark):
+    """The zero-shuffle claims of the round-6 projection/generate ops:
+    chunking and HTML-strip must plan without any Exchange."""
+    for name in ("text_chunk_overlap", "text_html_strip"):
+        plan = _plan(spark, name)
+        assert "Exchange" not in plan, f"{name} shuffles:\n{plan}"
+
+
+def test_dedup_lines_two_exchanges_only(spark):
+    """Sub-document dedup is one shuffle on line content plus one doc
+    reassembly — any third exchange means a join-back crept in."""
+    plan = _plan(spark, "dedup_lines_reconstruct")
+    n = plan.count("Exchange hashpartitioning")
+    assert n <= 2, f"dedup_lines_reconstruct: {n} exchanges\n{plan}"
+
+
 def test_ann_ivf_no_cartesian(spark):
     """IVF candidate pairing must be the cell equi-join, never a cross
     product (the all-pairs anti-pattern the bucketing exists to avoid)."""
