@@ -45,17 +45,23 @@ FULL_REGISTRY.update(STREAMING_QUERIES)
 #:         | multimodal_decode_png (NEW),                 | embedding_quantize_int8,
 #:         | ann_topk_ivf_trained (NEW)                   | events_pivot_user_counts,
 #:         |                                              | active_user_set_ops (due r8)
-#:   r7    | multimodal_decode_wav, dataset_quota_per_    | matching long-green swaps
-#:         | group, text_rare_token_fraction,             | from the r6 IN set /
-#:         | text_chunk_overlap, dedup_lines_reconstruct, | stable block
-#:         | text_html_strip (NEW r6,                     |
-#:         | born past the cap) + the 5 due-r7 above +    |
-#:         | legacy-pool half A (cdc_latest_per_key,      |
-#:         | q6_forecast_revenue, events_rollup,          |
-#:         | events_tumbling_windows, text_token_count,   |
-#:         | cdc_merge_bucketed)                          |
-#:   r8    | the 5 due-r8 + second half of the legacy     | swaps as needed under cap
-#:         | pool (global_counts, events_user_cumsum,     |
+#:   r7    | the 14 NEW-r6 entries born past the cap      | matching long-green swaps
+#:         | (multimodal_decode_wav, dataset_quota_per_   | from the r6 IN set /
+#:         | group, text_rare_token_fraction,             | stable block (they have
+#:         | text_chunk_overlap, dedup_lines_reconstruct, | r2-r6 green rows and
+#:         | text_html_strip, q7_volume_shipping,         | stay locally oracled)
+#:         | q13_customer_distribution,                   |
+#:         | q17_small_quantity_revenue,                  |
+#:         | q18_large_volume_customers,                  |
+#:         | q19_disjunctive_revenue,                     |
+#:         | q22_sales_opportunity, events_data_profile,  |
+#:         | events_anomaly_zscore)                       |
+#:         | + the 5 due-r7 above                         |
+#:   r8    | the 5 due-r8 + the legacy pool               | swaps as needed under cap
+#:         | (cdc_latest_per_key, q6_forecast_revenue,    |
+#:         | events_rollup, events_tumbling_windows,      |
+#:         | text_token_count, cdc_merge_bucketed,        |
+#:         | global_counts, events_user_cumsum,           |
 #:         | events_type_stats, customers_per_region,     |
 #:         | big_orders_semi_join, embedding_norms)       |
 #:
