@@ -122,6 +122,7 @@ PRUNED: dict[str, str] = {
     "q17_small_quantity_revenue": "driver cap — NEW r6, full oracle locally; rotate in r7",
     "events_data_profile": "driver cap — NEW r6, full oracle locally; rotate in r7",
     "events_anomaly_zscore": "driver cap — NEW r6, full oracle locally; rotate in r7",
+    "dedup_corpus_final": "driver cap — NEW r6, full oracle locally; rotate in r7",
 }
 
 #: driver evaluation order: previously-unverified entries first (registry

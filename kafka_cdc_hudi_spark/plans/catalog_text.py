@@ -633,13 +633,15 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dedup_clusters_sql() -> str:
+def _comp_ctes() -> str:
+    """Shared recursive-CTE chain: MinHash signatures -> LSH candidate
+    pairs -> undirected edges -> reachability -> min-labeled components.
+    Used by the cluster-assignment oracle AND the final-corpus oracle."""
     ctes, _ = _minhash_ctes()
     est = " + ".join(
         f"(CASE WHEN x.h{i} = y.h{i} THEN 1 ELSE 0 END)" for i in range(MINHASH_K)
     )
-    return f"""
-WITH RECURSIVE {ctes},
+    return f"""{ctes},
 pairs AS (
   SELECT doc_a, doc_b
   FROM cand JOIN sig x ON doc_a = x.doc_id JOIN sig y ON doc_b = y.doc_id
@@ -655,15 +657,16 @@ reach(node, r) AS (
   UNION
   SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
 ),
-comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)"""
+
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_comp_ctes()}
 SELECT d.doc_id,
        COALESCE(c.component, d.doc_id) AS cluster_id,
        c.component IS NOT NULL AS has_near_dup
 FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
 """
-
-
-DEDUP_CLUSTERS_SQL = _dedup_clusters_sql()
 
 
 def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -683,6 +686,43 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
         F.col("component").isNotNull().alias("has_near_dup"),
     )
+
+
+def dedup_corpus_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup loop CLOSED: apply the near-dup cluster assignment and
+    emit the surviving corpus — one canonical document (the cluster's
+    minimum doc_id) per cluster, singletons kept, each with its cluster
+    size. This is the dataset a pretraining run actually reads after the
+    candidate -> cluster -> keep/drop pipeline.
+
+    Plan: cluster assignment (O(log n) star rounds), one shuffle for
+    cluster sizes, then joins back to documents — the survivor set is
+    cluster-count-sized, so AQE broadcasts it into the corpus join at
+    dimension scale."""
+    clusters = dedup_clusters_star(spark, sf_dir)
+    sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("n_members"))
+    kept = clusters.filter(F.col("doc_id") == F.col("cluster_id"))
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return (
+        kept.join(sizes, "cluster_id")
+        .join(d, "doc_id")
+        .select("doc_id", "n_members", "lang", "n_chars")
+    )
+
+
+DEDUP_CORPUS_FINAL_SQL = f"""
+WITH RECURSIVE {_comp_ctes()},
+clusters AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+),
+sizes AS (SELECT cluster_id, COUNT(*) AS n_members FROM clusters GROUP BY cluster_id)
+SELECT c.doc_id, s.n_members, d.lang, d.n_chars
+FROM clusters c
+JOIN sizes s USING (cluster_id)
+JOIN documents d USING (doc_id)
+WHERE c.doc_id = c.cluster_id
+"""
 
 
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1687,6 +1727,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "dataset_quota_per_group": (dataset_quota_per_group, DATASET_QUOTA_SQL),
     "text_rare_token_fraction": (text_rare_token_fraction, TEXT_RARE_TOKEN_SQL),
     "text_chunk_overlap": (text_chunk_overlap, TEXT_CHUNK_OVERLAP_SQL),
+    "dedup_corpus_final": (dedup_corpus_final, DEDUP_CORPUS_FINAL_SQL),
     "dedup_lines_reconstruct": (dedup_lines_reconstruct, DEDUP_LINES_SQL),
     "text_html_strip": (text_html_strip, TEXT_HTML_STRIP_SQL),
 }
