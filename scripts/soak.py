@@ -54,13 +54,18 @@ def run(spark, mode: str, src: str, n_events: int, check: bool = True) -> None:
     print(f"{mode}: {dt:.1f} s  ({n_events / dt / 1000:.1f}k ev/s)  final state {n_state} rows")
 
     if check and mode == "mor":  # oracle-exact check on the fold path
+        # driver testdata is a single parquet file; Spark-written scale data
+        # (scripts/make_scale_data.py) is a directory of part files
+        ev_path = f"{SF}/events.parquet"
+        if os.path.isdir(ev_path):
+            ev_path = f"{ev_path}/*.parquet"
         got = {(r["user_id"], r["event_id"]) for r in state.collect()}
         want = {
             tuple(r)
             for r in duckdb.sql(f"""
               SELECT user_id, event_id FROM (
                 SELECT user_id, event_id, event_id % 10 = 0 AS del
-                FROM read_parquet('{SF}/events.parquet')
+                FROM read_parquet('{ev_path}')
                 QUALIFY row_number() OVER (PARTITION BY user_id
                     ORDER BY ts DESC, event_id DESC) = 1
               ) WHERE NOT del
