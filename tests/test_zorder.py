@@ -105,3 +105,55 @@ def test_bucketed_sink_zorder_roundtrip(spark, tmp_path):
     assert t.compact(spark) is not None
     got = {(r["id"], r["mtime"]) for r in t.read(spark).collect()}
     assert (1, 200) in got and (300, 200) in got and len(got) == 301
+
+
+def test_zorder_parquet_row_group_stats_prune_both_dims(spark, tmp_path):
+    """Ties the locality claim to the ACTUAL pruning mechanism: write
+    z-sorted vs linearly-sorted parquet with small row groups and read the
+    row-group min/max statistics back with pyarrow — z-order must bound
+    the span of BOTH dimensions per row group, linear only the first."""
+    pq = pytest.importorskip("pyarrow.parquet")
+    n = 1 << 16  # ~28 row groups at 64 KiB blocks — enough z-grid granularity
+    df = spark.createDataFrame(
+        [(i, (i * 2654435761) % n, (i * 40503) % n) for i in range(n)],
+        "id long, x long, y long",
+    )
+
+    def rg_spans(sorted_df, path):
+        (
+            sorted_df.coalesce(1)
+            .write.mode("overwrite")
+            .option("parquet.block.size", 64 * 1024)
+            .parquet(path)
+        )
+        import glob
+
+        spans = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            cols = {
+                md.row_group(0).column(ci).path_in_schema: ci
+                for ci in range(md.row_group(0).num_columns)
+            }
+            for ri in range(md.num_row_groups):
+                rg = md.row_group(ri)
+                sx = rg.column(cols["x"]).statistics
+                sy = rg.column(cols["y"]).statistics
+                spans.append(((sx.max - sx.min) / n, (sy.max - sy.min) / n))
+        return spans
+
+    z = rg_spans(
+        df.orderBy(zorder_key([("x", 0, n - 1), ("y", 0, n - 1)]), "id"),
+        str(tmp_path / "z"),
+    )
+    lin = rg_spans(df.orderBy("x", "id"), str(tmp_path / "lin"))
+    assert len(z) > 4 and len(lin) > 4  # small block size -> many row groups
+    z_x = sum(s[0] for s in z) / len(z)
+    z_y = sum(s[1] for s in z) / len(z)
+    lin_x = sum(s[0] for s in lin) / len(lin)
+    lin_y = sum(s[1] for s in lin) / len(lin)
+    # linear: x-span ~1/n_groups, y useless. z-order: BOTH dims bounded
+    # (~1/sqrt(n_groups) each), far below linear's y
+    assert lin_x < 0.1 and lin_y > 0.8
+    assert z_x < 0.45 and z_y < 0.45, (z_x, z_y)
+    assert z_y < lin_y / 2
