@@ -123,6 +123,7 @@ PRUNED: dict[str, str] = {
     "events_data_profile": "driver cap — NEW r6, full oracle locally; rotate in r7",
     "events_anomaly_zscore": "driver cap — NEW r6, full oracle locally; rotate in r7",
     "dedup_corpus_final": "driver cap — NEW r6, full oracle locally; rotate in r7",
+    "multimodal_resize_png_real": "driver cap — NEW r6, full oracle locally; rotate in r7",
 }
 
 #: driver evaluation order: previously-unverified entries first (registry

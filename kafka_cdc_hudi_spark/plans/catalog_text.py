@@ -1346,6 +1346,61 @@ FROM m
 """
 
 
+#: real-resize entry target dims (small on purpose: the oracle enumerates
+#: the output grid in SQL)
+_RESIZE_W, _RESIZE_H = 8, 6
+
+
+def multimodal_resize_png_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize, end-to-end through the codec TWICE: synthesize genuine
+    PNGs, resize through the real path (decode -> nearest-neighbor
+    resample -> re-encode), then decode the RESIZED blobs and hash their
+    pixels. No ``fake=True`` anywhere — a bug in either codec direction or
+    in the resample turns the hash red.
+
+    FULL value oracle: nearest-neighbor of the procedural fixture image is
+    SQL-predictable — output pixel (yi, xi) is source byte
+    ``((yi*h)//H)*w + (xi*w)//W``, so DuckDB rebuilds the resampled byte
+    string and matches ``feature_hash`` exactly. Closes the last gap the
+    round-5 audit flagged on the resize path (the fake-kernel entry
+    remains as the other-formats plumbing check)."""
+    from kafka_cdc_hudi_spark.operators.multimodal import (
+        decode_images,
+        documents_as_png,
+        media_repartition,
+        resize_images,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = media_repartition(documents_as_png(docs), avg_row_bytes=512)
+    resized = resize_images(media, _RESIZE_W, _RESIZE_H, fake=False)
+    return decode_images(resized)
+
+
+MULTIMODAL_RESIZE_PNG_REAL_SQL = f"""
+WITH m AS (
+  -- dims mirror operators/multimodal.py::_png_fixture_dims (same filter
+  -- invariant as MULTIMODAL_DECODE_PNG_SQL: payload = text[:w*h])
+  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 6 AS h, text
+  FROM documents WHERE octet_length(encode(text)) >= 128
+),
+g AS (
+  SELECT doc_id, yi, xi,
+         substring(text, ((yi * h) // {_RESIZE_H}) * w + ((xi * w) // {_RESIZE_W}) + 1, 1) AS c
+  FROM m,
+       LATERAL unnest(range(0, {_RESIZE_H})) ty(yi),
+       LATERAL unnest(range(0, {_RESIZE_W})) tx(xi)
+)
+SELECT doc_id AS media_id,
+       CAST({_RESIZE_W} AS INT) AS width,
+       CAST({_RESIZE_H} AS INT) AS height,
+       CAST(1 AS INT) AS n_channels,
+       md5(string_agg(c, '' ORDER BY yi, xi)) AS feature_hash
+FROM g
+GROUP BY doc_id
+"""
+
+
 def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode, end-to-end: synthesize genuine PCM16 RIFF/WAVE
     blobs from document bytes, then decode through the pure-stdlib WAV
@@ -1724,6 +1779,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "multimodal_resize": (multimodal_resize, MULTIMODAL_RESIZE_SQL),
     "multimodal_decode_png": (multimodal_decode_png, MULTIMODAL_DECODE_PNG_SQL),
     "multimodal_decode_wav": (multimodal_decode_wav, MULTIMODAL_DECODE_WAV_SQL),
+    "multimodal_resize_png_real": (multimodal_resize_png_real, MULTIMODAL_RESIZE_PNG_REAL_SQL),
     "dataset_quota_per_group": (dataset_quota_per_group, DATASET_QUOTA_SQL),
     "text_rare_token_fraction": (text_rare_token_fraction, TEXT_RARE_TOKEN_SQL),
     "text_chunk_overlap": (text_chunk_overlap, TEXT_CHUNK_OVERLAP_SQL),

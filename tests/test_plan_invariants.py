@@ -30,6 +30,7 @@ _PY_EXEMPT = {
     "multimodal_resize",
     "multimodal_decode_png",
     "multimodal_decode_wav",
+    "multimodal_resize_png_real",
 }
 
 #: iterative/self-checking queries that run driver-side loops — their
