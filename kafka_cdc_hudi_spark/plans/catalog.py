@@ -124,6 +124,8 @@ PRUNED: dict[str, str] = {
     "events_anomaly_zscore": "driver cap — NEW r6, full oracle locally; rotate in r7",
     "dedup_corpus_final": "driver cap — NEW r6, full oracle locally; rotate in r7",
     "multimodal_resize_png_real": "driver cap — NEW r6, full oracle locally; rotate in r7",
+    "events_value_percentiles": "driver cap — NEW r6, full oracle locally; rotate in r7",
+    "customers_rfm_segments": "driver cap — NEW r6, full oracle locally; rotate in r7",
 }
 
 #: driver evaluation order: previously-unverified entries first (registry

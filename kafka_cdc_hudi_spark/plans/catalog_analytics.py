@@ -1244,8 +1244,109 @@ WHERE var > 0 AND abs((value - mean) / sqrt(var)) > {_ZSCORE_FLAG}
 """
 
 
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group percentiles by the NEAREST-RANK method: p50/p90/p99
+    of value per event_type are actual data elements selected at rank
+    ``ceil(p*n)``, not interpolated — interpolation arithmetic is the one
+    place exact-percentile implementations differ across engines, so
+    element selection is the determinism-safe contract (the approximate
+    path for 100-TB interactive use is events_sketches' KLL quantiles).
+
+    One shuffle + per-group sort (the same Window sort the top-k family
+    pays); rank predicates collapse to three element picks per group."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    ranked = e.select("event_type", "value", "event_id").withColumn(
+        "rn", F.row_number().over(w)
+    ).withColumn("n", F.count("*").over(Window.partitionBy("event_type")))
+
+    def pick(p: float):
+        # nearest-rank: smallest rn >= ceil(p*n)
+        return F.max(
+            F.when(F.col("rn") == F.ceil(F.lit(p) * F.col("n")), F.col("value"))
+        )
+
+    return ranked.groupBy("event_type").agg(
+        F.max("n").alias("n_events"),
+        pick(0.5).alias("p50"),
+        pick(0.9).alias("p90"),
+        pick(0.99).alias("p99"),
+    )
+
+
+EVENTS_VALUE_PERCENTILES_SQL = """
+WITH r AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+       MAX(n) AS n_events,
+       MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN value END) AS p50,
+       MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN value END) AS p90,
+       MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN value END) AS p99
+FROM r
+GROUP BY event_type
+"""
+
+
+def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic customer-analytics pass: per customer
+    recency (latest order date), frequency (order count), monetary (exact
+    decimal total), then quintile scores via ``ntile`` with a full
+    deterministic ordering (metric + custkey tiebreak, so both engines
+    assign identical tiles). One shuffle for the per-customer agg; the
+    three ntile windows run over the already-small customer aggregate —
+    global ntile is a single-partition sort, fine at dimension scale; if
+    the entity table itself outgrows one partition, the scale path is
+    boundary-based scoring (quantile thresholds from the sketch family)
+    instead of exact global ranking."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        _dsum("o_totalprice", "monetary"),
+    )
+    tile = lambda col, desc: F.ntile(5).over(  # noqa: E731
+        Window.orderBy(
+            (F.col(col).desc() if desc else F.col(col).asc()),
+            F.col("o_custkey").asc(),
+        )
+    )
+    return per_cust.select(
+        F.col("o_custkey").alias("custkey"),
+        "last_order",
+        "frequency",
+        "monetary",
+        tile("last_order", True).alias("r_score"),
+        tile("frequency", True).alias("f_score"),
+        tile("monetary", True).alias("m_score"),
+    )
+
+
+CUSTOMERS_RFM_SQL = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         MAX(o_orderdate) AS last_order,
+         COUNT(*) AS frequency,
+         CAST(SUM(CAST(o_totalprice AS {DEC})) AS DOUBLE) AS monetary
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey AS custkey, last_order, frequency, monetary,
+       CAST(ntile(5) OVER (ORDER BY last_order DESC, o_custkey) AS INT) AS r_score,
+       CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS INT) AS f_score,
+       CAST(ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS INT) AS m_score
+FROM per_cust
+"""
+
+
 ANALYTICS_QUERIES: dict[str, tuple] = {
     "q7_volume_shipping": (q7_volume_shipping, Q7_SQL),
+    "events_value_percentiles": (events_value_percentiles, EVENTS_VALUE_PERCENTILES_SQL),
+    "customers_rfm_segments": (customers_rfm_segments, CUSTOMERS_RFM_SQL),
     "events_data_profile": (events_data_profile, EVENTS_DATA_PROFILE_SQL),
     "events_anomaly_zscore": (events_anomaly_zscore, EVENTS_ANOMALY_ZSCORE_SQL),
     "q13_customer_distribution": (q13_customer_distribution, Q13_SQL),
