@@ -463,7 +463,11 @@ class KeyedParquetTable:
         return sorted(v for v in self._commits_map(p) if v <= latest)
 
     def diff(
-        self, spark: SparkSession, from_version: int, to_version: int | None = None
+        self,
+        spark: SparkSession,
+        from_version: int,
+        to_version: int | None = None,
+        include_pre_image: bool = False,
     ) -> DataFrame:
         """Incremental read: per-key changes between two snapshots —
         the Hudi incremental-query capability on the COW layout.
@@ -473,7 +477,11 @@ class KeyedParquetTable:
         null payload. One full-outer shuffle join on the key; change
         detection is a 64-bit row hash, so unchanged keys drop out
         without column-by-column comparison.
-        """
+
+        ``include_pre_image=True`` additionally carries the FROM-snapshot
+        non-key columns as ``_pre_<col>`` (null on inserts) — the CDC
+        before-image consumers like incremental aggregate maintenance need
+        to retract old contributions (operators/incremental.py)."""
         from pyspark.sql import functions as F
 
         p = self._read_pointer()
@@ -499,7 +507,13 @@ class KeyedParquetTable:
                 )
             )
 
-        oldh = old.select(*self.keys, row_hash(old).alias("__h_old"))
+        pre_cols = [c for c in old.columns if c not in self.keys]
+        old_sel = [*self.keys, row_hash(old).alias("__h_old")]
+        out_cols = [*cols, "_change_type"]
+        if include_pre_image:
+            old_sel += [F.col(c).alias(f"_pre_{c}") for c in pre_cols]
+            out_cols += [f"_pre_{c}" for c in pre_cols]
+        oldh = old.select(*old_sel)
         newh = new.withColumn("__h_new", row_hash(new))
         j = newh.join(oldh, self.keys, "full_outer")
         change = (
@@ -514,7 +528,7 @@ class KeyedParquetTable:
                 | F.col("__h_new").isNull()
                 | (F.col("__h_old") != F.col("__h_new"))
             )
-            .select(*cols, "_change_type")
+            .select(*out_cols)
         )
 
     def stream_changes(self, spark: SparkSession) -> DataFrame:
