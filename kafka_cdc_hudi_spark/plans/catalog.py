@@ -126,6 +126,7 @@ PRUNED: dict[str, str] = {
     "multimodal_resize_png_real": "driver cap — NEW r6, full oracle locally; rotate in r7",
     "events_value_percentiles": "driver cap — NEW r6, full oracle locally; rotate in r7",
     "customers_rfm_segments": "driver cap — NEW r6, full oracle locally; rotate in r7",
+    "cdc_incremental_agg_maintenance": "driver cap — NEW r6, full oracle locally; rotate in r7",
 }
 
 #: driver evaluation order: previously-unverified entries first (registry

@@ -420,7 +420,53 @@ FROM evt
 """
 
 
+def cdc_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance, driver-grade: the per-event_type
+    COUNT/SUM aggregate of commit v1 is rolled forward to v2 by applying
+    the commit's PRE-IMAGE diff (operators/incremental.py) — never
+    re-scanning v2 on the Spark side. The ORACLE computes the v2 aggregate
+    directly from the raw events, so a green row proves
+    maintained-from-deltas == direct-recompute across engines: the
+    insert/update/delete retraction algebra (incl. updates that move a
+    row between event_types) has to be exactly right or the decimal sums
+    diverge."""
+    from kafka_cdc_hudi_spark.operators.incremental import maintain_sum_agg, sum_agg
+
+    t = _mor_table(spark, sf_dir)
+    state_v1 = sum_agg(t.read(spark, version=1), ["event_type"], ["value"])
+    changes = t.diff(spark, 1, 2, include_pre_image=True)
+    maintained = maintain_sum_agg(state_v1, changes, ["event_type"], ["value"])
+    return maintained.select(
+        "event_type",
+        "n_rows",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+
+
+CDC_INCREMENTAL_AGG_SQL = f"""
+WITH {_EVT_CTE},
+allrows AS (
+  SELECT *, CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END AS src FROM evt
+),
+s2 AS (
+  SELECT event_type, value
+  FROM (
+    SELECT * FROM allrows
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY mtime DESC, src DESC, event_id DESC) = 1
+  ) WHERE NOT is_deleted
+)
+SELECT event_type, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+FROM s2
+GROUP BY event_type
+"""
+
+
 CDC_QUERIES: dict[str, tuple] = {
+    "cdc_incremental_agg_maintenance": (
+        cdc_incremental_agg_maintenance,
+        CDC_INCREMENTAL_AGG_SQL,
+    ),
     "cdc_parse_debezium": (cdc_parse_debezium, CDC_PARSE_DEBEZIUM_SQL),
     "cdc_parse_dms": (cdc_parse_dms, CDC_PARSE_DMS_SQL),
     "cdc_latest_per_key": (cdc_latest_per_key, CDC_LATEST_PER_KEY_SQL),
