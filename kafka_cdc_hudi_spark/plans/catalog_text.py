@@ -1199,6 +1199,78 @@ FROM c
 """
 
 
+#: pipeline quality gate — ~25th percentile of the fixture's quality
+#: distribution, so the filter drops a real slice at every SF without
+#: emptying the corpus
+PIPE_QUALITY_MIN = 0.35
+
+
+def pipeline_pretraining_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FLAGSHIP composition — a complete pretraining data pipeline in
+    one lazy plan: quality-gate the corpus (heuristic score >=
+    PIPE_QUALITY_MIN), drop near-duplicates (keep each MinHash-LSH
+    cluster's canonical doc), then sequence-pack the survivors
+    (concat-and-chunk, 2048-token sequences). Every stage is an
+    independently-oracled operator; this entry proves they compose —
+    the packing cumsum runs over exactly the filtered survivor set, so
+    any drift in either upstream filter changes every downstream
+    (seq_id, offset) and turns the hash red.
+
+    Scale shape: the quality gate is a zero-shuffle projection fused into
+    the scan; dedup survivors are cluster-count-sized (broadcast join);
+    packing adds its one shard shuffle. Nothing here rescans the corpus
+    more than the dedup family already does."""
+    from kafka_cdc_hudi_spark.operators.graph import connected_components_star
+    from kafka_cdc_hudi_spark.operators.packing import pack_sequences
+
+    d = load_table(spark, sf_dir, "documents")
+    quality_ids = text_quality_score(spark, sf_dir).filter(
+        F.col("quality") >= PIPE_QUALITY_MIN
+    ).select("doc_id")
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    cc = connected_components_star(pairs, "doc_a", "doc_b")
+    # survivors: docs that are their own cluster canonical (or unpaired)
+    dropped = cc.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    kept = (
+        d.join(quality_ids, "doc_id")
+        .join(dropped, "doc_id", "left_anti")
+        .select("doc_id", "text")
+    )
+    return pack_sequences(kept, seq_tokens=2048, n_shards=8)
+
+
+PIPELINE_PRETRAINING_SQL = f"""
+WITH RECURSIVE {_comp_ctes()},
+q AS ({TEXT_QUALITY_SQL}),
+dropped AS (SELECT node AS doc_id FROM comp WHERE node <> component),
+kept AS (
+  SELECT d.doc_id, d.text
+  FROM documents d
+  JOIN q USING (doc_id)
+  WHERE q.quality >= {PIPE_QUALITY_MIN}
+    AND d.doc_id NOT IN (SELECT doc_id FROM dropped)
+),
+t AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|pack_v1'), 1, 15)) AS BIGINT) % 8 AS shard,
+         CAST(len({_DK_TOKS}) AS BIGINT) AS n_tokens
+  FROM kept
+),
+c AS (
+  SELECT *,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM t
+)
+SELECT doc_id, shard, n_tokens,
+       CAST(cum_before // 2048 AS BIGINT) AS seq_id,
+       CAST(cum_before % 2048 AS BIGINT) AS offset_in_seq
+FROM c
+"""
+
+
 # -- multimodal plumbing ------------------------------------------------------
 
 
@@ -1784,6 +1856,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "text_rare_token_fraction": (text_rare_token_fraction, TEXT_RARE_TOKEN_SQL),
     "text_chunk_overlap": (text_chunk_overlap, TEXT_CHUNK_OVERLAP_SQL),
     "dedup_corpus_final": (dedup_corpus_final, DEDUP_CORPUS_FINAL_SQL),
+    "pipeline_pretraining_corpus": (pipeline_pretraining_corpus, PIPELINE_PRETRAINING_SQL),
     "dedup_lines_reconstruct": (dedup_lines_reconstruct, DEDUP_LINES_SQL),
     "text_html_strip": (text_html_strip, TEXT_HTML_STRIP_SQL),
 }
