@@ -1045,6 +1045,77 @@ WHERE l_partkey = p_partkey AND l_quantity <= 30
 """
 
 
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: a share-of-total per group — conditional aggregation
+    over a multi-dimension join slice (orders of ASIA customers for ECONOMY
+    parts, 1996-97), the NATION_1-3 supplier bloc's volume share per order
+    year (bloc, not single nation — q7's calibration: single-nation slices
+    go empty at sf0.001).
+    Two nation roles again (customer side restricts via region, supplier
+    side names the numerator); every dimension broadcasts, lineitem><orders
+    is the only shuffle, and the share is one conditional-decimal-sum
+    aggregation — no second pass, no self-join. Decimal sums -> one double
+    division keeps the ratio bit-identical cross-engine."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n_cust = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    n_supp = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    target_vol = F.when(
+        F.col("supp_nation").isin("NATION_1", "NATION_2", "NATION_3"), vol
+    ).otherwise(F.lit(0).cast(DEC))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == F.col("r_regionkey"))
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(target_vol).cast("double")
+                / F.sum(vol).cast("double")
+            ).alias("mkt_share"),
+            F.sum(vol).cast("double").alias("total_volume"),
+        )
+    )
+
+
+Q8_SQL = f"""
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(SUM(CASE WHEN n2.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+                     THEN CAST(l_extendedprice * (1 - l_discount) AS {DEC})
+                     ELSE CAST(0 AS {DEC}) END) AS DOUBLE)
+         / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS {DEC})) AS DOUBLE)
+         AS mkt_share,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS {DEC})) AS DOUBLE) AS total_volume
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+"""
+
+
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: per-group aggregate used as a correlated threshold
     (lines below 20% of their part's average quantity). Decorrelated the
@@ -1353,6 +1424,7 @@ ANALYTICS_QUERIES: dict[str, tuple] = {
     "q18_large_volume_customers": (q18_large_volume_customers, Q18_SQL),
     "q19_disjunctive_revenue": (q19_disjunctive_revenue, Q19_SQL),
     "q17_small_quantity_revenue": (q17_small_quantity_revenue, Q17_SQL),
+    "q8_market_share": (q8_market_share, Q8_SQL),
     "q22_sales_opportunity": (q22_sales_opportunity, Q22_SQL),
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "asof_join_last_click": (asof_join_last_click, ASOF_JOIN_SQL),
