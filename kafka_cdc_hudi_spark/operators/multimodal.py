@@ -111,6 +111,43 @@ def documents_as_png(docs: DataFrame) -> DataFrame:
     return src.mapInPandas(encode_batches, MEDIA_SCHEMA)
 
 
+#: BMP fixture dims: distinct from the PNG formulas so the two real-codec
+#: entries cannot mask each other; max w*h = 15*8 = 120 <= the 128-byte
+#: text filter
+def _bmp_fixture_dims(media_id: int) -> tuple[int, int]:
+    return 5 + media_id % 11, 2 + media_id % 7
+
+
+def documents_as_bmp(docs: DataFrame) -> DataFrame:
+    """Synthesize REAL BMP blobs (8-bit palettized grayscale, bottom-up
+    4-byte-aligned rows) from document text — the DIB counterpart of
+    :func:`documents_as_png`, exercising the other common uncompressed
+    container. Pixel samples are the first width*height text bytes."""
+    from kafka_cdc_hudi_spark.functions.bmp import encode_bmp
+
+    src = docs.filter(
+        F.octet_length("text") >= PNG_FIXTURE_MIN_BYTES
+    ).select(F.col("doc_id").alias("media_id"), "text")
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for mid, text in zip(pdf["media_id"], pdf["text"]):
+                w, h = _bmp_fixture_dims(int(mid))
+                pixels = text.encode("utf-8")[: w * h]
+                blobs.append(encode_bmp(pixels, w, h, channels=1))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "content": blobs,
+                    "format": ["bmp"] * len(pdf),
+                    "byte_len": pd.Series([len(b) for b in blobs], dtype="int64"),
+                }
+            )
+
+    return src.mapInPandas(encode_batches, MEDIA_SCHEMA)
+
+
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Adapter: treat document text bytes as a stand-in media blob (the
     container has no real image fixtures)."""
@@ -182,23 +219,29 @@ def decode_images(df: DataFrame, fake: bool = False) -> DataFrame:
     """Decode stage: media frame -> IMAGE_FEATURES_SCHEMA frame.
 
     ``fake=False`` is the REAL-codec path: PNG blobs decode through the
-    pure-stdlib codec (``functions/png.py`` — inflate + unfilter, CRC
-    checked) and ``feature_hash`` is the md5 of the reconstructed raw pixel
-    samples. Non-PNG formats raise ``NotImplementedError`` (libjpeg/libwebp
-    are not in this container). ``fake=True`` runs the deterministic stub
+    pure-stdlib PNG codec (``functions/png.py`` — inflate + unfilter, CRC
+    checked), BMP blobs through the DIB codec (``functions/bmp.py`` —
+    palette resolve + bottom-up de-stride), and ``feature_hash`` is the md5
+    of the reconstructed raw pixel samples. Other formats raise
+    ``NotImplementedError`` (libjpeg/libwebp are not in this container). ``fake=True`` runs the deterministic stub
     through the SAME mapInPandas machinery for the other formats' plumbing
     coverage.
     """
     from kafka_cdc_hudi_spark.functions.png import PNG_SIGNATURE, decode_png
 
     def _real_decode(content: bytes) -> tuple[int, int, int, str]:
+        from kafka_cdc_hudi_spark.functions.bmp import BMP_MAGIC, decode_bmp
+
         content = content or b""
-        if not content.startswith(PNG_SIGNATURE):
+        if content.startswith(PNG_SIGNATURE):
+            width, height, channels, pixels = decode_png(content)
+        elif content.startswith(BMP_MAGIC):
+            width, height, channels, pixels = decode_bmp(content)
+        else:
             raise NotImplementedError(
-                "real decode implemented for PNG only; jpeg/webp need "
+                "real decode implemented for PNG and BMP; jpeg/webp need "
                 "external codecs not present in this container (use fake=True)"
             )
-        width, height, channels, pixels = decode_png(content)
         return width, height, channels, hashlib.md5(pixels).hexdigest()
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

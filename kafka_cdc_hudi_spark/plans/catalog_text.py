@@ -1473,6 +1473,45 @@ GROUP BY doc_id
 """
 
 
+def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode through the second container format: synthesize
+    genuine 8-bit palettized BMPs (bottom-up rows, 4-byte stride, grayscale
+    palette) and decode through the pure-stdlib DIB codec
+    (functions/bmp.py). Same oracle invariant as the PNG entry — pixels
+    are the first width*height text bytes, so DuckDB predicts the decoded
+    hash exactly; a bug in stride math, bottom-up flip, or palette resolve
+    turns the row red. Dim formulas differ from PNG's so the two real
+    codecs cannot mask each other."""
+    from kafka_cdc_hudi_spark.operators.multimodal import (
+        decode_images,
+        documents_as_bmp,
+        media_repartition,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = media_repartition(documents_as_bmp(docs), avg_row_bytes=1536)
+    return decode_images(media)  # fake=False: the REAL codec
+
+
+MULTIMODAL_DECODE_BMP_SQL = """
+WITH m AS (
+  -- dims mirror operators/multimodal.py::_bmp_fixture_dims
+  SELECT doc_id,
+         5 + doc_id % 11 AS w,
+         2 + doc_id % 7 AS h,
+         text
+  FROM documents
+  WHERE octet_length(encode(text)) >= 128
+)
+SELECT doc_id AS media_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(1 AS INT) AS n_channels,
+       md5(substring(text, 1, w * h)) AS feature_hash
+FROM m
+"""
+
+
 def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode, end-to-end: synthesize genuine PCM16 RIFF/WAVE
     blobs from document bytes, then decode through the pure-stdlib WAV
@@ -1852,6 +1891,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "multimodal_decode_png": (multimodal_decode_png, MULTIMODAL_DECODE_PNG_SQL),
     "multimodal_decode_wav": (multimodal_decode_wav, MULTIMODAL_DECODE_WAV_SQL),
     "multimodal_resize_png_real": (multimodal_resize_png_real, MULTIMODAL_RESIZE_PNG_REAL_SQL),
+    "multimodal_decode_bmp": (multimodal_decode_bmp, MULTIMODAL_DECODE_BMP_SQL),
     "dataset_quota_per_group": (dataset_quota_per_group, DATASET_QUOTA_SQL),
     "text_rare_token_fraction": (text_rare_token_fraction, TEXT_RARE_TOKEN_SQL),
     "text_chunk_overlap": (text_chunk_overlap, TEXT_CHUNK_OVERLAP_SQL),

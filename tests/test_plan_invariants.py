@@ -31,6 +31,7 @@ _PY_EXEMPT = {
     "multimodal_decode_png",
     "multimodal_decode_wav",
     "multimodal_resize_png_real",
+    "multimodal_decode_bmp",
 }
 
 #: iterative/self-checking queries that run driver-side loops — their
