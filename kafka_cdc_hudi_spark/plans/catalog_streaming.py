@@ -199,6 +199,47 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
 """
 
 
+def events_user_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap statistics per user via ``lag`` — the
+    inactivity/heartbeat/session-boundary primitive (and the one ordered-
+    window access function the catalog didn't yet exercise). One shuffle
+    on user_id + one sort; gaps are exact integer micros (lag on
+    epoch_micros LONGs), so the per-user aggregates are engine-exact and
+    the avg is one long/long double division."""
+    e = load_table(spark, sf_dir, "events")
+    us = epoch_micros("ts")
+    w = Window.partitionBy("user_id").orderBy(us, "event_id")
+    gap = us - F.lag(us).over(w)
+    per_event = e.select("user_id", gap.alias("gap_us"))
+    return per_event.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("gap_us").alias("n_gaps"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+        (
+            F.sum("gap_us").cast("double") / F.count("gap_us")
+        ).alias("avg_gap_us"),
+    )
+
+
+EVENTS_USER_GAPS_SQL = """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+  FROM events
+)
+SELECT user_id,
+       COUNT(*) AS n_events,
+       COUNT(gap_us) AS n_gaps,
+       MIN(gap_us) AS min_gap_us,
+       MAX(gap_us) AS max_gap_us,
+       CAST(SUM(gap_us) AS DOUBLE) / COUNT(gap_us) AS avg_gap_us
+FROM g
+GROUP BY user_id
+"""
+
+
 # -- ANN scale paths ----------------------------------------------------------
 #
 # Both paths carry REAL DuckDB value oracles:
@@ -413,6 +454,7 @@ STREAMING_QUERIES: dict[str, tuple] = {
     "events_session_windows": (events_session_windows, EVENTS_SESSION_SQL),
     "user_running_stats_batch": (user_running_stats_batch, USER_RUNNING_STATS_SQL),
     "events_user_rate_window": (events_user_rate_window, EVENTS_USER_RATE_SQL),
+    "events_user_gaps": (events_user_gaps, EVENTS_USER_GAPS_SQL),
     "ann_topk_ivf": (ann_topk_ivf, ANN_TOPK_IVF_SQL),
     "ann_topk_ivf_trained": (ann_topk_ivf_trained, ANN_TOPK_IVF_TRAINED_SQL),
     "ann_topk_srp": (ann_topk_srp, ANN_TOPK_SRP_SQL),
