@@ -148,6 +148,42 @@ def documents_as_bmp(docs: DataFrame) -> DataFrame:
     return src.mapInPandas(encode_batches, MEDIA_SCHEMA)
 
 
+#: GIF fixture dims (max w*h = 14*6 = 84 <= the 128-byte text filter),
+#: distinct from the PNG and BMP formulas
+def _gif_fixture_dims(media_id: int) -> tuple[int, int]:
+    return 6 + media_id % 9, 2 + media_id % 5
+
+
+def documents_as_gif(docs: DataFrame) -> DataFrame:
+    """Synthesize REAL GIF blobs (grayscale global table, LZW-coded image
+    data) from document text — the third genuine image container, and the
+    only one whose decode path runs real entropy coding (functions/gif.py
+    is a full variable-width LZW decoder)."""
+    from kafka_cdc_hudi_spark.functions.gif import encode_gif
+
+    src = docs.filter(
+        F.octet_length("text") >= PNG_FIXTURE_MIN_BYTES
+    ).select(F.col("doc_id").alias("media_id"), "text")
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for mid, text in zip(pdf["media_id"], pdf["text"]):
+                w, h = _gif_fixture_dims(int(mid))
+                pixels = text.encode("utf-8")[: w * h]
+                blobs.append(encode_gif(pixels, w, h))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "content": blobs,
+                    "format": ["gif"] * len(pdf),
+                    "byte_len": pd.Series([len(b) for b in blobs], dtype="int64"),
+                }
+            )
+
+    return src.mapInPandas(encode_batches, MEDIA_SCHEMA)
+
+
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Adapter: treat document text bytes as a stand-in media blob (the
     container has no real image fixtures)."""
@@ -231,15 +267,18 @@ def decode_images(df: DataFrame, fake: bool = False) -> DataFrame:
 
     def _real_decode(content: bytes) -> tuple[int, int, int, str]:
         from kafka_cdc_hudi_spark.functions.bmp import BMP_MAGIC, decode_bmp
+        from kafka_cdc_hudi_spark.functions.gif import GIF_MAGIC, decode_gif
 
         content = content or b""
         if content.startswith(PNG_SIGNATURE):
             width, height, channels, pixels = decode_png(content)
         elif content.startswith(BMP_MAGIC):
             width, height, channels, pixels = decode_bmp(content)
+        elif content.startswith(GIF_MAGIC):
+            width, height, channels, pixels = decode_gif(content)
         else:
             raise NotImplementedError(
-                "real decode implemented for PNG and BMP; jpeg/webp need "
+                "real decode implemented for PNG/BMP/GIF; jpeg/webp need "
                 "external codecs not present in this container (use fake=True)"
             )
         return width, height, channels, hashlib.md5(pixels).hexdigest()

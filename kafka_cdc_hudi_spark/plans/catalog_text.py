@@ -1512,6 +1512,44 @@ FROM m
 """
 
 
+def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode with REAL entropy coding: synthesize genuine GIFs
+    (grayscale global table, LZW image data) and decode through the full
+    variable-width LZW decoder (functions/gif.py — 9..12-bit codes,
+    LSB-first packing, clear/EOI, early-change width growth, cScSc). Same
+    pixels-are-text-bytes oracle invariant as the PNG/BMP entries; a bug
+    anywhere in the bit reader or dictionary reconstruction changes the
+    recovered pixels and turns the hash red."""
+    from kafka_cdc_hudi_spark.operators.multimodal import (
+        decode_images,
+        documents_as_gif,
+        media_repartition,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = media_repartition(documents_as_gif(docs), avg_row_bytes=1024)
+    return decode_images(media)  # fake=False: the REAL codec
+
+
+MULTIMODAL_DECODE_GIF_SQL = """
+WITH m AS (
+  -- dims mirror operators/multimodal.py::_gif_fixture_dims
+  SELECT doc_id,
+         6 + doc_id % 9 AS w,
+         2 + doc_id % 5 AS h,
+         text
+  FROM documents
+  WHERE octet_length(encode(text)) >= 128
+)
+SELECT doc_id AS media_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(1 AS INT) AS n_channels,
+       md5(substring(text, 1, w * h)) AS feature_hash
+FROM m
+"""
+
+
 def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode, end-to-end: synthesize genuine PCM16 RIFF/WAVE
     blobs from document bytes, then decode through the pure-stdlib WAV
@@ -1892,6 +1930,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "multimodal_decode_wav": (multimodal_decode_wav, MULTIMODAL_DECODE_WAV_SQL),
     "multimodal_resize_png_real": (multimodal_resize_png_real, MULTIMODAL_RESIZE_PNG_REAL_SQL),
     "multimodal_decode_bmp": (multimodal_decode_bmp, MULTIMODAL_DECODE_BMP_SQL),
+    "multimodal_decode_gif": (multimodal_decode_gif, MULTIMODAL_DECODE_GIF_SQL),
     "dataset_quota_per_group": (dataset_quota_per_group, DATASET_QUOTA_SQL),
     "text_rare_token_fraction": (text_rare_token_fraction, TEXT_RARE_TOKEN_SQL),
     "text_chunk_overlap": (text_chunk_overlap, TEXT_CHUNK_OVERLAP_SQL),

@@ -290,3 +290,103 @@ def test_real_decode_dispatches_png_and_bmp(spark):
             w, h = _bmp_fixture_dims(row["media_id"])
             want = hashlib.md5(src[row["media_id"]].encode()[: w * h]).hexdigest()
             assert row["feature_hash"] == want
+
+
+# -- real GIF codec path ------------------------------------------------------
+
+
+def _lzw_compress_ref(pixels, min_code_size=8):
+    """Independent REAL LZW compressor (dictionary growth, width changes,
+    4096 reset) — produces streams our simple encoder never emits, so the
+    decoder is pinned against general GIF data, not just its own output."""
+    from kafka_cdc_hudi_spark.functions.gif import _BitWriter
+
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    bw = _BitWriter()
+    width = min_code_size + 1
+    table = {bytes((i,)): i for i in range(clear)}
+    next_code = eoi + 1
+    bw.write(clear, width)
+    cur = b""
+    for b in pixels:
+        nxt = cur + bytes((b,))
+        if nxt in table:
+            cur = nxt
+            continue
+        bw.write(table[cur], width)
+        table[nxt] = next_code
+        next_code += 1
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        if next_code == 4096:
+            bw.write(clear, width)
+            table = {bytes((i,)): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        cur = bytes((b,))
+    bw.write(table[cur], width)
+    bw.write(eoi, width)
+    return bw.finish()
+
+
+def test_gif_codec_roundtrip():
+    import random
+
+    from kafka_cdc_hudi_spark.functions.gif import decode_gif, encode_gif
+
+    rng = random.Random(13)
+    for _ in range(20):
+        w, h = rng.randint(1, 30), rng.randint(1, 20)
+        px = bytes(rng.randrange(256) for _ in range(w * h))
+        assert decode_gif(encode_gif(px, w, h)) == (w, h, 1, px), (w, h)
+
+
+def test_gif_decoder_handles_real_lzw_streams():
+    """Repetitive AND random payloads through a genuine compressing LZW
+    encoder: exercises dictionary growth through every width (9..12),
+    the early-change transition, cScSc self-reference, and 4096 resets."""
+    import random
+    import struct
+
+    from kafka_cdc_hudi_spark.functions.gif import decode_gif
+
+    def wrap(lzw, w, h):
+        head = b"GIF89a" + struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+        gct = b"".join(bytes((i, i, i)) for i in range(256))
+        desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        blocks = bytearray([8])
+        for i in range(0, len(lzw), 255):
+            c = lzw[i : i + 255]
+            blocks.append(len(c))
+            blocks.extend(c)
+        blocks.append(0)
+        return head + gct + desc + bytes(blocks) + b"\x3b"
+
+    rng = random.Random(5)
+    repetitive = ((b"abcabcabcab" + bytes(range(40))) * 2000)[: 300 * 80]
+    random_px = bytes(rng.randrange(256) for _ in range(300 * 80))
+    for px in (repetitive, random_px):
+        g = wrap(_lzw_compress_ref(px), 300, 80)
+        assert decode_gif(g) == (300, 80, 1, px)
+
+
+def test_gif_codec_rejects_corruption():
+    import pytest as _pytest
+
+    from kafka_cdc_hudi_spark.functions.gif import decode_gif, encode_gif
+
+    good = encode_gif(bytes(range(12)), 4, 3)
+    with _pytest.raises(ValueError):
+        decode_gif(b"JIF8" + good[4:])  # bad magic
+    with _pytest.raises(ValueError):
+        decode_gif(good[:10])  # truncated header
+    with _pytest.raises(ValueError):
+        decode_gif(good[:-20])  # truncated image data
+    # image descriptor sits after the 13-byte header + 768-byte GCT;
+    # (can't search for 0x2c — the grayscale palette contains that byte)
+    desc = 13 + 768
+    assert good[desc] == 0x2C
+    hacked = bytearray(good)
+    hacked[desc + 9] |= 0x40  # interlace flag
+    with _pytest.raises(NotImplementedError):
+        decode_gif(bytes(hacked))

@@ -32,6 +32,7 @@ _PY_EXEMPT = {
     "multimodal_decode_wav",
     "multimodal_resize_png_real",
     "multimodal_decode_bmp",
+    "multimodal_decode_gif",
 }
 
 #: iterative/self-checking queries that run driver-side loops — their
