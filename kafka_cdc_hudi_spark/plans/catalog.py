@@ -132,6 +132,7 @@ PRUNED: dict[str, str] = {
     "multimodal_decode_bmp": "driver cap — NEW r6, full oracle locally; rotate in r7",
     "events_user_gaps": "driver cap — NEW r6, full oracle locally; rotate in r7",
     "multimodal_decode_gif": "driver cap — NEW r6, full oracle locally; rotate in r7",
+    "dataset_pack_materialize": "driver cap — NEW r6, full oracle locally; rotate in r7",
 }
 
 #: driver evaluation order: previously-unverified entries first (registry

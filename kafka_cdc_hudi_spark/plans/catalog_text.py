@@ -1199,6 +1199,109 @@ FROM c
 """
 
 
+#: packing constants shared by the assignment entry, the materializer,
+#: and both oracles
+_PACK_L, _PACK_SHARDS = 2048, 8
+
+
+def dataset_pack_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packing story COMPLETED: materialize the actual training
+    sequences. ``dataset_pack_sequences`` assigns each doc a (shard,
+    seq_id, offset); this entry splits straddling documents across their
+    sequence boundaries and reassembles every sequence's token stream —
+    emitting (shard, seq_id, n_docs, n_tokens, md5(sequence_text)). Every
+    sequence except each shard's last is exactly L=2048 tokens (pinned in
+    test_packing.py).
+
+    Scale shape: the assignment's one shard shuffle, a doc_id join back to
+    the token arrays, a bounded explode (a doc lands in
+    ceil(n_tokens/L)+1 sequences at most), and one (shard, seq_id)
+    reassembly shuffle. Token counts come from exact integer boundary
+    arithmetic — never from re-tokenizing the assembled text."""
+    from kafka_cdc_hudi_spark.operators.packing import pack_sequences
+
+    L = _PACK_L
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", tokens("text").alias("toks"))
+    asg = pack_sequences(docs, seq_tokens=L, n_shards=_PACK_SHARDS)
+    j = asg.join(d, "doc_id").withColumn(
+        "cum_before", F.col("seq_id") * L + F.col("offset_in_seq")
+    )
+    last_seq = floordiv_long(F.col("cum_before") + F.col("n_tokens") - 1, L)
+    e = j.select(
+        "shard",
+        "cum_before",
+        "n_tokens",
+        "toks",
+        F.explode(F.sequence(F.col("seq_id"), last_seq)).alias("seq"),
+    )
+    start_tok = F.greatest(
+        F.lit(0).cast("long"), F.col("seq") * L - F.col("cum_before")
+    )
+    end_tok = F.least(F.col("n_tokens"), (F.col("seq") + 1) * L - F.col("cum_before"))
+    pieces = e.select(
+        "shard",
+        F.col("seq").alias("seq_id"),
+        "cum_before",
+        (end_tok - start_tok).alias("piece_len"),
+        F.array_join(
+            F.slice("toks", (start_tok + 1).cast("int"), (end_tok - start_tok).cast("int")),
+            " ",
+        ).alias("piece"),
+    )
+    return pieces.groupBy("shard", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("piece_len").alias("n_tokens"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("cum_before", "piece"))),
+                    lambda x: x["piece"],
+                ),
+                " ",
+            )
+        ).alias("seq_hash"),
+    )
+
+
+DATASET_PACK_MATERIALIZE_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|pack_v1'), 1, 15)) AS BIGINT) % {_PACK_SHARDS} AS shard,
+         toks,
+         CAST(len(toks) AS BIGINT) AS n_tokens
+  FROM (SELECT doc_id, {_DK_TOKS} AS toks FROM documents)
+),
+c AS (
+  SELECT *,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM t
+),
+e AS (
+  SELECT shard, CAST(cum_before AS BIGINT) AS cum_before, n_tokens, toks,
+         unnest(range(CAST(cum_before // {_PACK_L} AS BIGINT),
+                      CAST((cum_before + n_tokens - 1) // {_PACK_L} + 1 AS BIGINT))) AS seq
+  FROM c
+),
+p AS (
+  SELECT shard, seq AS seq_id, cum_before,
+         LEAST(n_tokens, (seq + 1) * {_PACK_L} - cum_before)
+           - GREATEST(0, seq * {_PACK_L} - cum_before) AS piece_len,
+         array_to_string(list_slice(toks,
+             GREATEST(0, seq * {_PACK_L} - cum_before) + 1,
+             LEAST(n_tokens, (seq + 1) * {_PACK_L} - cum_before)), ' ') AS piece
+  FROM e
+)
+SELECT shard, seq_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(piece_len) AS BIGINT) AS n_tokens,
+       md5(string_agg(piece, ' ' ORDER BY cum_before)) AS seq_hash
+FROM p
+GROUP BY shard, seq_id
+"""
+
+
 #: pipeline quality gate — ~25th percentile of the fixture's quality
 #: distribution, so the filter drops a real slice at every SF without
 #: emptying the corpus
@@ -1936,6 +2039,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "text_chunk_overlap": (text_chunk_overlap, TEXT_CHUNK_OVERLAP_SQL),
     "dedup_corpus_final": (dedup_corpus_final, DEDUP_CORPUS_FINAL_SQL),
     "pipeline_pretraining_corpus": (pipeline_pretraining_corpus, PIPELINE_PRETRAINING_SQL),
+    "dataset_pack_materialize": (dataset_pack_materialize, DATASET_PACK_MATERIALIZE_SQL),
     "dedup_lines_reconstruct": (dedup_lines_reconstruct, DEDUP_LINES_SQL),
     "text_html_strip": (text_html_strip, TEXT_HTML_STRIP_SQL),
 }

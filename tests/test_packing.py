@@ -5,6 +5,8 @@ from pyspark.sql import functions as F
 
 from kafka_cdc_hudi_spark.operators.packing import pack_sequences, shard_assign
 
+from .conftest import SF_DIR
+
 
 def _docs(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, text string")
@@ -64,3 +66,31 @@ def test_single_shuffle_plan(spark):
     )
     # one hash-partition exchange for the shard window; no extra shuffles
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_materialized_sequences_are_full_except_shard_tail(spark):
+    """Every materialized sequence except each shard's last is exactly L
+    tokens, and per-shard token totals equal the sum of its documents'
+    token counts (no token lost or duplicated across straddle splits)."""
+    from kafka_cdc_hudi_spark.plans.catalog_text import (
+        _PACK_L,
+        dataset_pack_materialize,
+        dataset_pack_sequences,
+    )
+
+    out = dataset_pack_materialize(spark, SF_DIR).collect()
+    last = {}
+    for r in out:
+        last[r["shard"]] = max(last.get(r["shard"], -1), r["seq_id"])
+    for r in out:
+        if r["seq_id"] != last[r["shard"]]:
+            assert r["n_tokens"] == _PACK_L, (r["shard"], r["seq_id"], r["n_tokens"])
+        assert r["n_tokens"] <= _PACK_L
+    per_shard = {}
+    for r in out:
+        per_shard[r["shard"]] = per_shard.get(r["shard"], 0) + r["n_tokens"]
+    asg = dataset_pack_sequences(spark, SF_DIR).collect()
+    want = {}
+    for r in asg:
+        want[r["shard"]] = want.get(r["shard"], 0) + r["n_tokens"]
+    assert per_shard == want
