@@ -133,6 +133,7 @@ PRUNED: dict[str, str] = {
     "events_user_gaps": "driver cap — NEW r6, full oracle locally; rotate in r7",
     "multimodal_decode_gif": "driver cap — NEW r6, full oracle locally; rotate in r7",
     "dataset_pack_materialize": "driver cap — NEW r6, full oracle locally; rotate in r7",
+    "events_active_users_rolling": "driver cap — NEW r6, full oracle locally; rotate in r7",
 }
 
 #: driver evaluation order: previously-unverified entries first (registry

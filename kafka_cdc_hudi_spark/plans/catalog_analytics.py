@@ -1414,8 +1414,58 @@ FROM per_cust
 """
 
 
+def events_active_users_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU/MAU: exact distinct actives over trailing 1/7/28-day
+    windows per observation day — the canonical engagement rollup.
+    Shape: reduce to distinct (day, user) FIRST (the only fact-sized
+    shuffle), then a bounded 28x explode attributes each active day to
+    the windows it can serve, and one conditional-distinct agg (single
+    Expand pass) produces all three horizons at once — no per-horizon
+    re-scan, no self-join range explosion. Observation days are
+    restricted to days with data (left-semi against the day set)."""
+    e = load_table(spark, sf_dir, "events")
+    day_user = e.select(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"), "user_id"
+    ).distinct()
+    days = day_user.select("day").distinct()
+    x = day_user.select(
+        "day", "user_id", F.explode(F.sequence(F.lit(0), F.lit(27))).alias("k")
+    ).select(
+        F.date_add(F.col("day"), F.col("k")).alias("obs_day"), "user_id", "k"
+    )
+    x = x.join(days.withColumnRenamed("day", "obs_day"), "obs_day", "left_semi")
+    # timestamp output: pandas renders DATE cells differently per engine,
+    # timestamps identically (same convention as the cohort entries)
+    x = x.withColumn("obs_day", F.col("obs_day").cast("timestamp"))
+    return x.groupBy("obs_day").agg(
+        F.countDistinct(F.when(F.col("k") == 0, F.col("user_id"))).alias("dau"),
+        F.countDistinct(F.when(F.col("k") < 7, F.col("user_id"))).alias("wau"),
+        F.countDistinct("user_id").alias("mau"),
+    )
+
+
+EVENTS_ACTIVE_ROLLING_SQL = """
+WITH du AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id FROM events
+),
+days AS (SELECT DISTINCT day FROM du),
+x AS (
+  SELECT du.day + CAST(k AS INT) AS obs_day, du.user_id, k
+  FROM du, LATERAL unnest(range(0, 28)) t(k)
+)
+SELECT CAST(obs_day AS TIMESTAMP) AS obs_day,
+       COUNT(DISTINCT CASE WHEN k = 0 THEN user_id END) AS dau,
+       COUNT(DISTINCT CASE WHEN k < 7 THEN user_id END) AS wau,
+       COUNT(DISTINCT user_id) AS mau
+FROM x
+WHERE obs_day IN (SELECT day FROM days)
+GROUP BY 1
+"""
+
+
 ANALYTICS_QUERIES: dict[str, tuple] = {
     "q7_volume_shipping": (q7_volume_shipping, Q7_SQL),
+    "events_active_users_rolling": (events_active_users_rolling, EVENTS_ACTIVE_ROLLING_SQL),
     "events_value_percentiles": (events_value_percentiles, EVENTS_VALUE_PERCENTILES_SQL),
     "customers_rfm_segments": (customers_rfm_segments, CUSTOMERS_RFM_SQL),
     "events_data_profile": (events_data_profile, EVENTS_DATA_PROFILE_SQL),
