@@ -133,11 +133,13 @@ class KeyedParquetTable:
         #: comfortable rewrite unit (~1-10 GB at cluster scale); more buckets
         #: = finer rewrites but more files per snapshot
         self.n_buckets = n_buckets
-        #: bucketed COW only: columns to sort by WITHIN each bucket file at
-        #: write time. Clustering gives parquet row-group min/max statistics
-        #: real selectivity, so pushed-down range predicates (time slices,
-        #: id ranges) skip row groups instead of scanning the bucket — the
-        #: same lever as Hudi/Delta clustering, paid once per rewrite
+        #: columns to sort by WITHIN output files at write time — within
+        #: each bucket file (bucketed mode) or within each base-snapshot
+        #: file (COW bases, MOR compacted bases, restores). Clustering
+        #: gives parquet row-group min/max statistics real selectivity, so
+        #: pushed-down range predicates (time slices, id ranges) skip row
+        #: groups instead of scanning — the same lever as Hudi/Delta
+        #: clustering, paid once per rewrite
         self.cluster_cols: list[str] = list(cluster_cols)
         #: when True, cluster by the Morton interleave of cluster_cols
         #: (>=2 numeric columns) instead of their linear sort — row-group
@@ -674,23 +676,28 @@ class KeyedParquetTable:
             deleted_col=self.deleted_col,
             tiebreakers=self.tiebreakers,
         )
-        merged.write.mode("overwrite").parquet(self._version_dir(new_version))
+        self._cluster_sort(merged, bucketed=False).write.mode("overwrite").parquet(
+            self._version_dir(new_version)
+        )
         commits[new_version] = "base"
         self._write_pointer(new_version, batch_id, commits)
         self._prune(new_version)
         return True
 
-    def _cluster_sort(self, out: DataFrame) -> DataFrame:
-        """Within-file ordering before a bucketed write: linear sort on
+    def _cluster_sort(self, out: DataFrame, bucketed: bool = True) -> DataFrame:
+        """Within-file ordering before a write: linear sort on
         cluster_cols, or their Morton interleave when cluster_zorder is set.
+        ``bucketed=False`` is the plain-layout variant (COW bases, MOR
+        compacted bases, restores) — same clustering, no bucket prefix.
         Z-order bounds come from one min/max agg over the frame being
         written (an extra pass over the commit's lineage — the
         sampling-free variant of Delta's range-id computation; acceptable
         because clustering already implies a rewrite of those rows)."""
         if not self.cluster_cols:
             return out
+        prefix = [_BUCKET_COL] if bucketed else []
         if not self.cluster_zorder:
-            return out.sortWithinPartitions(_BUCKET_COL, *self.cluster_cols)
+            return out.sortWithinPartitions(*prefix, *self.cluster_cols)
         row = out.agg(
             *[
                 f
@@ -705,7 +712,7 @@ class KeyedParquetTable:
             (c, row[f"_lo_{c}"] or 0.0, row[f"_hi_{c}"] or 0.0)
             for c in self.cluster_cols
         ]
-        return out.sortWithinPartitions(_BUCKET_COL, zorder_key(bounds))
+        return out.sortWithinPartitions(*prefix, zorder_key(bounds))
 
     def _commit_bucketed_snapshot(self, state: DataFrame, p: dict, new_version: int) -> int:
         """Write ``state`` as a complete bucketed snapshot committed at
@@ -846,7 +853,9 @@ class KeyedParquetTable:
         new_version = self._next_version(p)
         if self.mode == MODE_COW_BUCKETED:
             return self._commit_bucketed_snapshot(state, p, new_version)
-        state.write.mode("overwrite").parquet(self._version_dir(new_version))
+        self._cluster_sort(state, bucketed=False).write.mode("overwrite").parquet(
+            self._version_dir(new_version)
+        )
         commits = self._commits_map(p)
         commits[new_version] = "base"
         self._write_pointer(new_version, p.get("last_batch_id"), commits)
@@ -879,7 +888,12 @@ class KeyedParquetTable:
             return None
         merged = self._fold(spark, base, deltas)
         new_version = self._next_version(p)
-        merged.write.mode("overwrite").parquet(self._version_dir(new_version))
+        # MOR compacted bases get the same clustering as COW bases: this is
+        # the write the read-optimized (_ro) path scans, so row-group
+        # min/max selectivity matters most here
+        self._cluster_sort(merged, bucketed=False).write.mode("overwrite").parquet(
+            self._version_dir(new_version)
+        )
         commits = self._commits_map(p)
         for d in deltas:
             commits.pop(d, None)

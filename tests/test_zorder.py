@@ -157,3 +157,33 @@ def test_zorder_parquet_row_group_stats_prune_both_dims(spark, tmp_path):
     assert lin_x < 0.1 and lin_y > 0.8
     assert z_x < 0.45 and z_y < 0.45, (z_x, z_y)
     assert z_y < lin_y / 2
+
+
+def test_cow_and_mor_bases_are_clustered(spark, tmp_path):
+    """Plain-layout clustering: COW base commits and MOR compacted bases
+    sort rows by cluster_cols within each output file, so their row-group
+    stats prune (the _ro read path scans exactly these files)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    for mode in ("cow", "mor"):
+        t = KeyedParquetTable(
+            str(tmp_path / f"c-{mode}"), keys=["id"], order_col="mtime",
+            mode=mode, cluster_cols=("metric",),
+        )
+        rows = [(i, 10, False, float((i * 7919) % 1000)) for i in range(2000)]
+        b = spark.createDataFrame(rows, "id long, mtime long, _deleted boolean, metric double")
+        assert t.merge_batch(spark, b, batch_id=0)
+        if mode == "mor":
+            assert t.compact(spark) is not None
+        p = t._read_pointer()
+        vdir = t._version_dir(p["version"])
+        files = glob.glob(f"{vdir}/*.parquet")
+        assert files
+        for f in files:
+            vals = pq.read_table(f, columns=["metric"])["metric"].to_pylist()
+            assert vals == sorted(vals), f"{mode}: {f} not clustered"
+        # state unchanged by the sort
+        got = {(r["id"], r["metric"]) for r in t.read(spark).collect()}
+        assert got == {(i, m) for i, _, _, m in rows}
