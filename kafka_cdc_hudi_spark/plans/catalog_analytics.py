@@ -1463,7 +1463,72 @@ GROUP BY 1
 """
 
 
+def events_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: for every unordered pair of event
+    types, how many users exhibit both (plus each type's user count and
+    the Jaccard overlap) — the association-mining primitive. Shape: reduce
+    to distinct (user, type) FIRST, then the pair join runs per user over
+    that tiny per-user type set (<= |type vocabulary|, here 5) — the
+    self-join is bounded by vocabulary^2 per user, never |events|^2; the
+    final pair agg moves one row per (user, pair). Jaccard = |both| /
+    (|a| + |b| - |both|) from exact integer counts."""
+    e = load_table(spark, sf_dir, "events")
+    ut = e.select("user_id", "event_type").distinct()
+    a = ut.alias("a")
+    b = ut.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
+               & (F.col("a.event_type") < F.col("b.event_type")))
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    per_type = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
+    pa = per_type.select(
+        F.col("event_type").alias("type_a"), F.col("n_users").alias("n_a")
+    )
+    pb = per_type.select(
+        F.col("event_type").alias("type_b"), F.col("n_users").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(pa), "type_a")
+        .join(F.broadcast(pb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+EVENTS_TYPE_COOCCURRENCE_SQL = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_both
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+),
+per_type AS (SELECT event_type, COUNT(*) AS n_users FROM ut GROUP BY 1)
+SELECT type_a, type_b, n_both,
+       pa.n_users AS n_a, pb.n_users AS n_b,
+       CAST(n_both AS DOUBLE) / (pa.n_users + pb.n_users - n_both) AS jaccard
+FROM pairs
+JOIN per_type pa ON pa.event_type = type_a
+JOIN per_type pb ON pb.event_type = type_b
+"""
+
+
 ANALYTICS_QUERIES: dict[str, tuple] = {
+    "events_type_cooccurrence": (events_type_cooccurrence, EVENTS_TYPE_COOCCURRENCE_SQL),
     "q7_volume_shipping": (q7_volume_shipping, Q7_SQL),
     "events_active_users_rolling": (events_active_users_rolling, EVENTS_ACTIVE_ROLLING_SQL),
     "events_value_percentiles": (events_value_percentiles, EVENTS_VALUE_PERCENTILES_SQL),
