@@ -135,6 +135,7 @@ PRUNED: dict[str, str] = {
     "dataset_pack_materialize": "driver cap — NEW r6, full oracle locally; rotate in r7",
     "events_active_users_rolling": "driver cap — NEW r6, full oracle locally; rotate in r7",
     "events_type_cooccurrence": "driver cap — NEW r6, full oracle locally; rotate in r7",
+    "events_markov_transitions": "driver cap — NEW r6, full oracle locally; rotate in r7",
 }
 
 #: driver evaluation order: previously-unverified entries first (registry

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_cdc_hudi_spark.functions.numeric import DEC, dsum as _dsum
-from kafka_cdc_hudi_spark.functions.timefns import epoch_seconds
+from kafka_cdc_hudi_spark.functions.timefns import epoch_micros, epoch_seconds
 from kafka_cdc_hudi_spark.sources.tables import load_table
 
 
@@ -1527,8 +1527,62 @@ JOIN per_type pb ON pb.event_type = type_b
 """
 
 
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral transition matrix: for each ordered pair of
+    event types, how often a user's event of type A is IMMEDIATELY
+    followed by one of type B, with the row-normalized transition
+    probability — the sequence-model / next-action primitive (ordered
+    time-adjacent bigrams, vs the set-overlap co-occurrence entry).
+    One shuffle + per-user time sort for ``lag``, a vocabulary-sized pair
+    agg, and a broadcast join against per-source totals; probability is
+    one exact long/long double division."""
+    e = load_table(spark, sf_dir, "events")
+    us = epoch_micros("ts")
+    w = Window.partitionBy("user_id").orderBy(us, "event_id")
+    bigrams = (
+        e.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = bigrams.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return bigrams.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        "n_from",
+        (F.col("n").cast("double") / F.col("n_from").cast("double")).alias("p"),
+    )
+
+
+EVENTS_MARKOV_SQL = """
+WITH b AS (
+  SELECT from_type, to_type, COUNT(*) AS n
+  FROM (
+    SELECT user_id,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY epoch_us(ts), event_id) AS from_type,
+           event_type AS to_type
+    FROM events
+  )
+  WHERE from_type IS NOT NULL
+  GROUP BY 1, 2
+),
+t AS (SELECT from_type, SUM(n) AS n_from FROM b GROUP BY 1)
+SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+       CAST(n_from AS BIGINT) AS n_from,
+       CAST(n AS DOUBLE) / CAST(n_from AS DOUBLE) AS p
+FROM b JOIN t USING (from_type)
+"""
+
+
 ANALYTICS_QUERIES: dict[str, tuple] = {
     "events_type_cooccurrence": (events_type_cooccurrence, EVENTS_TYPE_COOCCURRENCE_SQL),
+    "events_markov_transitions": (events_markov_transitions, EVENTS_MARKOV_SQL),
     "q7_volume_shipping": (q7_volume_shipping, Q7_SQL),
     "events_active_users_rolling": (events_active_users_rolling, EVENTS_ACTIVE_ROLLING_SQL),
     "events_value_percentiles": (events_value_percentiles, EVENTS_VALUE_PERCENTILES_SQL),
