@@ -136,6 +136,14 @@ PRUNED: dict[str, str] = {
     "events_active_users_rolling": "driver cap — NEW r6, full oracle locally; rotate in r7",
     "events_type_cooccurrence": "driver cap — NEW r6, full oracle locally; rotate in r7",
     "events_markov_transitions": "driver cap — NEW r6, full oracle locally; rotate in r7",
+    # TPC-H completion set (all 22 shapes now implemented)
+    "q2_min_cost_supplier": "driver cap — NEW r6, full oracle locally; rotate in r7",
+    "q9_product_profit": "driver cap — NEW r6, full oracle locally; rotate in r7",
+    "q11_important_parts": "driver cap — NEW r6, full oracle locally; rotate in r7",
+    "q15_top_supplier": "driver cap — NEW r6, full oracle locally; rotate in r7",
+    "q16_part_supplier_variety": "driver cap — NEW r6, full oracle locally; rotate in r7",
+    "q20_excess_quantity_suppliers": "driver cap — NEW r6, full oracle locally; rotate in r7",
+    "q21_last_shipper_blame": "driver cap — NEW r6, full oracle locally; rotate in r7",
 }
 
 #: driver evaluation order: previously-unverified entries first (registry

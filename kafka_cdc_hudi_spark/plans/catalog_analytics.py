@@ -1580,7 +1580,382 @@ FROM b JOIN t USING (from_type)
 """
 
 
+# --------------------------------------------------------------------------
+# TPC-H completion set (q2/q9/q11/q15/q16/q20/q21) — the seven shapes the
+# fixture schema previously lacked driver entries for. The fixture has no
+# partsupp table and no commit/receipt dates, so q2/q9/q11/q16/q20 derive
+# their supply relation from lineitem and q21 blames the LAST-shipping
+# supplier instead of the late-delivering one; each adaptation is noted on
+# the query. With these, all 22 TPC-H query shapes are implemented.
+# --------------------------------------------------------------------------
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated-min subquery (cheapest supplier per part).
+    Adapted: no partsupp — the supply relation is the min observed unit
+    price (l_extendedprice/l_quantity, an exactly-rounded IEEE division so
+    both engines agree bit-for-bit) per (part, supplier) from lineitem,
+    restricted to EUROPE suppliers. Plan: per-(part,supp) agg -> per-part
+    min -> equality join-back, ALL sharing the partkey partitioning (one
+    shuffle); supplier/nation/region and part are broadcast dims."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    l = load_table(spark, sf_dir, "lineitem")
+    supply = (
+        l.join(F.broadcast(s.select("s_suppkey")), l.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    # rename the group key before the self-join: supply and cheapest share
+    # lineage, and an un-renamed l_partkey == l_partkey resolves to the SAME
+    # attribute (trivially true) instead of a join condition
+    cheapest = (
+        supply.groupBy("l_partkey")
+        .agg(F.min("unit_cost").alias("min_cost"))
+        .withColumnRenamed("l_partkey", "ck_partkey")
+    )
+    return (
+        supply.join(
+            cheapest,
+            (F.col("l_partkey") == F.col("ck_partkey"))
+            & (F.col("unit_cost") == F.col("min_cost")),
+        )
+        .drop("ck_partkey")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "min_cost")
+    )
+
+
+Q2_SQL = """
+WITH supply AS (
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         MIN(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem, supplier, nation, region
+  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+    AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
+  GROUP BY 1, 2),
+cheapest AS (SELECT partkey, MIN(unit_cost) AS min_cost FROM supply GROUP BY 1)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, min_cost
+FROM supply, cheapest, part, supplier, nation
+WHERE supply.partkey = cheapest.partkey AND supply.unit_cost = cheapest.min_cost
+  AND supply.partkey = p_partkey AND supply.suppkey = s_suppkey
+  AND s_nationkey = n_nationkey AND p_type = 'STANDARD'
+"""
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: multi-join profit rollup by (nation, order year).
+    Adapted: no partsupp, so the cost term is 0.6 * p_retailprice *
+    l_quantity instead of ps_supplycost * l_quantity (same expression
+    shape, documented constant margin). lineitem><orders shuffles once on
+    orderkey; part (name-filtered), supplier, nation all broadcast; the
+    profit measure folds in one decimal-sum pass."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.6) * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(_dsum(profit, "sum_profit"))
+    )
+
+
+Q9_SQL = f"""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                     - 0.6 * p_retailprice * l_quantity AS {DEC})) AS DOUBLE) AS sum_profit
+FROM lineitem, orders, part, supplier, nation
+WHERE l_orderkey = o_orderkey AND l_partkey = p_partkey AND l_suppkey = s_suppkey
+  AND s_nationkey = n_nationkey AND p_name LIKE '%widget%'
+GROUP BY 1, 2
+"""
+
+#: Q11 importance multiple: a part is "important" if its slice value
+#: exceeds this multiple of the AVERAGE per-part slice value. Relative to
+#: the average (not an absolute fraction of the total, which inverts
+#: selectivity as the part count grows with SF), so the cut stays selective
+#: yet non-empty at every scale factor.
+_Q11_AVG_MULTIPLE = 1.5
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: group value with a scalar-subquery HAVING (parts
+    whose inventory value exceeds a fraction of the total). Adapted: no
+    partsupp — value is the discounted revenue per part shipped by ASIA
+    suppliers. One shuffle for the per-part agg; the slice total is a
+    1-row aggregate broadcast into the filter (same shape as q22's scalar
+    avg); supplier/nation/region broadcast."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    sliced = l.join(
+        F.broadcast(s.select("s_suppkey")), l.l_suppkey == F.col("s_suppkey")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_part = sliced.groupBy("l_partkey").agg(_dsum(rev, "part_value"))
+    avg_val = per_part.agg(
+        (F.sum(F.col("part_value").cast(DEC)).cast("double") / F.count("*")).alias(
+            "avg_part_value"
+        )
+    )
+    return (
+        per_part.join(F.broadcast(avg_val))
+        .filter(F.col("part_value") > F.col("avg_part_value") * _Q11_AVG_MULTIPLE)
+        .select("l_partkey", "part_value")
+    )
+
+
+Q11_SQL = f"""
+WITH sliced AS (
+  SELECT l_partkey, l_extendedprice * (1 - l_discount) AS rev
+  FROM lineitem, supplier, nation, region
+  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+    AND n_regionkey = r_regionkey AND r_name = 'ASIA'),
+per_part AS (
+  SELECT l_partkey, CAST(SUM(CAST(rev AS {DEC})) AS DOUBLE) AS part_value
+  FROM sliced GROUP BY 1)
+SELECT l_partkey, part_value
+FROM per_part
+WHERE part_value > (SELECT CAST(SUM(CAST(part_value AS {DEC})) AS DOUBLE) / COUNT(*)
+                    FROM per_part) * {_Q11_AVG_MULTIPLE!r}
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: view-style revenue-per-supplier aggregate joined
+    against its own MAX (the top supplier, ties preserved). Both the
+    per-supplier agg and the 1-row max are decimal-sum exact, so the
+    equality join on the double revenue is deterministic in both engines.
+    One shuffle (suppkey agg); the max is broadcast; supplier broadcast."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    rev = (
+        l.groupBy("l_suppkey")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue"))
+    )
+    top = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.join(F.broadcast(top), rev.total_revenue == F.col("max_revenue"))
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "total_revenue")
+    )
+
+
+Q15_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS {DEC})) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1)
+SELECT s_suppkey, s_name, s_acctbal, total_revenue
+FROM revenue, supplier
+WHERE l_suppkey = s_suppkey
+  AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+#: Q16 supplier blacklist: the "customer complaints" proxy — suppliers in
+#: the bottom acctbal band are excluded via an anti-join (balances are
+#: ~uniform on [0, 10k] at every SF, so the band stays ~20% of suppliers)
+_Q16_COMPLAINT_BAL = 2000.0
+
+
+def q16_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: supplier-variety count per part attribute triple
+    with a NOT-IN supplier blacklist. Adapted: the part-supplier relation
+    comes from lineitem, and "complaint" suppliers are the low-acctbal
+    band. Plan: broadcast anti-join removes blacklisted suppliers before
+    the shuffle; part is a broadcast dim; the COUNT(DISTINCT suppkey)
+    expands once on the (brand, type, size) key."""
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45)
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < _Q16_COMPLAINT_BAL
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q16_SQL = f"""
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < {_Q16_COMPLAINT_BAL!r})
+GROUP BY 1, 2, 3
+"""
+
+
+def q20_excess_quantity_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers flagged by a quantity-threshold subquery
+    over their shipped parts (the availqty > 0.5 * shipped-qty pattern).
+    Adapted: no partsupp — a (supplier, part) pair is "excess" when its
+    1996 shipped quantity of widget parts exceeds 2x the average pair
+    quantity, a self-scaling threshold (absolute cutoffs invert selectivity
+    as SF grows). Plan: one shuffle for the pair agg; the scalar avg is
+    broadcast into the filter; the surviving supplier set semi-joins the
+    AFRICA supplier dim (broadcast)."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AFRICA")
+    n = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    pairs = (
+        l.join(F.broadcast(p.select("p_partkey")), l.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(_dsum("l_quantity", "pair_qty"))
+    )
+    avg_qty = pairs.agg(
+        (F.sum(F.col("pair_qty").cast(DEC)).cast("double") / F.count("*")).alias("avg_pair_qty")
+    )
+    excess = (
+        pairs.join(F.broadcast(avg_qty))
+        .filter(F.col("pair_qty") > F.col("avg_pair_qty") * 2.0)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(excess, s.s_suppkey == excess.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+    )
+
+
+Q20_SQL = f"""
+WITH pairs AS (
+  SELECT l_suppkey, l_partkey,
+         CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) AS pair_qty
+  FROM lineitem, part
+  WHERE l_partkey = p_partkey AND p_name LIKE '%widget%'
+    AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY 1, 2)
+SELECT s_name, s_acctbal
+FROM supplier, nation, region
+WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey AND r_name = 'AFRICA'
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM pairs
+    WHERE pair_qty > (SELECT CAST(SUM(CAST(pair_qty AS {DEC})) AS DOUBLE) / COUNT(*)
+                      FROM pairs) * 2.0)
+"""
+
+
+def q21_last_shipper_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the exists/not-exists dual over a fact self-
+    reference (suppliers solely responsible for holding up multi-supplier
+    'F' orders). Adapted: the fixture has no commit/receipt dates, so
+    "kept the order waiting" = this supplier's latest line shipped LAST in
+    the order and no other supplier shipped that late. Plan: the per-order
+    and per-(order, supplier) aggregates and their recombination all share
+    the orderkey partitioning — one fact shuffle total; the final per-
+    supplier count is a tiny agg joined against the AMERICA supplier
+    broadcast."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l = load_table(spark, sf_dir, "lineitem")
+    f = l.join(o, l.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    per_supp = f.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("smax")
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.max("smax").alias("omax"),
+        F.count(F.lit(1)).alias("nsupp"),
+    )
+    joined = per_supp.join(per_order, "l_orderkey")
+    at_max = joined.filter(F.col("smax") == F.col("omax"))
+    cmax = at_max.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_at_max"))
+    blamed = (
+        at_max.filter(F.col("nsupp") > 1)
+        .join(cmax, "l_orderkey")
+        .filter(F.col("n_at_max") == 1)
+    )
+    return (
+        blamed.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_name", "numwait")
+    )
+
+
+Q21_SQL = """
+WITH f AS (
+  SELECT l_orderkey, l_suppkey, l_shipdate
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'),
+per_supp AS (
+  SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS smax FROM f GROUP BY 1, 2),
+per_order AS (
+  SELECT l_orderkey, MAX(smax) AS omax, COUNT(*) AS nsupp FROM per_supp GROUP BY 1),
+at_max AS (
+  SELECT ps.l_orderkey, ps.l_suppkey, po.nsupp
+  FROM per_supp ps JOIN per_order po USING (l_orderkey)
+  WHERE ps.smax = po.omax),
+cmax AS (SELECT l_orderkey, COUNT(*) AS n_at_max FROM at_max GROUP BY 1),
+blamed AS (
+  SELECT am.l_suppkey
+  FROM at_max am JOIN cmax USING (l_orderkey)
+  WHERE am.nsupp > 1 AND cmax.n_at_max = 1)
+SELECT s_name, COUNT(*) AS numwait
+FROM blamed, supplier, nation, region
+WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey AND r_name = 'AMERICA'
+GROUP BY 1
+"""
+
+
 ANALYTICS_QUERIES: dict[str, tuple] = {
+    "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
+    "q9_product_profit": (q9_product_profit, Q9_SQL),
+    "q11_important_parts": (q11_important_parts, Q11_SQL),
+    "q15_top_supplier": (q15_top_supplier, Q15_SQL),
+    "q16_part_supplier_variety": (q16_part_supplier_variety, Q16_SQL),
+    "q20_excess_quantity_suppliers": (q20_excess_quantity_suppliers, Q20_SQL),
+    "q21_last_shipper_blame": (q21_last_shipper_blame, Q21_SQL),
     "events_type_cooccurrence": (events_type_cooccurrence, EVENTS_TYPE_COOCCURRENCE_SQL),
     "events_markov_transitions": (events_markov_transitions, EVENTS_MARKOV_SQL),
     "q7_volume_shipping": (q7_volume_shipping, Q7_SQL),

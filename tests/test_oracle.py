@@ -54,6 +54,11 @@ _MUST_BE_NONEMPTY = (
     "q18_large_volume_customers",
     "q22_sales_opportunity",
     "events_anomaly_zscore",
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q15_top_supplier",
+    "q20_excess_quantity_suppliers",
+    "q21_last_shipper_blame",
 )
 
 
