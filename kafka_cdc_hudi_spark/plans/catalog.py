@@ -144,6 +144,11 @@ PRUNED: dict[str, str] = {
     "q16_part_supplier_variety": "driver cap — NEW r6, full oracle locally; rotate in r7",
     "q20_excess_quantity_suppliers": "driver cap — NEW r6, full oracle locally; rotate in r7",
     "q21_last_shipper_blame": "driver cap — NEW r6, full oracle locally; rotate in r7",
+    # corpus-statistics passes (exact-integer ppm arithmetic)
+    "text_trigram_novelty": "driver cap — NEW r6, full oracle locally; rotate in r7",
+    "text_lm_score": "driver cap — NEW r6, full oracle locally; rotate in r7",
+    "dataset_length_buckets": "driver cap — NEW r6, full oracle locally; rotate in r7",
+    "dataset_mixture_weights": "driver cap — NEW r6, full oracle locally; rotate in r7",
 }
 
 #: driver evaluation order: previously-unverified entries first (registry

@@ -2002,7 +2002,224 @@ FROM a
 """
 
 
+# -- corpus-statistics passes (cross-doc n-gram novelty, bigram LM scoring,
+#    batch assembly, mixture reweighting). Determinism contract: every
+#    probability/ratio lives in exact BIGINT ppm arithmetic (`a * 1000000
+#    div b` — Spark `div` and DuckDB `//` agree bit-for-bit on positive
+#    longs); at most ONE final double division per row. ----------------------
+
+_NOVELTY_N = 3
+
+
+def text_trigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document n-gram novelty: per document, the fraction of its
+    DISTINCT trigrams whose first corpus occurrence (min doc_id) is this
+    document — the incremental-crawl content-overlap signal (score a new
+    snapshot against everything already ingested). Plan: distinct
+    (trigram, doc) pairs shuffle once on trigram for the min-doc agg; the
+    join back reuses that key; the per-doc rollup is integer-exact with
+    one final double division."""
+    d = load_table(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    toks = d.select("doc_id", tokens("text").alias("toks"))
+    tri = toks.select(
+        "doc_id", F.explode(_ngrams_expr("toks", _NOVELTY_N)).alias("tri")
+    ).distinct()
+    first = tri.groupBy("tri").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        tri.join(first, "tri")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .withColumn(
+            "novelty",
+            F.col("n_novel").cast("double") / F.col("n_trigrams").cast("double"),
+        )
+    )
+
+
+TEXT_TRIGRAM_NOVELTY_SQL = f"""
+WITH toks AS (SELECT doc_id, {_DK_TOKS} AS toks FROM documents),
+tri AS (
+  SELECT DISTINCT doc_id, unnest(
+    CASE WHEN len(toks) >= {_NOVELTY_N} THEN
+      list_transform(range(1, len(toks) - {_NOVELTY_N - 2}),
+                     i -> array_to_string(list_slice(toks, i, i + {_NOVELTY_N - 1}), ' '))
+    ELSE [] END) AS tri
+  FROM toks),
+first AS (SELECT tri, MIN(doc_id) AS first_doc FROM tri GROUP BY 1)
+SELECT doc_id, COUNT(*) AS n_trigrams,
+       CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS novelty
+FROM tri JOIN first USING (tri)
+GROUP BY doc_id
+"""
+
+
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram language-model scoring: each document's mean
+    conditional bigram probability p(w2|w1) under the corpus MLE — the
+    classic cheap fluency/perplexity proxy used to filter machine-generated
+    or boilerplate text. Probabilities are exact BIGINT ppm
+    (1e6*count(w1 w2) div count(w1 ·)), so the whole query is integer
+    arithmetic and hash-stable. Plan: per-doc bigram multiplicities first
+    (shrinks everything downstream to distinct bigram types), then the
+    type-level count join; two count aggs + two equi-joins, no window."""
+    d = load_table(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    toks = d.select("doc_id", tokens("text").alias("toks"))
+    big = toks.select("doc_id", F.explode(_ngrams_expr("toks", 2)).alias("bg"))
+    doc_bg = big.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("n_occ"))
+    bg_counts = doc_bg.groupBy("bg").agg(F.sum("n_occ").alias("bc"))
+    pc = (
+        bg_counts.select(F.substring_index("bg", " ", 1).alias("w1"), "bc")
+        .groupBy("w1")
+        .agg(F.sum("bc").alias("pc_n"))
+    )
+    typ = (
+        bg_counts.withColumn("w1", F.substring_index("bg", " ", 1))
+        .join(pc, "w1")
+        .select("bg", F.expr("1000000 * bc div pc_n").alias("p_ppm"))
+    )
+    return (
+        doc_bg.join(typ, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_occ").alias("n_bigrams"),
+            F.expr("sum(n_occ * p_ppm) div sum(n_occ)").alias("lm_score_ppm"),
+        )
+    )
+
+
+TEXT_LM_SCORE_SQL = f"""
+WITH toks AS (SELECT doc_id, {_DK_TOKS} AS toks FROM documents),
+big AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(toks) >= 2 THEN
+      list_transform(range(1, len(toks)),
+                     i -> array_to_string(list_slice(toks, i, i + 1), ' '))
+    ELSE [] END) AS bg
+  FROM toks),
+doc_bg AS (SELECT doc_id, bg, COUNT(*) AS n_occ FROM big GROUP BY 1, 2),
+bg_counts AS (SELECT bg, CAST(SUM(n_occ) AS BIGINT) AS bc FROM doc_bg GROUP BY 1),
+pc AS (SELECT split_part(bg, ' ', 1) AS w1, CAST(SUM(bc) AS BIGINT) AS pc_n
+       FROM bg_counts GROUP BY 1),
+typ AS (
+  SELECT bg, (1000000 * bc) // pc_n AS p_ppm
+  FROM bg_counts JOIN pc ON split_part(bg, ' ', 1) = pc.w1)
+SELECT doc_id, CAST(SUM(n_occ) AS BIGINT) AS n_bigrams,
+       CAST(SUM(n_occ * p_ppm) AS BIGINT) // CAST(SUM(n_occ) AS BIGINT) AS lm_score_ppm
+FROM doc_bg JOIN typ USING (bg)
+GROUP BY doc_id
+"""
+
+#: length-bucket granularity (tokens) and per-batch token budget
+_LB_BUCKET_TOKENS = 64
+_LB_BATCH_TOKENS = 4096
+
+
+def dataset_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch assembly: group documents into similar-length
+    buckets, then pack each bucket into fixed token-budget batches by
+    running offset — the padding-minimizing batching strategy for
+    variable-length training. Deterministic (ordered by doc_id within
+    bucket), all-integer. Plan: one projection for the counts, one shuffle
+    on len_bucket, one window cumsum per bucket; batch ids derive from the
+    running start offset so a batch never splits mid-document."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(tokens("text")).cast("long")
+    base = d.select("doc_id", n_tokens.alias("n_tokens")).withColumn(
+        "len_bucket", F.expr(f"n_tokens div {_LB_BUCKET_TOKENS}")
+    )
+    w = Window.partitionBy("len_bucket").orderBy("doc_id")
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        "len_bucket",
+        start.alias("start_offset"),
+        F.expr(
+            f"(sum(n_tokens) OVER (PARTITION BY len_bucket ORDER BY doc_id)"
+            f" - n_tokens) div {_LB_BATCH_TOKENS}"
+        ).alias("batch_id"),
+    )
+
+
+DATASET_LENGTH_BUCKETS_SQL = f"""
+WITH base AS (
+  SELECT doc_id, CAST(len({_DK_TOKS}) AS BIGINT) AS n_tokens,
+         CAST(len({_DK_TOKS}) AS BIGINT) // {_LB_BUCKET_TOKENS} AS len_bucket
+  FROM documents)
+SELECT doc_id, n_tokens, len_bucket,
+       CAST(SUM(n_tokens) OVER (PARTITION BY len_bucket ORDER BY doc_id)
+            - n_tokens AS BIGINT) AS start_offset,
+       CAST((SUM(n_tokens) OVER (PARTITION BY len_bucket ORDER BY doc_id)
+            - n_tokens) // {_LB_BATCH_TOKENS} AS BIGINT) AS batch_id
+FROM base
+"""
+
+
+def dataset_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture reweighting: per (source, lang) group, the token share
+    of the corpus and the sampling multiplier that would equalize shares
+    (uniform target) — the knob a pretraining pipeline turns to up/down-
+    weight sources. Exact BIGINT ppm arithmetic throughout. Plan: one
+    group agg; the corpus totals are a 1-row aggregate broadcast back."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(tokens("text")).cast("long")
+    per_group = (
+        d.select("source", "lang", n_tokens.alias("n_tokens"))
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("group_tokens"),
+        )
+    )
+    totals = per_group.agg(
+        F.sum("group_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_groups"),
+    )
+    return (
+        per_group.join(F.broadcast(totals))
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "group_tokens",
+            F.expr("1000000 * group_tokens div total_tokens").alias("share_ppm"),
+            F.expr(
+                "(1000000 div n_groups) * 1000000 div "
+                "(1000000 * group_tokens div total_tokens)"
+            ).alias("weight_ppm"),
+        )
+    )
+
+
+DATASET_MIXTURE_WEIGHTS_SQL = f"""
+WITH per_group AS (
+  SELECT source, lang, COUNT(*) AS n_docs,
+         CAST(SUM(len({_DK_TOKS})) AS BIGINT) AS group_tokens
+  FROM documents GROUP BY 1, 2),
+totals AS (SELECT CAST(SUM(group_tokens) AS BIGINT) AS total_tokens,
+                  COUNT(*) AS n_groups FROM per_group)
+SELECT source, lang, n_docs, group_tokens,
+       (1000000 * group_tokens) // total_tokens AS share_ppm,
+       ((1000000 // n_groups) * 1000000)
+         // ((1000000 * group_tokens) // total_tokens) AS weight_ppm
+FROM per_group, totals
+"""
+
+
 TEXT_QUERIES: dict[str, tuple] = {
+    "text_trigram_novelty": (text_trigram_novelty, TEXT_TRIGRAM_NOVELTY_SQL),
+    "text_lm_score": (text_lm_score, TEXT_LM_SCORE_SQL),
+    "dataset_length_buckets": (dataset_length_buckets, DATASET_LENGTH_BUCKETS_SQL),
+    "dataset_mixture_weights": (dataset_mixture_weights, DATASET_MIXTURE_WEIGHTS_SQL),
     "text_token_count": (text_token_count, TEXT_TOKEN_COUNT_SQL),
     "text_quality_score": (text_quality_score, TEXT_QUALITY_SQL),
     "text_language_id": (text_language_id, TEXT_LANGUAGE_ID_SQL),
