@@ -142,3 +142,59 @@ def merge_upsert(
     if not keep_deleted_col:
         merged = merged.drop(deleted_col)
     return merged
+
+
+def partial_update_fold(
+    history: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    deleted_col: str = "_deleted",
+    value_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Partial-update merge: fold an ordered CDC history where NULL fields
+    mean "unchanged" (Hudi ``OverwriteNonDefaultsWithLatestAvroPayload``
+    semantics — the payload class the reference's Hudi option surface can
+    select instead of its default, /root/reference/glue/cdc_hudi.py:195).
+
+    Equivalent to the sequential pairwise combine: replay events per key in
+    ``order_col`` order; a delete clears the record; an upsert overwrites
+    only its non-null fields. Expressed as ONE aggregation pass (no window,
+    no iteration): for each value column take the value at the max order
+    among non-null non-delete rows, then null it out if the latest delete
+    came later — algebraically identical to the fold because anything
+    written before the last delete is cleared and anything after survives.
+
+    ``order_col`` must be a totally-ordered orderable column per key (e.g.
+    ``mtime * 2^20 + event_id``); ties would make the fold ambiguous.
+    Scale: one shuffle on the key with map-side partial aggregation —
+    shuffle volume is ~unique-keys and hot keys combine before the
+    exchange, the same skew-immunity as ``latest_per_key_agg``.
+    """
+    ord_c = F.col(order_col)
+    del_c = F.coalesce(F.col(deleted_col), F.lit(False))
+    if value_cols is None:
+        drop = set(keys) | {order_col, deleted_col}
+        value_cols = [c for c in history.columns if c not in drop]
+    aggs = [
+        F.max(F.when(del_c, ord_c)).alias("_dmax"),
+        F.max(F.when(~del_c, ord_c)).alias("_smax"),
+    ]
+    for c in value_cols:
+        live = (~del_c) & F.col(c).isNotNull()
+        # max-of-struct instead of max_by: guaranteed to ignore rows where
+        # the ordering is null, and deterministic because ord is unique
+        aggs.append(
+            F.max(
+                F.when(live, F.struct(ord_c.alias("o"), F.col(c).alias("v")))
+            ).alias(f"_lv_{c}")
+        )
+    g = history.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+    dmax = F.col("_dmax")
+    survives = F.col("_smax").isNotNull() & (dmax.isNull() | (F.col("_smax") > dmax))
+    out = [*keys]
+    for c in value_cols:
+        lv = F.col(f"_lv_{c}")
+        keep = lv.isNotNull() & (dmax.isNull() | (lv.getField("o") > dmax))
+        out.append(F.when(keep, lv.getField("v")).alias(c))
+    out.append(F.col("_smax").alias(order_col))
+    return g.filter(survives).select(*out)

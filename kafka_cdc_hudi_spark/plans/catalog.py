@@ -149,6 +149,7 @@ PRUNED: dict[str, str] = {
     "text_lm_score": "driver cap — NEW r6, full oracle locally; rotate in r7",
     "dataset_length_buckets": "driver cap — NEW r6, full oracle locally; rotate in r7",
     "dataset_mixture_weights": "driver cap — NEW r6, full oracle locally; rotate in r7",
+    "cdc_merge_partial_updates": "driver cap — NEW r6, full oracle locally; rotate in r7",
 }
 
 #: driver evaluation order: previously-unverified entries first (registry

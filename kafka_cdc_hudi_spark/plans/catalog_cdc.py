@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from kafka_cdc_hudi_spark.operators.cdc import parse_debezium, parse_dms, route
 from kafka_cdc_hudi_spark.operators.dedup import latest_per_key
-from kafka_cdc_hudi_spark.operators.merge import merge_upsert
+from kafka_cdc_hudi_spark.operators.merge import merge_upsert, partial_update_fold
 from kafka_cdc_hudi_spark.plans.cdc_fixtures import (
     EVENTS_PAYLOAD_SCHEMA,
     debezium_envelopes,
@@ -462,7 +462,77 @@ GROUP BY event_type
 """
 
 
+def cdc_merge_partial_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-update payload merge (Hudi OverwriteNonDefaults semantics):
+    a sparse update stream where each event carries only SOME fields
+    (deterministic presence masks by event_id) folds to per-key state in
+    which every column holds its last non-null value written after the last
+    delete. Runs the real ``partial_update_fold`` operator — one shuffle,
+    map-side combine. Ordering is the exact long ``mtime * 2^20 +
+    event_id`` (collision-free while event_id < 1,048,576 — the fixture
+    cap; production keys would widen the shift)."""
+    env = debezium_envelopes(_events(spark, sf_dir))
+    parsed = parse_debezium(env, EVENTS_PAYLOAD_SCHEMA)
+    hist = parsed.select(
+        "user_id",
+        (F.col("mtime") * F.lit(1048576) + F.col("event_id")).alias("ord"),
+        F.when(F.col("event_id") % 2 == 0, F.col("event_type")).alias("event_type"),
+        F.when(F.col("event_id") % 3 == 0, F.col("value")).alias("value"),
+        F.when(F.col("event_id") % 5 == 0, F.col("props")).alias("props"),
+        "_deleted",
+    )
+    out = partial_update_fold(hist, ["user_id"], "ord", "_deleted")
+    return out.select(
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+        F.expr("ord div 1048576").alias("mtime"),
+    )
+
+
+CDC_MERGE_PARTIAL_UPDATES_SQL = f"""
+WITH {_EVT_CTE},
+h AS (
+  SELECT user_id,
+         mtime * 1048576 + event_id AS ord,
+         CASE WHEN event_id % 2 = 0 THEN event_type END AS event_type,
+         CASE WHEN event_id % 3 = 0 THEN value END AS value,
+         CASE WHEN event_id % 5 = 0 THEN props END AS props,
+         is_deleted
+  FROM evt),
+g AS (
+  SELECT user_id,
+         MAX(CASE WHEN is_deleted THEN ord END) AS dmax,
+         MAX(CASE WHEN NOT is_deleted THEN ord END) AS smax,
+         MAX(ord) FILTER (WHERE NOT is_deleted AND event_type IS NOT NULL) AS vmax_et,
+         arg_max(event_type, ord)
+           FILTER (WHERE NOT is_deleted AND event_type IS NOT NULL) AS val_et,
+         MAX(ord) FILTER (WHERE NOT is_deleted AND value IS NOT NULL) AS vmax_v,
+         arg_max(value, ord)
+           FILTER (WHERE NOT is_deleted AND value IS NOT NULL) AS val_v,
+         MAX(ord) FILTER (WHERE NOT is_deleted AND props IS NOT NULL) AS vmax_p,
+         arg_max(props, ord)
+           FILTER (WHERE NOT is_deleted AND props IS NOT NULL) AS val_p
+  FROM h GROUP BY 1)
+SELECT user_id,
+       CASE WHEN vmax_et IS NOT NULL AND (dmax IS NULL OR vmax_et > dmax)
+            THEN val_et END AS event_type,
+       CASE WHEN vmax_v IS NOT NULL AND (dmax IS NULL OR vmax_v > dmax)
+            THEN val_v END AS value,
+       CASE WHEN vmax_p IS NOT NULL AND (dmax IS NULL OR vmax_p > dmax)
+            THEN val_p END AS props,
+       smax // 1048576 AS mtime
+FROM g
+WHERE smax IS NOT NULL AND (dmax IS NULL OR smax > dmax)
+"""
+
+
 CDC_QUERIES: dict[str, tuple] = {
+    "cdc_merge_partial_updates": (
+        cdc_merge_partial_updates,
+        CDC_MERGE_PARTIAL_UPDATES_SQL,
+    ),
     "cdc_incremental_agg_maintenance": (
         cdc_incremental_agg_maintenance,
         CDC_INCREMENTAL_AGG_SQL,

@@ -159,3 +159,78 @@ class TestKeyedParquetTable:
         assert _state(t.read(spark)) == {1: ("new", 20)}
         with pytest.raises(FileNotFoundError):
             t.read(spark, version=99)
+
+
+class TestPartialUpdateFold:
+    """partial_update_fold == sequential pairwise OverwriteNonDefaults
+    replay (delete clears, non-null overwrites, null leaves unchanged)."""
+
+    def _fold(self, spark, rows):
+        from kafka_cdc_hudi_spark.operators.merge import partial_update_fold
+
+        df = spark.createDataFrame(
+            rows, "k int, ord long, a string, b string, _deleted boolean"
+        )
+        out = partial_update_fold(df, ["k"], "ord")
+        return {r.k: (r.a, r.b, r.ord) for r in out.collect()}
+
+    def test_null_fields_do_not_clobber(self, spark):
+        got = self._fold(
+            spark,
+            [
+                (1, 10, "a1", "b1", False),
+                (1, 20, None, "b2", False),  # a unchanged
+                (1, 30, "a3", None, False),  # b unchanged
+            ],
+        )
+        assert got == {1: ("a3", "b2", 30)}
+
+    def test_delete_clears_older_values(self, spark):
+        got = self._fold(
+            spark,
+            [
+                (1, 10, "a1", "b1", False),
+                (1, 20, None, None, True),  # delete
+                (1, 30, None, "b3", False),  # re-insert with only b
+            ],
+        )
+        # a1 must NOT resurrect across the delete
+        assert got == {1: (None, "b3", 30)}
+
+    def test_trailing_delete_drops_key(self, spark):
+        got = self._fold(
+            spark,
+            [
+                (1, 10, "a1", "b1", False),
+                (1, 20, None, None, True),
+                (2, 10, "x", None, False),
+            ],
+        )
+        assert got == {2: ("x", None, 10)}
+
+    def test_matches_sequential_replay(self, spark):
+        import random
+
+        rng = random.Random(42)
+        rows = []
+        for k in range(5):
+            for i in range(40):
+                rows.append(
+                    (
+                        k,
+                        k * 1000 + i,
+                        f"a{i}" if rng.random() < 0.4 else None,
+                        f"b{i}" if rng.random() < 0.4 else None,
+                        rng.random() < 0.1,
+                    )
+                )
+        # python reference fold
+        expect = {}
+        for k, ordv, a, b, dele in sorted(rows):
+            if dele:
+                expect.pop(k, None)
+            else:
+                prev = expect.get(k, (None, None, None))
+                expect[k] = (a if a is not None else prev[0],
+                             b if b is not None else prev[1], ordv)
+        assert self._fold(spark, rows) == expect
