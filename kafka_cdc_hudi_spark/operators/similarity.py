@@ -306,3 +306,128 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("qid", F.col(id_col).alias("nid"), "cosine", "rank")
     )
+
+
+# -- product quantization (PQ) ------------------------------------------------
+#
+# The memory-bound ANN scale path: vectors compress to n_sub small codes
+# (here 8 x 4 bits = one 32-bit word instead of 256 float bytes), and query
+# scans score candidates by table lookup (ADC — asymmetric distance
+# computation) instead of touching raw vectors. Combined with IVF cells this
+# is the standard IVF-PQ index; both halves are now first-class here.
+# Codebooks are deterministic seeded artifacts (the query-time contract, as
+# with ivf_static_codebook), so both catalog entries carry FULL SQL oracles.
+
+
+def pq_codebooks(dim: int, n_sub: int = 8, k: int = 16, seed: str = "pq") -> list[np.ndarray]:
+    """Per-subspace codebooks (k x dim/n_sub each) from the seeded md5
+    generator, unit-norm rows: with unit centroids, nearest-by-L2 equals
+    argmax-dot, so encoding is a pure dot-product argmax."""
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    ds = dim // n_sub
+    books = []
+    for m in range(n_sub):
+        c = _srp_planes(ds, k, table=m, seed=seed)
+        books.append(c / (np.linalg.norm(c, axis=1, keepdims=True) + 1e-12))
+    return books
+
+
+def pq_sub_dot(accessor: str, m: int, ds: int, cent: np.ndarray) -> str:
+    """Dot of subvector m with one centroid as a POSITIONAL sum expression.
+    ``accessor`` is an engine-specific element template (``{i}`` = 1-based
+    index). Two portability rules make the float results bit-equal across
+    Spark and DuckDB: (1) identical left-to-right term order; (2) centroid
+    literals are STRING-cast to double — a bare ``0.513...`` literal parses
+    as DECIMAL(19,18) in DuckDB and the decimal->double conversion
+    double-rounds the last bit for ~20% of full-precision doubles (the
+    dyadic md5-generator centroids of the SRP/IVF oracles never hit this;
+    unit-normalized PQ centroids do)."""
+    return (
+        "("
+        + " + ".join(
+            f"CAST({accessor.format(i=m * ds + j + 1)} AS DOUBLE)"
+            f" * CAST('{float(cent[j])!r}' AS DOUBLE)"
+            for j in range(ds)
+        )
+        + ")"
+    )
+
+
+def _pq_dots_array_spark(col: str, m: int, book: np.ndarray) -> str:
+    acc = f"element_at({col}, {{i}})"
+    ds = book.shape[1]
+    return "array(" + ",".join(pq_sub_dot(acc, m, ds, c) for c in book) + ")"
+
+
+def pq_encode(
+    df: DataFrame, books: list[np.ndarray], col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Encode each vector to one code per subspace (argmax dot against the
+    subspace codebook; first-wins on exact float ties, same in both
+    engines) plus the packed single-long code. Pure projection — zero
+    shuffle, scan-parallel at any corpus size."""
+    k = len(books[0])
+    # two-step select: the dots arrays materialize as named columns, then
+    # the argmax references each TWICE — CollapseProject keeps the stages
+    # separate for multiply-referenced non-cheap outputs, so the dot
+    # arithmetic is computed once and neither projection outgrows janino's
+    # 64 KB codegen method limit
+    dots = df.select(
+        F.col(id_col),
+        *[
+            F.expr(_pq_dots_array_spark(col, m, book)).alias(f"_d_{m}")
+            for m, book in enumerate(books)
+        ],
+    )
+    out = dots.select(
+        F.col(id_col),
+        *[
+            F.expr(
+                f"CAST(array_position(_d_{m}, array_max(_d_{m})) - 1 AS INT)"
+            ).alias(f"code_{m}")
+            for m in range(len(books))
+        ],
+    )
+    packed = " + ".join(f"CAST(code_{m} AS BIGINT) * {k ** m}" for m in range(len(books)))
+    return out.withColumn("pq_code", F.expr(f"({packed})"))
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    encoded: DataFrame,
+    books: list[np.ndarray],
+    k: int = 10,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+) -> DataFrame:
+    """ADC scan: each query precomputes one k-entry dot table per subspace
+    (native expressions over broadcast literals); every candidate's
+    approximate inner product is then n_sub table lookups on its codes —
+    the raw vectors are never touched. Queries broadcast; the scan is
+    embarrassingly parallel; top-k via one WindowGroupLimit-prunable
+    window."""
+    q = queries.select(F.col(id_col).alias("qid"), F.col(col).alias("qe"))
+    q = q.select(
+        "qid",
+        *[
+            F.expr(_pq_dots_array_spark("qe", m, book)).alias(f"qd_{m}")
+            for m, book in enumerate(books)
+        ],
+    )
+    # materialize the (tiny) per-query dot tables: CollapseProject would
+    # otherwise inline the full 16-dot arrays into every ADC lookup, blowing
+    # the projection past janino's method limit (codegen fallback) — and the
+    # whole point of ADC is that the tables are computed ONCE per query
+    q = q.localCheckpoint(eager=True)
+    joined = encoded.crossJoin(F.broadcast(q)).filter(F.col("qid") != F.col(id_col))
+    approx = " + ".join(f"element_at(qd_{m}, code_{m} + 1)" for m in range(len(books)))
+    scored = joined.withColumn("adc_dot", F.expr(f"({approx})"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.col("adc_dot").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", F.col(id_col).alias("nid"), "adc_dot", "rank")
+    )

@@ -45,17 +45,14 @@ FULL_REGISTRY.update(STREAMING_QUERIES)
 #:         | multimodal_decode_png (NEW),                 | embedding_quantize_int8,
 #:         | ann_topk_ivf_trained (NEW)                   | events_pivot_user_counts,
 #:         |                                              | active_user_set_ops (due r8)
-#:   r7    | the 14 NEW-r6 entries born past the cap      | matching long-green swaps
-#:         | (multimodal_decode_wav, dataset_quota_per_   | from the r6 IN set /
-#:         | group, text_rare_token_fraction,             | stable block (they have
-#:         | text_chunk_overlap, dedup_lines_reconstruct, | r2-r6 green rows and
-#:         | text_html_strip, q7_volume_shipping,         | stay locally oracled)
-#:         | q13_customer_distribution,                   |
-#:         | q17_small_quantity_revenue,                  |
-#:         | q18_large_volume_customers,                  |
-#:         | q19_disjunctive_revenue,                     |
-#:         | q22_sales_opportunity, events_data_profile,  |
-#:         | events_anomaly_zscore)                       |
+#:   r7    | the NEW-r6 entries born past the cap (every  | matching long-green swaps
+#:         | PRUNED entry marked "NEW r6 ... rotate in    | from the r6 IN set /
+#:         | r7": the multimodal codecs, the TPC-H        | stable block (they have
+#:         | completion set q2/q9/q11/q15/q16/q20/q21,    | r2-r6 green rows and
+#:         | the corpus-stats passes, the analytics/      | stay locally oracled)
+#:         | profile entries, cdc_merge_partial_updates)  |
+#:         | — more than fit under the cap at once, so    |
+#:         | split across r7+r8 newest-first              |
 #:         | + the 5 due-r7 above                         |
 #:   r8    | the 5 due-r8 + the legacy pool               | swaps as needed under cap
 #:         | (cdc_latest_per_key, q6_forecast_revenue,    |
@@ -150,6 +147,8 @@ PRUNED: dict[str, str] = {
     "dataset_length_buckets": "driver cap — NEW r6, full oracle locally; rotate in r7",
     "dataset_mixture_weights": "driver cap — NEW r6, full oracle locally; rotate in r7",
     "cdc_merge_partial_updates": "driver cap — NEW r6, full oracle locally; rotate in r7",
+    "embedding_pq_encode": "driver cap — NEW r6, full oracle locally; rotate in r7",
+    "ann_topk_pq_adc": "driver cap — NEW r6, full oracle locally; rotate in r7",
 }
 
 #: driver evaluation order: previously-unverified entries first (registry

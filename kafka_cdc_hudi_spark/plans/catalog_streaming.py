@@ -31,6 +31,10 @@ from kafka_cdc_hudi_spark.operators.similarity import (
     ivf_static_codebook,
     ivf_topk,
     ivf_train_sql_sample,
+    pq_adc_topk,
+    pq_codebooks,
+    pq_encode,
+    pq_sub_dot,
     srp_topk,
 )
 from kafka_cdc_hudi_spark.functions.numeric import DEC
@@ -448,7 +452,96 @@ def ivf_trained_sql_for(sf_dir: str) -> str | None:
 ANN_TOPK_IVF_TRAINED_SQL = ivf_trained_sql_for(_ORACLE_SF_DIR)
 
 
+# -- product quantization: encode + ADC scan ----------------------------------
+#
+# The memory-bound half of an IVF-PQ index (operators/similarity.py). Both
+# entries carry FULL SQL oracles: the deterministic seeded codebooks are
+# re-emitted as literals and the positional-sum dot products reproduce
+# Spark bit-for-bit, so codes, packed words, ADC lookups, and ranks all
+# hash-match.
+
+_PQ_SUB, _PQ_CODES, _PQ_K = 8, 16, 10
+
+
+def embedding_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encoding: 64-dim float vectors compress to 8 x 4-bit codes (one
+    32-bit word, 64x smaller than raw floats) — the vector-compression
+    build pass of an IVF-PQ index. Pure projection over broadcast codebook
+    literals; zero shuffle, scan-parallel at any corpus size."""
+    e = load_table(spark, sf_dir, "embeddings")
+    books = pq_codebooks(EMBEDDING_DIM, _PQ_SUB, _PQ_CODES)
+    return pq_encode(e, books)
+
+
+def ann_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-10: queries precompute per-subspace dot tables; candidates
+    are scored by 8 table lookups on their codes — the raw corpus vectors
+    are never read at query time (the PQ promise: the scan touches 4 bytes
+    per vector, not 256). Queries broadcast; WindowGroupLimit top-k.
+    Retrieval quality vs exact dot-product truth is floor-pinned in
+    tests/test_similarity.py::test_pq_adc_recall."""
+    e = load_table(spark, sf_dir, "embeddings")
+    books = pq_codebooks(EMBEDDING_DIM, _PQ_SUB, _PQ_CODES)
+    enc = pq_encode(e, books)
+    q = e.filter(F.col("vec_id") < 10)
+    return pq_adc_topk(q, enc, books, k=_PQ_K)
+
+
+def _pq_dots_list_duck(col: str, m: int, book) -> str:
+    acc = f"{col}[{{i}}]"
+    ds = book.shape[1]
+    return "[" + ",".join(pq_sub_dot(acc, m, ds, c) for c in book) + "]"
+
+
+def _pq_enc_cte() -> str:
+    books = pq_codebooks(EMBEDDING_DIM, _PQ_SUB, _PQ_CODES)
+    codes = []
+    for m, book in enumerate(books):
+        darr = _pq_dots_list_duck("embedding", m, book)
+        codes.append(
+            f"CAST(list_position({darr}, list_max({darr})) - 1 AS INT) AS code_{m}"
+        )
+    return f"enc AS (SELECT vec_id, {', '.join(codes)} FROM embeddings)"
+
+
+_PQ_PACKED = " + ".join(
+    f"CAST(code_{m} AS BIGINT) * {_PQ_CODES ** m}" for m in range(_PQ_SUB)
+)
+
+EMBEDDING_PQ_ENCODE_SQL = f"""
+WITH {_pq_enc_cte()}
+SELECT vec_id, {', '.join(f'code_{m}' for m in range(_PQ_SUB))},
+       ({_PQ_PACKED}) AS pq_code
+FROM enc
+"""
+
+
+def _pq_adc_sql() -> str:
+    books = pq_codebooks(EMBEDDING_DIM, _PQ_SUB, _PQ_CODES)
+    qd = ", ".join(
+        f"{_pq_dots_list_duck('embedding', m, book)} AS qd_{m}"
+        for m, book in enumerate(books)
+    )
+    lookup = " + ".join(f"q.qd_{m}[enc.code_{m} + 1]" for m in range(_PQ_SUB))
+    return f"""
+WITH {_pq_enc_cte()},
+q AS (SELECT vec_id AS qid, {qd} FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.qid, enc.vec_id AS nid, ({lookup}) AS adc_dot
+  FROM enc CROSS JOIN q
+  WHERE q.qid <> enc.vec_id)
+SELECT qid, nid, adc_dot,
+       CAST(row_number() OVER (PARTITION BY qid ORDER BY adc_dot DESC, nid) AS INT) AS rank
+FROM scored QUALIFY rank <= {_PQ_K}
+"""
+
+
+ANN_TOPK_PQ_ADC_SQL = _pq_adc_sql()
+
+
 STREAMING_QUERIES: dict[str, tuple] = {
+    "embedding_pq_encode": (embedding_pq_encode, EMBEDDING_PQ_ENCODE_SQL),
+    "ann_topk_pq_adc": (ann_topk_pq_adc, ANN_TOPK_PQ_ADC_SQL),
     "events_tumbling_windows": (events_tumbling_windows, EVENTS_TUMBLING_SQL),
     "events_sliding_windows": (events_sliding_windows, EVENTS_SLIDING_SQL),
     "events_session_windows": (events_session_windows, EVENTS_SESSION_SQL),

@@ -175,3 +175,56 @@ def test_dedup_embedding_cosine_plan_is_equijoin(spark):
     plan = dedup_embedding_cosine(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pq_encode_codes_in_range(spark):
+    """Every PQ code is a valid codebook index and the packed word
+    reconstructs the per-subspace codes exactly."""
+    from kafka_cdc_hudi_spark.operators.similarity import pq_codebooks, pq_encode
+    from kafka_cdc_hudi_spark.sources.tables import load_table
+
+    books = pq_codebooks(64, 8, 16)
+    enc = pq_encode(load_table(spark, SF_DIR, "embeddings"), books)
+    rows = enc.collect()
+    assert len(rows) > 0
+    for r in rows:
+        codes = [r[f"code_{m}"] for m in range(8)]
+        assert all(0 <= c < 16 for c in codes)
+        assert r.pq_code == sum(c * 16 ** m for m, c in enumerate(codes))
+
+
+def test_pq_adc_recall(spark):
+    """ADC retrieval quality floor: with static seeded codebooks the 32-bit
+    codes must still retrieve far above chance (measured mean recall@10 vs
+    exact dot-product truth ~0.18 at sf0.001; chance is 10/499 ~= 0.02).
+    Floor at 0.08 — a regression that halves quality turns this red while
+    normal jitter cannot."""
+    from kafka_cdc_hudi_spark.functions.vectors import dot
+    from kafka_cdc_hudi_spark.plans.catalog import FULL_REGISTRY
+    from kafka_cdc_hudi_spark.sources.tables import load_table
+    from pyspark.sql import Window
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    q = e.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")).filter(
+        F.col("qid") < 10
+    )
+    pairs = e.crossJoin(F.broadcast(q)).filter(F.col("qid") != F.col("vec_id"))
+    w = Window.partitionBy("qid").orderBy(
+        dot(F.col("qe"), F.col("embedding")).desc(), F.col("vec_id")
+    )
+    truth = (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("qid", "vec_id")
+        .collect()
+    )
+    tmap: dict = {}
+    for r in truth:
+        tmap.setdefault(r.qid, set()).add(r.vec_id)
+
+    fn, _sql = FULL_REGISTRY["ann_topk_pq_adc"]
+    adc: dict = {}
+    for r in fn(spark, SF_DIR).collect():
+        adc.setdefault(r.qid, set()).add(r.nid)
+    recall = sum(len(adc[q] & tmap[q]) for q in tmap) / (10 * len(tmap))
+    assert recall >= 0.08, f"PQ ADC mean recall@10 regressed: {recall}"
