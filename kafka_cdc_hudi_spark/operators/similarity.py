@@ -361,12 +361,17 @@ def _pq_dots_array_spark(col: str, m: int, book: np.ndarray) -> str:
 
 
 def pq_encode(
-    df: DataFrame, books: list[np.ndarray], col: str = "embedding", id_col: str = "vec_id"
+    df: DataFrame,
+    books: list[np.ndarray],
+    col: str = "embedding",
+    id_col: str = "vec_id",
+    keep: tuple = (),
 ) -> DataFrame:
     """Encode each vector to one code per subspace (argmax dot against the
     subspace codebook; first-wins on exact float ties, same in both
     engines) plus the packed single-long code. Pure projection — zero
-    shuffle, scan-parallel at any corpus size."""
+    shuffle, scan-parallel at any corpus size. ``keep`` carries extra
+    columns through (e.g. the IVF cell for a combined IVF-PQ index)."""
     k = len(books[0])
     # two-step select: the dots arrays materialize as named columns, then
     # the argmax references each TWICE — CollapseProject keeps the stages
@@ -375,6 +380,7 @@ def pq_encode(
     # 64 KB codegen method limit
     dots = df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep],
         *[
             F.expr(_pq_dots_array_spark(col, m, book)).alias(f"_d_{m}")
             for m, book in enumerate(books)
@@ -382,6 +388,7 @@ def pq_encode(
     )
     out = dots.select(
         F.col(id_col),
+        *[F.col(c) for c in keep],
         *[
             F.expr(
                 f"CAST(array_position(_d_{m}, array_max(_d_{m})) - 1 AS INT)"
@@ -423,6 +430,65 @@ def pq_adc_topk(
     joined = encoded.crossJoin(F.broadcast(q)).filter(F.col("qid") != F.col(id_col))
     approx = " + ".join(f"element_at(qd_{m}, code_{m} + 1)" for m in range(len(books)))
     scored = joined.withColumn("adc_dot", F.expr(f"({approx})"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.col("adc_dot").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", F.col(id_col).alias("nid"), "adc_dot", "rank")
+    )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    cents: np.ndarray,
+    books: list[np.ndarray],
+    k: int = 10,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the full two-level ANN index — IVF cells prune the scan to
+    n_probe cells per query, PQ/ADC scores the survivors by table lookup.
+    The stored index is (cell, codes) only: 4 bytes + a cell id per vector,
+    raw vectors touched ONLY at build time. At scale the index build (one
+    assignment+encode scan) is a batch artifact; each query batch shuffles
+    nothing but its probed cell ids (the index side is pre-partitioned by
+    cell)."""
+    index = pq_encode(ivf_assign(corpus, cents), books, col=col, id_col=id_col, keep=("cell",))
+    n_cells = len(cents)
+    q = queries.select(F.col(id_col).alias("qid"), F.col(col).alias("qe"))
+    q = q.select("qid", "qe", *_centroid_sim_cols(cents, "qe"))
+    probe = F.slice(
+        F.expr(
+            "transform(array_sort(zip_with(sequence(0,{n}),array({cols}),(i,s)->struct(s as s,i as i)),"
+            "(l,r) -> case when l.s > r.s then -1 when l.s < r.s then 1 "
+            "when l.i < r.i then -1 else 1 end), x -> x.i)".format(
+                n=n_cells - 1, cols=",".join(f"c{i}" for i in range(n_cells))
+            )
+        ),
+        1,
+        n_probe,
+    )
+    q = q.withColumn("probe_cells", probe).drop(*[f"c{i}" for i in range(n_cells)])
+    q = q.select(
+        "qid",
+        "probe_cells",
+        *[
+            F.expr(_pq_dots_array_spark("qe", m, book)).alias(f"qd_{m}")
+            for m, book in enumerate(books)
+        ],
+    )
+    # same rationale as pq_adc_topk: tiny per-query artifact, computed once
+    q = q.localCheckpoint(eager=True)
+    qx = q.select(
+        "qid", *[f"qd_{m}" for m in range(len(books))], F.explode("probe_cells").alias("cell")
+    )
+    cand = qx.join(index, "cell").filter(F.col("qid") != F.col(id_col))
+    approx = " + ".join(f"element_at(qd_{m}, code_{m} + 1)" for m in range(len(books)))
+    scored = cand.withColumn("adc_dot", F.expr(f"({approx})"))
     from pyspark.sql import Window
 
     w = Window.partitionBy("qid").orderBy(F.col("adc_dot").desc(), F.col(id_col))

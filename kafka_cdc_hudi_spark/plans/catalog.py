@@ -149,6 +149,7 @@ PRUNED: dict[str, str] = {
     "cdc_merge_partial_updates": "driver cap — NEW r6, full oracle locally; rotate in r7",
     "embedding_pq_encode": "driver cap — NEW r6, full oracle locally; rotate in r7",
     "ann_topk_pq_adc": "driver cap — NEW r6, full oracle locally; rotate in r7",
+    "ann_topk_ivfpq": "driver cap — NEW r6, full oracle locally; rotate in r7",
 }
 
 #: driver evaluation order: previously-unverified entries first (registry

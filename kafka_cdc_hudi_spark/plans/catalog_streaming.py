@@ -31,6 +31,7 @@ from kafka_cdc_hudi_spark.operators.similarity import (
     ivf_static_codebook,
     ivf_topk,
     ivf_train_sql_sample,
+    ivfpq_topk,
     pq_adc_topk,
     pq_codebooks,
     pq_encode,
@@ -539,9 +540,62 @@ FROM scored QUALIFY rank <= {_PQ_K}
 ANN_TOPK_PQ_ADC_SQL = _pq_adc_sql()
 
 
+def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: the full two-level ANN index — IVF cells prune each query's
+    scan to 3 of 8 cells, PQ/ADC scores the survivors by table lookup. The
+    stored index is (cell, 32-bit code) per vector; raw vectors are read
+    only at build time. Oracle: both halves' literal artifacts compose, so
+    assignment, codes, probe order, lookups, and ranks all hash-match."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_static_codebook(EMBEDDING_DIM, _IVF_CELLS)
+    books = pq_codebooks(EMBEDDING_DIM, _PQ_SUB, _PQ_CODES)
+    q = e.filter(F.col("vec_id") < 10)
+    return ivfpq_topk(q, e, cents, books, k=_PQ_K, n_probe=_IVF_PROBE)
+
+
+def _ivfpq_sql() -> str:
+    books = pq_codebooks(EMBEDDING_DIM, _PQ_SUB, _PQ_CODES)
+    cents_values = _cents_values(ivf_static_codebook(EMBEDDING_DIM, _IVF_CELLS))
+    qd = ", ".join(
+        f"{_pq_dots_list_duck('embedding', m, book)} AS qd_{m}"
+        for m, book in enumerate(books)
+    )
+    lookup = " + ".join(f"q.qd_{m}[i.code_{m} + 1]" for m in range(_PQ_SUB))
+    return f"""
+WITH cents(cell, c) AS (VALUES {cents_values}),
+asg_d AS (
+  SELECT e.vec_id, e.embedding, cents.cell,
+         {_DOT.format(A='e.embedding', B='cents.c')} AS d
+  FROM embeddings e CROSS JOIN cents),
+asg AS (
+  SELECT vec_id, cell FROM asg_d
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) = 1),
+{_pq_enc_cte()},
+idx AS (SELECT asg.vec_id, asg.cell,
+               {', '.join(f'enc.code_{m}' for m in range(_PQ_SUB))}
+        FROM asg JOIN enc USING (vec_id)),
+probe AS (
+  SELECT vec_id AS qid, cell FROM asg_d
+  WHERE vec_id < 10
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) <= {_IVF_PROBE}),
+q AS (SELECT vec_id AS qid, {qd} FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT p.qid, i.vec_id AS nid, ({lookup}) AS adc_dot
+  FROM probe p JOIN idx i USING (cell) JOIN q USING (qid)
+  WHERE p.qid <> i.vec_id)
+SELECT qid, nid, adc_dot,
+       CAST(row_number() OVER (PARTITION BY qid ORDER BY adc_dot DESC, nid) AS INT) AS rank
+FROM scored QUALIFY rank <= {_PQ_K}
+"""
+
+
+ANN_TOPK_IVFPQ_SQL = _ivfpq_sql()
+
+
 STREAMING_QUERIES: dict[str, tuple] = {
     "embedding_pq_encode": (embedding_pq_encode, EMBEDDING_PQ_ENCODE_SQL),
     "ann_topk_pq_adc": (ann_topk_pq_adc, ANN_TOPK_PQ_ADC_SQL),
+    "ann_topk_ivfpq": (ann_topk_ivfpq, ANN_TOPK_IVFPQ_SQL),
     "events_tumbling_windows": (events_tumbling_windows, EVENTS_TUMBLING_SQL),
     "events_sliding_windows": (events_sliding_windows, EVENTS_SLIDING_SQL),
     "events_session_windows": (events_session_windows, EVENTS_SESSION_SQL),
