@@ -150,6 +150,7 @@ PRUNED: dict[str, str] = {
     "embedding_pq_encode": "driver cap — NEW r6, full oracle locally; rotate in r7",
     "ann_topk_pq_adc": "driver cap — NEW r6, full oracle locally; rotate in r7",
     "ann_topk_ivfpq": "driver cap — NEW r6, full oracle locally; rotate in r7",
+    "events_cms_heavy_hitters": "driver cap — NEW r6, full oracle locally; rotate in r7",
 }
 
 #: driver evaluation order: previously-unverified entries first (registry

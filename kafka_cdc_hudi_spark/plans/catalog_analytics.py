@@ -478,6 +478,83 @@ GROUP BY 1
 """
 
 
+#: count-min sketch geometry: depth rows (independent hash functions) x
+#: width buckets. Error bound: overcount <= e/width * total with
+#: probability 1 - e^-depth; the sketch is 4*64 counters regardless of key
+#: cardinality.
+_CMS_DEPTH, _CMS_WIDTH = 4, 64
+
+
+def _cms_bucket(key: F.Column) -> F.Column:
+    """Row bucket for the (depth, key) pair — salted md5, the same
+    deterministic hash family the split/sample operators use. Expects a
+    ``depth`` column in scope."""
+    salted = F.concat(F.col("depth").cast("string"), F.lit("|"), key.cast("string"))
+    return (
+        F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("bigint") % _CMS_WIDTH
+    )
+
+
+def events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation per user — the mergeable
+    heavy-hitters primitive: the sketch is depth x width counters that add
+    across partitions/days (store the cells, merge by summing, estimate
+    any key's frequency later without the raw events). Unlike HLL, CMS is
+    fully deterministic given its hash family, so the ESTIMATES themselves
+    carry the DuckDB value oracle — no tolerance band needed; the
+    one-sided overcount guarantee (est >= exact) is pinned in
+    tests/test_sketches.py.
+
+    Plan: build = one explode(depth) + one (depth, bucket) shuffle into
+    256 cells; probe = per-user exact agg (one shuffle) + broadcast join
+    against the tiny cell table + min over depths."""
+    e = load_table(spark, sf_dir, "events")
+    depths = F.array(*[F.lit(i) for i in range(_CMS_DEPTH)])
+    cells = (
+        e.select("user_id", F.explode(depths).alias("depth"))
+        .select("depth", _cms_bucket(F.col("user_id")).alias("bucket"))
+        .groupBy("depth", "bucket")
+        .agg(F.count(F.lit(1)).alias("cell_n"))
+    )
+    users = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    probes = users.select(
+        "user_id", "exact_n", F.explode(depths).alias("depth")
+    ).select("user_id", "exact_n", "depth", _cms_bucket(F.col("user_id")).alias("bucket"))
+    est = (
+        probes.join(F.broadcast(cells), ["depth", "bucket"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("cell_n").alias("cms_est"))
+    )
+    return est.select(
+        "user_id",
+        "exact_n",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_n")).alias("overcount"),
+    )
+
+
+EVENTS_CMS_SQL = f"""
+WITH d AS (SELECT unnest(range(0, {_CMS_DEPTH})) AS depth),
+pairs AS (
+  SELECT depth,
+         CAST(('0x' || substring(md5(depth || '|' || user_id), 1, 15)) AS BIGINT)
+           % {_CMS_WIDTH} AS bucket
+  FROM events, d),
+cells AS (SELECT depth, bucket, COUNT(*) AS cell_n FROM pairs GROUP BY 1, 2),
+users AS (SELECT user_id, COUNT(*) AS exact_n FROM events GROUP BY 1),
+probes AS (
+  SELECT user_id, exact_n, depth,
+         CAST(('0x' || substring(md5(depth || '|' || user_id), 1, 15)) AS BIGINT)
+           % {_CMS_WIDTH} AS bucket
+  FROM users, d),
+est AS (
+  SELECT user_id, exact_n, MIN(cell_n) AS cms_est
+  FROM probes JOIN cells USING (depth, bucket)
+  GROUP BY 1, 2)
+SELECT user_id, exact_n, cms_est, cms_est - exact_n AS overcount FROM est
+"""
+
+
 def events_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch maintenance: per-(hour, event_type) HLL sketches of
     distinct users, then re-aggregated to per-type estimates by sketch
@@ -1981,6 +2058,7 @@ ANALYTICS_QUERIES: dict[str, tuple] = {
     "big_orders_semi_join": (big_orders_semi_join, BIG_ORDERS_SEMI_SQL),
     "range_join_post_purchase": (range_join_post_purchase, RANGE_JOIN_SQL),
     "events_sketches": (events_sketches, EVENTS_SKETCHES_SQL),
+    "events_cms_heavy_hitters": (events_cms_heavy_hitters, EVENTS_CMS_SQL),
     "events_retention_cohorts": (events_retention_cohorts, EVENTS_RETENTION_SQL),
     "events_hll_mergeable_rollup": (events_hll_mergeable_rollup, EVENTS_HLL_ROLLUP_SQL),
     "events_funnel_conversions": (events_funnel_conversions, EVENTS_FUNNEL_SQL),

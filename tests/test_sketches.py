@@ -64,3 +64,19 @@ def test_sketch_catalog_entries_self_check_and_return_exact_columns(spark):
     r = events_hll_mergeable_rollup(spark, SF_DIR)
     assert r.columns == ["event_type", "n_events", "n_hour_buckets"]
     assert r.count() > 0
+
+
+def test_cms_overcount_one_sided_and_bounded(spark):
+    """CMS structural guarantee: estimates never undercount, and with
+    width 64 over ~150 keys the mean overcount stays far below the
+    worst-case e/width * total bound."""
+    from kafka_cdc_hudi_spark.plans.catalog_analytics import events_cms_heavy_hitters
+
+    from .conftest import SF_DIR
+
+    rows = events_cms_heavy_hitters(spark, SF_DIR).collect()
+    assert rows
+    assert all(r.overcount >= 0 for r in rows), "CMS undercounted"
+    total = sum(r.exact_n for r in rows)
+    mean_over = sum(r.overcount for r in rows) / len(rows)
+    assert mean_over <= 2.72 / 64 * total, f"mean overcount {mean_over} above bound"
