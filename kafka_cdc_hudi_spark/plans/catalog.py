@@ -151,6 +151,9 @@ PRUNED: dict[str, str] = {
     "ann_topk_pq_adc": "driver cap — NEW r6, full oracle locally; rotate in r7",
     "ann_topk_ivfpq": "driver cap — NEW r6, full oracle locally; rotate in r7",
     "events_cms_heavy_hitters": "driver cap — NEW r6, full oracle locally; rotate in r7",
+    "dataset_interleave_order": "driver cap — NEW r6, full oracle locally; rotate in r7",
+    "embedding_mrl_energy": "driver cap — NEW r6, full oracle locally; rotate in r7",
+    "orders_price_percentile_rank": "driver cap — NEW r6, full oracle locally; rotate in r7",
 }
 
 #: driver evaluation order: previously-unverified entries first (registry

@@ -478,6 +478,34 @@ GROUP BY 1
 """
 
 
+def orders_price_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-rank windows (percent_rank + cume_dist): each order's price
+    standing within its priority class — the remaining ordered-window
+    access functions the catalog didn't yet exercise. Both are pure
+    functions of the value-ranked position, so results are engine-exact
+    ((rank-1)/(n-1) and peers/n, one division each). One shuffle + sort on
+    the priority key."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.percent_rank().over(w).alias("price_pct_rank"),
+        F.cume_dist().over(w).alias("price_cume_dist"),
+    )
+
+
+ORDERS_PRICE_PCTRANK_SQL = """
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       percent_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+         AS price_pct_rank,
+       cume_dist() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+         AS price_cume_dist
+FROM orders
+"""
+
+
 #: count-min sketch geometry: depth rows (independent hash functions) x
 #: width buckets. Error bound: overcount <= e/width * total with
 #: probability 1 - e^-depth; the sketch is 4*64 counters regardless of key
@@ -2059,6 +2087,7 @@ ANALYTICS_QUERIES: dict[str, tuple] = {
     "range_join_post_purchase": (range_join_post_purchase, RANGE_JOIN_SQL),
     "events_sketches": (events_sketches, EVENTS_SKETCHES_SQL),
     "events_cms_heavy_hitters": (events_cms_heavy_hitters, EVENTS_CMS_SQL),
+    "orders_price_percentile_rank": (orders_price_percentile_rank, ORDERS_PRICE_PCTRANK_SQL),
     "events_retention_cohorts": (events_retention_cohorts, EVENTS_RETENTION_SQL),
     "events_hll_mergeable_rollup": (events_hll_mergeable_rollup, EVENTS_HLL_ROLLUP_SQL),
     "events_funnel_conversions": (events_funnel_conversions, EVENTS_FUNNEL_SQL),

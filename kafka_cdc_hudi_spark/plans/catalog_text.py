@@ -2215,7 +2215,88 @@ FROM per_group, totals
 """
 
 
+#: interleave resolution: keys are exact integers on a 1e9 grid
+_ILV_SCALE = 1_000_000_000
+
+
+def dataset_interleave_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source-interleaved training order: document i of a
+    source with n docs gets key (2i-1)/(2n) on [0,1) — the stride
+    interleave that spreads every source evenly through the epoch (the
+    materialized form of mixture sampling without RNG state). Exact BIGINT
+    keys on a 1e9 grid. Plan: one source-partitioned window for positions,
+    source sizes as a broadcast agg; consumers range-sort by
+    (interleave_key, source, pos) — a distributed total-order sort, which
+    is why the entry emits the KEY rather than a global row_number (that
+    would force a single-partition window)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    pos = F.row_number().over(w).cast("long")
+    sized = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    return (
+        d.select("doc_id", "source")
+        .withColumn("pos", pos)
+        .join(F.broadcast(sized), "source")
+        .select(
+            "doc_id",
+            "source",
+            "pos",
+            "n_src",
+            F.expr(f"((2 * pos - 1) * CAST({_ILV_SCALE} AS BIGINT)) div (2 * n_src)").alias(
+                "interleave_key"
+            ),
+        )
+    )
+
+
+DATASET_INTERLEAVE_SQL = f"""
+WITH p AS (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS pos
+  FROM documents),
+s AS (SELECT source, COUNT(*) AS n_src FROM documents GROUP BY 1)
+SELECT doc_id, source, pos, n_src,
+       ((2 * pos - 1) * CAST({_ILV_SCALE} AS BIGINT)) // (2 * n_src) AS interleave_key
+FROM p JOIN s USING (source)
+"""
+
+#: MRL prefix length (Matryoshka truncation point)
+_MRL_DIM = 16
+
+
+def embedding_mrl_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit: per vector, how much L2 energy the
+    16-dim prefix retains vs the full 64 dims — the fidelity check before
+    swapping an index to truncated (cheaper) embeddings. Zero-shuffle
+    projection; both norms use the identical fold, retained = one division
+    of two identically-computed doubles."""
+    e = load_table(spark, sf_dir, "embeddings")
+    full = l2_norm("embedding")
+    trunc = l2_norm(F.slice("embedding", 1, _MRL_DIM))
+    return e.select(
+        "vec_id",
+        "label",
+        full.alias("full_norm"),
+        trunc.alias("trunc_norm"),
+        ((trunc * trunc) / (full * full)).alias("energy_retained"),
+    )
+
+
+EMBEDDING_MRL_SQL = f"""
+SELECT vec_id, label,
+       {_DK_NORM.format(A='embedding')} AS full_norm,
+       {_DK_NORM.format(A=f'list_slice(embedding, 1, {_MRL_DIM})')} AS trunc_norm,
+       ({_DK_NORM.format(A=f'list_slice(embedding, 1, {_MRL_DIM})')}
+        * {_DK_NORM.format(A=f'list_slice(embedding, 1, {_MRL_DIM})')})
+       / ({_DK_NORM.format(A='embedding')} * {_DK_NORM.format(A='embedding')})
+         AS energy_retained
+FROM embeddings
+"""
+
+
 TEXT_QUERIES: dict[str, tuple] = {
+    "dataset_interleave_order": (dataset_interleave_order, DATASET_INTERLEAVE_SQL),
+    "embedding_mrl_energy": (embedding_mrl_energy, EMBEDDING_MRL_SQL),
     "text_trigram_novelty": (text_trigram_novelty, TEXT_TRIGRAM_NOVELTY_SQL),
     "text_lm_score": (text_lm_score, TEXT_LM_SCORE_SQL),
     "dataset_length_buckets": (dataset_length_buckets, DATASET_LENGTH_BUCKETS_SQL),
