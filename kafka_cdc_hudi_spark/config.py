@@ -146,6 +146,10 @@ class JobConfig:
     sink_mode: str = "cow"
     #: mor only: auto-compact after this many delta commits (None = manual)
     compact_every: int | None = 10
+    #: mor only: size-based compaction trigger — compact when pending delta
+    #: bytes reach this fraction of the base (Hudi log-file-size strategy);
+    #: composable with compact_every, whichever fires first
+    compact_bytes_ratio: float | None = None
     #: cow-bucketed only: key-bucket count (rewrite granularity)
     sink_n_buckets: int = 16
     #: cow-bucketed only: sort-within-bucket clustering columns
@@ -194,6 +198,11 @@ class JobConfig:
             sink_mode=props.get("sink_mode", "cow"),
             compact_every=(
                 int(props["compact_every"]) if props.get("compact_every") else 10
+            ),
+            compact_bytes_ratio=(
+                float(props["compact_bytes_ratio"])
+                if props.get("compact_bytes_ratio")
+                else None
             ),
             sink_n_buckets=int(props.get("sink_n_buckets", "16")),
             sink_cluster_cols=tuple(

@@ -100,6 +100,16 @@ MODE_COW_BUCKETED = "cow-bucketed"
 _BUCKET_COL = "__bucket"
 
 
+def _dir_bytes(path: str) -> int:
+    """Total parquet bytes under ``path`` (0 if absent). Metadata-only."""
+    total = 0
+    for root, _dirs, names in os.walk(path):
+        for n in names:
+            if n.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, n))
+    return total
+
+
 class KeyedParquetTable:
     def __init__(
         self,
@@ -111,6 +121,7 @@ class KeyedParquetTable:
         keep_versions: int = 3,
         mode: str = MODE_COW,
         compact_every: int | None = None,
+        compact_bytes_ratio: float | None = None,
         n_buckets: int = 16,
         cluster_cols: Sequence[str] = (),
         cluster_zorder: bool = False,
@@ -129,6 +140,14 @@ class KeyedParquetTable:
         self.mode = mode
         #: MOR only: auto-compact once this many deltas accumulate past the base
         self.compact_every = compact_every
+        #: MOR only: size-based compaction trigger (Hudi log-file-size
+        #: compaction strategy parity) — compact when pending delta bytes
+        #: reach this fraction of the base snapshot's bytes. Unlike the
+        #: count trigger, this adapts to batch size: many tiny deltas wait,
+        #: one huge delta compacts promptly. Either/both triggers may be
+        #: set; whichever fires first wins. Metadata-only check (file
+        #: sizes), no data read.
+        self.compact_bytes_ratio = compact_bytes_ratio
         #: bucketed COW only: number of key buckets. Size so one bucket is a
         #: comfortable rewrite unit (~1-10 GB at cluster scale); more buckets
         #: = finer rewrites but more files per snapshot
@@ -663,8 +682,11 @@ class KeyedParquetTable:
             delta.write.mode("overwrite").parquet(self._delta_dir(new_version))
             commits[new_version] = "delta"
             self._write_pointer(new_version, batch_id, commits)
-            _, pending = self._resolve(new_version)
-            if self.compact_every is not None and len(pending) >= self.compact_every:
+            base, pending = self._resolve(new_version)
+            if (self.compact_every is not None and len(pending) >= self.compact_every) or (
+                self.compact_bytes_ratio is not None
+                and self._pending_bytes_reached(base, pending)
+            ):
                 self.compact(spark)
             return True
         existing = self.read(spark)
@@ -861,6 +883,19 @@ class KeyedParquetTable:
         self._write_pointer(new_version, p.get("last_batch_id"), commits)
         self._prune(new_version)
         return new_version
+
+    def _pending_bytes_reached(self, base: int | None, pending: list[int]) -> bool:
+        """Size trigger: pending delta bytes >= ratio * base bytes. With no
+        base yet, any pending bytes trigger (the first fold is what creates
+        the read-optimized view)."""
+        delta_bytes = sum(_dir_bytes(self._delta_dir(d)) for d in pending)
+        if delta_bytes == 0:
+            return False
+        if base is None:
+            return True
+        return delta_bytes >= self.compact_bytes_ratio * max(
+            1, _dir_bytes(self._version_dir(base))
+        )
 
     def compact(self, spark: SparkSession) -> int | None:
         """MOR: fold all pending deltas into a new base snapshot.

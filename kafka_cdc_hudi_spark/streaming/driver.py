@@ -73,6 +73,7 @@ class CdcStreamDriver:
                 order_col=spec.precombine_field,
                 mode=self.config.sink_mode,
                 compact_every=self.config.compact_every,
+                compact_bytes_ratio=self.config.compact_bytes_ratio,
                 n_buckets=self.config.sink_n_buckets,
                 cluster_cols=self.config.sink_cluster_cols,
                 cluster_zorder=self.config.sink_cluster_zorder,

@@ -382,3 +382,35 @@ def test_read_optimized_skips_delta_fold(spark, tmp_path):
     ro = {(r["id"], r["val"]) for r in t.read(spark, read_optimized=True).collect()}
     assert rt == {(1, "x2"), (2, "y")}  # real-time: delta folded
     assert ro == {(1, "x"), (2, "y")}  # read-optimized: base as of compaction
+
+
+class TestSizeBasedCompaction:
+    """compact_bytes_ratio: the Hudi log-file-size compaction strategy —
+    pending delta bytes vs base bytes, metadata-only."""
+
+    def test_small_ratio_compacts_eagerly(self, spark, tmp_path):
+        # deltas are roughly base-sized here, so ratio 0.1 fires every batch
+        mor = _mor(tmp_path, name="sz", compact_every=None, compact_bytes_ratio=0.1)
+        for i, rows in enumerate(BATCHES):
+            mor.merge_batch(spark, _df(spark, rows), batch_id=i)
+            _bases, deltas = mor._commit_dirs()
+            assert deltas == [], "size trigger should fold every batch"
+        assert _state(mor.read(spark)) == {1: ("a2", 20), 3: ("c2", 40)}
+
+    def test_huge_ratio_never_compacts(self, spark, tmp_path):
+        mor = _mor(tmp_path, name="nz", compact_every=None, compact_bytes_ratio=1e9)
+        mor.merge_batch(spark, _df(spark, BATCHES[0]), batch_id=0)  # first: no base -> folds
+        for i, rows in enumerate(BATCHES[1:], start=1):
+            mor.merge_batch(spark, _df(spark, rows), batch_id=i)
+        _bases, deltas = mor._commit_dirs()
+        assert len(deltas) == 3, "ratio 1e9 must never re-fire after the first base"
+        assert _state(mor.read(spark)) == {1: ("a2", 20), 3: ("c2", 40)}
+
+    def test_composes_with_count_trigger(self, spark, tmp_path):
+        # huge ratio (never fires) + count trigger 2: count wins
+        mor = _mor(tmp_path, name="both", compact_every=2, compact_bytes_ratio=1e9)
+        for i, rows in enumerate(BATCHES):
+            mor.merge_batch(spark, _df(spark, rows), batch_id=i)
+            _bases, deltas = mor._commit_dirs()
+            assert len(deltas) < 2
+        assert _state(mor.read(spark)) == {1: ("a2", 20), 3: ("c2", 40)}
