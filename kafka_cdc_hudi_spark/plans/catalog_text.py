@@ -2215,6 +2215,42 @@ FROM per_group, totals
 """
 
 
+#: GPT-2-style pre-tokenizer: contraction suffixes, space-prefixed letter
+#: runs, space-prefixed digit runs, space-prefixed punctuation runs,
+#: whitespace runs. ASCII-only so Java regex (Spark) and RE2 (DuckDB)
+#: agree token-for-token.
+_BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s']+|\s+"
+
+
+def text_bpe_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE pre-tokenization accounting: token counts under the GPT-2-style
+    pre-tokenizer split (the unit an LLM's BPE merges actually operate on,
+    vs the whitespace tokenizer the quota/cost passes use). Zero-shuffle
+    codegen'd regexp projection; exact integers + one final division."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(_BPE_PRETOKEN_RE), 0)
+    n = F.size(toks).cast("long")
+    n_words = F.size(F.filter(toks, lambda t: F.trim(t) != "")).cast("long")
+    return d.select(
+        "doc_id",
+        n.alias("n_pretokens"),
+        n_words.alias("n_word_pretokens"),
+        (F.length("text").cast("double") / n.cast("double")).alias("chars_per_pretoken"),
+    )
+
+
+TEXT_BPE_PRETOKENIZE_SQL = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_BPE_PRETOKEN_RE.replace("'", "''")}')) AS BIGINT)
+         AS n_pretokens,
+       CAST(len(list_filter(regexp_extract_all(text, '{_BPE_PRETOKEN_RE.replace("'", "''")}'),
+                            t -> trim(t) <> '')) AS BIGINT) AS n_word_pretokens,
+       CAST(length(text) AS DOUBLE)
+         / len(regexp_extract_all(text, '{_BPE_PRETOKEN_RE.replace("'", "''")}'))
+         AS chars_per_pretoken
+FROM documents
+"""
+
 #: interleave resolution: keys are exact integers on a 1e9 grid
 _ILV_SCALE = 1_000_000_000
 
@@ -2295,6 +2331,7 @@ FROM embeddings
 
 
 TEXT_QUERIES: dict[str, tuple] = {
+    "text_bpe_pretokenize": (text_bpe_pretokenize, TEXT_BPE_PRETOKENIZE_SQL),
     "dataset_interleave_order": (dataset_interleave_order, DATASET_INTERLEAVE_SQL),
     "embedding_mrl_energy": (embedding_mrl_energy, EMBEDDING_MRL_SQL),
     "text_trigram_novelty": (text_trigram_novelty, TEXT_TRIGRAM_NOVELTY_SQL),
