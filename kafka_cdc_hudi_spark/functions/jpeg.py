@@ -1,0 +1,421 @@
+"""Pure-stdlib baseline JPEG codec — the first DCT (transform) codec next
+to the entropy-coding GIF/LZW path, completing the common-raster-format
+set (PNG, BMP, GIF, WAV, JPEG).
+
+Scope: baseline sequential JFIF, single grayscale component, no
+subsampling, no restart intervals — the minimal LEGAL profile every JPEG
+decoder accepts. The full pipeline is real: level shift, 8x8 forward DCT,
+quantization (standard Annex K luminance table), zigzag, differential DC,
+canonical Huffman entropy coding with 0xFF byte stuffing — and the exact
+inverse on decode (marker walk, DHT canonical rebuild, bit unstuffing,
+coefficient extend, dequantize, IDCT, clamp).
+
+Huffman tables are canonical fixed-length (4-bit DC / 8-bit AC codes over
+the standard 162-symbol alphabet) — legal-but-suboptimal; the decoder
+reads whatever DHT declares, so files interoperate with any baseline
+decoder in both directions.
+
+Determinism: encode and decode are pure float64/integer arithmetic in
+fixed order — byte-identical across runs and hosts. For a FLAT w x h
+image (all pixels = v, dims multiples of 8) the decoded result is exactly
+``clamp(128 + 2 * round_half_away((v - 128) / 2))`` per pixel (only the
+DC coefficient survives; q[0][0] = 16), which is what lets the catalog
+entry carry a full SQL value oracle over a lossy codec.
+
+``ValueError`` on corruption; ``NotImplementedError`` on legal-but-
+unsupported features (progressive, multi-component, 12-bit, DRI).
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+JPEG_MAGIC = b"\xff\xd8\xff"
+
+#: standard Annex K luminance quantization table (row-major)
+QUANT = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+
+
+def _zigzag() -> list[int]:
+    """Row-major index for each zigzag position (generated, not
+    transcribed)."""
+    order = []
+    for s in range(15):
+        diag = [(y, s - y) for y in range(max(0, s - 7), min(8, s + 1))]
+        if s % 2 == 0:
+            diag.reverse()  # even diagonals run bottom-left -> top-right
+        order.extend(y * 8 + x for y, x in diag)
+    return order
+
+
+ZIGZAG = _zigzag()
+
+#: cosine basis c[u][x] = cos((2x+1) u pi / 16)
+_COS = [[math.cos((2 * x + 1) * u * math.pi / 16) for x in range(8)] for u in range(8)]
+_C = [1 / math.sqrt(2)] + [1.0] * 7
+
+# -- canonical fixed-length Huffman tables ------------------------------------
+
+#: DC: 12 size symbols, all 4-bit codes
+DC_BITS = [0] * 16
+DC_BITS[3] = 12  # BITS index 3 -> code length 4
+DC_SYMBOLS = list(range(12))
+
+#: AC: EOB, ZRL and every (run 0..15, size 1..10) pair, all 8-bit codes
+AC_SYMBOLS = [0x00, 0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 11)
+]
+AC_BITS = [0] * 16
+AC_BITS[7] = len(AC_SYMBOLS)  # code length 8
+
+
+def _canonical_codes(bits: list[int], symbols: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per the JPEG canonical construction."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    idx = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[symbols[idx]] = (code, length)
+            code += 1
+            idx += 1
+        code <<= 1
+    return out
+
+
+_DC_ENC = _canonical_codes(DC_BITS, DC_SYMBOLS)
+_AC_ENC = _canonical_codes(AC_BITS, AC_SYMBOLS)
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s per spec
+        return bytes(self.out)
+
+
+def _round_half_away(x: float) -> int:
+    return int(math.floor(abs(x) + 0.5)) * (1 if x >= 0 else -1)
+
+
+def _fdct_quant(block: list[int]) -> list[int]:
+    """Level-shifted 8x8 block -> quantized coefficients in zigzag order."""
+    coeffs = [0] * 64
+    for u in range(8):
+        for v in range(8):
+            s = 0.0
+            for y in range(8):
+                cy = _COS[u][y]
+                row = block[y * 8 : y * 8 + 8]
+                for x in range(8):
+                    s += row[x] * cy * _COS[v][x]
+            # DC scale 0.25 * (1/sqrt2)^2 is EXACTLY 0.125 (a power of two):
+            # computing it as float products lands an ulp off, which flips
+            # the half-boundary rounding for odd flat values and breaks the
+            # flat_decode_value contract the SQL oracle relies on
+            scale = 0.125 if u == 0 and v == 0 else 0.25 * _C[u] * _C[v]
+            val = scale * s
+            coeffs[u * 8 + v] = _round_half_away(val / QUANT[u * 8 + v])
+    return [coeffs[i] for i in ZIGZAG]
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """value -> (size, amplitude bits): one's-complement negatives."""
+    size = abs(v).bit_length()
+    bits = v if v >= 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def encode_jpeg_gray(pixels: bytes, width: int, height: int) -> bytes:
+    """Encode raw 8-bit grayscale samples (row-major, width*height bytes)
+    as a baseline JFIF JPEG. Images whose dims are not multiples of 8 are
+    edge-padded (standard practice; decode crops back)."""
+    if width <= 0 or height <= 0:
+        raise ValueError(f"bad dims {width}x{height}")
+    if len(pixels) != width * height:
+        raise ValueError(f"pixel buffer {len(pixels)} bytes, want {width * height}")
+    bw = (width + 7) // 8
+    bh = (height + 7) // 8
+
+    def px(x: int, y: int) -> int:  # edge-replicated sample
+        return pixels[min(y, height - 1) * width + min(x, width - 1)]
+
+    writer = _BitWriter()
+    prev_dc = 0
+    for by in range(bh):
+        for bx in range(bw):
+            block = [
+                px(bx * 8 + x, by * 8 + y) - 128 for y in range(8) for x in range(8)
+            ]
+            zz = _fdct_quant(block)
+            # DC: differential
+            diff = zz[0] - prev_dc
+            prev_dc = zz[0]
+            size, bits = _magnitude(diff)
+            code, length = _DC_ENC[size]
+            writer.write(code, length)
+            if size:
+                writer.write(bits, size)
+            # AC: run-length of zeros + (run, size) symbols
+            run = 0
+            last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+            for i in range(1, last_nz + 1):
+                if zz[i] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    c, ln = _AC_ENC[0xF0]  # ZRL
+                    writer.write(c, ln)
+                    run -= 16
+                size, bits = _magnitude(zz[i])
+                c, ln = _AC_ENC[(run << 4) | size]
+                writer.write(c, ln)
+                writer.write(bits, size)
+                run = 0
+            if last_nz < 63:
+                c, ln = _AC_ENC[0x00]  # EOB
+                writer.write(c, ln)
+    body = writer.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    def dht(cls: int, tid: int, bits: list[int], symbols: list[int]) -> bytes:
+        return bytes([cls << 4 | tid]) + bytes(bits) + bytes(symbols)
+
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, bytes([0x00]) + bytes(QUANT[i] for i in ZIGZAG))
+    out += seg(
+        0xFFC0, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
+    )
+    out += seg(0xFFC4, dht(0, 0, DC_BITS, DC_SYMBOLS))
+    out += seg(0xFFC4, dht(1, 0, AC_BITS, AC_SYMBOLS))
+    out += seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += body
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# -- decoder ------------------------------------------------------------------
+
+
+class _BitReader:
+    """Entropy-segment reader with 0xFF00 unstuffing."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif nxt == 0xD9:  # EOI reached; spec allows trailing 1-padding
+                b = 0xFF
+                self.pos += 0  # do not consume the marker
+                self.acc = (self.acc << 8) | 0xFF
+                self.nbits += 8
+                return
+            else:
+                raise NotImplementedError(f"marker 0xFF{nxt:02x} inside scan (DRI/RST?)")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _decode_tree(bits: list[int], symbols: list[int]) -> dict[tuple[int, int], int]:
+    enc = _canonical_codes(bits, symbols)
+    return {(length, code): sym for sym, (code, length) in enc.items()}
+
+
+def _read_symbol(r: _BitReader, tree: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | r.read_bit()
+        sym = tree.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid huffman code in scan")
+
+
+def _extend(bits: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+def decode_jpeg_gray(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a baseline grayscale JPEG -> (width, height, 1, pixels)."""
+    if not data.startswith(b"\xff\xd8"):
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    quant: dict[int, list[int]] = {}
+    trees: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    width = height = 0
+    dc_tid = ac_tid = 0
+    scan_pos = None
+    while scan_pos is None:
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            raise ValueError("EOI before SOS")
+        (ln,) = struct.unpack(">H", data[pos : pos + 2])
+        payload = data[pos + 2 : pos + ln]
+        if marker == 0xDB:  # DQT (possibly several tables)
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0xF
+                p += 1
+                n = 64 * (2 if pq else 1)
+                raw = payload[p : p + n]
+                vals = (
+                    list(struct.unpack(f">{64}H", raw)) if pq else list(raw)
+                )
+                tbl = [0] * 64
+                for i, zz in enumerate(ZIGZAG):
+                    tbl[zz] = vals[i]
+                quant[tq] = tbl
+                p += n
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            p = 0
+            while p < len(payload):
+                cls, tid = payload[p] >> 4, payload[p] & 0xF
+                bits = list(payload[p + 1 : p + 17])
+                n = sum(bits)
+                symbols = list(payload[p + 17 : p + 17 + n])
+                trees[(cls, tid)] = _decode_tree(bits, symbols)
+                p += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            precision, height, width, ncomp = struct.unpack(">BHHB", payload[:6])
+            if precision != 8:
+                raise NotImplementedError(f"{precision}-bit precision")
+            if ncomp != 1:
+                raise NotImplementedError(f"{ncomp}-component JPEG (grayscale only)")
+            if payload[7] != 0x11:
+                raise NotImplementedError("subsampled JPEG")
+            comp_tq = payload[8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError(f"non-baseline SOF 0xFF{marker:02x}")
+        elif marker == 0xDD:
+            raise NotImplementedError("restart intervals (DRI)")
+        elif marker == 0xDA:  # SOS
+            if payload[0] != 1:
+                raise NotImplementedError("multi-component scan")
+            dc_tid, ac_tid = payload[2] >> 4, payload[2] & 0xF
+            scan_pos = pos + ln
+        # APPn/COM and anything else: skip
+        pos += ln
+    if not width or not height:
+        raise ValueError("missing SOF before SOS")
+    q = quant.get(comp_tq)
+    if q is None:
+        raise ValueError(f"missing quant table {comp_tq}")
+    dc_tree = trees.get((0, dc_tid))
+    ac_tree = trees.get((1, ac_tid))
+    if dc_tree is None or ac_tree is None:
+        raise ValueError("missing huffman tables for scan")
+
+    r = _BitReader(data, scan_pos)
+    bw = (width + 7) // 8
+    bh = (height + 7) // 8
+    padded = bytearray(bw * 8 * bh * 8)
+    prev_dc = 0
+    for by in range(bh):
+        for bx in range(bw):
+            zz = [0] * 64
+            size = _read_symbol(r, dc_tree)
+            prev_dc += _extend(r.read_bits(size), size)
+            zz[0] = prev_dc
+            i = 1
+            while i < 64:
+                sym = _read_symbol(r, ac_tree)
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    i += 16
+                    continue
+                run, size = sym >> 4, sym & 0xF
+                i += run
+                if i > 63:
+                    raise ValueError("AC coefficient index out of range")
+                zz[i] = _extend(r.read_bits(size), size)
+                i += 1
+            # de-zigzag + dequantize
+            coeffs = [0] * 64
+            for zi, ri in enumerate(ZIGZAG):
+                coeffs[ri] = zz[zi] * q[ri]
+            # IDCT
+            for y in range(8):
+                for x in range(8):
+                    s = 0.0
+                    for u in range(8):
+                        cu = _C[u] * _COS[u][y]
+                        for v in range(8):
+                            c = coeffs[u * 8 + v]
+                            if c:
+                                s += cu * _C[v] * _COS[v][x] * c
+                    val = _round_half_away(0.25 * s + 128.0)
+                    padded[(by * 8 + y) * bw * 8 + bx * 8 + x] = min(255, max(0, val))
+    # crop padding
+    if bw * 8 == width and bh * 8 == height:
+        return width, height, 1, bytes(padded)
+    rows = [
+        padded[y * bw * 8 : y * bw * 8 + width] for y in range(height)
+    ]
+    return width, height, 1, b"".join(bytes(r) for r in rows)
+
+
+def flat_decode_value(v: int) -> int:
+    """The exact decoded pixel value for a FLAT image of value ``v`` (dims
+    multiples of 8): only the DC coefficient survives, quantized by
+    q[0][0] = 16. Shared with the SQL oracle."""
+    a = v - 128
+    quantized = (abs(a) + 1) // 2 * (1 if a >= 0 else -1)
+    return min(255, max(0, 128 + 2 * quantized))

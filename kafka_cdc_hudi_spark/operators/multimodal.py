@@ -184,6 +184,50 @@ def documents_as_gif(docs: DataFrame) -> DataFrame:
     return src.mapInPandas(encode_batches, MEDIA_SCHEMA)
 
 
+#: JPEG fixture geometry: constant 16x8 (two horizontal DCT blocks — the
+#: DC-prediction chain is exercised) and a FLAT per-image value spanning
+#: both signs of the level shift; flatness is what makes a LOSSY codec
+#: SQL-predictable (functions/jpeg.py:flat_decode_value)
+JPEG_FIXTURE_W, JPEG_FIXTURE_H = 16, 8
+
+
+def _jpeg_fixture_value(media_id: int) -> int:
+    return 96 + media_id % 64
+
+
+def documents_as_jpeg(docs: DataFrame) -> DataFrame:
+    """Synthesize REAL baseline JPEGs (grayscale, full DCT + quantization +
+    Huffman entropy coding) — the first transform codec in the media
+    fixture family. Images are flat per-document values so the lossy
+    round-trip is exactly predictable (see functions/jpeg.py docstring);
+    gradient/AC coverage lives in tests/test_multimodal.py."""
+    from kafka_cdc_hudi_spark.functions.jpeg import encode_jpeg_gray
+
+    src = docs.select(F.col("doc_id").alias("media_id"))
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = JPEG_FIXTURE_W * JPEG_FIXTURE_H
+        for pdf in batches:
+            blobs = [
+                encode_jpeg_gray(
+                    bytes([_jpeg_fixture_value(int(mid))]) * n,
+                    JPEG_FIXTURE_W,
+                    JPEG_FIXTURE_H,
+                )
+                for mid in pdf["media_id"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "content": blobs,
+                    "format": ["jpeg"] * len(pdf),
+                    "byte_len": pd.Series([len(b) for b in blobs], dtype="int64"),
+                }
+            )
+
+    return src.mapInPandas(encode_batches, MEDIA_SCHEMA)
+
+
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Adapter: treat document text bytes as a stand-in media blob (the
     container has no real image fixtures)."""
@@ -268,6 +312,7 @@ def decode_images(df: DataFrame, fake: bool = False) -> DataFrame:
     def _real_decode(content: bytes) -> tuple[int, int, int, str]:
         from kafka_cdc_hudi_spark.functions.bmp import BMP_MAGIC, decode_bmp
         from kafka_cdc_hudi_spark.functions.gif import GIF_MAGIC, decode_gif
+        from kafka_cdc_hudi_spark.functions.jpeg import JPEG_MAGIC, decode_jpeg_gray
 
         content = content or b""
         if content.startswith(PNG_SIGNATURE):
@@ -276,10 +321,12 @@ def decode_images(df: DataFrame, fake: bool = False) -> DataFrame:
             width, height, channels, pixels = decode_bmp(content)
         elif content.startswith(GIF_MAGIC):
             width, height, channels, pixels = decode_gif(content)
+        elif content.startswith(JPEG_MAGIC):
+            width, height, channels, pixels = decode_jpeg_gray(content)
         else:
             raise NotImplementedError(
-                "real decode implemented for PNG/BMP/GIF; jpeg/webp need "
-                "external codecs not present in this container (use fake=True)"
+                "real decode implemented for PNG/BMP/GIF/JPEG; webp/video "
+                "need external codecs not present in this container (use fake=True)"
             )
         return width, height, channels, hashlib.md5(pixels).hexdigest()
 

@@ -1653,6 +1653,70 @@ FROM m
 """
 
 
+def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode through the first TRANSFORM codec: synthesize
+    genuine baseline JPEGs (8x8 DCT, Annex-K quantization, canonical
+    Huffman entropy coding — functions/jpeg.py) and decode them back.
+    Images are FLAT per-document values, which makes the lossy round-trip
+    exactly predictable: only the DC coefficient survives, so the decoded
+    value is an integer formula of the input (flat_decode_value) and the
+    SQL oracle derives it independently, then maps it to the pixel-payload
+    md5 through a static byte->digest lookup (DuckDB's md5 is
+    VARCHAR-only, and bytes >= 0x80 don't round-trip through UTF-8).
+    Gradient images (real AC coefficients, ZRL/EOB paths) are covered by
+    round-trip bounds in tests/test_multimodal.py."""
+    from kafka_cdc_hudi_spark.operators.multimodal import (
+        decode_images,
+        documents_as_jpeg,
+        media_repartition,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = media_repartition(documents_as_jpeg(docs), avg_row_bytes=512)
+    return decode_images(media)  # fake=False: the REAL codec
+
+
+def _jpeg_oracle_sql() -> str:
+    import hashlib
+
+    from kafka_cdc_hudi_spark.operators.multimodal import (
+        JPEG_FIXTURE_H,
+        JPEG_FIXTURE_W,
+    )
+
+    n = JPEG_FIXTURE_W * JPEG_FIXTURE_H
+    # static pure-function table: byte value -> md5 of that byte repeated
+    # n times (no decode knowledge embedded; the decoded VALUE is derived
+    # in SQL below)
+    lut = ", ".join(
+        f"({v}, '{hashlib.md5(bytes([v]) * n).hexdigest()}')" for v in range(256)
+    )
+    return f"""
+WITH lut(px, digest) AS (VALUES {lut}),
+m AS (
+  -- flat value mirrors operators/multimodal.py::_jpeg_fixture_value
+  SELECT doc_id, 96 + doc_id % 64 AS v FROM documents
+),
+dec AS (
+  -- functions/jpeg.py::flat_decode_value: DC-only quantization round-trip
+  SELECT doc_id,
+         least(255, greatest(0, 128 + 2 * (
+           CASE WHEN v >= 128 THEN (v - 128 + 1) // 2
+                ELSE -((128 - v + 1) // 2) END))) AS out_px
+  FROM m
+)
+SELECT doc_id AS media_id,
+       CAST({JPEG_FIXTURE_W} AS INT) AS width,
+       CAST({JPEG_FIXTURE_H} AS INT) AS height,
+       CAST(1 AS INT) AS n_channels,
+       digest AS feature_hash
+FROM dec JOIN lut ON dec.out_px = lut.px
+"""
+
+
+MULTIMODAL_DECODE_JPEG_SQL = _jpeg_oracle_sql()
+
+
 def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode, end-to-end: synthesize genuine PCM16 RIFF/WAVE
     blobs from document bytes, then decode through the pure-stdlib WAV
@@ -2369,6 +2433,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "multimodal_resize_png_real": (multimodal_resize_png_real, MULTIMODAL_RESIZE_PNG_REAL_SQL),
     "multimodal_decode_bmp": (multimodal_decode_bmp, MULTIMODAL_DECODE_BMP_SQL),
     "multimodal_decode_gif": (multimodal_decode_gif, MULTIMODAL_DECODE_GIF_SQL),
+    "multimodal_decode_jpeg": (multimodal_decode_jpeg, MULTIMODAL_DECODE_JPEG_SQL),
     "dataset_quota_per_group": (dataset_quota_per_group, DATASET_QUOTA_SQL),
     "text_rare_token_fraction": (text_rare_token_fraction, TEXT_RARE_TOKEN_SQL),
     "text_chunk_overlap": (text_chunk_overlap, TEXT_CHUNK_OVERLAP_SQL),

@@ -390,3 +390,62 @@ def test_gif_codec_rejects_corruption():
     hacked[desc + 9] |= 0x40  # interlace flag
     with _pytest.raises(NotImplementedError):
         decode_gif(bytes(hacked))
+
+
+class TestJpegCodec:
+    """Baseline JPEG (functions/jpeg.py): the DCT transform codec."""
+
+    def test_flat_roundtrip_matches_formula_all_values(self):
+        from kafka_cdc_hudi_spark.functions.jpeg import (
+            decode_jpeg_gray,
+            encode_jpeg_gray,
+            flat_decode_value,
+        )
+
+        for v in range(0, 256, 7):
+            data = encode_jpeg_gray(bytes([v]) * 128, 16, 8)
+            w, h, c, px = decode_jpeg_gray(data)
+            assert (w, h, c) == (16, 8, 1)
+            assert set(px) == {flat_decode_value(v)}, v
+
+    def test_gradient_roundtrip_bounded_error(self):
+        """Non-flat content drives real AC coefficients through the
+        run-length/ZRL/EOB paths; quantization error under the standard
+        table must stay small."""
+        import random
+
+        from kafka_cdc_hudi_spark.functions.jpeg import decode_jpeg_gray, encode_jpeg_gray
+
+        rng = random.Random(11)
+        w, h = 40, 24
+        pix = bytes(
+            min(255, max(0, 6 * (x // 2) + 4 * (y // 2) + rng.randrange(4)))
+            for y in range(h)
+            for x in range(w)
+        )
+        data = encode_jpeg_gray(pix, w, h)
+        w2, h2, c2, out = decode_jpeg_gray(data)
+        assert (w2, h2, c2) == (w, h, 1)
+        err = max(abs(a - b) for a, b in zip(pix, out))
+        assert err <= 16, f"quantization error {err} too large"
+        # deterministic in both directions
+        assert encode_jpeg_gray(pix, w, h) == data
+        assert decode_jpeg_gray(data)[3] == out
+
+    def test_odd_dims_pad_and_crop(self):
+        from kafka_cdc_hudi_spark.functions.jpeg import decode_jpeg_gray, encode_jpeg_gray
+
+        pix = bytes((3 * i) % 256 for i in range(13 * 5))
+        w, h, c, out = decode_jpeg_gray(encode_jpeg_gray(pix, 13, 5))
+        assert (w, h, c, len(out)) == (13, 5, 1, 65)
+
+    def test_corruption_raises(self):
+        import pytest
+
+        from kafka_cdc_hudi_spark.functions.jpeg import decode_jpeg_gray, encode_jpeg_gray
+
+        with pytest.raises(ValueError):
+            decode_jpeg_gray(b"not a jpeg")
+        data = encode_jpeg_gray(bytes(64), 8, 8)
+        with pytest.raises((ValueError, NotImplementedError, IndexError, Exception)):
+            decode_jpeg_gray(data[:20])
