@@ -228,6 +228,106 @@ def documents_as_jpeg(docs: DataFrame) -> DataFrame:
     return src.mapInPandas(encode_batches, MEDIA_SCHEMA)
 
 
+def _video_fixture_n_frames(media_id: int) -> int:
+    return 2 + media_id % 4
+
+
+def _video_fixture_value(media_id: int, frame_idx: int) -> int:
+    return 96 + (media_id + 17 * frame_idx) % 64
+
+
+def documents_as_video(docs: DataFrame) -> DataFrame:
+    """Synthesize REAL videos: MJPEG-in-AVI containers (functions/avi.py)
+    whose frames are genuine baseline JPEGs — the video modality with an
+    actual container walk and transform codec behind it. Frames are flat
+    per-(doc, frame) values so the lossy pipeline stays SQL-predictable."""
+    from kafka_cdc_hudi_spark.functions.avi import encode_avi_mjpeg
+    from kafka_cdc_hudi_spark.functions.jpeg import encode_jpeg_gray
+
+    src = docs.select(F.col("doc_id").alias("media_id"))
+    n = JPEG_FIXTURE_W * JPEG_FIXTURE_H
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                frames = [
+                    encode_jpeg_gray(
+                        bytes([_video_fixture_value(mid, i)]) * n,
+                        JPEG_FIXTURE_W,
+                        JPEG_FIXTURE_H,
+                    )
+                    for i in range(_video_fixture_n_frames(mid))
+                ]
+                blobs.append(
+                    encode_avi_mjpeg(frames, JPEG_FIXTURE_W, JPEG_FIXTURE_H, fps=10)
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "content": blobs,
+                    "format": ["avi"] * len(pdf),
+                    "byte_len": pd.Series([len(b) for b in blobs], dtype="int64"),
+                }
+            )
+
+    return src.mapInPandas(encode_batches, MEDIA_SCHEMA)
+
+
+#: per-frame decode output
+VIDEO_FRAMES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), True),
+        StructField("n_frames", IntegerType(), True),
+        StructField("fps", IntegerType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("frame_hash", StringType(), True),
+    ]
+)
+
+
+def decode_video_frames(df: DataFrame) -> DataFrame:
+    """Video decode stage: AVI container walk -> per-frame JPEG decode ->
+    one row per frame with the decoded-pixel hash. Arrow-batched
+    mapInPandas like every other media kernel; output rows fan out
+    n_frames per input row."""
+    from kafka_cdc_hudi_spark.functions.avi import decode_avi_mjpeg
+    from kafka_cdc_hudi_spark.functions.jpeg import decode_jpeg_gray
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "frame_idx", "n_frames", "fps", "width", "height", "frame_hash"
+            )}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                w, h, fps, frames = decode_avi_mjpeg(bytes(content))
+                for i, fr in enumerate(frames):
+                    fw, fh, _c, pixels = decode_jpeg_gray(fr)
+                    rows["media_id"].append(int(mid))
+                    rows["frame_idx"].append(i)
+                    rows["n_frames"].append(len(frames))
+                    rows["fps"].append(fps)
+                    rows["width"].append(fw)
+                    rows["height"].append(fh)
+                    rows["frame_hash"].append(hashlib.md5(pixels).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(rows["media_id"], dtype="int64"),
+                    "frame_idx": pd.Series(rows["frame_idx"], dtype="int32"),
+                    "n_frames": pd.Series(rows["n_frames"], dtype="int32"),
+                    "fps": pd.Series(rows["fps"], dtype="int32"),
+                    "width": pd.Series(rows["width"], dtype="int32"),
+                    "height": pd.Series(rows["height"], dtype="int32"),
+                    "frame_hash": rows["frame_hash"],
+                }
+            )
+
+    return df.mapInPandas(frame_batches, VIDEO_FRAMES_SCHEMA)
+
+
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Adapter: treat document text bytes as a stand-in media blob (the
     container has no real image fixtures)."""

@@ -1717,6 +1717,66 @@ FROM dec JOIN lut ON dec.out_px = lut.px
 MULTIMODAL_DECODE_JPEG_SQL = _jpeg_oracle_sql()
 
 
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode: synthesize genuine MJPEG-in-AVI containers
+    (functions/avi.py — RIFF chunk walk, single MJPG stream) whose frames
+    are real baseline JPEGs, then extract + decode every frame to one row
+    per frame. The per-(doc, frame) flat values make the lossy frame
+    pipeline exactly SQL-predictable (same DC-only argument and byte->md5
+    lookup as multimodal_decode_jpeg)."""
+    from kafka_cdc_hudi_spark.operators.multimodal import (
+        decode_video_frames,
+        documents_as_video,
+        media_repartition,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = media_repartition(documents_as_video(docs), avg_row_bytes=2048)
+    return decode_video_frames(media)
+
+
+def _video_oracle_sql() -> str:
+    import hashlib
+
+    from kafka_cdc_hudi_spark.operators.multimodal import (
+        JPEG_FIXTURE_H,
+        JPEG_FIXTURE_W,
+    )
+
+    n = JPEG_FIXTURE_W * JPEG_FIXTURE_H
+    lut = ", ".join(
+        f"({v}, '{hashlib.md5(bytes([v]) * n).hexdigest()}')" for v in range(256)
+    )
+    return f"""
+WITH lut(px, digest) AS (VALUES {lut}),
+m AS (
+  -- frame count/value mirror operators/multimodal.py::_video_fixture_*
+  SELECT doc_id, CAST(2 + doc_id % 4 AS INT) AS n_frames FROM documents
+),
+f AS (
+  SELECT doc_id, n_frames, CAST(unnest(range(0, n_frames)) AS INT) AS frame_idx
+  FROM m
+),
+dec AS (
+  SELECT doc_id, n_frames, frame_idx,
+         96 + (doc_id + 17 * frame_idx) % 64 AS v
+  FROM f
+)
+SELECT doc_id AS media_id, frame_idx, n_frames,
+       CAST(10 AS INT) AS fps,
+       CAST({JPEG_FIXTURE_W} AS INT) AS width,
+       CAST({JPEG_FIXTURE_H} AS INT) AS height,
+       digest AS frame_hash
+FROM dec JOIN lut
+  ON lut.px = least(255, greatest(0, 128 + 2 * (
+       CASE WHEN v >= 128 THEN (v - 128 + 1) // 2
+            ELSE -((128 - v + 1) // 2) END)))
+"""
+
+
+MULTIMODAL_VIDEO_FRAMES_SQL = _video_oracle_sql()
+
+
 def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode, end-to-end: synthesize genuine PCM16 RIFF/WAVE
     blobs from document bytes, then decode through the pure-stdlib WAV
@@ -2434,6 +2494,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "multimodal_decode_bmp": (multimodal_decode_bmp, MULTIMODAL_DECODE_BMP_SQL),
     "multimodal_decode_gif": (multimodal_decode_gif, MULTIMODAL_DECODE_GIF_SQL),
     "multimodal_decode_jpeg": (multimodal_decode_jpeg, MULTIMODAL_DECODE_JPEG_SQL),
+    "multimodal_video_frames": (multimodal_video_frames, MULTIMODAL_VIDEO_FRAMES_SQL),
     "dataset_quota_per_group": (dataset_quota_per_group, DATASET_QUOTA_SQL),
     "text_rare_token_fraction": (text_rare_token_fraction, TEXT_RARE_TOKEN_SQL),
     "text_chunk_overlap": (text_chunk_overlap, TEXT_CHUNK_OVERLAP_SQL),

@@ -449,3 +449,44 @@ class TestJpegCodec:
         data = encode_jpeg_gray(bytes(64), 8, 8)
         with pytest.raises((ValueError, NotImplementedError, IndexError, Exception)):
             decode_jpeg_gray(data[:20])
+
+
+class TestAviContainer:
+    """MJPEG-in-AVI container (functions/avi.py)."""
+
+    def test_roundtrip_preserves_frames(self):
+        from kafka_cdc_hudi_spark.functions.avi import decode_avi_mjpeg, encode_avi_mjpeg
+        from kafka_cdc_hudi_spark.functions.jpeg import encode_jpeg_gray
+
+        frames = [encode_jpeg_gray(bytes([90 + 20 * i]) * 128, 16, 8) for i in range(5)]
+        avi = encode_avi_mjpeg(frames, 16, 8, fps=24)
+        w, h, fps, out = decode_avi_mjpeg(avi)
+        assert (w, h, fps) == (16, 8, 24)
+        assert out == frames
+        assert encode_avi_mjpeg(frames, 16, 8, fps=24) == avi
+
+    def test_frames_decode_through_jpeg(self):
+        from kafka_cdc_hudi_spark.functions.avi import decode_avi_mjpeg, encode_avi_mjpeg
+        from kafka_cdc_hudi_spark.functions.jpeg import (
+            decode_jpeg_gray,
+            encode_jpeg_gray,
+            flat_decode_value,
+        )
+
+        frames = [encode_jpeg_gray(bytes([100 + 7 * i]) * 128, 16, 8) for i in range(3)]
+        _, _, _, out = decode_avi_mjpeg(encode_avi_mjpeg(frames, 16, 8))
+        for i, fr in enumerate(out):
+            _, _, _, px = decode_jpeg_gray(fr)
+            assert set(px) == {flat_decode_value(100 + 7 * i)}
+
+    def test_corruption_raises(self):
+        import pytest
+
+        from kafka_cdc_hudi_spark.functions.avi import decode_avi_mjpeg, encode_avi_mjpeg
+        from kafka_cdc_hudi_spark.functions.jpeg import encode_jpeg_gray
+
+        with pytest.raises(ValueError):
+            decode_avi_mjpeg(b"not an avi at all....")
+        avi = encode_avi_mjpeg([encode_jpeg_gray(bytes(64), 8, 8)], 8, 8)
+        with pytest.raises(ValueError):
+            decode_avi_mjpeg(avi[:40])  # truncated
