@@ -12,15 +12,16 @@ Design for 100 TB of image/audio/video:
   decode stage so one Arrow batch fits comfortably in worker memory
   (``media_repartition``).
 
-Codec status: PNG decode and PNG resize are REAL — a pure-stdlib codec
-(``functions/png.py``: zlib inflate + full filter-type-0..4 unfiltering,
-CRC-checked) runs inside the same mapInPandas kernels; ``documents_as_png``
-synthesizes genuine PNG blobs from document bytes so the real path is
-exercised end-to-end with a DuckDB value oracle (catalog entry
-``multimodal_decode_png``). Non-PNG raster formats (jpeg/webp) and video
-keyframe sampling still need external codecs (libjpeg/ffmpeg) that are not
-in this container: those paths raise ``NotImplementedError`` and the
-deterministic fake kernels (``fake=True``) remain for plumbing coverage.
+Codec status: PNG, BMP, GIF, JPEG, WAV and MJPEG-AVI video are REAL —
+pure-stdlib codecs (``functions/png.py`` inflate + unfilter, ``bmp.py``
+DIB, ``gif.py`` variable-width LZW, ``jpeg.py`` baseline DCT + Huffman,
+``wav.py`` RIFF/PCM, ``avi.py`` RIFF container walk) run inside the same
+mapInPandas kernels, each exercised end-to-end by a synthesized-fixture
+catalog entry with a DuckDB value oracle. webp remains stubbed (VP8 needs
+an external codec not in this container): that path raises
+``NotImplementedError``; the deterministic fake kernels (``fake=True``)
+remain for its plumbing coverage, and ``decode_images(on_error="null")``
+gives the error-tolerant ingest mode real crawls need.
 """
 
 from __future__ import annotations
@@ -28,6 +29,7 @@ from __future__ import annotations
 import hashlib
 import math
 from collections.abc import Iterator
+from struct import error as struct_error
 
 import pandas as pd
 
@@ -395,7 +397,7 @@ def _fake_decode(content: bytes) -> tuple[int, int, int, str]:
     return width, height, channels, h
 
 
-def decode_images(df: DataFrame, fake: bool = False) -> DataFrame:
+def decode_images(df: DataFrame, fake: bool = False, on_error: str = "raise") -> DataFrame:
     """Decode stage: media frame -> IMAGE_FEATURES_SCHEMA frame.
 
     ``fake=False`` is the REAL-codec path: PNG blobs decode through the
@@ -430,16 +432,33 @@ def decode_images(df: DataFrame, fake: bool = False) -> DataFrame:
             )
         return width, height, channels, hashlib.md5(pixels).hexdigest()
 
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
+
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         kernel = _fake_decode if fake else _real_decode
+        if on_error == "null":
+            inner = kernel
+
+            def kernel(c):  # noqa: F811 - deliberate wrap
+                # error-tolerant ingest: a corrupt blob yields a null-feature
+                # row instead of failing the job (real crawls always contain
+                # a few broken files); callers filter `width IS NULL` into a
+                # quarantine table
+                try:
+                    return inner(c)
+                except (ValueError, NotImplementedError, IndexError, struct_error):
+                    return None, None, None, None
+
         for pdf in batches:
             feats = [kernel(c) for c in pdf["content"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].astype("int64"),
-                    "width": pd.Series([f[0] for f in feats], dtype="int32"),
-                    "height": pd.Series([f[1] for f in feats], dtype="int32"),
-                    "n_channels": pd.Series([f[2] for f in feats], dtype="int32"),
+                    # nullable Int32: on_error="null" rows carry NA features
+                    "width": pd.Series([f[0] for f in feats], dtype="Int32"),
+                    "height": pd.Series([f[1] for f in feats], dtype="Int32"),
+                    "n_channels": pd.Series([f[2] for f in feats], dtype="Int32"),
                     "feature_hash": [f[3] for f in feats],
                 }
             )

@@ -490,3 +490,29 @@ class TestAviContainer:
         avi = encode_avi_mjpeg([encode_jpeg_gray(bytes(64), 8, 8)], 8, 8)
         with pytest.raises(ValueError):
             decode_avi_mjpeg(avi[:40])  # truncated
+
+
+def test_decode_images_on_error_null(spark):
+    """Error-tolerant ingest: corrupt blobs yield null-feature rows instead
+    of failing the job; good blobs still decode exactly."""
+    from kafka_cdc_hudi_spark.functions.jpeg import encode_jpeg_gray
+    from kafka_cdc_hudi_spark.operators.multimodal import decode_images
+
+    good = encode_jpeg_gray(bytes([150]) * 64, 8, 8)
+    rows = [
+        (1, bytearray(good), "jpeg", len(good)),
+        (2, bytearray(b"\xff\xd8\xffgarbage-truncated"), "jpeg", 20),
+        (3, bytearray(b"totally not an image"), "bin", 20),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, content binary, format string, byte_len long"
+    )
+    out = {r.media_id: (r.width, r.feature_hash) for r in decode_images(df, on_error="null").collect()}
+    assert out[1][0] == 8 and out[1][1] is not None
+    assert out[2] == (None, None)
+    assert out[3] == (None, None)
+
+    import pytest
+
+    with pytest.raises(Exception):
+        decode_images(df, on_error="raise").collect()

@@ -33,6 +33,8 @@ _PY_EXEMPT = {
     "multimodal_resize_png_real",
     "multimodal_decode_bmp",
     "multimodal_decode_gif",
+    "multimodal_decode_jpeg",
+    "multimodal_video_frames",
 }
 
 #: iterative/self-checking queries that run driver-side loops — their
