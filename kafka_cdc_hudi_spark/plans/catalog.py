@@ -157,6 +157,7 @@ PRUNED: dict[str, str] = {
     "text_bpe_pretokenize": "driver cap — NEW r6, full oracle locally; rotate in r7",
     "multimodal_decode_jpeg": "driver cap — NEW r6, full oracle locally; rotate in r7",
     "multimodal_video_frames": "driver cap — NEW r6, full oracle locally; rotate in r7",
+    "pipeline_multimodal_manifest": "driver cap — NEW r6, full oracle locally; rotate in r7",
 }
 
 #: driver evaluation order: previously-unverified entries first (registry

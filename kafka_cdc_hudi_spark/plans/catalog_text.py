@@ -1717,6 +1717,70 @@ FROM dec JOIN lut ON dec.out_px = lut.px
 MULTIMODAL_DECODE_JPEG_SQL = _jpeg_oracle_sql()
 
 
+def pipeline_multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SECOND flagship composition — image-text pair curation in one
+    lazy plan: quality-gate the captions (text_quality_score >=
+    PIPE_QUALITY_MIN), decode the paired images through the REAL PNG codec
+    (dims + pixel hash), keep images that clear resolution/orientation
+    gates (>= 24 px, landscape-or-square), and join to the training
+    manifest a contrastive/caption model would consume. The token-per-
+    pixel budget is exact BIGINT ppm. Any drift in the text gate, the
+    codec, or the join turns the hash red — the stages are all
+    independently oracled, this proves they compose.
+
+    Scale shape: quality gate fuses into the scan; decode is the Arrow
+    mapInPandas stage; ONE equi-join on doc_id."""
+    from kafka_cdc_hudi_spark.operators.multimodal import (
+        decode_images,
+        documents_as_png,
+        media_repartition,
+    )
+
+    q = text_quality_score(spark, sf_dir).filter(
+        F.col("quality") >= PIPE_QUALITY_MIN
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    feats = decode_images(media_repartition(documents_as_png(docs), avg_row_bytes=1536))
+    good = feats.filter(
+        (F.col("width") * F.col("height") >= 24) & (F.col("width") >= F.col("height"))
+    )
+    return (
+        q.join(good, q.doc_id == good.media_id)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "quality",
+            "width",
+            "height",
+            (F.col("width") * F.col("height")).alias("n_pixels"),
+            F.expr("1000000 * n_tokens div (width * height)").alias(
+                "tokens_per_pixel_ppm"
+            ),
+            "feature_hash",
+        )
+    )
+
+
+PIPELINE_MULTIMODAL_SQL = f"""
+WITH q AS ({TEXT_QUALITY_SQL}),
+img AS (
+  SELECT doc_id,
+         CAST(4 + doc_id % 13 AS INT) AS width,
+         CAST(3 + doc_id % 6 AS INT) AS height,
+         md5(substring(text, 1, (4 + doc_id % 13) * (3 + doc_id % 6))) AS feature_hash
+  FROM documents
+  WHERE octet_length(encode(text)) >= 128
+)
+SELECT q.doc_id, q.n_tokens, q.quality, img.width, img.height,
+       CAST(img.width * img.height AS INT) AS n_pixels,
+       (1000000 * q.n_tokens) // (img.width * img.height) AS tokens_per_pixel_ppm,
+       img.feature_hash
+FROM q JOIN img USING (doc_id)
+WHERE q.quality >= {PIPE_QUALITY_MIN}
+  AND img.width * img.height >= 24 AND img.width >= img.height
+"""
+
+
 def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video decode: synthesize genuine MJPEG-in-AVI containers
     (functions/avi.py — RIFF chunk walk, single MJPG stream) whose frames
@@ -2495,6 +2559,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "multimodal_decode_gif": (multimodal_decode_gif, MULTIMODAL_DECODE_GIF_SQL),
     "multimodal_decode_jpeg": (multimodal_decode_jpeg, MULTIMODAL_DECODE_JPEG_SQL),
     "multimodal_video_frames": (multimodal_video_frames, MULTIMODAL_VIDEO_FRAMES_SQL),
+    "pipeline_multimodal_manifest": (pipeline_multimodal_manifest, PIPELINE_MULTIMODAL_SQL),
     "dataset_quota_per_group": (dataset_quota_per_group, DATASET_QUOTA_SQL),
     "text_rare_token_fraction": (text_rare_token_fraction, TEXT_RARE_TOKEN_SQL),
     "text_chunk_overlap": (text_chunk_overlap, TEXT_CHUNK_OVERLAP_SQL),

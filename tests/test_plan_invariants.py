@@ -35,6 +35,7 @@ _PY_EXEMPT = {
     "multimodal_decode_gif",
     "multimodal_decode_jpeg",
     "multimodal_video_frames",
+    "pipeline_multimodal_manifest",
 }
 
 #: iterative/self-checking queries that run driver-side loops — their
