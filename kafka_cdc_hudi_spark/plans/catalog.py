@@ -64,6 +64,14 @@ FULL_REGISTRY.update(STREAMING_QUERIES)
 #:
 #: From r7 on the two halves of the legacy pool alternate with their named
 #: survivors each round, so no entry is ever >2 rounds without a row.
+#:
+#: LATE-r6 AMENDMENT (continuation session): five marquee new operators
+#: (multimodal_decode_jpeg, multimodal_video_frames,
+#: cdc_merge_partial_updates, events_cms_heavy_hitters, ann_topk_ivfpq)
+#: rotated IN immediately — each already oracle-green at the driver's own
+#: sf0.01 — swapping out five r2-r5-green entries (text_quality_score,
+#: events_hourly_agg, text_token_topk, ann_topk_ivf, dedup_ngram_jaccard;
+#: DUE BACK r8) with covered-by reasons below.
 
 #: held out of the driver-facing registry (entry cap) — each is a
 #: near-duplicate of a surviving entry's physical plan shape; the operator
@@ -77,9 +85,9 @@ PRUNED: dict[str, str] = {
     "events_type_stats": "events_sketches (same per-type exact stats, plus sketch self-check)",
     "customers_per_region": "q5_local_supplier/q10 (broadcast-chain dim join + agg)",
     "big_orders_semi_join": "q4_order_priority (left-semi against aggregated/filtered build side)",
-    "events_tumbling_windows": "events_hourly_agg (same bucketed agg) + test_streaming_windows builder tests",
+    "events_tumbling_windows": "events_sliding_windows (driver; same windowed-agg family via events_hourly_agg) + test_streaming_windows builder tests",
     "embedding_norms": "ann_topk_bruteforce (computes the same norms)",
-    "text_token_count": "text_token_topk + text_quality_score (same tokenizer expressions)",
+    "text_token_count": "text_tfidf_topk (driver; same tokenizer expressions via text_token_topk/text_quality_score)",
     "cdc_merge_bucketed": (
         "cdc_merge_two_batches (state-equivalent by construction — same oracle SQL; "
         "the O(touched-buckets) commit property is pinned in test_bucketed_cow.py "
@@ -133,6 +141,13 @@ PRUNED: dict[str, str] = {
     "events_active_users_rolling": "driver cap — NEW r6, full oracle locally; rotate in r7",
     "events_type_cooccurrence": "driver cap — NEW r6, full oracle locally; rotate in r7",
     "events_markov_transitions": "driver cap — NEW r6, full oracle locally; rotate in r7",
+    # rotated OUT late r6 (driver-green r2-r5) to make room for the
+    # continuation session's marquee operators; DUE BACK r8
+    "text_quality_score": "pipeline_pretraining_corpus/pipeline_multimodal_manifest recompute the full quality expression in their composed oracles; text_tfidf_topk (driver) shares the token-stats shape",
+    "events_hourly_agg": "events_sliding_windows (driver, green r3+) — same watermarkable windowed-agg family, superset shape",
+    "text_token_topk": "text_tfidf_topk (driver) — same explode + token-count aggs plus the rank-limit",
+    "ann_topk_ivf": "ann_topk_ivfpq (driver) subsumes the IVF assignment/probe plan; ann_topk_ivf_trained keeps the IVF oracle family driver-verified",
+    "dedup_ngram_jaccard": "dedup_minhash_lsh (driver) drives the same shingle/bucket candidate chain; exact-Jaccard scoring stays locally oracled",
     # TPC-H completion set (all 22 shapes now implemented)
     "q2_min_cost_supplier": "driver cap — NEW r6, full oracle locally; rotate in r7",
     "q9_product_profit": "driver cap — NEW r6, full oracle locally; rotate in r7",
@@ -146,17 +161,12 @@ PRUNED: dict[str, str] = {
     "text_lm_score": "driver cap — NEW r6, full oracle locally; rotate in r7",
     "dataset_length_buckets": "driver cap — NEW r6, full oracle locally; rotate in r7",
     "dataset_mixture_weights": "driver cap — NEW r6, full oracle locally; rotate in r7",
-    "cdc_merge_partial_updates": "driver cap — NEW r6, full oracle locally; rotate in r7",
     "embedding_pq_encode": "driver cap — NEW r6, full oracle locally; rotate in r7",
     "ann_topk_pq_adc": "driver cap — NEW r6, full oracle locally; rotate in r7",
-    "ann_topk_ivfpq": "driver cap — NEW r6, full oracle locally; rotate in r7",
-    "events_cms_heavy_hitters": "driver cap — NEW r6, full oracle locally; rotate in r7",
     "dataset_interleave_order": "driver cap — NEW r6, full oracle locally; rotate in r7",
     "embedding_mrl_energy": "driver cap — NEW r6, full oracle locally; rotate in r7",
     "orders_price_percentile_rank": "driver cap — NEW r6, full oracle locally; rotate in r7",
     "text_bpe_pretokenize": "driver cap — NEW r6, full oracle locally; rotate in r7",
-    "multimodal_decode_jpeg": "driver cap — NEW r6, full oracle locally; rotate in r7",
-    "multimodal_video_frames": "driver cap — NEW r6, full oracle locally; rotate in r7",
     "pipeline_multimodal_manifest": "driver cap — NEW r6, full oracle locally; rotate in r7",
 }
 
@@ -170,6 +180,13 @@ _DRIVER_ORDER = [
     "events_user_rate_window",
     "multimodal_decode_png",
     "ann_topk_ivf_trained",
+    # -- late-r6 rotation: the continuation session's marquee operators,
+    #    each already oracle-green at the driver's own sf0.01 --
+    "multimodal_decode_jpeg",
+    "multimodal_video_frames",
+    "cdc_merge_partial_updates",
+    "events_cms_heavy_hitters",
+    "ann_topk_ivfpq",
     # -- green since round 5 --
     "text_repetition_stats",
     "text_pii_scrub",
@@ -179,7 +196,6 @@ _DRIVER_ORDER = [
     # -- green since round 3 --
     "events_sliding_windows",
     "ann_topk_srp",
-    "ann_topk_ivf",
     "dedup_embedding_cosine",
     "multimodal_meta",
     "multimodal_frame_sample",
@@ -204,7 +220,6 @@ _DRIVER_ORDER = [
     "q3_shipping_priority",
     "q4_order_priority",
     "q5_local_supplier",
-    "events_hourly_agg",
     "topk_orders_per_customer",
     "asof_join_last_click",
     "customers_without_orders",
@@ -212,12 +227,9 @@ _DRIVER_ORDER = [
     "range_join_post_purchase",
     "events_retention_cohorts",
     "events_funnel_conversions",
-    "text_quality_score",
     "dedup_exact",
-    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "text_token_topk",
     "ann_topk_bruteforce",
 ]
 
