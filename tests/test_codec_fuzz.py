@@ -1,0 +1,87 @@
+"""Decoder robustness: arbitrary bytes and truncations of valid files must
+raise a CLEAN error (ValueError / NotImplementedError / EOF-class), never
+hang, loop, or corrupt state — a decode kernel that dies messily on one
+bad blob takes a whole executor task with it.
+
+Hypothesis drives random buffers; each decoder also fuzzes truncations and
+single-byte corruptions of a file its own encoder produced (much deeper
+paths than pure noise reaches).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from kafka_cdc_hudi_spark.functions.avi import decode_avi_mjpeg, encode_avi_mjpeg
+from kafka_cdc_hudi_spark.functions.bmp import decode_bmp, encode_bmp
+from kafka_cdc_hudi_spark.functions.gif import decode_gif, encode_gif
+from kafka_cdc_hudi_spark.functions.jpeg import decode_jpeg_gray, encode_jpeg_gray
+from kafka_cdc_hudi_spark.functions.png import decode_png, encode_png
+from kafka_cdc_hudi_spark.functions.wav import decode_wav, encode_wav
+
+#: the clean-failure contract: decoders may raise these and nothing else
+_CLEAN = (ValueError, NotImplementedError, struct.error, IndexError, EOFError, zlib.error)
+
+_PIXELS = bytes(range(64))
+
+
+def _valid_samples():
+    return {
+        "png": encode_png(_PIXELS, 8, 8, channels=1),
+        "bmp": encode_bmp(_PIXELS, 8, 8, channels=1),
+        "gif": encode_gif(_PIXELS, 8, 8),
+        "jpeg": encode_jpeg_gray(_PIXELS, 8, 8),
+        "avi": encode_avi_mjpeg([encode_jpeg_gray(_PIXELS, 8, 8)] * 2, 8, 8),
+        "wav": encode_wav(list(range(-100, 100)), sample_rate=8000, channels=1),
+    }
+
+
+_DECODERS = {
+    "png": decode_png,
+    "bmp": decode_bmp,
+    "gif": decode_gif,
+    "jpeg": decode_jpeg_gray,
+    "avi": decode_avi_mjpeg,
+    "wav": decode_wav,
+}
+
+
+@pytest.mark.parametrize("fmt", sorted(_DECODERS))
+@settings(max_examples=150, deadline=2000, suppress_health_check=[HealthCheck.too_slow])
+@given(data=st.binary(max_size=300))
+def test_random_bytes_fail_cleanly(fmt, data):
+    try:
+        _DECODERS[fmt](data)
+    except _CLEAN:
+        pass  # clean rejection is the contract
+
+
+@pytest.mark.parametrize("fmt", sorted(_DECODERS))
+def test_truncations_fail_cleanly(fmt):
+    blob = _valid_samples()[fmt]
+    for cut in range(0, len(blob), max(1, len(blob) // 60)):
+        try:
+            _DECODERS[fmt](blob[:cut])
+        except _CLEAN:
+            pass
+
+
+@pytest.mark.parametrize("fmt", sorted(_DECODERS))
+def test_single_byte_corruptions_fail_cleanly_or_decode(fmt):
+    """Flipping one byte anywhere must either still decode (payload bytes)
+    or raise cleanly (structure bytes) — never crash with an unexpected
+    exception class."""
+    blob = bytearray(_valid_samples()[fmt])
+    step = max(1, len(blob) // 80)
+    for pos in range(0, len(blob), step):
+        mutated = bytearray(blob)
+        mutated[pos] ^= 0xFF
+        try:
+            _DECODERS[fmt](bytes(mutated))
+        except _CLEAN:
+            pass
