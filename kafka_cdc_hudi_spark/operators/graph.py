@@ -162,3 +162,55 @@ def connected_components(
         "(graph diameter exceeds the near-dup assumption; use "
         "connected_components_star for chain-shaped graphs)"
     )
+
+
+def pagerank_int(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    iters: int = 5,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Integer fixed-point PageRank (damping 0.85, undirected edges): ranks
+    live in exact parts-per-billion BIGINTs and every step is integer
+    division, so the result is bit-identical across engines and
+    partitionings — which is what lets an ITERATIVE float-free algorithm
+    carry a full SQL value oracle (r0..rN unrolled as CTEs).
+
+    Per iteration: contribution = rank div degree per out-edge, one
+    shuffle to sum per target, then rank' = (15 * (scale div n)) div 100 +
+    (85 * sum) div 100. Truncation leaks a little mass per round —
+    deterministic and harmless for ranking. localCheckpoint per round
+    truncates lineage exactly like connected_components. Returns
+    (node, deg, rank_ppb)."""
+    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    ).distinct()
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    n = deg.count()
+    if n == 0:
+        raise ValueError("pagerank over an empty edge set")
+    base = (15 * (scale // n)) // 100
+    r = deg.select(F.col("a").alias("node"), F.lit(scale // n).cast("long").alias("rank"))
+    for _ in range(iters):
+        contrib = (
+            und.join(r, und.a == r.node)
+            .join(deg, "a")
+            .select(F.col("b"), F.expr("rank div deg").alias("c"))
+        )
+        sums = contrib.groupBy("b").agg(F.sum("c").alias("m"))
+        r = (
+            deg.select(F.col("a").alias("node"))
+            .join(sums, F.col("node") == F.col("b"), "left")
+            .select(
+                "node",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr("(85 * coalesce(m, CAST(0 AS BIGINT))) div 100")
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return deg.select(F.col("a").alias("node"), "deg").join(r, "node").select(
+        "node", "deg", F.col("rank").alias("rank_ppb")
+    )

@@ -168,6 +168,7 @@ PRUNED: dict[str, str] = {
     "orders_price_percentile_rank": "driver cap — NEW r6, full oracle locally; rotate in r7",
     "text_bpe_pretokenize": "driver cap — NEW r6, full oracle locally; rotate in r7",
     "pipeline_multimodal_manifest": "driver cap — NEW r6, full oracle locally; rotate in r7",
+    "graph_pagerank_neardup": "driver cap — NEW r6, full oracle locally; rotate in r7",
 }
 
 #: driver evaluation order: previously-unverified entries first (registry

@@ -688,6 +688,55 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PAGERANK_ITERS = 5
+
+
+def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the near-duplicate graph: which document
+    is the HUB of each template family (the doc most near-dup pairs point
+    at — a better canonical-survivor choice than min-id when families are
+    star-shaped boilerplate). Integer fixed-point arithmetic end-to-end
+    (operators/graph.py:pagerank_int), so the iterative algorithm is
+    bit-exact in SQL — the oracle unrolls the 5 iterations as CTEs over
+    the shared MinHash-LSH pair chain."""
+    from kafka_cdc_hudi_spark.operators.graph import pagerank_int
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    return pagerank_int(pairs, "doc_a", "doc_b", iters=_PAGERANK_ITERS)
+
+
+def _pagerank_sql() -> str:
+    comp = _comp_ctes()
+    # reuse the chain up to `edges`; the recursive reach/comp CTEs are
+    # unreferenced here and never evaluated
+    iters = []
+    prev = "r0"
+    for i in range(1, _PAGERANK_ITERS + 1):
+        iters.append(f"""
+r{i} AS (
+  SELECT d.node,
+         (15 * (1000000000 // c.n)) // 100
+           + (85 * COALESCE(s.m, 0)) // 100 AS rank
+  FROM deg d CROSS JOIN consts c
+  LEFT JOIN (
+    SELECT e.b AS node, CAST(SUM(r.rank // dd.deg) AS BIGINT) AS m
+    FROM edges e JOIN {prev} r ON e.a = r.node JOIN deg dd ON e.a = dd.node
+    GROUP BY 1) s ON s.node = d.node)""")
+        prev = f"r{i}"
+    return f"""
+WITH RECURSIVE {comp},
+deg AS (SELECT a AS node, COUNT(*) AS deg FROM edges GROUP BY 1),
+consts AS (SELECT COUNT(*) AS n FROM deg),
+r0 AS (SELECT node, 1000000000 // n AS rank FROM deg, consts),
+{', '.join(iters)}
+SELECT deg.node, deg.deg, {prev}.rank AS rank_ppb
+FROM deg JOIN {prev} USING (node)
+"""
+
+
+GRAPH_PAGERANK_SQL = _pagerank_sql()
+
+
 def dedup_corpus_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup loop CLOSED: apply the near-dup cluster assignment and
     emit the surviving corpus — one canonical document (the cluster's
@@ -2536,6 +2585,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
     "dedup_clusters_star": (dedup_clusters_star, DEDUP_CLUSTERS_SQL),
+    "graph_pagerank_neardup": (graph_pagerank_neardup, GRAPH_PAGERANK_SQL),
     "embedding_norms": (embedding_norms, EMBEDDING_NORMS_SQL),
     "embedding_quantize_int8": (embedding_quantize_int8, EMBEDDING_QUANTIZE_INT8_SQL),
     "text_token_topk": (text_token_topk, TEXT_TOKEN_TOPK_SQL),

@@ -105,3 +105,36 @@ def test_cluster_query_canonical_assignment(spark):
     in_pairs = {p["doc_a"] for p in pairs} | {p["doc_b"] for p in pairs}
     singles = [d for d, c in clusters.items() if d not in in_pairs]
     assert all(clusters[d] == d for d in singles)
+
+
+class TestPagerankInt:
+    def test_star_hub_outranks_leaves(self, spark):
+        from kafka_cdc_hudi_spark.operators.graph import pagerank_int
+
+        edges = spark.createDataFrame(
+            [(0, i) for i in range(1, 6)], "a long, b long"
+        )
+        r = {row.node: row.rank_ppb for row in pagerank_int(edges).collect()}
+        assert all(r[0] > r[i] for i in range(1, 6)), r
+        leaf_ranks = {r[i] for i in range(1, 6)}
+        assert len(leaf_ranks) == 1, "symmetric leaves must tie exactly"
+
+    def test_ring_is_uniform(self, spark):
+        from kafka_cdc_hudi_spark.operators.graph import pagerank_int
+
+        n = 6
+        edges = spark.createDataFrame(
+            [(i, (i + 1) % n) for i in range(n)], "a long, b long"
+        )
+        ranks = {row.rank_ppb for row in pagerank_int(edges).collect()}
+        assert len(ranks) == 1, "ring symmetry broken"
+
+    def test_deterministic_across_runs(self, spark):
+        from kafka_cdc_hudi_spark.operators.graph import pagerank_int
+
+        edges = spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 3), (0, 3), (3, 4)], "a long, b long"
+        )
+        a = sorted((r.node, r.rank_ppb) for r in pagerank_int(edges).collect())
+        b = sorted((r.node, r.rank_ppb) for r in pagerank_int(edges).collect())
+        assert a == b
