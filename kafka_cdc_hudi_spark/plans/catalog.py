@@ -169,6 +169,7 @@ PRUNED: dict[str, str] = {
     "text_bpe_pretokenize": "driver cap — NEW r6, full oracle locally; rotate in r7",
     "pipeline_multimodal_manifest": "driver cap — NEW r6, full oracle locally; rotate in r7",
     "graph_pagerank_neardup": "driver cap — NEW r6, full oracle locally; rotate in r7",
+    "text_hash_embedding": "driver cap — NEW r6, full oracle locally; rotate in r7",
 }
 
 #: driver evaluation order: previously-unverified entries first (registry

@@ -688,6 +688,79 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: hashing-trick embedding geometry
+_HASHEMB_DIM = 16
+
+
+def text_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding GENERATION via the signed hashing trick: every token maps
+    to one of 16 buckets (salted md5) with a +/-1 sign from an independent
+    hash, and the document vector is the per-bucket sign sum — the
+    deterministic, vocabulary-free featurization that feeds the ANN/dedup
+    stack when no learned embeddings exist. All-integer, so the dense
+    array and its squared norm are exact. Plan: one explode + one
+    (doc, bucket) shuffle with map-side partial sums, then a per-doc
+    map->dense-array projection (order-independent: the array is built by
+    bucket LOOKUP, not collect order)."""
+    d = load_table(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("token"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.col("token"), F.lit("|emb_v1"))), 1, 15), 16, 10)
+        .cast("bigint") % _HASHEMB_DIM
+    )
+    sign = 1 - 2 * (
+        F.conv(F.substring(F.md5(F.concat(F.col("token"), F.lit("|sign_v1"))), 1, 15), 16, 10)
+        .cast("bigint") % 2
+    )
+    cells = (
+        tok.select("doc_id", bucket.alias("bucket"), sign.alias("sign"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("sign").alias("s"))
+    )
+    return (
+        cells.groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("bucket"), F.col("s")))
+            ).alias("m")
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                f"transform(sequence(0, {_HASHEMB_DIM - 1}),"
+                " j -> coalesce(element_at(m, CAST(j AS BIGINT)), CAST(0 AS BIGINT)))"
+            ).alias("embedding"),
+        )
+        .withColumn(
+            "l2_sq",
+            F.expr("aggregate(embedding, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"),
+        )
+    )
+
+
+TEXT_HASH_EMBEDDING_SQL = f"""
+WITH tok AS (SELECT doc_id, unnest({_DK_TOKS}) AS token FROM documents),
+cells AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(token || '|emb_v1'), 1, 15)) AS BIGINT)
+           % {_HASHEMB_DIM} AS bucket,
+         CAST(SUM(1 - 2 * (CAST(('0x' || substring(md5(token || '|sign_v1'), 1, 15)) AS BIGINT) % 2))
+              AS BIGINT) AS s
+  FROM tok GROUP BY 1, 2),
+dense AS (
+  SELECT doc_id,
+         list_transform(range(0, {_HASHEMB_DIM}),
+                        j -> COALESCE(m[j][1], 0)) AS embedding
+  FROM (SELECT doc_id,
+               MAP(list(bucket ORDER BY bucket), list(s ORDER BY bucket)) AS m
+        FROM cells GROUP BY doc_id))
+SELECT doc_id, embedding,
+       CAST(list_sum(list_transform(embedding, x -> x * x)) AS BIGINT) AS l2_sq
+FROM dense
+"""
+
+
 _PAGERANK_ITERS = 5
 
 
@@ -2586,6 +2659,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
     "dedup_clusters_star": (dedup_clusters_star, DEDUP_CLUSTERS_SQL),
     "graph_pagerank_neardup": (graph_pagerank_neardup, GRAPH_PAGERANK_SQL),
+    "text_hash_embedding": (text_hash_embedding, TEXT_HASH_EMBEDDING_SQL),
     "embedding_norms": (embedding_norms, EMBEDDING_NORMS_SQL),
     "embedding_quantize_int8": (embedding_quantize_int8, EMBEDDING_QUANTIZE_INT8_SQL),
     "text_token_topk": (text_token_topk, TEXT_TOKEN_TOPK_SQL),
