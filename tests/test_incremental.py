@@ -95,3 +95,95 @@ def test_maintain_handles_empty_changes(spark, tmp_path):
     empty = t.diff(spark, v1, include_pre_image=True).filter(F.lit(False))
     out = maintain_sum_agg(state, empty, ["grp"], ["amount"])
     assert _rows(out) == _rows(state)
+
+
+def _mm_rows(df):
+    return {
+        (r["grp"], r["n_rows"], r["min_amount"], r["max_amount"]) for r in df.collect()
+    }
+
+
+def test_maintained_minmax_equals_recompute_over_commits(spark, tmp_path):
+    """MIN/MAX partial-recompute maintenance == fresh recompute across
+    inserts, in-place updates, group-moving updates, deletes — including
+    deleting the current extreme (the case COUNT/SUM-style algebraic
+    maintenance cannot handle)."""
+    from kafka_cdc_hudi_spark.operators.incremental import (
+        maintain_minmax_agg,
+        minmax_agg,
+    )
+
+    t = KeyedParquetTable(str(tmp_path / "mm"), keys=["id"], order_col="mtime")
+    b0 = [(i, 10, False, f"g{i % 3}", float(i)) for i in range(30)]
+    t.merge_batch(spark, spark.createDataFrame(b0, SCHEMA), batch_id=0)
+    versions = [t.versions()[-1]]
+    state = minmax_agg(t.read(spark), ["grp"], "amount").localCheckpoint()
+
+    batches = [
+        # pure inserts incl. a new group (algebraic fold path)
+        [(100 + i, 20, False, "g7", 50.0 + i) for i in range(5)]
+        + [(200, 20, False, "g0", -3.0)],
+        # delete the current minimum of g0 (forces partial recompute)
+        [(200, 30, True, "g0", -3.0)],
+        # group-moving update of g1's max + in-place updates
+        [(28, 40, False, "g9", 99.0), (1, 40, False, "g1", 0.25)],
+        # wipe an entire group
+        [(100 + i, 50, True, "g7", 0.0) for i in range(5)],
+    ]
+    for bid, rows in enumerate(batches, start=1):
+        t.merge_batch(spark, spark.createDataFrame(rows, SCHEMA), batch_id=bid)
+        v_new = t.versions()[-1]
+        changes = t.diff(spark, versions[-1], v_new, include_pre_image=True)
+        state = maintain_minmax_agg(
+            state, changes, t.read(spark), ["grp"], "amount"
+        ).localCheckpoint()
+        expect = minmax_agg(t.read(spark), ["grp"], "amount")
+        assert _mm_rows(state) == _mm_rows(expect), f"divergence after batch {bid}"
+        versions.append(v_new)
+    grps = {r["grp"] for r in state.collect()}
+    assert "g7" not in grps and "g9" in grps
+
+
+def test_maintained_minmax_property(spark, tmp_path):
+    """Randomized change mixes: maintenance must equal recompute for any
+    interleaving of inserts/updates/moves/deletes."""
+    import random
+
+    from kafka_cdc_hudi_spark.operators.incremental import (
+        maintain_minmax_agg,
+        minmax_agg,
+    )
+
+    rng = random.Random(13)
+    t = KeyedParquetTable(str(tmp_path / "mp"), keys=["id"], order_col="mtime")
+    live = {}
+    rows0 = [(i, 10, False, f"g{rng.randrange(4)}", float(rng.randrange(-50, 50)))
+             for i in range(40)]
+    t.merge_batch(spark, spark.createDataFrame(rows0, SCHEMA), batch_id=0)
+    prev_v = t.versions()[-1]
+    state = minmax_agg(t.read(spark), ["grp"], "amount").localCheckpoint()
+
+    for bid in range(1, 4):
+        rows = []
+        for _ in range(15):
+            op = rng.random()
+            if op < 0.4:
+                rid = rng.randrange(200, 400)  # insert-ish
+                rows.append((rid, 10 * bid + 10, False,
+                             f"g{rng.randrange(4)}", float(rng.randrange(-50, 50))))
+            elif op < 0.8:
+                rid = rng.randrange(40)  # update (possibly group-moving)
+                rows.append((rid, 10 * bid + 10, False,
+                             f"g{rng.randrange(4)}", float(rng.randrange(-50, 50))))
+            else:
+                rid = rng.randrange(40)  # delete
+                rows.append((rid, 10 * bid + 10, True, "gX", 0.0))
+        t.merge_batch(spark, spark.createDataFrame(rows, SCHEMA), batch_id=bid)
+        v_new = t.versions()[-1]
+        changes = t.diff(spark, prev_v, v_new, include_pre_image=True)
+        state = maintain_minmax_agg(
+            state, changes, t.read(spark), ["grp"], "amount"
+        ).localCheckpoint()
+        expect = minmax_agg(t.read(spark), ["grp"], "amount")
+        assert _mm_rows(state) == _mm_rows(expect), f"divergence after batch {bid}"
+        prev_v = v_new
