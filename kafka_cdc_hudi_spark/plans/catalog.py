@@ -170,6 +170,7 @@ PRUNED: dict[str, str] = {
     "pipeline_multimodal_manifest": "driver cap — NEW r6, full oracle locally; rotate in r7",
     "graph_pagerank_neardup": "driver cap — NEW r6, full oracle locally; rotate in r7",
     "text_hash_embedding": "driver cap — NEW r6, full oracle locally; rotate in r7",
+    "cdc_incremental_minmax_maintenance": "driver cap — NEW r6, full oracle locally; rotate in r7",
 }
 
 #: driver evaluation order: previously-unverified entries first (registry

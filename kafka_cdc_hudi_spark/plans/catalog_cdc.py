@@ -462,6 +462,45 @@ GROUP BY event_type
 """
 
 
+def cdc_incremental_minmax_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX materialized-view maintenance, driver-grade: commit v1's
+    per-event_type extremes roll forward to v2 by the PARTIAL-RECOMPUTE
+    strategy (operators/incremental.py:maintain_minmax_agg — insert-only
+    groups fold algebraically, retraction-touched groups re-aggregate from
+    the post-commit base only). The oracle recomputes v2 directly from raw
+    events, so a green row proves the split between the algebraic and
+    recompute paths is exactly right."""
+    from kafka_cdc_hudi_spark.operators.incremental import (
+        maintain_minmax_agg,
+        minmax_agg,
+    )
+
+    t = _mor_table(spark, sf_dir)
+    state_v1 = minmax_agg(t.read(spark, version=1), ["event_type"], "value")
+    changes = t.diff(spark, 1, 2, include_pre_image=True)
+    base_v2 = t.read(spark, version=2)
+    return maintain_minmax_agg(state_v1, changes, base_v2, ["event_type"], "value")
+
+
+CDC_INCREMENTAL_MINMAX_SQL = f"""
+WITH {_EVT_CTE},
+allrows AS (
+  SELECT *, CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END AS src FROM evt
+),
+s2 AS (
+  SELECT event_type, value
+  FROM (
+    SELECT * FROM allrows
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY mtime DESC, src DESC, event_id DESC) = 1
+  ) WHERE NOT is_deleted
+)
+SELECT event_type, COUNT(*) AS n_rows,
+       MIN(value) AS min_value, MAX(value) AS max_value
+FROM s2
+GROUP BY event_type
+"""
+
+
 def cdc_merge_partial_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partial-update payload merge (Hudi OverwriteNonDefaults semantics):
     a sparse update stream where each event carries only SOME fields
@@ -536,6 +575,10 @@ CDC_QUERIES: dict[str, tuple] = {
     "cdc_incremental_agg_maintenance": (
         cdc_incremental_agg_maintenance,
         CDC_INCREMENTAL_AGG_SQL,
+    ),
+    "cdc_incremental_minmax_maintenance": (
+        cdc_incremental_minmax_maintenance,
+        CDC_INCREMENTAL_MINMAX_SQL,
     ),
     "cdc_parse_debezium": (cdc_parse_debezium, CDC_PARSE_DEBEZIUM_SQL),
     "cdc_parse_dms": (cdc_parse_dms, CDC_PARSE_DMS_SQL),
