@@ -171,6 +171,7 @@ PRUNED: dict[str, str] = {
     "graph_pagerank_neardup": "driver cap — NEW r6, full oracle locally; rotate in r7",
     "text_hash_embedding": "driver cap — NEW r6, full oracle locally; rotate in r7",
     "cdc_incremental_minmax_maintenance": "driver cap — NEW r6, full oracle locally; rotate in r7",
+    "events_kmv_distinct_rollup": "driver cap — NEW r6, full oracle locally; rotate in r7",
 }
 
 #: driver evaluation order: previously-unverified entries first (registry

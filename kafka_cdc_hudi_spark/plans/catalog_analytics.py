@@ -506,6 +506,90 @@ FROM orders
 """
 
 
+#: KMV sketch size (k smallest hashes kept) and the 60-bit hash space
+_KMV_K = 64
+_KMV_SPACE = 16 ** 15  # = 2^60, the md5-prefix domain
+
+
+def events_kmv_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct sketch with a mergeable rollup: per
+    (event_type, hour) keep the 64 smallest user-id hashes, merge hours by
+    re-taking the 64 smallest of the union, estimate distinct users per
+    type as (k-1) * SPACE / kth_smallest. The deterministic-sketch twin of
+    `events_cms_heavy_hitters`: unlike HLL's opaque binary sketches, KMV
+    over salted md5 is exactly reproducible, so the ESTIMATES carry the
+    value oracle (accuracy vs exact is separately pinned in
+    tests/test_sketches.py).
+
+    Plan: distinct (type, hour, hash) -> WindowGroupLimit prunes each
+    partition to its local 64 smallest pre-shuffle -> the merge re-ranks
+    type-wide (second WindowGroupLimit) -> tiny per-type agg joined with
+    the exact countDistinct for the comparison columns. The float estimate
+    is ONE multiply + ONE divide on exactly-representable operands —
+    engine-identical."""
+    e = load_table(spark, sf_dir, "events")
+    h = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("h")
+    )
+    cells = e.select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour"), h
+    ).distinct()
+    w1 = Window.partitionBy("event_type", "hour").orderBy("h")
+    hour_kmv = (
+        cells.withColumn("r", F.row_number().over(w1)).filter(F.col("r") <= _KMV_K)
+    )
+    merged = hour_kmv.select("event_type", "h").distinct()
+    w2 = Window.partitionBy("event_type").orderBy("h")
+    kmv = merged.withColumn("r", F.row_number().over(w2)).filter(F.col("r") <= _KMV_K)
+    est = kmv.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.max("h").alias("kth"),
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            "n_obs",
+            "kth",
+            F.when(F.col("n_obs") < _KMV_K, F.col("n_obs").cast("double"))
+            .otherwise(
+                F.lit(float(_KMV_K - 1)) * F.lit(float(_KMV_SPACE)) / F.col("kth").cast("double")
+            )
+            .alias("kmv_est"),
+        )
+    )
+
+
+EVENTS_KMV_SQL = f"""
+WITH cells AS (
+  SELECT DISTINCT event_type, date_trunc('hour', ts) AS hour,
+         CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM events),
+hour_kmv AS (
+  SELECT event_type, h FROM cells
+  QUALIFY row_number() OVER (PARTITION BY event_type, hour ORDER BY h) <= {_KMV_K}),
+merged AS (SELECT DISTINCT event_type, h FROM hour_kmv),
+kmv AS (
+  SELECT event_type, h FROM merged
+  QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY h) <= {_KMV_K}),
+est AS (
+  SELECT event_type, COUNT(*) AS n_obs, MAX(h) AS kth FROM kmv GROUP BY 1),
+exact AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS exact_users FROM events GROUP BY 1)
+SELECT event_type, exact_users, n_obs, kth,
+       CASE WHEN n_obs < {_KMV_K} THEN CAST(n_obs AS DOUBLE)
+            ELSE CAST({_KMV_K - 1} AS DOUBLE) * CAST({_KMV_SPACE} AS DOUBLE)
+                 / CAST(kth AS DOUBLE) END AS kmv_est
+FROM est JOIN exact USING (event_type)
+"""
+
+
 #: count-min sketch geometry: depth rows (independent hash functions) x
 #: width buckets. Error bound: overcount <= e/width * total with
 #: probability 1 - e^-depth; the sketch is 4*64 counters regardless of key
@@ -2088,6 +2172,7 @@ ANALYTICS_QUERIES: dict[str, tuple] = {
     "events_sketches": (events_sketches, EVENTS_SKETCHES_SQL),
     "events_cms_heavy_hitters": (events_cms_heavy_hitters, EVENTS_CMS_SQL),
     "orders_price_percentile_rank": (orders_price_percentile_rank, ORDERS_PRICE_PCTRANK_SQL),
+    "events_kmv_distinct_rollup": (events_kmv_distinct_rollup, EVENTS_KMV_SQL),
     "events_retention_cohorts": (events_retention_cohorts, EVENTS_RETENTION_SQL),
     "events_hll_mergeable_rollup": (events_hll_mergeable_rollup, EVENTS_HLL_ROLLUP_SQL),
     "events_funnel_conversions": (events_funnel_conversions, EVENTS_FUNNEL_SQL),

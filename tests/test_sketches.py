@@ -80,3 +80,20 @@ def test_cms_overcount_one_sided_and_bounded(spark):
     total = sum(r.exact_n for r in rows)
     mean_over = sum(r.overcount for r in rows) / len(rows)
     assert mean_over <= 2.72 / 64 * total, f"mean overcount {mean_over} above bound"
+
+
+def test_kmv_estimate_accuracy(spark):
+    """KMV accuracy: with k=64 the standard error is ~1/sqrt(k-2) ~= 13%;
+    pin a 25% band (sf0.001 groups are all below k, where the sketch is
+    EXACT by the n_obs < k rule — assert that too)."""
+    from kafka_cdc_hudi_spark.plans.catalog_analytics import events_kmv_distinct_rollup
+
+    from .conftest import SF_DIR
+
+    rows = events_kmv_distinct_rollup(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        if r.n_obs < 64:
+            assert r.kmv_est == float(r.exact_users), r
+        else:
+            assert abs(r.kmv_est - r.exact_users) <= 0.25 * r.exact_users, r
