@@ -172,6 +172,8 @@ PRUNED: dict[str, str] = {
     "text_hash_embedding": "driver cap — NEW r6, full oracle locally; rotate in r7",
     "cdc_incremental_minmax_maintenance": "driver cap — NEW r6, full oracle locally; rotate in r7",
     "events_kmv_distinct_rollup": "driver cap — NEW r6, full oracle locally; rotate in r7",
+    "user_activity_reconciliation": "driver cap — NEW r6, full oracle locally; rotate in r7",
+    "events_props_json_stats": "driver cap — NEW r6, full oracle locally; rotate in r7",
 }
 
 #: driver evaluation order: previously-unverified entries first (registry

@@ -506,6 +506,88 @@ FROM orders
 """
 
 
+def user_activity_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER JOIN reconciliation — the audit shape that finds ids
+    present on only one side of two systems (event emitters vs order
+    placers; the fixture shares one id space). The one join type the
+    catalog didn't yet exercise; classification is null-pattern-driven.
+    One shuffle per aggregate + the outer join on the shared key."""
+    # asymmetric slices: every fixture id appears on both sides unsliced,
+    # which would leave the outer join's null branches vacuously untested —
+    # compare PURCHASE activity against URGENT orders so each side drops
+    # a different id subset and all three statuses occur
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    ev = e.groupBy(F.col("user_id").alias("id")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    od = o.groupBy(F.col("o_custkey").alias("id")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    status = (
+        F.when(F.col("n_events").isNull(), "orders_only")
+        .when(F.col("n_orders").isNull(), "events_only")
+        .otherwise("both")
+    )
+    return ev.join(od, "id", "full_outer").select(
+        "id",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        status.alias("status"),
+    )
+
+
+USER_ACTIVITY_RECONCILIATION_SQL = """
+WITH ev AS (SELECT user_id AS id, COUNT(*) AS n_events FROM events
+            WHERE event_type = 'purchase' GROUP BY 1),
+od AS (SELECT o_custkey AS id, COUNT(*) AS n_orders FROM orders
+       WHERE o_orderpriority = '1-URGENT' GROUP BY 1)
+SELECT COALESCE(ev.id, od.id) AS id,
+       COALESCE(n_events, 0) AS n_events,
+       COALESCE(n_orders, 0) AS n_orders,
+       CASE WHEN n_events IS NULL THEN 'orders_only'
+            WHEN n_orders IS NULL THEN 'events_only'
+            ELSE 'both' END AS status
+FROM ev FULL OUTER JOIN od ON ev.id = od.id
+"""
+
+
+def events_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics: extract a field from the JSON ``props``
+    payload column at query time (schema-on-read — no upfront parse
+    column) and aggregate it per event type. get_json_object stays fully
+    codegen'd; integer sums are exact."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").alias("sum_k"),
+        )
+    )
+
+
+EVENTS_PROPS_JSON_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(k) AS n_with_k,
+       MIN(k) AS min_k,
+       MAX(k) AS max_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k
+FROM (SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events)
+GROUP BY event_type
+"""
+
+
 #: KMV sketch size (k smallest hashes kept) and the 60-bit hash space
 _KMV_K = 64
 _KMV_SPACE = 16 ** 15  # = 2^60, the md5-prefix domain
@@ -2173,6 +2255,11 @@ ANALYTICS_QUERIES: dict[str, tuple] = {
     "events_cms_heavy_hitters": (events_cms_heavy_hitters, EVENTS_CMS_SQL),
     "orders_price_percentile_rank": (orders_price_percentile_rank, ORDERS_PRICE_PCTRANK_SQL),
     "events_kmv_distinct_rollup": (events_kmv_distinct_rollup, EVENTS_KMV_SQL),
+    "user_activity_reconciliation": (
+        user_activity_reconciliation,
+        USER_ACTIVITY_RECONCILIATION_SQL,
+    ),
+    "events_props_json_stats": (events_props_json_stats, EVENTS_PROPS_JSON_SQL),
     "events_retention_cohorts": (events_retention_cohorts, EVENTS_RETENTION_SQL),
     "events_hll_mergeable_rollup": (events_hll_mergeable_rollup, EVENTS_HLL_ROLLUP_SQL),
     "events_funnel_conversions": (events_funnel_conversions, EVENTS_FUNNEL_SQL),

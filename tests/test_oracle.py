@@ -95,3 +95,11 @@ def test_normalize_handles_struct_nested_lists():
     assert out["arr"].iloc[1] == (7, (8, 9))
     # deterministic: same input, same order
     assert _normalize(df).equals(out)
+
+
+def test_reconciliation_exercises_all_outer_branches(spark):
+    """The full-outer entry must actually produce all three null patterns —
+    an all-'both' result would leave the outer join vacuously untested."""
+    fn, _sql = REGISTRY["user_activity_reconciliation"]
+    statuses = {r.status for r in fn(spark, SF_DIR).select("status").distinct().collect()}
+    assert statuses == {"both", "events_only", "orders_only"}, statuses
