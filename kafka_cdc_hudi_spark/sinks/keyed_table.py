@@ -62,20 +62,26 @@ the last merged streaming batch id; replaying an already-committed batch is
 a no-op (SURVEY §7 hard-part 5). The merge itself is also idempotent, so
 this is belt and braces.
 
-Concurrency contract: ONE writer per table root (the Structured Streaming
-model — one query owns one sink; the driver serializes per-table work onto
-one thread). Readers are always safe against a concurrent writer (they
-resolve only manifested directories through the atomic pointer). Two
-concurrent WRITERS would race the pointer rewrite last-wins and silently
-drop the loser's commit — the same reason Hudi requires a lock provider for
-multi-writer; put a distributed lock around ``merge_batch`` if you need it.
+Concurrency contract: readers are always safe against a concurrent writer
+(they resolve only manifested directories through the atomic pointer).
+WRITERS serialize through a filesystem lock (``_table_lock`` — the Hudi
+lock-provider role): every pointer transition (merge, compaction, restore,
+savepoints) runs read-pointer -> write-pointer under the exclusive lock, so
+two concurrent writers queue instead of silently dropping a commit; stale
+locks from crashed writers are broken after a timeout. The streaming
+driver still serializes per-table work onto one thread — the lock is the
+belt-and-braces for multi-job or out-of-band table-service writers. On
+storage without atomic ``O_EXCL`` create (some object stores), supply an
+external lock instead.
 """
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
+import time
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -651,9 +657,62 @@ class KeyedParquetTable:
         spark.catalog.refreshTable(quoted)
         return reg
 
+    #: lock-provider knobs (Hudi OCC parity): how long a writer waits for
+    #: the table lock, and how old a lock file must be before it is
+    #: considered abandoned by a crashed writer and broken
+    _LOCK_TIMEOUT_S = 60.0
+    _LOCK_STALE_S = 300.0
+
+    @contextlib.contextmanager
+    def _table_lock(self):
+        """Multi-writer safety (Hudi optimistic-concurrency lock-provider
+        parity): every pointer transition runs under an exclusive
+        filesystem lock (O_CREAT|O_EXCL — atomic on POSIX and on the
+        object-store adapters that emulate it), so two writers cannot
+        interleave read-pointer -> write-pointer and silently drop one
+        commit. Stale locks from crashed writers are broken after
+        ``_LOCK_STALE_S``. Reads never take the lock (readers are
+        snapshot-isolated by the atomic pointer swap)."""
+        os.makedirs(self.root, exist_ok=True)
+        lock = os.path.join(self.root, ".commit_lock")
+        deadline = time.monotonic() + self._LOCK_TIMEOUT_S
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                break
+            except FileExistsError:
+                try:
+                    age = time.time() - os.path.getmtime(lock)
+                except OSError:
+                    continue  # lock vanished between check and stat: retry
+                if age > self._LOCK_STALE_S:
+                    with contextlib.suppress(OSError):
+                        os.unlink(lock)  # break the abandoned lock
+                    continue
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"could not acquire table lock {lock} within "
+                        f"{self._LOCK_TIMEOUT_S}s (held {age:.0f}s)"
+                    )
+                time.sleep(0.05)
+        try:
+            yield
+        finally:
+            with contextlib.suppress(OSError):
+                os.unlink(lock)
+
     def merge_batch(self, spark: SparkSession, batch: DataFrame, batch_id: int | None = None) -> bool:
         """Upsert one normalized CDC batch; returns False if skipped
-        (already-committed batch id replay, or empty batch)."""
+        (already-committed batch id replay, or empty batch). Runs under
+        the table lock — see :meth:`_table_lock`."""
+        with self._table_lock():
+            return self._merge_batch_locked(spark, batch, batch_id)
+
+    def _merge_batch_locked(
+        self, spark: SparkSession, batch: DataFrame, batch_id: int | None = None
+    ) -> bool:
         p = self._read_pointer()
         if (
             batch_id is not None
@@ -687,7 +746,7 @@ class KeyedParquetTable:
                 self.compact_bytes_ratio is not None
                 and self._pending_bytes_reached(base, pending)
             ):
-                self.compact(spark)
+                self._compact_locked(spark)  # merge already holds the lock
             return True
         existing = self.read(spark)
         merged = merge_upsert(
@@ -795,6 +854,10 @@ class KeyedParquetTable:
         return self._savepoints(self._read_pointer())
 
     def savepoint(self, spark: SparkSession, name: str) -> int:
+        with self._table_lock():
+            return self._savepoint_locked(spark, name)
+
+    def _savepoint_locked(self, spark: SparkSession, name: str) -> int:
         """Pin the CURRENT state under ``name`` so retention never prunes it
         (Hudi savepoint parity — the cleaner skips savepointed commits, and
         ``restore(name=...)`` rolls the table forward back to it).
@@ -810,7 +873,7 @@ class KeyedParquetTable:
         if name in sps:
             raise ValueError(f"savepoint {name!r} already exists (at v{sps[name]})")
         if self.mode == MODE_MOR:
-            self.compact(spark)  # materialize pending deltas, if any
+            self._compact_locked(spark)  # materialize pending deltas, if any
             p = self._read_pointer()
         version = p["version"]
         sps[name] = version
@@ -826,6 +889,10 @@ class KeyedParquetTable:
         return version
 
     def drop_savepoint(self, name: str) -> None:
+        with self._table_lock():
+            self._drop_savepoint_locked(name)
+
+    def _drop_savepoint_locked(self, name: str) -> None:
         """Release a savepoint; its version becomes prunable on the next
         commit's retention pass."""
         p = self._read_pointer()
@@ -845,6 +912,12 @@ class KeyedParquetTable:
             )
 
     def restore(self, spark: SparkSession, version: int | None = None, name: str | None = None) -> int:
+        with self._table_lock():
+            return self._restore_locked(spark, version, name)
+
+    def _restore_locked(
+        self, spark: SparkSession, version: int | None = None, name: str | None = None
+    ) -> int:
         """Roll-forward restore (Delta ``RESTORE TABLE`` / Hudi
         savepoint-rollback parity, emulating what the reference would
         delegate to Hudi's rollback CLI): commit a NEW version whose state
@@ -898,6 +971,12 @@ class KeyedParquetTable:
         )
 
     def compact(self, spark: SparkSession) -> int | None:
+        """Table-service entry point — takes the table lock then folds;
+        see :meth:`_compact_locked`."""
+        with self._table_lock():
+            return self._compact_locked(spark)
+
+    def _compact_locked(self, spark: SparkSession) -> int | None:
         """MOR: fold all pending deltas into a new base snapshot.
         Bucketed COW: rewrite every bucket into one fresh version (file-count
         hygiene after many partial commits — collapses the bucket map so old
