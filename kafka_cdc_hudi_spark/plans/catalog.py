@@ -174,6 +174,8 @@ PRUNED: dict[str, str] = {
     "events_kmv_distinct_rollup": "driver cap — NEW r6, full oracle locally; rotate in r7",
     "user_activity_reconciliation": "driver cap — NEW r6, full oracle locally; rotate in r7",
     "events_props_json_stats": "driver cap — NEW r6, full oracle locally; rotate in r7",
+    "parts_cooccurrence": "driver cap — NEW r6, full oracle locally; rotate in r7",
+    "dataset_weighted_sample": "driver cap — NEW r6, full oracle locally; rotate in r7",
 }
 
 #: driver evaluation order: previously-unverified entries first (registry

@@ -506,6 +506,128 @@ FROM orders
 """
 
 
+#: co-occurrence support floor: pairs must appear in at least this many
+#: orders (keeps the output the interesting head, not the noise tail)
+_PART_COOC_MIN_SUPPORT = 2
+
+
+def parts_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket analysis over order lines: part pairs bought together
+    with support and exact-ppm lift (the cross-sell/recommendation
+    primitive on the RETAIL side, complementing the event-type
+    co-occurrence on the behavioral side). The pair join is bounded by
+    parts-per-order (~4 in the fixture, never corpus-sized); one orderkey
+    shuffle feeds both the pair self-join and the per-part supports; lift
+    is integer-exact ((pair/n) / (a/n * b/n) in ppm)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    per_order = l.select("l_orderkey", "l_partkey").distinct()
+    a = per_order.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("part_a")
+    )
+    b = per_order.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_together"))
+        .filter(F.col("n_together") >= _PART_COOC_MIN_SUPPORT)
+    )
+    support = per_order.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    totals = per_order.agg(F.countDistinct("l_orderkey").alias("n_all"))
+    sa = support.select(F.col("l_partkey").alias("part_a"), F.col("n_orders").alias("n_a"))
+    sb = support.select(F.col("l_partkey").alias("part_b"), F.col("n_orders").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "part_a")
+        .join(F.broadcast(sb), "part_b")
+        .join(F.broadcast(totals))
+        .select(
+            "part_a",
+            "part_b",
+            "n_together",
+            "n_a",
+            "n_b",
+            F.expr("1000000 * n_together * n_all div (n_a * n_b)").alias("lift_ppm"),
+        )
+    )
+
+
+PARTS_COOCCURRENCE_SQL = f"""
+WITH per_order AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_together
+  FROM per_order a JOIN per_order b USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_PART_COOC_MIN_SUPPORT}),
+support AS (SELECT l_partkey, COUNT(*) AS n_orders FROM per_order GROUP BY 1),
+totals AS (SELECT COUNT(DISTINCT l_orderkey) AS n_all FROM per_order)
+SELECT part_a, part_b, n_together,
+       sa.n_orders AS n_a, sb.n_orders AS n_b,
+       (1000000 * n_together * n_all) // (sa.n_orders * sb.n_orders) AS lift_ppm
+FROM pairs
+JOIN support sa ON pairs.part_a = sa.l_partkey
+JOIN support sb ON pairs.part_b = sb.l_partkey
+CROSS JOIN totals
+"""
+
+#: deterministic weighted-sampling keep count
+_WSAMPLE_K = 100
+
+
+def dataset_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling: keep the K documents with the
+    smallest hash-priority ``h div weight`` (weight = token count), so
+    longer documents are proportionally more likely to survive — the
+    reproducible, RNG-free cousin of A-Res reservoir sampling (an exact
+    integer priority rather than u^(1/w); the bias curve differs slightly
+    but the estimator property — monotone weight preference with a fixed
+    hash — is what pipelines actually rely on for stable reruns). One
+    projection + one global top-K (rank over a single ordering —
+    WindowGroupLimit prunes per partition before the final merge)."""
+    from kafka_cdc_hudi_spark.functions.textfns import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    weight = F.greatest(F.size(tokens("text")).cast("long"), F.lit(1).cast("long"))
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|ws_v1"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    base = d.select("doc_id", weight.alias("weight"), h.alias("h")).select(
+        "doc_id", "weight", F.expr("h div weight").alias("priority")
+    )
+    w = Window.orderBy("priority", "doc_id")
+    return (
+        base.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _WSAMPLE_K)
+        .select("doc_id", "weight", "priority", "rank")
+    )
+
+
+def _wsample_sql() -> str:
+    from kafka_cdc_hudi_spark.functions.textfns import TOKEN_SPLIT_RE
+
+    toks = (
+        f"list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'), t -> t <> '')"
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         greatest(CAST(len({toks}) AS BIGINT), 1) AS weight,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|ws_v1'), 1, 15)) AS BIGINT) AS h
+  FROM documents)
+SELECT doc_id, weight, h // weight AS priority,
+       CAST(row_number() OVER (ORDER BY h // weight, doc_id) AS INT) AS rank
+FROM base
+QUALIFY rank <= {_WSAMPLE_K}
+"""
+
+
+DATASET_WEIGHTED_SAMPLE_SQL = _wsample_sql()
+
+
 def user_activity_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL OUTER JOIN reconciliation — the audit shape that finds ids
     present on only one side of two systems (event emitters vs order
@@ -2260,6 +2382,8 @@ ANALYTICS_QUERIES: dict[str, tuple] = {
         USER_ACTIVITY_RECONCILIATION_SQL,
     ),
     "events_props_json_stats": (events_props_json_stats, EVENTS_PROPS_JSON_SQL),
+    "parts_cooccurrence": (parts_cooccurrence, PARTS_COOCCURRENCE_SQL),
+    "dataset_weighted_sample": (dataset_weighted_sample, DATASET_WEIGHTED_SAMPLE_SQL),
     "events_retention_cohorts": (events_retention_cohorts, EVENTS_RETENTION_SQL),
     "events_hll_mergeable_rollup": (events_hll_mergeable_rollup, EVENTS_HLL_ROLLUP_SQL),
     "events_funnel_conversions": (events_funnel_conversions, EVENTS_FUNNEL_SQL),
