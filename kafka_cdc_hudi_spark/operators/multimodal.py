@@ -230,6 +230,40 @@ def documents_as_jpeg(docs: DataFrame) -> DataFrame:
     return src.mapInPandas(encode_batches, MEDIA_SCHEMA)
 
 
+#: TIFF fixture dims — a fourth distinct formula (max 13*7 = 91 <= 128)
+def _tiff_fixture_dims(media_id: int) -> tuple[int, int]:
+    return 7 + media_id % 7, 3 + media_id % 5
+
+
+def documents_as_tiff(docs: DataFrame) -> DataFrame:
+    """Synthesize REAL single-strip grayscale TIFFs — the offset-based
+    IFD container (functions/tiff.py), vs the sequential chunk walks of
+    the other formats. Pixels are the first width*height text bytes."""
+    from kafka_cdc_hudi_spark.functions.tiff import encode_tiff_gray
+
+    src = docs.filter(
+        F.octet_length("text") >= PNG_FIXTURE_MIN_BYTES
+    ).select(F.col("doc_id").alias("media_id"), "text")
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for mid, text in zip(pdf["media_id"], pdf["text"]):
+                w, h = _tiff_fixture_dims(int(mid))
+                pixels = text.encode("utf-8")[: w * h]
+                blobs.append(encode_tiff_gray(pixels, w, h))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "content": blobs,
+                    "format": ["tiff"] * len(pdf),
+                    "byte_len": pd.Series([len(b) for b in blobs], dtype="int64"),
+                }
+            )
+
+    return src.mapInPandas(encode_batches, MEDIA_SCHEMA)
+
+
 def _video_fixture_n_frames(media_id: int) -> int:
     return 2 + media_id % 4
 
@@ -415,6 +449,11 @@ def decode_images(df: DataFrame, fake: bool = False, on_error: str = "raise") ->
         from kafka_cdc_hudi_spark.functions.bmp import BMP_MAGIC, decode_bmp
         from kafka_cdc_hudi_spark.functions.gif import GIF_MAGIC, decode_gif
         from kafka_cdc_hudi_spark.functions.jpeg import JPEG_MAGIC, decode_jpeg_gray
+        from kafka_cdc_hudi_spark.functions.tiff import (
+            TIFF_MAGIC_BE,
+            TIFF_MAGIC_LE,
+            decode_tiff_gray,
+        )
 
         content = content or b""
         if content.startswith(PNG_SIGNATURE):
@@ -425,6 +464,8 @@ def decode_images(df: DataFrame, fake: bool = False, on_error: str = "raise") ->
             width, height, channels, pixels = decode_gif(content)
         elif content.startswith(JPEG_MAGIC):
             width, height, channels, pixels = decode_jpeg_gray(content)
+        elif content.startswith((TIFF_MAGIC_LE, TIFF_MAGIC_BE)):
+            width, height, channels, pixels = decode_tiff_gray(content)
         else:
             raise NotImplementedError(
                 "real decode implemented for PNG/BMP/GIF/JPEG; webp/video "

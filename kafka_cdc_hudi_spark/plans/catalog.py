@@ -176,6 +176,7 @@ PRUNED: dict[str, str] = {
     "events_props_json_stats": "driver cap — NEW r6, full oracle locally; rotate in r7",
     "parts_cooccurrence": "driver cap — NEW r6, full oracle locally; rotate in r7",
     "dataset_weighted_sample": "driver cap — NEW r6, full oracle locally; rotate in r7",
+    "multimodal_decode_tiff": "driver cap — NEW r6, full oracle locally; rotate in r7",
 }
 
 #: driver evaluation order: previously-unverified entries first (registry

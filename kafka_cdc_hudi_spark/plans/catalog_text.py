@@ -1903,6 +1903,43 @@ WHERE q.quality >= {PIPE_QUALITY_MIN}
 """
 
 
+def multimodal_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode through the offset-based IFD container:
+    synthesize genuine single-strip grayscale TIFFs (functions/tiff.py)
+    and decode them back. Same text-byte pixel invariant as PNG/BMP/GIF
+    with a fourth distinct dim formula, so a bug in IFD tag walking or
+    strip offset resolution turns the row red without any other codec
+    masking it."""
+    from kafka_cdc_hudi_spark.operators.multimodal import (
+        decode_images,
+        documents_as_tiff,
+        media_repartition,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = media_repartition(documents_as_tiff(docs), avg_row_bytes=512)
+    return decode_images(media)
+
+
+MULTIMODAL_DECODE_TIFF_SQL = """
+WITH m AS (
+  -- dims mirror operators/multimodal.py::_tiff_fixture_dims
+  SELECT doc_id,
+         7 + doc_id % 7 AS w,
+         3 + doc_id % 5 AS h,
+         text
+  FROM documents
+  WHERE octet_length(encode(text)) >= 128
+)
+SELECT doc_id AS media_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(1 AS INT) AS n_channels,
+       md5(substring(text, 1, w * h)) AS feature_hash
+FROM m
+"""
+
+
 def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video decode: synthesize genuine MJPEG-in-AVI containers
     (functions/avi.py — RIFF chunk walk, single MJPG stream) whose frames
@@ -2683,6 +2720,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "multimodal_decode_gif": (multimodal_decode_gif, MULTIMODAL_DECODE_GIF_SQL),
     "multimodal_decode_jpeg": (multimodal_decode_jpeg, MULTIMODAL_DECODE_JPEG_SQL),
     "multimodal_video_frames": (multimodal_video_frames, MULTIMODAL_VIDEO_FRAMES_SQL),
+    "multimodal_decode_tiff": (multimodal_decode_tiff, MULTIMODAL_DECODE_TIFF_SQL),
     "pipeline_multimodal_manifest": (pipeline_multimodal_manifest, PIPELINE_MULTIMODAL_SQL),
     "dataset_quota_per_group": (dataset_quota_per_group, DATASET_QUOTA_SQL),
     "text_rare_token_fraction": (text_rare_token_fraction, TEXT_RARE_TOKEN_SQL),

@@ -22,6 +22,7 @@ from kafka_cdc_hudi_spark.functions.bmp import decode_bmp, encode_bmp
 from kafka_cdc_hudi_spark.functions.gif import decode_gif, encode_gif
 from kafka_cdc_hudi_spark.functions.jpeg import decode_jpeg_gray, encode_jpeg_gray
 from kafka_cdc_hudi_spark.functions.png import decode_png, encode_png
+from kafka_cdc_hudi_spark.functions.tiff import decode_tiff_gray, encode_tiff_gray
 from kafka_cdc_hudi_spark.functions.wav import decode_wav, encode_wav
 
 #: the clean-failure contract: decoders may raise these and nothing else
@@ -38,6 +39,7 @@ def _valid_samples():
         "jpeg": encode_jpeg_gray(_PIXELS, 8, 8),
         "avi": encode_avi_mjpeg([encode_jpeg_gray(_PIXELS, 8, 8)] * 2, 8, 8),
         "wav": encode_wav(list(range(-100, 100)), sample_rate=8000, channels=1),
+        "tiff": encode_tiff_gray(_PIXELS, 8, 8),
     }
 
 
@@ -48,6 +50,7 @@ _DECODERS = {
     "jpeg": decode_jpeg_gray,
     "avi": decode_avi_mjpeg,
     "wav": decode_wav,
+    "tiff": decode_tiff_gray,
 }
 
 

@@ -36,6 +36,7 @@ _PY_EXEMPT = {
     "multimodal_decode_jpeg",
     "multimodal_video_frames",
     "pipeline_multimodal_manifest",
+    "multimodal_decode_tiff",
 }
 
 #: iterative/self-checking queries that run driver-side loops — their
