@@ -177,6 +177,7 @@ PRUNED: dict[str, str] = {
     "parts_cooccurrence": "driver cap — NEW r6, full oracle locally; rotate in r7",
     "dataset_weighted_sample": "driver cap — NEW r6, full oracle locally; rotate in r7",
     "multimodal_decode_tiff": "driver cap — NEW r6, full oracle locally; rotate in r7",
+    "events_daily_ohlc": "driver cap — NEW r6, full oracle locally; rotate in r7",
 }
 
 #: driver evaluation order: previously-unverified entries first (registry

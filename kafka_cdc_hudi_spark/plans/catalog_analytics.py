@@ -506,6 +506,51 @@ FROM orders
 """
 
 
+def events_daily_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC bars per event type — the financial candlestick
+    primitive, i.e. first/last-in-group by event time (arg_min/arg_max
+    semantics) alongside plain extremes. Open/close resolve via
+    max-of-struct over the exact (epoch_micros, event_id) ordering —
+    deterministic under ties, one shuffle, map-side combine (no window
+    sort)."""
+    from kafka_cdc_hudi_spark.functions.timefns import epoch_millis
+
+    e = load_table(spark, sf_dir, "events")
+    # collision-free scalar ordering: millis * 2^20 + event_id (same
+    # composite-long trick as the partial-update fold; DuckDB's arg_min
+    # takes only scalar keys)
+    ordk = epoch_millis("ts") * F.lit(1048576) + F.col("event_id")
+    k = F.struct(ordk.alias("o"), F.col("value").alias("v"))
+    return (
+        e.select(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.col("value"),
+            k.alias("k"),
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.min(F.col("k")).getField("v").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.col("k")).getField("v").alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+EVENTS_DAILY_OHLC_SQL = """
+SELECT event_type, date_trunc('day', ts) AS day,
+       arg_min(value, epoch_ms(ts) * 1048576 + event_id) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       arg_max(value, epoch_ms(ts) * 1048576 + event_id) AS close,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1, 2
+"""
+
+
 #: co-occurrence support floor: pairs must appear in at least this many
 #: orders (keeps the output the interesting head, not the noise tail)
 _PART_COOC_MIN_SUPPORT = 2
@@ -2384,6 +2429,7 @@ ANALYTICS_QUERIES: dict[str, tuple] = {
     "events_props_json_stats": (events_props_json_stats, EVENTS_PROPS_JSON_SQL),
     "parts_cooccurrence": (parts_cooccurrence, PARTS_COOCCURRENCE_SQL),
     "dataset_weighted_sample": (dataset_weighted_sample, DATASET_WEIGHTED_SAMPLE_SQL),
+    "events_daily_ohlc": (events_daily_ohlc, EVENTS_DAILY_OHLC_SQL),
     "events_retention_cohorts": (events_retention_cohorts, EVENTS_RETENTION_SQL),
     "events_hll_mergeable_rollup": (events_hll_mergeable_rollup, EVENTS_HLL_ROLLUP_SQL),
     "events_funnel_conversions": (events_funnel_conversions, EVENTS_FUNNEL_SQL),
