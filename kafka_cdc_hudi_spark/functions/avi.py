@@ -40,7 +40,9 @@ def encode_avi_mjpeg(frames: list[bytes], width: int, height: int, fps: int = 10
         1_000_000 // fps,  # microseconds per frame
         max_bytes * fps,   # max bytes per second
         0,                 # padding granularity
-        0x10,              # flags: AVIF_HASINDEX off, AVIF_WASCAPTUREFILE off; 0x10 = AVIF_ISINTERLEAVED off... keep simple
+        0,                 # flags: no AVIF_HASINDEX — we write no idx1 chunk,
+        #                    so the file must not advertise an index
+        #                    (0x10 IS AVIF_HASINDEX; strict players seek via it)
         len(frames),
         0,                 # initial frames
         1,                 # streams

@@ -2539,9 +2539,13 @@ def dataset_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
             "group_tokens",
             F.expr("1000000 * group_tokens div total_tokens").alias("share_ppm"),
+            # share_ppm is 0 for any group below 1 ppm of corpus tokens on a
+            # skewed corpus; Spark `div` would yield NULL while DuckDB `//`
+            # raises — clamp the divisor to 1 ppm in BOTH dialects (caps the
+            # upweight multiplier at 1e6/n_groups, the sane ceiling anyway)
             F.expr(
                 "(1000000 div n_groups) * 1000000 div "
-                "(1000000 * group_tokens div total_tokens)"
+                "greatest(1L, 1000000 * group_tokens div total_tokens)"
             ).alias("weight_ppm"),
         )
     )
@@ -2557,7 +2561,7 @@ totals AS (SELECT CAST(SUM(group_tokens) AS BIGINT) AS total_tokens,
 SELECT source, lang, n_docs, group_tokens,
        (1000000 * group_tokens) // total_tokens AS share_ppm,
        ((1000000 // n_groups) * 1000000)
-         // ((1000000 * group_tokens) // total_tokens) AS weight_ppm
+         // GREATEST(1, (1000000 * group_tokens) // total_tokens) AS weight_ppm
 FROM per_group, totals
 """
 

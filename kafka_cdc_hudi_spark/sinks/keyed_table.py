@@ -82,6 +82,7 @@ import json
 import os
 import shutil
 import time
+import uuid
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -675,33 +676,49 @@ class KeyedParquetTable:
         snapshot-isolated by the atomic pointer swap)."""
         os.makedirs(self.root, exist_ok=True)
         lock = os.path.join(self.root, ".commit_lock")
+        # ownership token: release must only unlink OUR lock file. Without
+        # it, a writer stalled past _LOCK_STALE_S (long GC pause / slow
+        # compaction) whose lock was stale-broken by writer B would, on
+        # resume, unconditionally unlink B's LIVE lock — admitting writer C
+        # concurrently with B, the exact dropped-commit race the lock
+        # prevents.
+        token = f"{os.getpid()}:{uuid.uuid4().hex}"
         deadline = time.monotonic() + self._LOCK_TIMEOUT_S
         while True:
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"could not acquire table lock {lock} within "
+                    f"{self._LOCK_TIMEOUT_S}s"
+                )
             try:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, str(os.getpid()).encode())
+                os.write(fd, token.encode())
                 os.close(fd)
                 break
             except FileExistsError:
                 try:
                     age = time.time() - os.path.getmtime(lock)
                 except OSError:
-                    continue  # lock vanished between check and stat: retry
-                if age > self._LOCK_STALE_S:
-                    with contextlib.suppress(OSError):
-                        os.unlink(lock)  # break the abandoned lock
+                    time.sleep(0.05)  # lock vanished between check and stat
                     continue
-                if time.monotonic() > deadline:
-                    raise TimeoutError(
-                        f"could not acquire table lock {lock} within "
-                        f"{self._LOCK_TIMEOUT_S}s (held {age:.0f}s)"
-                    )
+                if age > self._LOCK_STALE_S:
+                    # recheck mtime immediately before unlink so we don't
+                    # break a lock that was just refreshed/recreated by a
+                    # live writer between the stat above and now
+                    with contextlib.suppress(OSError):
+                        if time.time() - os.path.getmtime(lock) > self._LOCK_STALE_S:
+                            os.unlink(lock)  # break the abandoned lock
+                    continue
                 time.sleep(0.05)
         try:
             yield
         finally:
+            # unlink only if the file still holds OUR token (ownership may
+            # have moved if we stalled past _LOCK_STALE_S and were broken)
             with contextlib.suppress(OSError):
-                os.unlink(lock)
+                with open(lock, "rb") as f:
+                    if f.read().decode(errors="replace") == token:
+                        os.unlink(lock)
 
     def merge_batch(self, spark: SparkSession, batch: DataFrame, batch_id: int | None = None) -> bool:
         """Upsert one normalized CDC batch; returns False if skipped

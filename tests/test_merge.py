@@ -290,3 +290,24 @@ class TestMultiWriterLock:
             spark, spark.createDataFrame([(1, "a", 10, False)], SCHEMA), batch_id=0
         )
         assert t.read(spark).count() == 1
+
+    def test_release_only_unlinks_own_lock(self, tmp_path):
+        """A writer whose lock was stale-broken while it stalled must NOT
+        unlink the new owner's live lock on release (ownership token)."""
+        import os
+
+        t = KeyedParquetTable(root=str(tmp_path / "own"), keys=["id"], order_col="mtime")
+        os.makedirs(t.root, exist_ok=True)
+        lock = os.path.join(t.root, ".commit_lock")
+        cm = t._table_lock()
+        cm.__enter__()  # writer A acquires
+        # simulate: A stalls, its lock goes stale and is broken, writer B
+        # acquires and writes its own token
+        os.unlink(lock)
+        with open(lock, "w") as f:
+            f.write("writer-B-token")
+        cm.__exit__(None, None, None)  # A resumes and releases
+        assert os.path.exists(lock), "A unlinked B's live lock"
+        with open(lock) as f:
+            assert f.read() == "writer-B-token"
+        os.unlink(lock)
