@@ -41,11 +41,25 @@ BENCH_QUERIES = [
 ]
 
 
+def _calibrate(spark) -> float:
+    """Fixed-work CPU probe (VERDICT r6 item 2): a constant
+    spark.range sum whose wall time varies only with host load (compare
+    round-over-round; ~0.3-0.4s warm-JVM on an idle box). A contaminated
+    driver run (ambient neighbor load, PLANS.md "bench variance")
+    inflates it by the same factor as the query timings — so a slow
+    BENCH artifact with a slow calib_sec is environmental, not a code
+    regression."""
+    t0 = time.perf_counter()
+    spark.range(200_000_000).selectExpr("sum(id * 3 + 1)").collect()
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
+    loadavg_start = list(os.getloadavg())
 
     names = [n for n in BENCH_QUERIES if n in REGISTRY]
     extra = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
@@ -67,6 +81,7 @@ def main() -> None:
     else:
         spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    calib_before = _calibrate(spark)
     timings: dict[str, float] = {}
     for name in names:
         fn = REGISTRY[name][0]
@@ -85,6 +100,14 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # host-load self-identification (VERDICT r6 item 2): an
+                # idle box reads calib ~0.3-0.6s and loadavg « nproc;
+                # uniform query inflation + inflated calib = contaminated
+                # run, not a regression
+                "calib_sec_before": calib_before,
+                "calib_sec_after": _calibrate(spark),
+                "loadavg_start": loadavg_start,
+                "loadavg_end": list(os.getloadavg()),
             }
         )
     )

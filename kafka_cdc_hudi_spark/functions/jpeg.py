@@ -2,13 +2,15 @@
 to the entropy-coding GIF/LZW path, completing the common-raster-format
 set (PNG, BMP, GIF, WAV, JPEG).
 
-Scope: baseline sequential JFIF, single grayscale component, no
-subsampling, no restart intervals — the minimal LEGAL profile every JPEG
-decoder accepts. The full pipeline is real: level shift, 8x8 forward DCT,
-quantization (standard Annex K luminance table), zigzag, differential DC,
-canonical Huffman entropy coding with 0xFF byte stuffing — and the exact
-inverse on decode (marker walk, DHT canonical rebuild, bit unstuffing,
-coefficient extend, dequantize, IDCT, clamp).
+Scope: baseline sequential JFIF, grayscale (1 component) AND 4:4:4 YCbCr
+color (3 components, interleaved MCUs — the common real-world case), no
+subsampling, no restart intervals — LEGAL profiles every JPEG decoder
+accepts. The full pipeline is real: JFIF RGB->YCbCr color transform,
+level shift, 8x8 forward DCT, quantization (standard Annex K luminance +
+chrominance tables), zigzag, per-component differential DC, canonical
+Huffman entropy coding with 0xFF byte stuffing — and the exact inverse on
+decode (marker walk, DHT canonical rebuild, bit unstuffing, coefficient
+extend, dequantize, IDCT, clamp, YCbCr->RGB).
 
 Huffman tables are canonical fixed-length (4-bit DC / 8-bit AC codes over
 the standard 162-symbol alphabet) — legal-but-suboptimal; the decoder
@@ -19,11 +21,16 @@ Determinism: encode and decode are pure float64/integer arithmetic in
 fixed order — byte-identical across runs and hosts. For a FLAT w x h
 image (all pixels = v, dims multiples of 8) the decoded result is exactly
 ``clamp(128 + 2 * round_half_away((v - 128) / 2))`` per pixel (only the
-DC coefficient survives; q[0][0] = 16), which is what lets the catalog
-entry carry a full SQL value oracle over a lossy codec.
+DC coefficient survives; luma q[0][0] = 16), which is what lets the
+catalog entry carry a full SQL value oracle over a lossy codec. The
+chroma generalization is ``flat_decode_value_q(v, 17)`` (chroma
+q[0][0] = 17). The color transforms deliberately round with
+``floor(x + 0.5)`` (round-half-up) in left-to-right IEEE-double
+expression order so a SQL oracle can reproduce them bit-exactly —
+JPEG does not mandate a color-transform rounding convention.
 
 ``ValueError`` on corruption; ``NotImplementedError`` on legal-but-
-unsupported features (progressive, multi-component, 12-bit, DRI).
+unsupported features (progressive, subsampled, 12-bit, DRI).
 """
 
 from __future__ import annotations
@@ -44,6 +51,45 @@ QUANT = [
     49, 64, 78, 87, 103, 121, 120, 101,
     72, 92, 95, 98, 112, 100, 103, 99,
 ]
+
+
+#: standard Annex K chrominance quantization table (row-major)
+QUANT_CHROMA = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+
+def _round_half_up(x: float) -> int:
+    """floor(x + 0.5) — the SQL-reproducible rounding the color
+    transforms use (see module docstring)."""
+    return int(math.floor(x + 0.5))
+
+
+def rgb_to_ycbcr(r: int, g: int, b: int) -> tuple[int, int, int]:
+    """JFIF full-range RGB -> YCbCr, rounded half-up. Expression order is
+    load-bearing: the SQL oracle evaluates the same left-to-right IEEE
+    double chain and must land on the identical value."""
+    y = _round_half_up(0.299 * r + 0.587 * g + 0.114 * b)
+    cb = _round_half_up(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b)
+    cr = _round_half_up(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b)
+    clamp = lambda v: min(255, max(0, v))  # noqa: E731
+    return clamp(y), clamp(cb), clamp(cr)
+
+
+def ycbcr_to_rgb(y: int, cb: int, cr: int) -> tuple[int, int, int]:
+    """JFIF YCbCr -> RGB, rounded half-up, clamped to [0, 255]."""
+    r = _round_half_up(y + 1.402 * (cr - 128))
+    g = _round_half_up(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128))
+    b = _round_half_up(y + 1.772 * (cb - 128))
+    clamp = lambda v: min(255, max(0, v))  # noqa: E731
+    return clamp(r), clamp(g), clamp(b)
 
 
 def _zigzag() -> list[int]:
@@ -128,12 +174,13 @@ from functools import lru_cache
 
 
 @lru_cache(maxsize=4096)
-def _fdct_quant_cached(block: tuple) -> tuple:
-    return tuple(_fdct_quant(list(block)))
+def _fdct_quant_cached(block: tuple, chroma: bool = False) -> tuple:
+    return tuple(_fdct_quant(list(block), QUANT_CHROMA if chroma else QUANT))
 
 
-def _fdct_quant(block: list[int]) -> list[int]:
+def _fdct_quant(block: list[int], quant: list[int] | None = None) -> list[int]:
     """Level-shifted 8x8 block -> quantized coefficients in zigzag order."""
+    quant = QUANT if quant is None else quant
     coeffs = [0] * 64
     for u in range(8):
         for v in range(8):
@@ -149,7 +196,7 @@ def _fdct_quant(block: list[int]) -> list[int]:
             # flat_decode_value contract the SQL oracle relies on
             scale = 0.125 if u == 0 and v == 0 else 0.25 * _C[u] * _C[v]
             val = scale * s
-            coeffs[u * 8 + v] = _round_half_away(val / QUANT[u * 8 + v])
+            coeffs[u * 8 + v] = _round_half_away(val / quant[u * 8 + v])
     return [coeffs[i] for i in ZIGZAG]
 
 
@@ -158,6 +205,45 @@ def _magnitude(v: int) -> tuple[int, int]:
     size = abs(v).bit_length()
     bits = v if v >= 0 else v + (1 << size) - 1
     return size, bits
+
+
+def _write_block(writer: _BitWriter, zz: list[int], prev_dc: int) -> int:
+    """Entropy-encode one quantized zigzag block; returns the new DC
+    predictor for this block's component."""
+    diff = zz[0] - prev_dc
+    size, bits = _magnitude(diff)
+    code, length = _DC_ENC[size]
+    writer.write(code, length)
+    if size:
+        writer.write(bits, size)
+    # AC: run-length of zeros + (run, size) symbols
+    run = 0
+    last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+    for i in range(1, last_nz + 1):
+        if zz[i] == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = _AC_ENC[0xF0]  # ZRL
+            writer.write(c, ln)
+            run -= 16
+        size, bits = _magnitude(zz[i])
+        c, ln = _AC_ENC[(run << 4) | size]
+        writer.write(c, ln)
+        writer.write(bits, size)
+        run = 0
+    if last_nz < 63:
+        c, ln = _AC_ENC[0x00]  # EOB
+        writer.write(c, ln)
+    return zz[0]
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+
+def _dht(cls: int, tid: int, bits: list[int], symbols: list[int]) -> bytes:
+    return bytes([cls << 4 | tid]) + bytes(bits) + bytes(symbols)
 
 
 def encode_jpeg_gray(pixels: bytes, width: int, height: int) -> bytes:
@@ -184,51 +270,77 @@ def encode_jpeg_gray(pixels: bytes, width: int, height: int) -> bytes:
             # repeated blocks (flat regions, synthetic fixtures) hit the
             # memo instead of re-running the 64x64 float DCT
             zz = list(_fdct_quant_cached(block))
-            # DC: differential
-            diff = zz[0] - prev_dc
-            prev_dc = zz[0]
-            size, bits = _magnitude(diff)
-            code, length = _DC_ENC[size]
-            writer.write(code, length)
-            if size:
-                writer.write(bits, size)
-            # AC: run-length of zeros + (run, size) symbols
-            run = 0
-            last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
-            for i in range(1, last_nz + 1):
-                if zz[i] == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    c, ln = _AC_ENC[0xF0]  # ZRL
-                    writer.write(c, ln)
-                    run -= 16
-                size, bits = _magnitude(zz[i])
-                c, ln = _AC_ENC[(run << 4) | size]
-                writer.write(c, ln)
-                writer.write(bits, size)
-                run = 0
-            if last_nz < 63:
-                c, ln = _AC_ENC[0x00]  # EOB
-                writer.write(c, ln)
+            prev_dc = _write_block(writer, zz, prev_dc)
     body = writer.flush()
-
-    def seg(marker: int, payload: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(payload) + 2) + payload
-
-    def dht(cls: int, tid: int, bits: list[int], symbols: list[int]) -> bytes:
-        return bytes([cls << 4 | tid]) + bytes(bits) + bytes(symbols)
 
     out = bytearray()
     out += b"\xff\xd8"  # SOI
-    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += seg(0xFFDB, bytes([0x00]) + bytes(QUANT[i] for i in ZIGZAG))
-    out += seg(
+    out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xFFDB, bytes([0x00]) + bytes(QUANT[i] for i in ZIGZAG))
+    out += _seg(
         0xFFC0, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
     )
-    out += seg(0xFFC4, dht(0, 0, DC_BITS, DC_SYMBOLS))
-    out += seg(0xFFC4, dht(1, 0, AC_BITS, AC_SYMBOLS))
-    out += seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += _seg(0xFFC4, _dht(0, 0, DC_BITS, DC_SYMBOLS))
+    out += _seg(0xFFC4, _dht(1, 0, AC_BITS, AC_SYMBOLS))
+    out += _seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += body
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def encode_jpeg_color(pixels: bytes, width: int, height: int) -> bytes:
+    """Encode raw 8-bit interleaved RGB samples (row-major, 3*width*height
+    bytes) as a baseline 4:4:4 YCbCr JFIF JPEG: JFIF color transform
+    (``rgb_to_ycbcr``), one 8x8 block per component per MCU interleaved
+    Y,Cb,Cr, luma quant table for Y (tq 0) and Annex-K chroma table for
+    Cb/Cr (tq 1), shared canonical Huffman tables, per-component
+    differential DC. Non-multiple-of-8 dims are edge-padded."""
+    if width <= 0 or height <= 0:
+        raise ValueError(f"bad dims {width}x{height}")
+    if len(pixels) != 3 * width * height:
+        raise ValueError(f"pixel buffer {len(pixels)} bytes, want {3 * width * height}")
+    # plane-ize through the color transform once
+    planes = [bytearray(width * height) for _ in range(3)]
+    for i in range(width * height):
+        y, cb, cr = rgb_to_ycbcr(pixels[3 * i], pixels[3 * i + 1], pixels[3 * i + 2])
+        planes[0][i] = y
+        planes[1][i] = cb
+        planes[2][i] = cr
+    bw = (width + 7) // 8
+    bh = (height + 7) // 8
+
+    def px(plane: bytearray, x: int, y: int) -> int:  # edge-replicated
+        return plane[min(y, height - 1) * width + min(x, width - 1)]
+
+    writer = _BitWriter()
+    prev_dc = [0, 0, 0]
+    for by in range(bh):
+        for bx in range(bw):
+            for ci in range(3):  # interleaved MCU: Y, Cb, Cr
+                block = tuple(
+                    px(planes[ci], bx * 8 + x, by * 8 + y) - 128
+                    for y in range(8)
+                    for x in range(8)
+                )
+                zz = list(_fdct_quant_cached(block, ci > 0))
+                prev_dc[ci] = _write_block(writer, zz, prev_dc[ci])
+    body = writer.flush()
+
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xFFDB, bytes([0x00]) + bytes(QUANT[i] for i in ZIGZAG))
+    out += _seg(0xFFDB, bytes([0x01]) + bytes(QUANT_CHROMA[i] for i in ZIGZAG))
+    out += _seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, height, width, 3)
+        # component id, sampling 1x1 (4:4:4), quant table id
+        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    out += _seg(0xFFC4, _dht(0, 0, DC_BITS, DC_SYMBOLS))
+    out += _seg(0xFFC4, _dht(1, 0, AC_BITS, AC_SYMBOLS))
+    # all three components use DC table 0 / AC table 0
+    out += _seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
     out += body
     out += b"\xff\xd9"  # EOI
     return bytes(out)

@@ -28,56 +28,49 @@ FULL_REGISTRY.update(ANALYTICS_QUERIES)
 FULL_REGISTRY.update(TEXT_QUERIES)
 FULL_REGISTRY.update(STREAMING_QUERIES)
 
-#: ROTATION SCHEDULE (round-6 commitment, per VERDICT r5 item 7):
-#: every FULL_REGISTRY entry re-earns a driver CORRECTNESS row within 2
-#: rounds of being rotated out. All entries stay locally oracle-checked in
-#: test_oracle.py every session regardless of driver status.
+#: ROTATION SCHEDULE (standing commitment since r6, per VERDICT r5 item 7 /
+#: VERDICT r6 item 1): every FULL_REGISTRY entry earns a driver CORRECTNESS
+#: row within 2 rounds of rotating out (or of being born). All entries stay
+#: locally oracle-checked in test_oracle.py every session regardless of
+#: driver status, and the full-registry sf0.01 sweep artifact
+#: (SWEEP_r{N}.json, scripts/sweep.py) is committed each round.
 #:
-#:   round | rotated IN (earn a row)                      | rotated OUT (due back by)
-#:   ------+----------------------------------------------+--------------------------
-#:   r5    | text_repetition_stats, text_pii_scrub,       | q10_returned_items,
-#:         | text_decontaminate, cdc_schema_drift_parse,  | q14_promo_revenue,
-#:         | dataset_pack_sequences                       | text_normalize,
-#:         |                                              | dataset_split_assign,
-#:         |                                              | dedup_clusters  (due r7)
-#:   r6    | dataset_sample_stratified, text_tfidf_topk,  | text_fingerprint,
-#:         | events_user_rate_window,                     | text_language_id,
-#:         | multimodal_decode_png (NEW),                 | embedding_quantize_int8,
-#:         | ann_topk_ivf_trained (NEW)                   | events_pivot_user_counts,
-#:         |                                              | active_user_set_ops (due r8)
-#:   r7    | the NEW-r6 entries born past the cap (every  | matching long-green swaps
-#:         | PRUNED entry marked "NEW r6 ... rotate in    | from the r6 IN set /
-#:         | r7": the multimodal codecs, the TPC-H        | stable block (they have
-#:         | completion set q2/q9/q11/q15/q16/q20/q21,    | r2-r6 green rows and
-#:         | the corpus-stats passes, the analytics/      | stay locally oracled)
-#:         | profile entries, cdc_merge_partial_updates)  |
-#:         | — more than fit under the cap at once, so    |
-#:         | split across r7+r8 newest-first              |
-#:         | + the 5 due-r7 above                         |
-#:   r8    | the 5 due-r8 + the legacy pool               | swaps as needed under cap
-#:         | (cdc_latest_per_key, q6_forecast_revenue,    |
-#:         | events_rollup, events_tumbling_windows,      |
-#:         | text_token_count, cdc_merge_bucketed,        |
-#:         | global_counts, events_user_cumsum,           |
-#:         | events_type_stats, customers_per_region,     |
-#:         | big_orders_semi_join, embedding_norms)       |
-#:
-#: From r7 on the two halves of the legacy pool alternate with their named
-#: survivors each round, so no entry is ever >2 rounds without a row.
-#:
-#: LATE-r6 AMENDMENT (continuation session): five marquee new operators
-#: (multimodal_decode_jpeg, multimodal_video_frames,
-#: cdc_merge_partial_updates, events_cms_heavy_hitters, ann_topk_ivfpq)
-#: rotated IN immediately — each already oracle-green at the driver's own
-#: sf0.01 — swapping out five r2-r5-green entries (text_quality_score,
-#: events_hourly_agg, text_token_topk, ann_topk_ivf, dedup_ngram_jaccard;
-#: DUE BACK r8) with covered-by reasons below.
+#: ROUND-7 ROTATION (this file's current state): the entire driver-facing
+#: set is given over to the never-driver-tested backlog. IN (50 slots):
+#:   - the 5 due-r7 entries (rotated out r5): q10_returned_items,
+#:     q14_promo_revenue, text_normalize, dataset_split_assign,
+#:     dedup_clusters
+#:   - 45 of the 57 entries that have never had a driver row, prioritized
+#:     by oracle-mechanism novelty: the TPC-H completion set (q2 q7 q8 q9
+#:     q11 q13 q15 q16 q17 q18 q19 q20 q21 q22), the four driver-less
+#:     media codecs + real PNG resize, the PQ pair (encode + ADC scan),
+#:     PageRank, both composed pipelines, pack-materialize / quota /
+#:     weighted-sample / mixture-weights, line-dedup + corpus-final,
+#:     incremental agg/minmax maintenance, bucketed COW merge,
+#:     reconciliation, the events analytics block (anomaly / OHLC /
+#:     profile / KMV / Markov / JSON-stats), parts co-occurrence, and the
+#:     BPE / hash-embedding / LM-score / trigram-novelty text passes.
+#: OUT: every r6 driver entry (all 50 hold green CORRECTNESS_r06 rows;
+#: due back r8/r9 by the alternation rule below). Still never-tested after
+#: r7 (the 12 deferred, all simple projection/window shapes covered by
+#: multiple green survivors): dataset_interleave_order,
+#: dataset_length_buckets, embedding_mrl_energy, events_value_percentiles,
+#: events_user_gaps, events_active_users_rolling, text_rare_token_fraction,
+#: text_chunk_overlap, text_html_strip, orders_price_percentile_rank,
+#: events_type_cooccurrence, customers_rfm_segments — these are FIRST in
+#: the r8 IN set, followed by the 10 due-r8 entries (text_fingerprint,
+#: text_language_id, embedding_quantize_int8, events_pivot_user_counts,
+#: active_user_set_ops, text_quality_score, events_hourly_agg,
+#: text_token_topk, ann_topk_ivf, dedup_ngram_jaccard), then r6/r7 greens
+#: alternating so no entry goes >2 rounds without a row.
 
-#: held out of the driver-facing registry (entry cap) — each is a
-#: near-duplicate of a surviving entry's physical plan shape; the operator
-#: itself stays covered by the named survivor + local oracle tests
+#: held out of the driver-facing registry (entry cap) — each is either a
+#: near-duplicate of a surviving entry's physical plan shape or a
+#: driver-green entry resting between rotations; the operator itself stays
+#: covered by the named survivor + local oracle tests + the committed sweep
 PRUNED: dict[str, str] = {
-    "cdc_latest_per_key": "cdc_latest_per_composite_key (same dedup operator, composite keys)",
+    # ---- structural near-duplicates (standing; each covered by survivor) ----
+    "cdc_latest_per_key": "cdc_latest_per_composite_key (same dedup operator, composite keys; r2-r6 green)",
     "q6_forecast_revenue": "q1_pricing_summary/q14 (filter+agg; pushdown pinned in test_plan_invariants)",
     "global_counts": "events_sketches n / q1 count_order (count aggregate everywhere)",
     "events_rollup": "events_cube (same Expand/grouping-sets shape)",
@@ -85,162 +78,152 @@ PRUNED: dict[str, str] = {
     "events_type_stats": "events_sketches (same per-type exact stats, plus sketch self-check)",
     "customers_per_region": "q5_local_supplier/q10 (broadcast-chain dim join + agg)",
     "big_orders_semi_join": "q4_order_priority (left-semi against aggregated/filtered build side)",
-    "events_tumbling_windows": "events_sliding_windows (driver; same windowed-agg family via events_hourly_agg) + test_streaming_windows builder tests",
+    "events_tumbling_windows": "events_sliding_windows (same windowed-agg family) + test_streaming_windows builder tests",
     "embedding_norms": "ann_topk_bruteforce (computes the same norms)",
-    "text_token_count": "text_tfidf_topk (driver; same tokenizer expressions via text_token_topk/text_quality_score)",
-    "cdc_merge_bucketed": (
-        "cdc_merge_two_batches (state-equivalent by construction — same oracle SQL; "
-        "the O(touched-buckets) commit property is pinned in test_bucketed_cow.py "
-        "and the entry is benched in bench.py)"
-    ),
-    # rotated OUT in round 5 (driver-green r2-r4); DUE BACK r7 per the
-    # schedule above
-    "q10_returned_items": "q3_shipping_priority + q5_local_supplier (join-chain + agg + top-k)",
-    "q14_promo_revenue": "q12_priority_by_linestatus (conditional aggregation over a date slice)",
-    "text_normalize": "text_quality_score (same projection-only text shape)",
-    "dataset_split_assign": "dataset_sample_stratified (same salted-md5-bucket projection)",
-    "dedup_clusters": (
-        "dedup_clusters_star (IDENTICAL oracle SQL and output — two strategies of one "
-        "operator; label-prop stays oracle-checked in test_oracle.py + test_graph.py)"
-    ),
-    # rotated OUT in round 6 (driver-green r2-r5, pure projection / single-agg
-    # shapes, the shape class with the most survivors); DUE BACK r8
-    "text_fingerprint": "dataset_sample_stratified + text_quality_score (deterministic-hash projection)",
-    "text_language_id": "text_quality_score (regex/ratio scoring projection)",
-    "embedding_quantize_int8": "ann_topk_bruteforce (same array math, zero-shuffle projection)",
-    "events_pivot_user_counts": "events_cube (Expand agg) + events_hourly_agg (one-shuffle keyed agg)",
-    "active_user_set_ops": "customers_without_orders (anti/semi) + events_retention_cohorts (set overlap)",
-    # NEW in round 6 (after the cap was already filled by this round's five
-    # rotations); full DuckDB oracles in test_oracle.py; first in the r7 IN
-    # set per the schedule above
-    "multimodal_decode_wav": "driver cap — NEW r6, full oracle locally; rotate in r7",
-    "dataset_quota_per_group": "driver cap — NEW r6, full oracle locally; rotate in r7",
-    "text_rare_token_fraction": "driver cap — NEW r6, full oracle locally; rotate in r7",
-    "text_chunk_overlap": "driver cap — NEW r6, full oracle locally; rotate in r7",
-    "dedup_lines_reconstruct": "driver cap — NEW r6, full oracle locally; rotate in r7",
-    "text_html_strip": "driver cap — NEW r6, full oracle locally; rotate in r7",
-    "q7_volume_shipping": "driver cap — NEW r6, full oracle locally; rotate in r7",
-    "q13_customer_distribution": "driver cap — NEW r6, full oracle locally; rotate in r7",
-    "q18_large_volume_customers": "driver cap — NEW r6, full oracle locally; rotate in r7",
-    "q19_disjunctive_revenue": "driver cap — NEW r6, full oracle locally; rotate in r7",
-    "q22_sales_opportunity": "driver cap — NEW r6, full oracle locally; rotate in r7",
-    "q17_small_quantity_revenue": "driver cap — NEW r6, full oracle locally; rotate in r7",
-    "events_data_profile": "driver cap — NEW r6, full oracle locally; rotate in r7",
-    "events_anomaly_zscore": "driver cap — NEW r6, full oracle locally; rotate in r7",
-    "dedup_corpus_final": "driver cap — NEW r6, full oracle locally; rotate in r7",
-    "multimodal_resize_png_real": "driver cap — NEW r6, full oracle locally; rotate in r7",
-    "events_value_percentiles": "driver cap — NEW r6, full oracle locally; rotate in r7",
-    "customers_rfm_segments": "driver cap — NEW r6, full oracle locally; rotate in r7",
-    "cdc_incremental_agg_maintenance": "driver cap — NEW r6, full oracle locally; rotate in r7",
-    "pipeline_pretraining_corpus": "driver cap — NEW r6, full oracle locally; rotate in r7",
-    "q8_market_share": "driver cap — NEW r6, full oracle locally; rotate in r7",
-    "multimodal_decode_bmp": "driver cap — NEW r6, full oracle locally; rotate in r7",
-    "events_user_gaps": "driver cap — NEW r6, full oracle locally; rotate in r7",
-    "multimodal_decode_gif": "driver cap — NEW r6, full oracle locally; rotate in r7",
-    "dataset_pack_materialize": "driver cap — NEW r6, full oracle locally; rotate in r7",
-    "events_active_users_rolling": "driver cap — NEW r6, full oracle locally; rotate in r7",
-    "events_type_cooccurrence": "driver cap — NEW r6, full oracle locally; rotate in r7",
-    "events_markov_transitions": "driver cap — NEW r6, full oracle locally; rotate in r7",
-    # rotated OUT late r6 (driver-green r2-r5) to make room for the
-    # continuation session's marquee operators; DUE BACK r8
-    "text_quality_score": "pipeline_pretraining_corpus/pipeline_multimodal_manifest recompute the full quality expression in their composed oracles; text_tfidf_topk (driver) shares the token-stats shape",
-    "events_hourly_agg": "events_sliding_windows (driver, green r3+) — same watermarkable windowed-agg family, superset shape",
-    "text_token_topk": "text_tfidf_topk (driver) — same explode + token-count aggs plus the rank-limit",
-    "ann_topk_ivf": "ann_topk_ivfpq (driver) subsumes the IVF assignment/probe plan; ann_topk_ivf_trained keeps the IVF oracle family driver-verified",
-    "dedup_ngram_jaccard": "dedup_minhash_lsh (driver) drives the same shingle/bucket candidate chain; exact-Jaccard scoring stays locally oracled",
-    # TPC-H completion set (all 22 shapes now implemented)
-    "q2_min_cost_supplier": "driver cap — NEW r6, full oracle locally; rotate in r7",
-    "q9_product_profit": "driver cap — NEW r6, full oracle locally; rotate in r7",
-    "q11_important_parts": "driver cap — NEW r6, full oracle locally; rotate in r7",
-    "q15_top_supplier": "driver cap — NEW r6, full oracle locally; rotate in r7",
-    "q16_part_supplier_variety": "driver cap — NEW r6, full oracle locally; rotate in r7",
-    "q20_excess_quantity_suppliers": "driver cap — NEW r6, full oracle locally; rotate in r7",
-    "q21_last_shipper_blame": "driver cap — NEW r6, full oracle locally; rotate in r7",
-    # corpus-statistics passes (exact-integer ppm arithmetic)
-    "text_trigram_novelty": "driver cap — NEW r6, full oracle locally; rotate in r7",
-    "text_lm_score": "driver cap — NEW r6, full oracle locally; rotate in r7",
-    "dataset_length_buckets": "driver cap — NEW r6, full oracle locally; rotate in r7",
-    "dataset_mixture_weights": "driver cap — NEW r6, full oracle locally; rotate in r7",
-    "embedding_pq_encode": "driver cap — NEW r6, full oracle locally; rotate in r7",
-    "ann_topk_pq_adc": "driver cap — NEW r6, full oracle locally; rotate in r7",
-    "dataset_interleave_order": "driver cap — NEW r6, full oracle locally; rotate in r7",
-    "embedding_mrl_energy": "driver cap — NEW r6, full oracle locally; rotate in r7",
-    "orders_price_percentile_rank": "driver cap — NEW r6, full oracle locally; rotate in r7",
-    "text_bpe_pretokenize": "driver cap — NEW r6, full oracle locally; rotate in r7",
-    "pipeline_multimodal_manifest": "driver cap — NEW r6, full oracle locally; rotate in r7",
-    "graph_pagerank_neardup": "driver cap — NEW r6, full oracle locally; rotate in r7",
-    "text_hash_embedding": "driver cap — NEW r6, full oracle locally; rotate in r7",
-    "cdc_incremental_minmax_maintenance": "driver cap — NEW r6, full oracle locally; rotate in r7",
-    "events_kmv_distinct_rollup": "driver cap — NEW r6, full oracle locally; rotate in r7",
-    "user_activity_reconciliation": "driver cap — NEW r6, full oracle locally; rotate in r7",
-    "events_props_json_stats": "driver cap — NEW r6, full oracle locally; rotate in r7",
-    "parts_cooccurrence": "driver cap — NEW r6, full oracle locally; rotate in r7",
-    "dataset_weighted_sample": "driver cap — NEW r6, full oracle locally; rotate in r7",
-    "multimodal_decode_tiff": "driver cap — NEW r6, full oracle locally; rotate in r7",
-    "events_daily_ohlc": "driver cap — NEW r6, full oracle locally; rotate in r7",
+    "text_token_count": "text_bpe_pretokenize (driver r7; same tokenizer-count shape) + text_tfidf_topk (green r6)",
+    # ---- never-driver-tested, deferred to r8 (12; FIRST in the r8 IN set;
+    #      all simple projection/window/agg shapes with multiple green
+    #      shape-twins; locally oracled + in the committed sweep) ----
+    "dataset_interleave_order": "due r8 — dataset_weighted_sample (driver r7; same salted-hash ordering projection)",
+    "dataset_length_buckets": "due r8 — dataset_pack_materialize (driver r7; same cumsum/bucket window)",
+    "embedding_mrl_energy": "due r8 — embedding_pq_encode (driver r7; same array-slice math, zero-shuffle)",
+    "events_value_percentiles": "due r8 — events_data_profile (driver r7; same percentile aggs)",
+    "events_user_gaps": "due r8 — events_markov_transitions (driver r7; same lag-window shape)",
+    "events_active_users_rolling": "due r8 — events_daily_ohlc (driver r7; same per-day window family)",
+    "text_rare_token_fraction": "due r8 — text_trigram_novelty (driver r7; same explode+broadcast-join-back shape)",
+    "text_chunk_overlap": "due r8 — dedup_lines_reconstruct (driver r7; same posexplode/reassemble shape)",
+    "text_html_strip": "due r8 — text_normalize (driver r7; same regexp projection shape)",
+    "orders_price_percentile_rank": "due r8 — events_data_profile (driver r7; percentile/rank windows)",
+    "events_type_cooccurrence": "due r8 — parts_cooccurrence (driver r7; identical self-join co-occurrence shape)",
+    "customers_rfm_segments": "due r8 — events_data_profile (driver r7; same ntile/agg segmentation shape)",
+    # ---- r6 driver set, resting after green CORRECTNESS_r06 rows (due
+    #      back r8/r9 by alternation; all locally oracled + swept) ----
+    "dataset_sample_stratified": "green r6; due back r8",
+    "text_tfidf_topk": "green r6; due back r8",
+    "events_user_rate_window": "green r6; due back r8",
+    "multimodal_decode_png": "green r6; due back r8 (codec family driver-covered r7 by bmp/gif/tiff/wav)",
+    "ann_topk_ivf_trained": "green r6; due back r8 (IVF family driver-covered r7 by ann_topk_pq_adc)",
+    "multimodal_decode_jpeg": "green r6; due back r8",
+    "multimodal_video_frames": "green r6; due back r8",
+    "cdc_merge_partial_updates": "green r6; due back r8",
+    "events_cms_heavy_hitters": "green r6; due back r8",
+    "ann_topk_ivfpq": "green r6; due back r8",
+    "text_repetition_stats": "green r5+r6; due back r9",
+    "text_pii_scrub": "green r5+r6; due back r9",
+    "text_decontaminate": "green r5+r6; due back r9",
+    "cdc_schema_drift_parse": "green r5+r6; due back r9",
+    "dataset_pack_sequences": "green r5+r6; due back r9 (packing family driver-covered r7 by dataset_pack_materialize)",
+    "events_sliding_windows": "green r3-r6; due back r9",
+    "ann_topk_srp": "green r3-r6; due back r9",
+    "dedup_embedding_cosine": "green r3-r6; due back r9",
+    "multimodal_meta": "green r3-r6; due back r9",
+    "multimodal_frame_sample": "green r3-r6; due back r9",
+    "multimodal_resize": "green r3-r6; due back r9 (resize driver-covered r7 by multimodal_resize_png_real)",
+    "events_session_windows": "green r3-r6; due back r9",
+    "user_running_stats_batch": "green r3-r6; due back r9",
+    "dedup_clusters_star": "green r6; due back r8 (CC operator driver-covered r7 by dedup_clusters label-prop — identical oracle)",
+    "events_sketches": "green r6; due back r8 (sketch family driver-covered r7 by events_kmv_distinct_rollup)",
+    "events_hll_mergeable_rollup": "green r6; due back r8 (same)",
+    "q12_priority_by_linestatus": "green r6; due back r8 (TPC-H family driver-covered r7 by the completion set)",
+    "cdc_parse_debezium": "green r2-r6; due back r9",
+    "cdc_parse_dms": "green r2-r6; due back r9",
+    "cdc_latest_per_composite_key": "green r2-r6; due back r9",
+    "cdc_merge_two_batches": "green r2-r6; due back r9 (merge family driver-covered r7 by cdc_merge_bucketed — same oracle)",
+    "cdc_merge_mor": "green r2-r6; due back r9",
+    "cdc_time_travel": "green r2-r6; due back r9",
+    "cdc_incremental_diff": "green r2-r6; due back r9 (incremental family driver-covered r7 by agg/minmax maintenance)",
+    "cdc_route_multitable": "green r2-r6; due back r9",
+    "q1_pricing_summary": "green r2-r6; due back r9",
+    "q3_shipping_priority": "green r2-r6; due back r9",
+    "q4_order_priority": "green r2-r6; due back r9",
+    "q5_local_supplier": "green r2-r6; due back r9",
+    "topk_orders_per_customer": "green r2-r6; due back r9",
+    "asof_join_last_click": "green r2-r6; due back r9",
+    "customers_without_orders": "green r2-r6; due back r9",
+    "events_cube": "green r2-r6; due back r9",
+    "range_join_post_purchase": "green r2-r6; due back r9",
+    "events_retention_cohorts": "green r2-r6; due back r9",
+    "events_funnel_conversions": "green r2-r6; due back r9",
+    "dedup_exact": "green r2-r6; due back r9",
+    "dedup_minhash_lsh": "green r2-r6; due back r9",
+    "dedup_simhash": "green r2-r6; due back r9",
+    "ann_topk_bruteforce": "green r2-r6; due back r9",
+    # ---- rotated out r6, due back r8 (unchanged commitment) ----
+    "text_fingerprint": "due r8 — dataset_split_assign (driver r7; deterministic-hash projection)",
+    "text_language_id": "due r8 — text_normalize (driver r7; regex/ratio scoring projection)",
+    "embedding_quantize_int8": "due r8 — embedding_pq_encode (driver r7; same array math, zero-shuffle)",
+    "events_pivot_user_counts": "due r8 — events_data_profile (driver r7) + events_cube (green r6)",
+    "active_user_set_ops": "due r8 — user_activity_reconciliation (driver r7; same set-reconcile shape)",
+    "text_quality_score": "due r8 — pipeline_pretraining_corpus (driver r7) recomputes the full quality expression",
+    "events_hourly_agg": "due r8 — events_daily_ohlc (driver r7; same keyed time-bucket agg family)",
+    "text_token_topk": "due r8 — text_trigram_novelty (driver r7; same explode+count+rank shape)",
+    "ann_topk_ivf": "due r8 — ann_topk_pq_adc (driver r7) subsumes the IVF assignment/probe plan",
+    "dedup_ngram_jaccard": "due r8 — dedup_corpus_final (driver r7) drives the shingle/bucket candidate chain",
 }
 
-#: driver evaluation order: previously-unverified entries first (registry
-#: tail was past the driver's entry cap in round 2), then fresh/changed
-#: entries, then the long-green remainder
+#: driver evaluation order, round 7: the 5 due-r7 entries first, then the
+#: 45 never-driver-tested entries newest-mechanism-first
 _DRIVER_ORDER = [
-    # -- no driver row yet (rotated in / NEW in round 6) --
-    "dataset_sample_stratified",
-    "text_tfidf_topk",
-    "events_user_rate_window",
-    "multimodal_decode_png",
-    "ann_topk_ivf_trained",
-    # -- late-r6 rotation: the continuation session's marquee operators,
-    #    each already oracle-green at the driver's own sf0.01 --
-    "multimodal_decode_jpeg",
-    "multimodal_video_frames",
-    "cdc_merge_partial_updates",
-    "events_cms_heavy_hitters",
-    "ann_topk_ivfpq",
-    # -- green since round 5 --
-    "text_repetition_stats",
-    "text_pii_scrub",
-    "text_decontaminate",
-    "cdc_schema_drift_parse",
-    "dataset_pack_sequences",
-    # -- green since round 3 --
-    "events_sliding_windows",
-    "ann_topk_srp",
-    "dedup_embedding_cosine",
-    "multimodal_meta",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "events_session_windows",
-    "user_running_stats_batch",
-    # -- new or changed this round --
-    "dedup_clusters_star",
-    "events_sketches",
-    "events_hll_mergeable_rollup",
-    "q12_priority_by_linestatus",
-    # -- green in round 2 --
-    "cdc_parse_debezium",
-    "cdc_parse_dms",
-    "cdc_latest_per_composite_key",
-    "cdc_merge_two_batches",
-    "cdc_merge_mor",
-    "cdc_time_travel",
-    "cdc_incremental_diff",
-    "cdc_route_multitable",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier",
-    "topk_orders_per_customer",
-    "asof_join_last_click",
-    "customers_without_orders",
-    "events_cube",
-    "range_join_post_purchase",
-    "events_retention_cohorts",
-    "events_funnel_conversions",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "ann_topk_bruteforce",
+    # -- due back r7 (rotated out r5) --
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "text_normalize",
+    "dataset_split_assign",
+    "dedup_clusters",
+    # -- TPC-H completion set (all 22 shapes now driver-visible at least once) --
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_part_supplier_variety",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q20_excess_quantity_suppliers",
+    "q21_last_shipper_blame",
+    "q22_sales_opportunity",
+    # -- PQ pair + PageRank (novel oracle mechanics) --
+    "embedding_pq_encode",
+    "ann_topk_pq_adc",
+    "graph_pagerank_neardup",
+    # -- driver-less media codecs + real resize --
+    "multimodal_decode_bmp",
+    "multimodal_decode_gif",
+    "multimodal_decode_tiff",
+    "multimodal_decode_wav",
+    "multimodal_resize_png_real",
+    # -- composed pipelines --
+    "pipeline_pretraining_corpus",
+    "pipeline_multimodal_manifest",
+    # -- dataset assembly --
+    "dataset_pack_materialize",
+    "dataset_quota_per_group",
+    "dataset_weighted_sample",
+    "dataset_mixture_weights",
+    # -- sub-document dedup + corpus finalization --
+    "dedup_lines_reconstruct",
+    "dedup_corpus_final",
+    # -- CDC sinks / incremental maintenance --
+    "cdc_merge_bucketed",
+    "cdc_incremental_agg_maintenance",
+    "cdc_incremental_minmax_maintenance",
+    "user_activity_reconciliation",
+    # -- events analytics block --
+    "events_anomaly_zscore",
+    "events_daily_ohlc",
+    "events_data_profile",
+    "events_kmv_distinct_rollup",
+    "events_markov_transitions",
+    "events_props_json_stats",
+    "parts_cooccurrence",
+    # -- text corpus-statistics passes --
+    "text_bpe_pretokenize",
+    "text_hash_embedding",
+    "text_lm_score",
+    "text_trigram_novelty",
 ]
 
 assert set(_DRIVER_ORDER) | set(PRUNED) == set(FULL_REGISTRY), (

@@ -1,0 +1,108 @@
+"""Full-registry oracle sweep + per-entry timing tier (VERDICT r6 items 3/6).
+
+Runs EVERY FULL_REGISTRY entry at $SPARK_GRAFT_SF_DIR (default: the
+driver's own sf0.01) against its DuckDB value oracle with the same
+strict comparison the local test suite uses, timing each entry's Spark
+side, and writes a committed JSON artifact:
+
+    {"sf": 0.01, "entries": {name: {"ok": bool, "rows": int,
+     "spark_sec": float, "msg": str}}, "n_ok": N, "n_fail": N,
+     "loadavg": [...], "calib_sec": float}
+
+Usage:  python scripts/sweep.py [out.json]
+
+This is the auditable second gate for registry entries outside the
+driver's ~50-row CORRECTNESS window: the artifact (SWEEP_r{N}.json) is
+committed next to CORRECTNESS_r{N}.json each round, and the per-entry
+spark_sec column doubles as the full-registry bench tier (regressions in
+entry cost are visible round-over-round by diffing artifacts).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from kafka_cdc_hudi_spark.plans.catalog import FULL_REGISTRY  # noqa: E402
+from kafka_cdc_hudi_spark.session import get_spark  # noqa: E402
+
+
+def _calibrate(spark) -> float:
+    """Fixed-work CPU probe: constant sum over spark.range — time varies
+    only with host load, making contaminated runs self-identifying."""
+    t0 = time.perf_counter()
+    spark.range(200_000_000).selectExpr("sum(id * 3 + 1)").collect()
+    return round(time.perf_counter() - t0, 3)
+
+
+def main() -> None:
+    from tests.oracle_harness import compare, duckdb_con
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    out_path = sys.argv[1] if len(sys.argv) > 1 else None
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb_con(sf_dir)
+
+    load0 = list(os.getloadavg())
+    calib = _calibrate(spark)
+
+    # the trained-IVF oracle bakes per-SF centroid literals; rebuild for
+    # the swept SF when it differs from the registry's committed build
+    from kafka_cdc_hudi_spark.plans.catalog_streaming import ivf_trained_sql_for
+
+    entries: dict[str, dict] = {}
+    n_ok = n_fail = 0
+    for name, (fn, sql) in FULL_REGISTRY.items():
+        if name == "ann_topk_ivf_trained":
+            sql = ivf_trained_sql_for(sf_dir) or sql
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, sf_dir)
+            pdf = df.toPandas()
+            spark_sec = round(time.perf_counter() - t0, 3)
+            if sql is None:
+                ok, msg = len(pdf) >= 0, "rows-only (no SQL oracle)"
+            else:
+                # re-wrap so compare() sees a Spark DF only once — reuse
+                # the collected pandas via a tiny adapter
+                class _Wrap:
+                    def toPandas(self, _p=pdf):
+                        return _p
+
+                ok, msg = compare(_Wrap(), con, sql)
+            rows = len(pdf)
+        except Exception as exc:  # noqa: BLE001 — sweep must finish
+            spark_sec = round(time.perf_counter() - t0, 3)
+            ok, msg, rows = False, f"EXC: {exc}"[:300], -1
+        entries[name] = {"ok": bool(ok), "rows": rows, "spark_sec": spark_sec, "msg": str(msg)[:300]}
+        n_ok += ok
+        n_fail += not ok
+        print(f"# {'OK ' if ok else 'FAIL'} {name}: {spark_sec}s {rows} rows {'' if ok else msg}", file=sys.stderr)
+
+    result = {
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_entries": len(entries),
+        "n_ok": n_ok,
+        "n_fail": n_fail,
+        "calib_sec": calib,
+        "loadavg_start": load0,
+        "loadavg_end": list(os.getloadavg()),
+        "entries": entries,
+    }
+    line = json.dumps(result)
+    print(line)
+    if out_path:
+        with open(out_path, "w") as f:
+            f.write(line + "\n")
+    spark.stop()
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
