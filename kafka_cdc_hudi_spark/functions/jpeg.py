@@ -411,15 +411,25 @@ def _extend(bits: int, size: int) -> int:
     return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
 
 
-def decode_jpeg_gray(data: bytes) -> tuple[int, int, int, bytes]:
-    """Decode a baseline grayscale JPEG -> (width, height, 1, pixels)."""
+def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a baseline JPEG -> (width, height, n_components, pixels).
+
+    Grayscale (1 component) returns row-major 8-bit samples; 4:4:4 YCbCr
+    (3 components, 1x1 sampling each, interleaved scan) returns
+    interleaved RGB after the JFIF inverse color transform
+    (``ycbcr_to_rgb``). Subsampled/progressive/DRI inputs raise
+    ``NotImplementedError``."""
     if not data.startswith(b"\xff\xd8"):
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     quant: dict[int, list[int]] = {}
     trees: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     width = height = 0
-    dc_tid = ac_tid = 0
+    ncomp = 0
+    comp_tq: dict[int, int] = {}  # component id -> quant table id
+    comp_order: list[int] = []  # component ids in SOF order
+    scan_tids: dict[int, tuple[int, int]] = {}  # comp id -> (dc_tid, ac_tid)
+    scan_order: list[int] = []  # component ids in SOS order
     scan_pos = None
     while scan_pos is None:
         if data[pos] != 0xFF:
@@ -458,80 +468,128 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, int, bytes]:
             precision, height, width, ncomp = struct.unpack(">BHHB", payload[:6])
             if precision != 8:
                 raise NotImplementedError(f"{precision}-bit precision")
-            if ncomp != 1:
-                raise NotImplementedError(f"{ncomp}-component JPEG (grayscale only)")
-            if payload[7] != 0x11:
-                raise NotImplementedError("subsampled JPEG")
-            comp_tq = payload[8]
+            if ncomp not in (1, 3):
+                raise NotImplementedError(f"{ncomp}-component JPEG (1 or 3 only)")
+            for c in range(ncomp):
+                cid, sampling, tq = payload[6 + 3 * c : 9 + 3 * c]
+                if sampling != 0x11:
+                    raise NotImplementedError("subsampled JPEG (4:4:4 only)")
+                comp_tq[cid] = tq
+                comp_order.append(cid)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(f"non-baseline SOF 0xFF{marker:02x}")
         elif marker == 0xDD:
             raise NotImplementedError("restart intervals (DRI)")
         elif marker == 0xDA:  # SOS
-            if payload[0] != 1:
-                raise NotImplementedError("multi-component scan")
-            dc_tid, ac_tid = payload[2] >> 4, payload[2] & 0xF
+            ns = payload[0]
+            if ns != ncomp:
+                raise NotImplementedError(
+                    f"scan components ({ns}) != frame components ({ncomp})"
+                )
+            for c in range(ns):
+                cid, tids = payload[1 + 2 * c], payload[2 + 2 * c]
+                scan_tids[cid] = (tids >> 4, tids & 0xF)
+                scan_order.append(cid)
             scan_pos = pos + ln
         # APPn/COM and anything else: skip
         pos += ln
     if not width or not height:
         raise ValueError("missing SOF before SOS")
-    q = quant.get(comp_tq)
-    if q is None:
-        raise ValueError(f"missing quant table {comp_tq}")
-    dc_tree = trees.get((0, dc_tid))
-    ac_tree = trees.get((1, ac_tid))
-    if dc_tree is None or ac_tree is None:
-        raise ValueError("missing huffman tables for scan")
+    comp_q: list[list[int]] = []
+    comp_trees: list[tuple[dict, dict]] = []
+    for cid in scan_order:
+        q = quant.get(comp_tq.get(cid, -1))
+        if q is None:
+            raise ValueError(f"missing quant table for component {cid}")
+        dc_tid, ac_tid = scan_tids[cid]
+        dc_tree = trees.get((0, dc_tid))
+        ac_tree = trees.get((1, ac_tid))
+        if dc_tree is None or ac_tree is None:
+            raise ValueError("missing huffman tables for scan")
+        comp_q.append(q)
+        comp_trees.append((dc_tree, ac_tree))
 
     r = _BitReader(data, scan_pos)
     bw = (width + 7) // 8
     bh = (height + 7) // 8
-    padded = bytearray(bw * 8 * bh * 8)
-    prev_dc = 0
+    planes = [bytearray(bw * 8 * bh * 8) for _ in range(ncomp)]
+    prev_dc = [0] * ncomp
     for by in range(bh):
         for bx in range(bw):
-            zz = [0] * 64
-            size = _read_symbol(r, dc_tree)
-            prev_dc += _extend(r.read_bits(size), size)
-            zz[0] = prev_dc
-            i = 1
-            while i < 64:
-                sym = _read_symbol(r, ac_tree)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    i += 16
-                    continue
-                run, size = sym >> 4, sym & 0xF
-                i += run
-                if i > 63:
-                    raise ValueError("AC coefficient index out of range")
-                zz[i] = _extend(r.read_bits(size), size)
-                i += 1
-            # de-zigzag + dequantize, keeping only nonzero coefficients —
-            # the standard sparse-IDCT: typical blocks carry a handful of
-            # coefficients, so the reconstruction sum iterates those
-            # instead of all 64 basis terms per pixel
-            nz = [
-                (ri // 8, ri % 8, zz[zi] * q[ri])
-                for zi, ri in enumerate(ZIGZAG)
-                if zz[zi]
-            ]
-            for y in range(8):
-                for x in range(8):
-                    s = 0.0
-                    for u, v, c in nz:
-                        s += _C[u] * _COS[u][y] * _C[v] * _COS[v][x] * c
-                    val = _round_half_away(0.25 * s + 128.0)
-                    padded[(by * 8 + y) * bw * 8 + bx * 8 + x] = min(255, max(0, val))
-    # crop padding
-    if bw * 8 == width and bh * 8 == height:
-        return width, height, 1, bytes(padded)
-    rows = [
-        padded[y * bw * 8 : y * bw * 8 + width] for y in range(height)
-    ]
-    return width, height, 1, b"".join(bytes(r) for r in rows)
+            for ci in range(ncomp):  # interleaved MCU (trivial when ncomp=1)
+                dc_tree, ac_tree = comp_trees[ci]
+                q = comp_q[ci]
+                zz = [0] * 64
+                size = _read_symbol(r, dc_tree)
+                prev_dc[ci] += _extend(r.read_bits(size), size)
+                zz[0] = prev_dc[ci]
+                i = 1
+                while i < 64:
+                    sym = _read_symbol(r, ac_tree)
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        i += 16
+                        continue
+                    run, size = sym >> 4, sym & 0xF
+                    i += run
+                    if i > 63:
+                        raise ValueError("AC coefficient index out of range")
+                    zz[i] = _extend(r.read_bits(size), size)
+                    i += 1
+                # de-zigzag + dequantize, keeping only nonzero coefficients —
+                # the standard sparse-IDCT: typical blocks carry a handful of
+                # coefficients, so the reconstruction sum iterates those
+                # instead of all 64 basis terms per pixel
+                nz = [
+                    (ri // 8, ri % 8, zz[zi] * q[ri])
+                    for zi, ri in enumerate(ZIGZAG)
+                    if zz[zi]
+                ]
+                plane = planes[ci]
+                for y in range(8):
+                    for x in range(8):
+                        s = 0.0
+                        for u, v, c in nz:
+                            # the DC basis product is EXACTLY 0.5 (the
+                            # encoder's 0.125-scale special case mirrored):
+                            # computing it as _C[0]^2 float products lands
+                            # an ulp low, flipping half-boundary rounding
+                            # for DC-only blocks (chroma q=17, coeff 52)
+                            if u == 0 and v == 0:
+                                s += 0.5 * c
+                            else:
+                                s += _C[u] * _COS[u][y] * _C[v] * _COS[v][x] * c
+                        val = _round_half_away(0.25 * s + 128.0)
+                        plane[(by * 8 + y) * bw * 8 + bx * 8 + x] = min(
+                            255, max(0, val)
+                        )
+    if ncomp == 1:
+        padded = planes[0]
+        if bw * 8 == width and bh * 8 == height:
+            return width, height, 1, bytes(padded)
+        rows = [padded[y * bw * 8 : y * bw * 8 + width] for y in range(height)]
+        return width, height, 1, b"".join(bytes(r) for r in rows)
+    # color: crop + inverse JFIF transform to interleaved RGB
+    out = bytearray(3 * width * height)
+    stride = bw * 8
+    for y in range(height):
+        for x in range(width):
+            yv = planes[0][y * stride + x]
+            cb = planes[1][y * stride + x]
+            cr = planes[2][y * stride + x]
+            rr, gg, bb = ycbcr_to_rgb(yv, cb, cr)
+            i = 3 * (y * width + x)
+            out[i] = rr
+            out[i + 1] = gg
+            out[i + 2] = bb
+    return width, height, 3, bytes(out)
+
+
+def decode_jpeg_gray(data: bytes) -> tuple[int, int, int, bytes]:
+    """Back-compat name: decode a baseline JPEG (grayscale or color —
+    see :func:`decode_jpeg`)."""
+    return decode_jpeg(data)
 
 
 def flat_decode_value(v: int) -> int:
@@ -541,3 +599,26 @@ def flat_decode_value(v: int) -> int:
     a = v - 128
     quantized = (abs(a) + 1) // 2 * (1 if a >= 0 else -1)
     return min(255, max(0, 128 + 2 * quantized))
+
+
+def flat_decode_value_q(v: int, q00: int) -> int:
+    """``flat_decode_value`` generalized to any DC quantizer ``q00`` (the
+    chroma table's 17 is the case the color fixtures need). Exact integer
+    arithmetic; tests/test_multimodal.py pins it against the real codec's
+    float path for every v in [0, 255] on both tables, so the SQL oracle
+    can use the same closed form:
+
+      quantized = round_half_away(8 * (v - 128) / q00)
+      decoded   = clamp(round_half_away(128 + q00 * quantized / 8))
+
+    with the integer encodings below (for q00 = 17 the first rounding
+    never lands on an exact .5; the second is computed as
+    (1024 + 17 * quantized + 4) // 8, matching the decoder's half-up
+    behavior at its reachable .5 boundaries)."""
+    a = v - 128
+    # round_half_away(8a / q00) without floats: never an exact .5 for
+    # q00=17 (16a ≡ 17(2m+1) has no solution with 17 coprime to 16 unless
+    # 17 | a, which yields an integer); exact for the power-of-two 16
+    quantized = (16 * abs(a) + q00) // (2 * q00) * (1 if a >= 0 else -1)
+    t = 1024 + q00 * quantized  # decoded value in units of 1/8, >= 0
+    return min(255, max(0, (t + 4) // 8))

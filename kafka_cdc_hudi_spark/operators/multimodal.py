@@ -230,6 +230,112 @@ def documents_as_jpeg(docs: DataFrame) -> DataFrame:
     return src.mapInPandas(encode_batches, MEDIA_SCHEMA)
 
 
+def _jpeg_color_fixture_rgb(media_id: int) -> tuple[int, int, int]:
+    """Flat fixture color: three coprime-stride channel formulas covering
+    the full [0, 255] range (incl. the chroma-extreme corners that
+    exercise the q=17 half-boundary rounding)."""
+    return (7 * media_id) % 256, (13 * media_id + 64) % 256, (29 * media_id + 128) % 256
+
+
+def documents_as_jpeg_color(docs: DataFrame) -> DataFrame:
+    """Synthesize REAL baseline 4:4:4 YCbCr COLOR JPEGs (JFIF color
+    transform + interleaved 3-component MCUs + dual quant tables —
+    functions/jpeg.py:encode_jpeg_color). Images are flat per-document
+    colors so the lossy round-trip stays exactly predictable per channel
+    (flat_decode_value_q); gradient/AC color coverage lives in
+    tests/test_multimodal.py."""
+    from kafka_cdc_hudi_spark.functions.jpeg import encode_jpeg_color
+
+    src = docs.select(F.col("doc_id").alias("media_id"))
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = JPEG_FIXTURE_W * JPEG_FIXTURE_H
+        for pdf in batches:
+            blobs = [
+                encode_jpeg_color(
+                    bytes(_jpeg_color_fixture_rgb(int(mid))) * n,
+                    JPEG_FIXTURE_W,
+                    JPEG_FIXTURE_H,
+                )
+                for mid in pdf["media_id"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "content": blobs,
+                    "format": ["jpeg"] * len(pdf),
+                    "byte_len": pd.Series([len(b) for b in blobs], dtype="int64"),
+                }
+            )
+
+    return src.mapInPandas(encode_batches, MEDIA_SCHEMA)
+
+
+#: per-channel pixel statistics: the decode shape whose output is fully
+#: SQL-oracle-able for COLOR images (a 16M-entry md5 LUT is not)
+CHANNEL_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_channels", IntegerType(), True),
+        StructField("c0_min", IntegerType(), True),
+        StructField("c0_max", IntegerType(), True),
+        StructField("c1_min", IntegerType(), True),
+        StructField("c1_max", IntegerType(), True),
+        StructField("c2_min", IntegerType(), True),
+        StructField("c2_max", IntegerType(), True),
+    ]
+)
+
+
+def decode_image_channel_stats(df: DataFrame, on_error: str = "raise") -> DataFrame:
+    """Decode stage variant: media frame -> per-channel min/max over the
+    REAL decoded samples (any supported codec; channels beyond
+    ``n_channels`` are null). min == max per channel proves every pixel
+    decoded identically — a stronger flatness check than hashing, and the
+    one a SQL oracle can reproduce for lossy color codecs. Same Arrow
+    mapInPandas shape and error-quarantine contract as decode_images."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
+
+    def stats_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def kernel(content):
+            w, h, ch, pixels = decode_any_image(content)
+            arr = np.frombuffer(pixels, dtype=np.uint8).reshape(-1, ch)
+            mins = arr.min(axis=0)
+            maxs = arr.max(axis=0)
+            out = [w, h, ch]
+            for c in range(3):
+                out += (
+                    [int(mins[c]), int(maxs[c])] if c < ch else [None, None]
+                )
+            return out
+
+        if on_error == "null":
+            inner = kernel
+
+            def kernel(c):  # noqa: F811 - deliberate wrap
+                try:
+                    return inner(c)
+                except (ValueError, NotImplementedError, IndexError, struct_error):
+                    return [None] * 9
+
+        for pdf in batches:
+            feats = [kernel(c) for c in pdf["content"]]
+            cols = ["width", "height", "n_channels"] + [
+                f"c{c}_{m}" for c in range(3) for m in ("min", "max")
+            ]
+            data = {"media_id": pdf["media_id"].astype("int64")}
+            for i, name in enumerate(cols):
+                data[name] = pd.Series([f[i] for f in feats], dtype="Int32")
+            yield pd.DataFrame(data)
+
+    return df.mapInPandas(stats_batches, CHANNEL_STATS_SCHEMA)
+
+
 #: TIFF fixture dims — a fourth distinct formula (max 13*7 = 91 <= 128)
 def _tiff_fixture_dims(media_id: int) -> tuple[int, int]:
     return 7 + media_id % 7, 3 + media_id % 5
@@ -431,6 +537,37 @@ def _fake_decode(content: bytes) -> tuple[int, int, int, str]:
     return width, height, channels, h
 
 
+def decode_any_image(content: bytes) -> tuple[int, int, int, bytes]:
+    """Magic-byte dispatch over every REAL pure-stdlib codec -> (width,
+    height, n_channels, raw samples). JPEG covers both grayscale and
+    4:4:4 YCbCr color (RGB interleaved output)."""
+    from kafka_cdc_hudi_spark.functions.bmp import BMP_MAGIC, decode_bmp
+    from kafka_cdc_hudi_spark.functions.gif import GIF_MAGIC, decode_gif
+    from kafka_cdc_hudi_spark.functions.jpeg import JPEG_MAGIC, decode_jpeg
+    from kafka_cdc_hudi_spark.functions.png import PNG_SIGNATURE, decode_png
+    from kafka_cdc_hudi_spark.functions.tiff import (
+        TIFF_MAGIC_BE,
+        TIFF_MAGIC_LE,
+        decode_tiff_gray,
+    )
+
+    content = content or b""
+    if content.startswith(PNG_SIGNATURE):
+        return decode_png(content)
+    if content.startswith(BMP_MAGIC):
+        return decode_bmp(content)
+    if content.startswith(GIF_MAGIC):
+        return decode_gif(content)
+    if content.startswith(JPEG_MAGIC):
+        return decode_jpeg(content)
+    if content.startswith((TIFF_MAGIC_LE, TIFF_MAGIC_BE)):
+        return decode_tiff_gray(content)
+    raise NotImplementedError(
+        "real decode implemented for PNG/BMP/GIF/JPEG/TIFF; webp needs "
+        "external codecs not present in this container (use fake=True)"
+    )
+
+
 def decode_images(df: DataFrame, fake: bool = False, on_error: str = "raise") -> DataFrame:
     """Decode stage: media frame -> IMAGE_FEATURES_SCHEMA frame.
 
@@ -443,34 +580,9 @@ def decode_images(df: DataFrame, fake: bool = False, on_error: str = "raise") ->
     through the SAME mapInPandas machinery for the other formats' plumbing
     coverage.
     """
-    from kafka_cdc_hudi_spark.functions.png import PNG_SIGNATURE, decode_png
 
     def _real_decode(content: bytes) -> tuple[int, int, int, str]:
-        from kafka_cdc_hudi_spark.functions.bmp import BMP_MAGIC, decode_bmp
-        from kafka_cdc_hudi_spark.functions.gif import GIF_MAGIC, decode_gif
-        from kafka_cdc_hudi_spark.functions.jpeg import JPEG_MAGIC, decode_jpeg_gray
-        from kafka_cdc_hudi_spark.functions.tiff import (
-            TIFF_MAGIC_BE,
-            TIFF_MAGIC_LE,
-            decode_tiff_gray,
-        )
-
-        content = content or b""
-        if content.startswith(PNG_SIGNATURE):
-            width, height, channels, pixels = decode_png(content)
-        elif content.startswith(BMP_MAGIC):
-            width, height, channels, pixels = decode_bmp(content)
-        elif content.startswith(GIF_MAGIC):
-            width, height, channels, pixels = decode_gif(content)
-        elif content.startswith(JPEG_MAGIC):
-            width, height, channels, pixels = decode_jpeg_gray(content)
-        elif content.startswith((TIFF_MAGIC_LE, TIFF_MAGIC_BE)):
-            width, height, channels, pixels = decode_tiff_gray(content)
-        else:
-            raise NotImplementedError(
-                "real decode implemented for PNG/BMP/GIF/JPEG; webp/video "
-                "need external codecs not present in this container (use fake=True)"
-            )
+        width, height, channels, pixels = decode_any_image(content)
         return width, height, channels, hashlib.md5(pixels).hexdigest()
 
     if on_error not in ("raise", "null"):

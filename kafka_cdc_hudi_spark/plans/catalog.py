@@ -158,6 +158,7 @@ PRUNED: dict[str, str] = {
     "events_hourly_agg": "due r8 — events_daily_ohlc (driver r7; same keyed time-bucket agg family)",
     "text_token_topk": "due r8 — text_trigram_novelty (driver r7; same explode+count+rank shape)",
     "ann_topk_ivf": "due r8 — ann_topk_pq_adc (driver r7) subsumes the IVF assignment/probe plan",
+    "multimodal_decode_jpeg_color": "NEW r7 (born past the cap), full oracle locally + swept; rotate in r8",
     "dedup_ngram_jaccard": "due r8 — dedup_corpus_final (driver r7) drives the shingle/bucket candidate chain",
 }
 

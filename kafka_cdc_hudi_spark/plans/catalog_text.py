@@ -1558,8 +1558,10 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     The fake kernel is a deterministic function of (bytes, target dims) —
     md5(content || "WxH") repeated to min(byte_len, W*H) bytes — which DuckDB
     reproduces exactly (unhex(md5(..)) repeated + substring), so even the
-    opaque-binary payload column gets a FULL value oracle. The real-codec
-    path stays the documented NotImplementedError stub."""
+    opaque-binary payload column gets a FULL value oracle. The REAL
+    decode->resample->re-encode path is oracled separately by the
+    multimodal_resize_png_real entry (PNG round-trip; non-PNG inputs
+    raise NotImplementedError there)."""
     from kafka_cdc_hudi_spark.operators.multimodal import (
         documents_as_media,
         resize_images,
@@ -1837,6 +1839,92 @@ FROM dec JOIN lut ON dec.out_px = lut.px
 
 
 MULTIMODAL_DECODE_JPEG_SQL = _jpeg_oracle_sql()
+
+
+def multimodal_decode_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL 3-component COLOR JPEG decode (4:4:4 YCbCr, interleaved MCUs,
+    dual quant tables — functions/jpeg.py). Flat per-document colors make
+    the lossy pipeline exactly predictable per channel, and the entry
+    returns per-channel min/max over the decoded samples: min == max
+    proves every pixel survived the full color pipeline (RGB -> YCbCr ->
+    DCT/quant/Huffman -> inverse -> RGB) identically, and the SQL oracle
+    derives the expected triple independently — JFIF transform as
+    bit-identical IEEE-double expressions, DC quantization as the
+    flat_decode_value_q closed form. Gradient/AC color coverage:
+    tests/test_multimodal.py + test_codec_fuzz.py."""
+    from kafka_cdc_hudi_spark.operators.multimodal import (
+        decode_image_channel_stats,
+        documents_as_jpeg_color,
+        media_repartition,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = media_repartition(documents_as_jpeg_color(docs), avg_row_bytes=768)
+    return decode_image_channel_stats(media)
+
+
+def _jpeg_color_oracle_sql() -> str:
+    from kafka_cdc_hudi_spark.operators.multimodal import (
+        JPEG_FIXTURE_H,
+        JPEG_FIXTURE_W,
+    )
+
+    def flat_dec(v: str, q00: int) -> str:
+        # functions/jpeg.py::flat_decode_value_q — exact integers
+        return f"""least(255, greatest(0, (1024 + {q00} * (
+          CASE WHEN {v} >= 128 THEN (16 * ({v} - 128) + {q00}) // {2 * q00}
+               ELSE -((16 * (128 - {v}) + {q00}) // {2 * q00}) END) + 4) // 8))"""
+
+    # all float constants cast to DOUBLE (DuckDB would otherwise parse
+    # them as DECIMAL and do exact decimal arithmetic, diverging from the
+    # codec's IEEE-double chain at half boundaries); parenthesization
+    # mirrors Python's left-to-right evaluation in rgb_to_ycbcr /
+    # ycbcr_to_rgb bit-for-bit
+    return f"""
+WITH rgb AS (
+  -- mirrors operators/multimodal.py::_jpeg_color_fixture_rgb
+  SELECT doc_id,
+         (7 * doc_id) % 256 AS r,
+         (13 * doc_id + 64) % 256 AS g,
+         (29 * doc_id + 128) % 256 AS b
+  FROM documents
+),
+ycc AS (
+  -- functions/jpeg.py::rgb_to_ycbcr (floor(x + 0.5), clamped)
+  SELECT doc_id,
+    least(255, greatest(0, CAST(floor((((0.299::DOUBLE * r) + (0.587::DOUBLE * g)) + (0.114::DOUBLE * b)) + 0.5::DOUBLE) AS BIGINT))) AS y,
+    least(255, greatest(0, CAST(floor((((128.0::DOUBLE - (0.168736::DOUBLE * r)) - (0.331264::DOUBLE * g)) + (0.5::DOUBLE * b)) + 0.5::DOUBLE) AS BIGINT))) AS cb,
+    least(255, greatest(0, CAST(floor((((128.0::DOUBLE + (0.5::DOUBLE * r)) - (0.418688::DOUBLE * g)) - (0.081312::DOUBLE * b)) + 0.5::DOUBLE) AS BIGINT))) AS cr
+  FROM rgb
+),
+dec AS (
+  -- per-channel DC-only quantization round-trip (luma q00=16, chroma 17)
+  SELECT doc_id,
+         {flat_dec('y', 16)} AS yd,
+         {flat_dec('cb', 17)} AS cbd,
+         {flat_dec('cr', 17)} AS crd
+  FROM ycc
+),
+out_rgb AS (
+  -- functions/jpeg.py::ycbcr_to_rgb (floor(x + 0.5), clamped)
+  SELECT doc_id,
+    least(255, greatest(0, CAST(floor((yd + (1.402::DOUBLE * (crd - 128))) + 0.5::DOUBLE) AS BIGINT))) AS r_out,
+    least(255, greatest(0, CAST(floor(((yd - (0.344136::DOUBLE * (cbd - 128))) - (0.714136::DOUBLE * (crd - 128))) + 0.5::DOUBLE) AS BIGINT))) AS g_out,
+    least(255, greatest(0, CAST(floor((yd + (1.772::DOUBLE * (cbd - 128))) + 0.5::DOUBLE) AS BIGINT))) AS b_out
+  FROM dec
+)
+SELECT doc_id AS media_id,
+       CAST({JPEG_FIXTURE_W} AS INT) AS width,
+       CAST({JPEG_FIXTURE_H} AS INT) AS height,
+       CAST(3 AS INT) AS n_channels,
+       CAST(r_out AS INT) AS c0_min, CAST(r_out AS INT) AS c0_max,
+       CAST(g_out AS INT) AS c1_min, CAST(g_out AS INT) AS c1_max,
+       CAST(b_out AS INT) AS c2_min, CAST(b_out AS INT) AS c2_max
+FROM out_rgb
+"""
+
+
+MULTIMODAL_DECODE_JPEG_COLOR_SQL = _jpeg_color_oracle_sql()
 
 
 def pipeline_multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2723,6 +2811,10 @@ TEXT_QUERIES: dict[str, tuple] = {
     "multimodal_decode_bmp": (multimodal_decode_bmp, MULTIMODAL_DECODE_BMP_SQL),
     "multimodal_decode_gif": (multimodal_decode_gif, MULTIMODAL_DECODE_GIF_SQL),
     "multimodal_decode_jpeg": (multimodal_decode_jpeg, MULTIMODAL_DECODE_JPEG_SQL),
+    "multimodal_decode_jpeg_color": (
+        multimodal_decode_jpeg_color,
+        MULTIMODAL_DECODE_JPEG_COLOR_SQL,
+    ),
     "multimodal_video_frames": (multimodal_video_frames, MULTIMODAL_VIDEO_FRAMES_SQL),
     "multimodal_decode_tiff": (multimodal_decode_tiff, MULTIMODAL_DECODE_TIFF_SQL),
     "pipeline_multimodal_manifest": (pipeline_multimodal_manifest, PIPELINE_MULTIMODAL_SQL),

@@ -20,7 +20,11 @@ from hypothesis import strategies as st
 from kafka_cdc_hudi_spark.functions.avi import decode_avi_mjpeg, encode_avi_mjpeg
 from kafka_cdc_hudi_spark.functions.bmp import decode_bmp, encode_bmp
 from kafka_cdc_hudi_spark.functions.gif import decode_gif, encode_gif
-from kafka_cdc_hudi_spark.functions.jpeg import decode_jpeg_gray, encode_jpeg_gray
+from kafka_cdc_hudi_spark.functions.jpeg import (
+    decode_jpeg_gray,
+    encode_jpeg_color,
+    encode_jpeg_gray,
+)
 from kafka_cdc_hudi_spark.functions.png import decode_png, encode_png
 from kafka_cdc_hudi_spark.functions.tiff import decode_tiff_gray, encode_tiff_gray
 from kafka_cdc_hudi_spark.functions.wav import decode_wav, encode_wav
@@ -37,6 +41,7 @@ def _valid_samples():
         "bmp": encode_bmp(_PIXELS, 8, 8, channels=1),
         "gif": encode_gif(_PIXELS, 8, 8),
         "jpeg": encode_jpeg_gray(_PIXELS, 8, 8),
+        "jpeg_color": encode_jpeg_color(bytes(range(192)), 8, 8),
         "avi": encode_avi_mjpeg([encode_jpeg_gray(_PIXELS, 8, 8)] * 2, 8, 8),
         "wav": encode_wav(list(range(-100, 100)), sample_rate=8000, channels=1),
         "tiff": encode_tiff_gray(_PIXELS, 8, 8),
@@ -48,6 +53,7 @@ _DECODERS = {
     "bmp": decode_bmp,
     "gif": decode_gif,
     "jpeg": decode_jpeg_gray,
+    "jpeg_color": decode_jpeg_gray,  # one dispatching decoder, two profiles
     "avi": decode_avi_mjpeg,
     "wav": decode_wav,
     "tiff": decode_tiff_gray,

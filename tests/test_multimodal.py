@@ -451,6 +451,139 @@ class TestJpegCodec:
             decode_jpeg_gray(data[:20])
 
 
+class TestJpegColorCodec:
+    """4:4:4 YCbCr color JPEG (3-component interleaved MCUs)."""
+
+    def test_flat_decode_value_q_pins_codec_float_path(self):
+        """The closed-form integer formula the SQL oracle uses must match
+        the decoder's actual float arithmetic for every DC-only value on
+        BOTH quant tables (incl. the q=17 half boundaries the DC-exactness
+        special case exists for)."""
+        from kafka_cdc_hudi_spark.functions.jpeg import (
+            _round_half_away,
+            flat_decode_value,
+            flat_decode_value_q,
+        )
+
+        for q00 in (16, 17):
+            for v in range(256):
+                a = v - 128
+                # encoder float path: DC = 0.125 * 64a = 8a exact
+                quantized = _round_half_away((8 * a) / q00)
+                # decoder float path with the exact-0.5 DC basis term
+                val = _round_half_away(0.25 * (0.5 * (q00 * quantized)) + 128.0)
+                assert flat_decode_value_q(v, q00) == min(255, max(0, val)), (q00, v)
+        for v in range(256):
+            assert flat_decode_value_q(v, 16) == flat_decode_value(v), v
+
+    def test_flat_color_roundtrip_matches_formula(self):
+        """End-to-end: encode a flat RGB image, decode, and every pixel
+        must equal the composition rgb_to_ycbcr -> per-channel flat
+        decode -> ycbcr_to_rgb (the SQL oracle's derivation)."""
+        from kafka_cdc_hudi_spark.functions.jpeg import (
+            decode_jpeg,
+            encode_jpeg_color,
+            flat_decode_value_q,
+            rgb_to_ycbcr,
+            ycbcr_to_rgb,
+        )
+
+        colors = [
+            (0, 0, 0), (255, 255, 255), (255, 0, 0), (0, 255, 0), (0, 0, 255),
+            (0, 0, 220),  # chroma cb≈238: the q=17 half-boundary regression
+            (200, 100, 50), (123, 45, 67), (31, 224, 17), (250, 1, 128),
+        ]
+        for r, g, b in colors:
+            w, h, c, px = decode_jpeg(encode_jpeg_color(bytes([r, g, b]) * 128, 16, 8))
+            assert (w, h, c) == (16, 8, 3)
+            triples = set(zip(px[0::3], px[1::3], px[2::3]))
+            assert len(triples) == 1, (r, g, b, triples)
+            y, cb, cr = rgb_to_ycbcr(r, g, b)
+            pred = ycbcr_to_rgb(
+                flat_decode_value_q(y, 16),
+                flat_decode_value_q(cb, 17),
+                flat_decode_value_q(cr, 17),
+            )
+            assert triples.pop() == pred, (r, g, b)
+
+    def test_gradient_color_roundtrip_bounded_error(self):
+        """Non-flat color drives real AC coefficients through all three
+        interleaved components; chroma quantization is coarser than luma
+        so the bound is looser but must stay visually small."""
+        import random
+
+        from kafka_cdc_hudi_spark.functions.jpeg import decode_jpeg, encode_jpeg_color
+
+        rng = random.Random(13)
+        w, h = 24, 16
+        pix = bytes(
+            min(255, max(0, 5 * (x // 2) + 4 * (y // 2) + 40 * ch + rng.randrange(3)))
+            for y in range(h)
+            for x in range(w)
+            for ch in range(3)
+        )
+        data = encode_jpeg_color(pix, w, h)
+        w2, h2, c2, out = decode_jpeg(data)
+        assert (w2, h2, c2) == (w, h, 3)
+        err = max(abs(a - b) for a, b in zip(pix, out))
+        assert err <= 40, f"quantization error {err} too large"
+        # deterministic in both directions
+        assert encode_jpeg_color(pix, w, h) == data
+        assert decode_jpeg(data)[3] == out
+
+    def test_odd_dims_pad_and_crop_color(self):
+        from kafka_cdc_hudi_spark.functions.jpeg import decode_jpeg, encode_jpeg_color
+
+        pix = bytes((3 * i) % 256 for i in range(13 * 5 * 3))
+        w, h, c, out = decode_jpeg(encode_jpeg_color(pix, 13, 5))
+        assert (w, h, c, len(out)) == (13, 5, 3, 13 * 5 * 3)
+
+    def test_subsampled_raises_not_implemented(self):
+        """A legal 4:2:0 SOF0 must be rejected as unsupported, not
+        misdecoded."""
+        import pytest
+
+        from kafka_cdc_hudi_spark.functions.jpeg import decode_jpeg, encode_jpeg_color
+
+        data = bytearray(encode_jpeg_color(bytes([10, 20, 30]) * 64, 8, 8))
+        sof = data.find(b"\xff\xc0")
+        assert sof > 0
+        data[sof + 11] = 0x22  # Y component sampling 2x2 -> 4:2:0
+        with pytest.raises(NotImplementedError):
+            decode_jpeg(bytes(data))
+
+    def test_channel_stats_operator(self, spark):
+        """decode_image_channel_stats: color JPEG -> per-channel min/max;
+        grayscale input fills c1/c2 with nulls."""
+        from kafka_cdc_hudi_spark.functions.jpeg import (
+            encode_jpeg_color,
+            encode_jpeg_gray,
+            flat_decode_value,
+        )
+        from kafka_cdc_hudi_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+            decode_image_channel_stats,
+        )
+
+        rows = [
+            (1, encode_jpeg_color(bytes([200, 100, 50]) * 128, 16, 8), "jpeg"),
+            (2, encode_jpeg_gray(bytes([77]) * 128, 16, 8), "jpeg"),
+        ]
+        df = spark.createDataFrame(
+            [(i, bytearray(b), f, len(b)) for i, b, f in rows], MEDIA_SCHEMA
+        )
+        out = {r["media_id"]: r for r in decode_image_channel_stats(df).collect()}
+        color = out[1]
+        assert color["n_channels"] == 3
+        assert color["c0_min"] == color["c0_max"]
+        assert color["c1_min"] == color["c1_max"]
+        assert color["c2_min"] == color["c2_max"]
+        gray = out[2]
+        assert gray["n_channels"] == 1
+        assert gray["c0_min"] == gray["c0_max"] == flat_decode_value(77)
+        assert gray["c1_min"] is None and gray["c2_max"] is None
+
+
 class TestAviContainer:
     """MJPEG-in-AVI container (functions/avi.py)."""
 

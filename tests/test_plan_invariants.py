@@ -34,6 +34,7 @@ _PY_EXEMPT = {
     "multimodal_decode_bmp",
     "multimodal_decode_gif",
     "multimodal_decode_jpeg",
+    "multimodal_decode_jpeg_color",
     "multimodal_video_frames",
     "pipeline_multimodal_manifest",
     "multimodal_decode_tiff",
