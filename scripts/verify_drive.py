@@ -82,5 +82,58 @@ got2 = sorted(
 )
 assert got2 == got, "restart changed state"
 print("RESTART IDEMPOTENT")
+
+# ---- DMS dialect leg: same events fixture through the DMS envelope
+# format (VERDICT r6 item 5). The precombine value is metadata.timestamp,
+# an ISO-8601 STRING ordered lexicographically — the fixed-width
+# serialization makes that identical to ts order, which the oracle checks
+# independently. Position-split batches (out-of-order string mtimes cross
+# batch boundaries) + MOR sink; control records (event_id % 97 == 0)
+# replace their data rows and must be dropped by the parse.
+from kafka_cdc_hudi_spark.config import DIALECT_DMS
+from kafka_cdc_hudi_spark.plans.cdc_fixtures import dms_envelopes
+
+dms_src = os.path.join(work, "dms_src")
+os.makedirs(dms_src)
+dms_rows = [r.value for r in dms_envelopes(events).collect()]
+third = len(dms_rows) // 3
+for i in range(3):
+    chunk = dms_rows[i * third : (i + 1) * third if i < 2 else len(dms_rows)]
+    with open(os.path.join(dms_src, f"b{i}.json"), "w") as f:
+        f.write("\n".join(chunk) + ("\nnot json\n" if i == 1 else "\n"))
+
+dms_cfg = JobConfig(
+    dialect=DIALECT_DMS,
+    tables=[spec],
+    sink_root=os.path.join(work, "dms_sink"),
+    checkpoint_location=os.path.join(work, "dms_ckpt"),
+    trigger_interval="0 seconds",
+    sink_mode="mor",
+)
+dms_drv = CdcStreamDriver(spark, dms_cfg)
+dq = dms_drv.start(json_file_value_stream(spark, dms_src, max_files_per_trigger=1))
+dq.processAllAvailable()
+dq.stop()
+
+dms_got = sorted(
+    (r.event_id, r.user_id, r.event_type)
+    for r in dms_drv.sink_for(spec).read(spark)
+    .select("event_id", "user_id", "event_type").collect()
+)
+dms_exp = sorted(
+    tuple(r)
+    for r in con.sql(
+        f"""
+        SELECT event_id, user_id, event_type FROM (
+          SELECT *, row_number() OVER (PARTITION BY event_id
+                                       ORDER BY ts DESC, event_id DESC) rn
+          FROM '{SF}/events.parquet')
+        WHERE rn = 1 AND event_id % 10 <> 0 AND event_id % 97 <> 0
+        """
+    ).fetchall()
+)
+assert dms_got == dms_exp, f"DMS state mismatch: {len(dms_got)} vs {len(dms_exp)}"
+print("DMS STATE MATCH:", len(dms_got), "rows")
+
 shutil.rmtree(work, ignore_errors=True)
 print("DRIVE OK")
