@@ -299,13 +299,20 @@ def encode_jpeg_color(pixels: bytes, width: int, height: int) -> bytes:
         raise ValueError(f"bad dims {width}x{height}")
     if len(pixels) != 3 * width * height:
         raise ValueError(f"pixel buffer {len(pixels)} bytes, want {3 * width * height}")
-    # plane-ize through the color transform once
-    planes = [bytearray(width * height) for _ in range(3)]
-    for i in range(width * height):
-        y, cb, cr = rgb_to_ycbcr(pixels[3 * i], pixels[3 * i + 1], pixels[3 * i + 2])
-        planes[0][i] = y
-        planes[1][i] = cb
-        planes[2][i] = cr
+    # plane-ize through the color transform once — vectorized: numpy
+    # float64 elementwise ops are the same IEEE doubles as the scalar
+    # rgb_to_ycbcr chain, so results are bit-identical (pinned in
+    # tests/test_multimodal.py)
+    import numpy as np
+
+    rgb = np.frombuffer(pixels, dtype=np.uint8).astype(np.float64).reshape(-1, 3)
+    r_, g_, b_ = rgb[:, 0], rgb[:, 1], rgb[:, 2]
+    y_ = np.floor(0.299 * r_ + 0.587 * g_ + 0.114 * b_ + 0.5)
+    cb_ = np.floor(128.0 - 0.168736 * r_ - 0.331264 * g_ + 0.5 * b_ + 0.5)
+    cr_ = np.floor(128.0 + 0.5 * r_ - 0.418688 * g_ - 0.081312 * b_ + 0.5)
+    planes = [
+        np.clip(p, 0, 255).astype(np.uint8).tobytes() for p in (y_, cb_, cr_)
+    ]
     bw = (width + 7) // 8
     bh = (height + 7) // 8
 
@@ -547,6 +554,16 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                     if zz[zi]
                 ]
                 plane = planes[ci]
+                if not nz or (len(nz) == 1 and nz[0][:2] == (0, 0)):
+                    # DC-only block: the IDCT is a constant fill (flat
+                    # regions; every flat fixture) — skip 64 basis sums
+                    dc_c = nz[0][2] if nz else 0
+                    const = min(255, max(0, _round_half_away(0.25 * (0.5 * dc_c) + 128.0)))
+                    for y in range(8):
+                        row0 = (by * 8 + y) * bw * 8 + bx * 8
+                        for x in range(8):
+                            plane[row0 + x] = const
+                    continue
                 for y in range(8):
                     for x in range(8):
                         s = 0.0
@@ -570,20 +587,25 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             return width, height, 1, bytes(padded)
         rows = [padded[y * bw * 8 : y * bw * 8 + width] for y in range(height)]
         return width, height, 1, b"".join(bytes(r) for r in rows)
-    # color: crop + inverse JFIF transform to interleaved RGB
-    out = bytearray(3 * width * height)
+    # color: crop + inverse JFIF transform to interleaved RGB — vectorized
+    # (bit-identical to the scalar ycbcr_to_rgb chain, see encode note)
+    import numpy as np
+
     stride = bw * 8
-    for y in range(height):
-        for x in range(width):
-            yv = planes[0][y * stride + x]
-            cb = planes[1][y * stride + x]
-            cr = planes[2][y * stride + x]
-            rr, gg, bb = ycbcr_to_rgb(yv, cb, cr)
-            i = 3 * (y * width + x)
-            out[i] = rr
-            out[i + 1] = gg
-            out[i + 2] = bb
-    return width, height, 3, bytes(out)
+    grid = [
+        np.frombuffer(bytes(p), dtype=np.uint8)
+        .reshape(bh * 8, stride)[:height, :width]
+        .astype(np.float64)
+        for p in planes
+    ]
+    yv, cb, cr = grid
+    rr = np.floor(yv + 1.402 * (cr - 128) + 0.5)
+    gg = np.floor(yv - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5)
+    bb = np.floor(yv + 1.772 * (cb - 128) + 0.5)
+    out = np.stack(
+        [np.clip(c, 0, 255).astype(np.uint8) for c in (rr, gg, bb)], axis=-1
+    )
+    return width, height, 3, out.tobytes()
 
 
 def decode_jpeg_gray(data: bytes) -> tuple[int, int, int, bytes]:

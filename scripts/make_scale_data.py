@@ -34,6 +34,7 @@ SRC = "/root/testdata/sf0.1"
 EVENT_ID_STEP = 100_000  # > max event_id, multiple of 10
 USER_ID_STEP = 1_500  # > max user_id
 DOC_ID_STEP = 5_000  # > max doc_id
+VEC_ID_STEP = 10_000  # > max vec_id
 
 #: per-copy consonant rotations: each copy maps the alphabet differently so
 #: shingles differ across copies (vowels/spaces kept: text stays text-like)
@@ -83,7 +84,32 @@ def main(factor: int = 10) -> str:
         dc = dc.unionByName(c)
     dc.repartition(8).write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
 
-    print(f"wrote {out_dir}: events x{factor}, documents x{factor}")
+    # embeddings: shift vec_id per copy and deterministically rotate each
+    # vector (element roll by copy index) — copies are NOT identical
+    # points, so ANN top-k at scale isn't a degenerate tie-break fixture
+    emb = load_table(spark, SRC, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    ecopies = [
+        emb.select(
+            (F.col("vec_id") + i * VEC_ID_STEP).alias("vec_id"),
+            (
+                F.concat(
+                    F.slice("embedding", i % dim + 1, dim - i % dim),
+                    F.slice("embedding", 1, i % dim),
+                )
+                if i
+                else F.col("embedding")
+            ).alias("embedding"),
+            "label",
+        )
+        for i in range(factor)
+    ]
+    ec = ecopies[0]
+    for c in ecopies[1:]:
+        ec = ec.unionByName(c)
+    ec.repartition(8).write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
+
+    print(f"wrote {out_dir}: events x{factor}, documents x{factor}, embeddings x{factor}")
     return out_dir
 
 
