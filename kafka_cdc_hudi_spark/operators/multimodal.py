@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
@@ -709,12 +710,15 @@ def _wav_fixture_rate(doc_id: int) -> int:
     return 8000 + (doc_id % 8) * 1000
 
 
-def documents_as_wav(docs: DataFrame) -> DataFrame:
+def documents_as_wav(docs: DataFrame, center: int = 128) -> DataFrame:
     """Synthesize REAL PCM16 WAV blobs from document text: sample i is
-    ``(byte_i - 128) * 256`` over the first 256 bytes, mono, doc-id-derived
-    sample rate. Output is MEDIA_SCHEMA with genuine RIFF/WAVE bytes — the
-    real audio decode path's input (same fixture idiom as
-    :func:`documents_as_png`)."""
+    ``(byte_i - center) * 256`` over the first 256 bytes, mono,
+    doc-id-derived sample rate. Output is MEDIA_SCHEMA with genuine
+    RIFF/WAVE bytes — the real audio decode path's input (same fixture
+    idiom as :func:`documents_as_png`). The default center keeps ASCII
+    samples all-negative (the decode-stats fixture); the segmentation
+    entry centers at 100 so letter/space transitions actually cross zero
+    and the zero-crossing rate is non-vacuous."""
     from kafka_cdc_hudi_spark.functions.wav import encode_wav
 
     src = docs.select(F.col("doc_id").alias("media_id"), "text")
@@ -724,7 +728,7 @@ def documents_as_wav(docs: DataFrame) -> DataFrame:
             blobs = []
             for mid, text in zip(pdf["media_id"], pdf["text"]):
                 raw = (text or "").encode("utf-8")[:WAV_FIXTURE_MAX_SAMPLES]
-                samples = [(b - 128) * 256 for b in raw] or [0]
+                samples = [(b - center) * 256 for b in raw] or [0]
                 blobs.append(encode_wav(samples, _wav_fixture_rate(int(mid)), channels=1))
             yield pd.DataFrame(
                 {
@@ -789,6 +793,166 @@ def decode_audio(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(decode_batches, AUDIO_FEATURES_SCHEMA)
+
+
+#: audio segmentation output: one row per fixed-size sample window
+AUDIO_SEGMENT_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("seg_idx", IntegerType(), False),
+        StructField("n_samples", IntegerType(), True),
+        StructField("sum_sq", LongType(), True),
+        StructField("peak_amp", IntegerType(), True),
+        StructField("zero_crossings", IntegerType(), True),
+        StructField("is_silence", BooleanType(), True),
+    ]
+)
+
+#: segmentation defaults: 64-sample windows; a window is "silence" when
+#: its mean square amplitude is under SILENCE_MSQ (amplitude ~1000 of the
+#: int16 range) — exact-integer comparison sum_sq < n * SILENCE_MSQ
+AUDIO_SEGMENT_WINDOW = 64
+SILENCE_MSQ = 1_000_000
+
+
+def audio_segment_features(
+    df: DataFrame,
+    window: int = AUDIO_SEGMENT_WINDOW,
+    silence_msq: int = SILENCE_MSQ,
+) -> DataFrame:
+    """Audio segmentation stage: media frame -> one row per fixed-size
+    sample window with exact integer features — energy (sum of squares),
+    peak, zero-crossing count (sign transitions between consecutive
+    samples within the window), and a silence flag. The clip-splitting /
+    silence-trimming primitive of a speech training pipeline: downstream
+    keeps ``NOT is_silence`` windows or cuts clips at silence runs.
+    One-to-many Arrow ``mapInPandas`` (same shape as sample_frames);
+    features are vectorized numpy int64. Fully SQL-oracle-able: every
+    output is exact integer arithmetic over the decoded samples."""
+    from kafka_cdc_hudi_spark.functions.wav import decode_wav
+
+    def segment_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                content = bytes(content or b"")
+                if content[:4] != b"RIFF":
+                    raise NotImplementedError(
+                        "audio segmentation implemented for PCM WAV only; "
+                        "compressed formats need external codecs"
+                    )
+                _rate, _channels, samples = decode_wav(content)
+                arr = np.asarray(samples, dtype=np.int64)
+                for seg in range(-(-len(arr) // window)):
+                    w = arr[seg * window : (seg + 1) * window]
+                    # sign transitions strictly through zero; pairs span
+                    # only samples inside this window
+                    zc = int(np.count_nonzero(w[:-1] * w[1:] < 0))
+                    ss = int((w * w).sum())
+                    rows.append(
+                        (
+                            int(mid),
+                            seg,
+                            len(w),
+                            ss,
+                            int(np.abs(w).max()),
+                            zc,
+                            ss < len(w) * silence_msq,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "seg_idx", "n_samples", "sum_sq",
+                    "peak_amp", "zero_crossings", "is_silence",
+                ],
+            ).astype(
+                {
+                    "media_id": "int64", "seg_idx": "int32",
+                    "n_samples": "int32", "sum_sq": "int64",
+                    "peak_amp": "int32", "zero_crossings": "int32",
+                    "is_silence": "bool",
+                }
+            )
+
+    return df.mapInPandas(segment_batches, AUDIO_SEGMENT_SCHEMA)
+
+
+#: scene-cut output: one row per frame with the diff against its
+#: predecessor (frame 0 carries nulls)
+VIDEO_CUT_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("n_pixels", IntegerType(), True),
+        StructField("sum_abs_diff", LongType(), True),
+        StructField("is_cut", BooleanType(), True),
+    ]
+)
+
+#: a frame is a scene cut when its mean absolute pixel difference vs the
+#: previous frame reaches CUT_MEAN_DIFF (exact-integer comparison
+#: sum_abs_diff >= n_pixels * CUT_MEAN_DIFF)
+CUT_MEAN_DIFF = 8
+
+
+def video_scene_cuts(df: DataFrame, cut_mean_diff: int = CUT_MEAN_DIFF) -> DataFrame:
+    """Scene-cut detection stage: video blob -> one row per frame with the
+    exact sum of absolute pixel differences against the previous frame and
+    a cut flag — the keyframe-selection primitive of a video training
+    pipeline (sample one frame per detected scene instead of a fixed
+    stride). Walks the REAL MJPEG-AVI container and JPEG-decodes every
+    frame (functions/avi.py + jpeg.py); diffs are vectorized numpy int64
+    over the decoded samples, so the stage is exact-integer and fully
+    SQL-oracle-able. Frame 0 has no predecessor: null diff, null flag."""
+    from kafka_cdc_hudi_spark.functions.avi import decode_avi_mjpeg
+    from kafka_cdc_hudi_spark.functions.jpeg import decode_jpeg
+
+    def cut_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                content = bytes(content or b"")
+                if content[:4] != b"RIFF":
+                    raise NotImplementedError(
+                        "scene-cut detection implemented for MJPEG-AVI only; "
+                        "other containers need external codecs"
+                    )
+                _w, _h, _fps, frames = decode_avi_mjpeg(content)
+                prev = None
+                for idx, fr in enumerate(frames):
+                    fw, fh, ch, pixels = decode_jpeg(fr)
+                    cur = np.frombuffer(pixels, dtype=np.uint8).astype(np.int64)
+                    if prev is None:
+                        rows.append((int(mid), idx, cur.size, None, None))
+                    else:
+                        sad = int(np.abs(cur - prev).sum())
+                        rows.append(
+                            (
+                                int(mid),
+                                idx,
+                                cur.size,
+                                sad,
+                                sad >= cur.size * cut_mean_diff,
+                            )
+                        )
+                    prev = cur
+            out = pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "n_pixels", "sum_abs_diff", "is_cut"],
+            )
+            out["media_id"] = out["media_id"].astype("int64")
+            out["frame_idx"] = out["frame_idx"].astype("int32")
+            out["n_pixels"] = out["n_pixels"].astype("Int32")
+            out["sum_abs_diff"] = out["sum_abs_diff"].astype("Int64")
+            out["is_cut"] = out["is_cut"].astype("boolean")
+            yield out
+
+    return df.mapInPandas(cut_batches, VIDEO_CUT_SCHEMA)
 
 
 #: frame-sample output: one row per sampled frame (one-to-many stage)

@@ -159,6 +159,8 @@ PRUNED: dict[str, str] = {
     "text_token_topk": "due r8 — text_trigram_novelty (driver r7; same explode+count+rank shape)",
     "ann_topk_ivf": "due r8 — ann_topk_pq_adc (driver r7) subsumes the IVF assignment/probe plan",
     "multimodal_decode_jpeg_color": "NEW r7 (born past the cap), full oracle locally + swept; rotate in r8",
+    "multimodal_audio_segments": "NEW r7 (born past the cap), full oracle locally + swept; rotate in r8",
+    "multimodal_video_cuts": "NEW r7 (born past the cap), full oracle locally + swept; rotate in r8",
     "dedup_ngram_jaccard": "due r8 — dedup_corpus_final (driver r7) drives the shingle/bucket candidate chain",
 }
 

@@ -2132,6 +2132,111 @@ GROUP BY doc_id, sample_rate
 """
 
 
+def multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio segmentation over REAL PCM WAV decode: fixed 64-sample
+    windows per clip with exact integer energy / peak / zero-crossing
+    features and a silence flag — the silence-trimming and clip-splitting
+    primitive of a speech-data pipeline. The fixture centers samples at
+    byte value 100 so letter/space transitions actually cross zero (the
+    default 128 centering keeps ASCII all-negative and would make the ZCR
+    vacuous). One-to-many Arrow mapInPandas; every output column is exact
+    integer arithmetic, so the DuckDB oracle reproduces the windows with
+    a lag-window + group-by."""
+    from kafka_cdc_hudi_spark.operators.multimodal import (
+        audio_segment_features,
+        documents_as_wav,
+        media_repartition,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = media_repartition(documents_as_wav(docs, center=100), avg_row_bytes=1024)
+    return audio_segment_features(media)
+
+
+MULTIMODAL_AUDIO_SEGMENTS_SQL = """
+WITH s AS (
+  -- fixture: operators/multimodal.py::documents_as_wav(center=100):
+  -- sample i = (byte_i - 100) * 256 over the first 256 bytes
+  SELECT doc_id,
+         CAST(i AS BIGINT) AS i,
+         (ascii(substring(text, CAST(i AS BIGINT), 1)) - 100) * 256 AS amp
+  FROM documents,
+       LATERAL unnest(generate_series(1, least(length(text), 256))) t(i)
+),
+p AS (
+  SELECT doc_id, i, amp,
+         (i - 1) // 64 AS seg,
+         lag(amp) OVER (PARTITION BY doc_id ORDER BY i) AS prev_amp,
+         ((i - 2) // 64 = (i - 1) // 64) AS same_seg
+  FROM s
+)
+SELECT doc_id AS media_id,
+       CAST(seg AS INT) AS seg_idx,
+       CAST(COUNT(*) AS INT) AS n_samples,
+       CAST(SUM(amp * amp) AS BIGINT) AS sum_sq,
+       CAST(MAX(abs(amp)) AS INT) AS peak_amp,
+       CAST(SUM(CASE WHEN same_seg AND prev_amp * amp < 0 THEN 1 ELSE 0 END) AS INT)
+         AS zero_crossings,
+       SUM(amp * amp) < COUNT(*) * 1000000 AS is_silence
+FROM p
+GROUP BY doc_id, seg
+"""
+
+
+def multimodal_video_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over REAL video decode: walk the MJPEG-AVI
+    container, JPEG-decode every frame, and emit the exact sum of
+    absolute pixel differences against the previous frame plus a cut flag
+    — keyframe selection for a video training pipeline (one frame per
+    scene beats a fixed stride). The flat per-(doc, frame) fixture values
+    make every diff exactly predictable: the oracle derives each frame's
+    decoded value with the DC-only closed form and lag-windows the
+    differences."""
+    from kafka_cdc_hudi_spark.operators.multimodal import (
+        documents_as_video,
+        media_repartition,
+        video_scene_cuts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = media_repartition(documents_as_video(docs), avg_row_bytes=2048)
+    return video_scene_cuts(media)
+
+
+MULTIMODAL_VIDEO_CUTS_SQL = """
+WITH f AS (
+  -- fixture: operators/multimodal.py::documents_as_video —
+  -- n_frames = 2 + doc_id % 4, frame value = 96 + (doc_id + 17*i) % 64,
+  -- flat 16x8 frames (128 px)
+  SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+         96 + (doc_id + 17 * i) % 64 AS v
+  FROM documents,
+       LATERAL unnest(generate_series(0, CAST(1 + doc_id % 4 AS BIGINT))) t(i)
+),
+dec AS (
+  -- functions/jpeg.py::flat_decode_value (DC-only, q00 = 16)
+  SELECT doc_id, frame_idx,
+         least(255, greatest(0, 128 + 2 * (
+           CASE WHEN v >= 128 THEN (v - 128 + 1) // 2
+                ELSE -((128 - v + 1) // 2) END))) AS d
+  FROM f
+),
+dd AS (
+  SELECT doc_id, frame_idx, d,
+         lag(d) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS pd
+  FROM dec
+)
+SELECT doc_id AS media_id,
+       CAST(frame_idx AS INT) AS frame_idx,
+       CAST(128 AS INT) AS n_pixels,
+       CAST(CASE WHEN pd IS NULL THEN NULL
+                 ELSE 128 * abs(d - pd) END AS BIGINT) AS sum_abs_diff,
+       CASE WHEN pd IS NULL THEN NULL
+            ELSE 128 * abs(d - pd) >= 128 * 8 END AS is_cut
+FROM dd
+"""
+
+
 #: max docs kept per language by the quota sampler
 QUOTA_PER_GROUP = 100
 QUOTA_SALT = "quota_v1"
@@ -2807,6 +2912,11 @@ TEXT_QUERIES: dict[str, tuple] = {
     "multimodal_resize": (multimodal_resize, MULTIMODAL_RESIZE_SQL),
     "multimodal_decode_png": (multimodal_decode_png, MULTIMODAL_DECODE_PNG_SQL),
     "multimodal_decode_wav": (multimodal_decode_wav, MULTIMODAL_DECODE_WAV_SQL),
+    "multimodal_audio_segments": (
+        multimodal_audio_segments,
+        MULTIMODAL_AUDIO_SEGMENTS_SQL,
+    ),
+    "multimodal_video_cuts": (multimodal_video_cuts, MULTIMODAL_VIDEO_CUTS_SQL),
     "multimodal_resize_png_real": (multimodal_resize_png_real, MULTIMODAL_RESIZE_PNG_REAL_SQL),
     "multimodal_decode_bmp": (multimodal_decode_bmp, MULTIMODAL_DECODE_BMP_SQL),
     "multimodal_decode_gif": (multimodal_decode_gif, MULTIMODAL_DECODE_GIF_SQL),

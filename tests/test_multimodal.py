@@ -584,6 +584,73 @@ class TestJpegColorCodec:
         assert gray["c1_min"] is None and gray["c2_max"] is None
 
 
+class TestAudioSegments:
+    """Windowed audio segmentation (energy / ZCR / silence)."""
+
+    def test_features_on_crafted_clip(self, spark):
+        from kafka_cdc_hudi_spark.functions.wav import encode_wav
+        from kafka_cdc_hudi_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+            audio_segment_features,
+        )
+
+        # 100 samples: first 64 alternate +/-2000 (63 crossings, loud),
+        # last 36 are a quiet constant 10 (0 crossings, silence)
+        samples = [2000 if i % 2 == 0 else -2000 for i in range(64)] + [10] * 36
+        blob = encode_wav(samples, 8000, channels=1)
+        df = spark.createDataFrame([(1, bytearray(blob), "wav", len(blob))], MEDIA_SCHEMA)
+        rows = {r["seg_idx"]: r for r in audio_segment_features(df).collect()}
+        assert set(rows) == {0, 1}
+        s0, s1 = rows[0], rows[1]
+        assert (s0["n_samples"], s0["zero_crossings"]) == (64, 63)
+        assert s0["peak_amp"] == 2000 and not s0["is_silence"]
+        assert s0["sum_sq"] == 64 * 2000 * 2000
+        assert (s1["n_samples"], s1["zero_crossings"]) == (36, 0)
+        assert s1["sum_sq"] == 36 * 100 and s1["is_silence"]
+
+    def test_non_wav_raises(self, spark):
+        import pytest
+        from pyspark.errors import PythonException
+
+        from kafka_cdc_hudi_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+            audio_segment_features,
+        )
+
+        df = spark.createDataFrame([(1, bytearray(b"mp3 junk"), "mp3", 8)], MEDIA_SCHEMA)
+        with pytest.raises(PythonException, match="PCM WAV only"):
+            audio_segment_features(df).collect()
+
+
+class TestVideoSceneCuts:
+    """Frame-difference scene-cut detection over MJPEG-AVI."""
+
+    def test_cut_flags_on_crafted_video(self, spark):
+        from kafka_cdc_hudi_spark.functions.avi import encode_avi_mjpeg
+        from kafka_cdc_hudi_spark.functions.jpeg import (
+            encode_jpeg_gray,
+            flat_decode_value,
+        )
+        from kafka_cdc_hudi_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+            video_scene_cuts,
+        )
+
+        # frame values: 100, 102 (small step, no cut), 160 (scene change)
+        vals = [100, 102, 160]
+        frames = [encode_jpeg_gray(bytes([v]) * 128, 16, 8) for v in vals]
+        blob = encode_avi_mjpeg(frames, 16, 8, fps=10)
+        df = spark.createDataFrame([(7, bytearray(blob), "avi", len(blob))], MEDIA_SCHEMA)
+        rows = {r["frame_idx"]: r for r in video_scene_cuts(df).collect()}
+        assert set(rows) == {0, 1, 2}
+        assert rows[0]["sum_abs_diff"] is None and rows[0]["is_cut"] is None
+        dec = [flat_decode_value(v) for v in vals]
+        assert rows[1]["sum_abs_diff"] == 128 * abs(dec[1] - dec[0])
+        assert rows[1]["is_cut"] is False
+        assert rows[2]["sum_abs_diff"] == 128 * abs(dec[2] - dec[1])
+        assert rows[2]["is_cut"] is True
+
+
 class TestAviContainer:
     """MJPEG-in-AVI container (functions/avi.py)."""
 

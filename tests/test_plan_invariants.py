@@ -35,6 +35,8 @@ _PY_EXEMPT = {
     "multimodal_decode_gif",
     "multimodal_decode_jpeg",
     "multimodal_decode_jpeg_color",
+    "multimodal_audio_segments",
+    "multimodal_video_cuts",
     "multimodal_video_frames",
     "pipeline_multimodal_manifest",
     "multimodal_decode_tiff",
