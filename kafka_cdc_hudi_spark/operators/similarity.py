@@ -104,11 +104,16 @@ def srp_topk(
         dim, n_bits, n_tables, "qe",
     )
     cb = srp_bucketize(candidates, dim, n_bits, n_tables, col)
+    # dedup collisions across tables on the ID PAIR only: the vectors are
+    # functionally determined by the ids, and putting two 64-float arrays
+    # in a distinct() key would hash/compare ~512-byte keys through the
+    # exchange — groupBy(two longs) + first() ships the same rows with
+    # scalar grouping keys and map-side combine
     cand = (
         qb.join(cb, ["tbl", "sig"])
         .filter(F.col("qid") != F.col(id_col))
-        .select("qid", "qe", id_col, col)
-        .distinct()
+        .groupBy("qid", id_col)
+        .agg(F.first("qe").alias("qe"), F.first(col).alias(col))
     )
     scored = cand.withColumn("cosine", cosine(F.col("qe"), F.col(col)))
     from pyspark.sql import Window

@@ -561,8 +561,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         left.join(right, ["tbl", "sig"])
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "ea", "vec_b", "eb")
-        .distinct()
+        # pair dedup on the two longs, not on rows carrying both arrays —
+        # see operators/similarity.srp_topk (same shuffle-key argument)
+        .groupBy("vec_a", "vec_b")
+        .agg(F.first("ea").alias("ea"), F.first("eb").alias("eb"))
         .withColumn("cosine", cosine(F.col("ea"), F.col("eb")))
         .filter(F.col("cosine") >= DEDUP_COS_THRESHOLD)
         .select("vec_a", "vec_b", "cosine")
