@@ -330,6 +330,62 @@ class KeyedParquetTable:
         # bucket id is layout, not data; mergeSchema covers cross-version drift
         return spark.read.option("mergeSchema", "true").parquet(*paths)
 
+    def read_keys(self, spark: SparkSession, key_values: Sequence[Sequence]) -> DataFrame:
+        """Primary-key point lookups. On a bucketed table this reads ONLY
+        the bucket files that can contain the requested keys (path-level
+        pruning via the bucket map — O(requested buckets) I/O regardless
+        of table size, the random-access path a 100 TB keyed table needs;
+        full scans stay the :meth:`read` API). COW/MOR tables fall back to
+        a filtered snapshot read: their single predicate still pushes to
+        the parquet scan, but every file is consulted.
+
+        ``key_values``: one tuple per lookup, positionally matching
+        ``self.keys``. Bucket assignment for the literals runs through the
+        SAME ``_bucket_expr`` column (a #keys-row local job — metadata-
+        bounded, never data-bounded), so Python never re-implements
+        xxhash64."""
+        rows = [tuple(kv) for kv in key_values]
+        if not rows:
+            raise ValueError("read_keys: no keys given")
+
+        def _match(df: DataFrame) -> DataFrame:
+            # literals cast to the table's key types: an INT literal vs a
+            # BIGINT column is a struct-IN type mismatch, not a coercion
+            key_schema = df.select(*self.keys).schema
+            lits = [
+                F.struct(
+                    *[
+                        F.lit(v).cast(f.dataType).alias(f.name)
+                        for v, f in zip(r, key_schema.fields)
+                    ]
+                )
+                for r in rows
+            ]
+            return df.filter(
+                F.struct(*[F.col(k).alias(k) for k in self.keys]).isin(lits)
+            )
+
+        if self.mode != MODE_COW_BUCKETED:
+            return _match(self.read(spark))
+        p = self._read_pointer()
+        if p is None:
+            raise FileNotFoundError(f"no commits at {self.root}")
+        bmap = self._bucket_maps(p).get(p["version"], {})
+        snapshot = self._read_bucketed(spark, p, p["version"])
+        key_schema = snapshot.select(*self.keys).schema
+        # typed literals through the real bucket expression (type-faithful:
+        # xxhash64(int) != xxhash64(bigint))
+        probe = spark.createDataFrame(rows, key_schema)
+        buckets = sorted(
+            r["b"]
+            for r in probe.select(self._bucket_expr().alias("b")).distinct().collect()
+        )
+        paths = [self._bucket_path(bmap[b], b) for b in buckets if b in bmap]
+        if not paths:
+            return _match(snapshot.filter(F.lit(False)))
+        pruned = spark.read.option("mergeSchema", "true").parquet(*paths)
+        return _match(pruned)
+
     def _merge_batch_bucketed(
         self, spark: SparkSession, batch: DataFrame, batch_id: int | None, p: dict | None
     ) -> bool:

@@ -218,3 +218,31 @@ def test_cluster_cols_sort_within_bucket_files(spark, tmp_path):
     assert len(by_file) >= 2
     for f, mtimes in by_file.items():
         assert mtimes == sorted(mtimes), f"unsorted within {f}"
+
+
+def test_point_lookup_reads_only_key_buckets(spark, pair):
+    """read_keys: correct values AND path-pruned I/O — the lookup plan's
+    input files must be a strict subset of the full snapshot's (only the
+    buckets the requested keys hash to)."""
+    cow, bkt = pair
+    base = [(i, 10, False, f"a{i}") for i in range(64)]
+    assert bkt.merge_batch(spark, rows_df(spark, base), batch_id=0)
+    assert bkt.merge_batch(
+        spark, rows_df(spark, [(3, 20, False, "b3"), (7, 20, True, "gone")]), batch_id=1
+    )
+
+    got = {(r["id"], r["val"]) for r in bkt.read_keys(spark, [(3,), (8,)]).collect()}
+    assert got == {(3, "b3"), (8, "a8")}
+    # deleted key: no row
+    assert bkt.read_keys(spark, [(7,)]).count() == 0
+    # absent key on a present bucket path: no row
+    assert bkt.read_keys(spark, [(10_000,)]).count() == 0
+
+    lookup_files = set(bkt.read_keys(spark, [(3,)]).inputFiles())
+    all_files = set(bkt.read(spark).inputFiles())
+    assert lookup_files and lookup_files < all_files
+
+    # COW fallback: same values through the filtered snapshot read
+    assert cow.merge_batch(spark, rows_df(spark, base), batch_id=0)
+    got_cow = {(r["id"], r["val"]) for r in cow.read_keys(spark, [(3,), (8,)]).collect()}
+    assert got_cow == {(3, "a3"), (8, "a8")}
