@@ -104,16 +104,18 @@ def srp_topk(
         dim, n_bits, n_tables, "qe",
     )
     cb = srp_bucketize(candidates, dim, n_bits, n_tables, col)
-    # dedup collisions across tables on the ID PAIR only: the vectors are
-    # functionally determined by the ids, and putting two 64-float arrays
-    # in a distinct() key would hash/compare ~512-byte keys through the
-    # exchange — groupBy(two longs) + first() ships the same rows with
-    # scalar grouping keys and map-side combine
+    # dedup collisions across tables: distinct() here carries the arrays
+    # in the key, but the candidate set is bounded by |queries| * tables *
+    # bucket-size — query-bounded, not corpus-bounded — and measured A/B
+    # (sf0.1: 6.0s distinct vs 7.3s groupBy+first) the wide-key distinct
+    # wins at this cardinality. The corpus-bounded self-join variant
+    # (dedup_embedding_cosine) takes the opposite trade: see
+    # plans/catalog_text.py (groupBy ids, 20.7s -> 12s).
     cand = (
         qb.join(cb, ["tbl", "sig"])
         .filter(F.col("qid") != F.col(id_col))
-        .groupBy("qid", id_col)
-        .agg(F.first("qe").alias("qe"), F.first(col).alias(col))
+        .select("qid", "qe", id_col, col)
+        .distinct()
     )
     scored = cand.withColumn("cosine", cosine(F.col("qe"), F.col(col)))
     from pyspark.sql import Window

@@ -561,8 +561,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         left.join(right, ["tbl", "sig"])
         .filter(F.col("vec_a") < F.col("vec_b"))
-        # pair dedup on the two longs, not on rows carrying both arrays —
-        # see operators/similarity.srp_topk (same shuffle-key argument)
+        # pair dedup on the two longs, not on rows carrying both arrays:
+        # this candidate set is CORPUS-bounded (all-pairs within buckets),
+        # so keeping two 64-float arrays out of the exchange key matters —
+        # measured 20.7s -> ~12s at sf0.1. (srp_topk takes the opposite
+        # trade: its candidate set is query-bounded and small, and the
+        # wide-key distinct measures faster there.)
         .groupBy("vec_a", "vec_b")
         .agg(F.first("ea").alias("ea"), F.first("eb").alias("eb"))
         .withColumn("cosine", cosine(F.col("ea"), F.col("eb")))
