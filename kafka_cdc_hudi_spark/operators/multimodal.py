@@ -572,14 +572,13 @@ def decode_any_image(content: bytes) -> tuple[int, int, int, bytes]:
 def decode_images(df: DataFrame, fake: bool = False, on_error: str = "raise") -> DataFrame:
     """Decode stage: media frame -> IMAGE_FEATURES_SCHEMA frame.
 
-    ``fake=False`` is the REAL-codec path: PNG blobs decode through the
-    pure-stdlib PNG codec (``functions/png.py`` — inflate + unfilter, CRC
-    checked), BMP blobs through the DIB codec (``functions/bmp.py`` —
-    palette resolve + bottom-up de-stride), and ``feature_hash`` is the md5
-    of the reconstructed raw pixel samples. Other formats raise
-    ``NotImplementedError`` (libjpeg/libwebp are not in this container). ``fake=True`` runs the deterministic stub
-    through the SAME mapInPandas machinery for the other formats' plumbing
-    coverage.
+    ``fake=False`` is the REAL-codec path: magic-byte dispatch over the
+    pure-stdlib PNG / BMP / GIF / JPEG (grayscale + 4:4:4 color) / TIFF
+    codecs (:func:`decode_any_image`), with ``feature_hash`` = md5 of the
+    reconstructed raw samples. webp raises ``NotImplementedError``
+    (libwebp is not in this container). ``fake=True`` runs the
+    deterministic stub through the SAME mapInPandas machinery for the
+    unsupported formats' plumbing coverage.
     """
 
     def _real_decode(content: bytes) -> tuple[int, int, int, str]:

@@ -971,6 +971,136 @@ ORDER BY event_type
 """
 
 
+#: histogram-quantile sketch params: 64 equi-width bins of width 8 over
+#: value in [0, 512) (top bin clamps) — constant bytes per (bucket, type)
+_HQ_BINS, _HQ_WIDTH = 64, 8
+
+
+def events_histogram_quantile_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable quantile sketch: per-(day, event_type) fixed-bin
+    histograms (the stored fine-grained sketch table), merged to per-type
+    histograms by ADDING bin counts — never rescanning raw events — then
+    p50/p95 read off the merged bins. The quantile member of the sketch
+    family next to HLL (distinct), CMS (heavy hitters) and KMV: at 100 TB
+    the per-bucket histogram is constant-size state a streaming pipeline
+    maintains incrementally, and any coarser rollup (per week, per type,
+    global) is a counts-sum.
+
+    Estimator: the upper edge of the first bin whose cumulative count
+    reaches ceil(q * n), with ceil done in EXACT INTEGER arithmetic
+    ((19n + 19) // 20 for p95) — deterministic, so unlike the HLL entry
+    the estimates themselves carry a full value oracle, not just a
+    tolerance self-check."""
+    e = load_table(spark, sf_dir, "events")
+    bin_col = F.least(
+        F.lit(_HQ_BINS - 1),
+        F.greatest(F.lit(0), F.floor(F.col("value") / _HQ_WIDTH)),
+    ).cast("long")
+    # stage 1: the stored sketch table (sparse histogram rows)
+    per_day = (
+        e.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            "event_type",
+            bin_col.alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # stage 2: merge = sum counts (plus bucket bookkeeping)
+    merged = per_day.groupBy("event_type", "bin").agg(
+        F.sum("cnt").alias("cnt"), F.countDistinct("day").alias("_d")
+    )
+    totals = merged.groupBy("event_type").agg(F.sum("cnt").alias("n_events"))
+    n_days = per_day.groupBy("event_type").agg(
+        F.countDistinct("day").alias("n_day_buckets")
+    )
+    w = Window.partitionBy("event_type").orderBy("bin")
+    cum = (
+        merged.withColumn("cum", F.sum("cnt").over(w))
+        .join(totals, "event_type")
+    )
+    # exact-integer rank thresholds: ceil(n/2), ceil(19n/20)
+    est = cum.groupBy("event_type", "n_events").agg(
+        F.min(
+            F.when(F.col("cum") * 2 >= F.col("n_events"), F.col("bin"))
+        ).alias("_b50"),
+        F.min(
+            F.when(
+                F.col("cum") * 20 >= F.col("n_events") * 19, F.col("bin")
+            )
+        ).alias("_b95"),
+    )
+    return (
+        est.join(n_days, "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            "n_day_buckets",
+            ((F.col("_b50") + 1) * _HQ_WIDTH).cast("double").alias("p50_upper"),
+            ((F.col("_b95") + 1) * _HQ_WIDTH).cast("double").alias("p95_upper"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def events_histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-checking wrapper (same contract as events_hll_mergeable_rollup):
+    the bin-derived estimates must land within TWO bin widths of the exact
+    interpolated percentiles, else this RAISES. Two, not one: the
+    estimator returns the upper edge of the bin holding the ceil(q*n)-th
+    order statistic, while ``percentile()`` interpolates between order
+    statistics and can land in the adjacent bin. The returned estimate
+    columns are themselves fully value-oracled (deterministic integer bin
+    algebra), which the HLL/CMS entries cannot offer."""
+    est = events_histogram_quantile_estimates(spark, sf_dir)
+    e = load_table(spark, sf_dir, "events")
+    exact = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("x50"),
+        F.expr("percentile(value, 0.95)").alias("x95"),
+    )
+    bad = (
+        est.join(exact, "event_type")
+        .filter(
+            (F.abs(F.col("p50_upper") - F.col("x50")) > 2 * _HQ_WIDTH)
+            | (F.abs(F.col("p95_upper") - F.col("x95")) > 2 * _HQ_WIDTH)
+        )
+        .take(1)
+    )
+    if bad:
+        raise AssertionError(
+            f"histogram quantile estimate out of tolerance: {bad[0]}"
+        )
+    return est
+
+
+EVENTS_HISTOGRAM_QUANTILE_SQL = f"""
+WITH b AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         least({_HQ_BINS - 1}, greatest(0, CAST(floor(value / {_HQ_WIDTH}) AS BIGINT))) AS bin,
+         COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2, 3
+),
+m AS (SELECT event_type, bin, CAST(SUM(cnt) AS BIGINT) AS cnt FROM b GROUP BY 1, 2),
+t AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n_events FROM m GROUP BY 1),
+d AS (SELECT event_type, COUNT(DISTINCT day) AS n_day_buckets FROM b GROUP BY 1),
+c AS (
+  SELECT m.event_type, m.bin, t.n_events,
+         SUM(m.cnt) OVER (PARTITION BY m.event_type ORDER BY m.bin) AS cum
+  FROM m JOIN t ON m.event_type = t.event_type
+),
+est AS (
+  SELECT event_type, n_events,
+         MIN(CASE WHEN cum * 2 >= n_events THEN bin END) AS b50,
+         MIN(CASE WHEN cum * 20 >= n_events * 19 THEN bin END) AS b95
+  FROM c GROUP BY 1, 2
+)
+SELECT est.event_type, est.n_events, d.n_day_buckets,
+       CAST((b50 + 1) * {_HQ_WIDTH} AS DOUBLE) AS p50_upper,
+       CAST((b95 + 1) * {_HQ_WIDTH} AS DOUBLE) AS p95_upper
+FROM est JOIN d ON est.event_type = d.event_type
+ORDER BY est.event_type
+"""
+
+
 def range_join_post_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range (interval) join: every event within 2 hours after a purchase
     by the same user. Bucketed equi-join scale path — see
@@ -2432,6 +2562,10 @@ ANALYTICS_QUERIES: dict[str, tuple] = {
     "events_daily_ohlc": (events_daily_ohlc, EVENTS_DAILY_OHLC_SQL),
     "events_retention_cohorts": (events_retention_cohorts, EVENTS_RETENTION_SQL),
     "events_hll_mergeable_rollup": (events_hll_mergeable_rollup, EVENTS_HLL_ROLLUP_SQL),
+    "events_histogram_quantile_rollup": (
+        events_histogram_quantile_rollup,
+        EVENTS_HISTOGRAM_QUANTILE_SQL,
+    ),
     "events_funnel_conversions": (events_funnel_conversions, EVENTS_FUNNEL_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "q4_order_priority": (q4_order_priority, Q4_SQL),

@@ -97,3 +97,43 @@ def test_kmv_estimate_accuracy(spark):
             assert r.kmv_est == float(r.exact_users), r
         else:
             assert abs(r.kmv_est - r.exact_users) <= 0.25 * r.exact_users, r
+
+
+def test_histogram_quantile_merge_equals_direct(spark):
+    """Mergeability: per-day histograms summed to per-type must equal the
+    histogram built directly from all events in one pass (counts add
+    exactly — the property that makes the sketch maintainable
+    incrementally), and the derived quantile edges must bracket the true
+    order statistic's bin."""
+    from kafka_cdc_hudi_spark.plans.catalog_analytics import (
+        _HQ_BINS,
+        _HQ_WIDTH,
+        events_histogram_quantile_estimates,
+    )
+
+    e = load_table(spark, SF_DIR, "events")
+    bin_col = F.least(
+        F.lit(_HQ_BINS - 1), F.greatest(F.lit(0), F.floor(F.col("value") / _HQ_WIDTH))
+    ).cast("long")
+    direct = {
+        (r["event_type"], r["bin"]): r["cnt"]
+        for r in e.groupBy("event_type", bin_col.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    via_days = {
+        (r["event_type"], r["bin"]): r["cnt"]
+        for r in e.groupBy(
+            F.date_trunc("day", "ts").alias("day"), "event_type", bin_col.alias("bin")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("event_type", "bin")
+        .agg(F.sum("c").alias("cnt"))
+        .collect()
+    }
+    assert direct == via_days
+
+    for r in events_histogram_quantile_estimates(spark, SF_DIR).collect():
+        # upper edges are on the bin grid and ordered
+        assert r.p50_upper % _HQ_WIDTH == 0 and r.p95_upper % _HQ_WIDTH == 0
+        assert r.p50_upper <= r.p95_upper
