@@ -1006,9 +1006,7 @@ def events_histogram_quantile_estimates(spark: SparkSession, sf_dir: str) -> Dat
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     # stage 2: merge = sum counts (plus bucket bookkeeping)
-    merged = per_day.groupBy("event_type", "bin").agg(
-        F.sum("cnt").alias("cnt"), F.countDistinct("day").alias("_d")
-    )
+    merged = per_day.groupBy("event_type", "bin").agg(F.sum("cnt").alias("cnt"))
     totals = merged.groupBy("event_type").agg(F.sum("cnt").alias("n_events"))
     n_days = per_day.groupBy("event_type").agg(
         F.countDistinct("day").alias("n_day_buckets")
