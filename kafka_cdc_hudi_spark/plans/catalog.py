@@ -162,6 +162,7 @@ PRUNED: dict[str, str] = {
     "multimodal_audio_segments": "NEW r7 (born past the cap), full oracle locally + swept; rotate in r8",
     "multimodal_video_cuts": "NEW r7 (born past the cap), full oracle locally + swept; rotate in r8",
     "events_histogram_quantile_rollup": "NEW r7 (born past the cap), full oracle locally + swept; rotate in r8",
+    "text_bpe_pair_counts": "NEW r7 (born past the cap), full oracle locally + swept; rotate in r8",
     "dedup_ngram_jaccard": "due r8 — dedup_corpus_final (driver r7) drives the shingle/bucket candidate chain",
 }
 

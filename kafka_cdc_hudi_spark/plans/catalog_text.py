@@ -2801,6 +2801,68 @@ SELECT doc_id,
 FROM documents
 """
 
+#: BPE pair-count top-K (the merge-candidate shortlist size)
+_BPE_PAIR_TOPK = 50
+
+
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer TRAINING primitive: the first BPE merge step — corpus
+    counts of adjacent symbol pairs (initial symbols = characters) inside
+    GPT-2-style pre-tokens, ranked to the top-{K} merge candidates.
+
+    Scale shape is the standard BPE-training trick: pre-tokens are first
+    collapsed to a DISTINCT vocabulary with corpus frequencies (one
+    explode + one agg whose cardinality is vocabulary-bounded, not
+    corpus-bounded), and the quadratic-ish bigram explode runs over that
+    small vocabulary only, weighted by frequency. At 100 TB the heavy
+    stage is the vocabulary count — a plain token-stats agg — while pair
+    counting stays proportional to |vocab| * avg_len. Deterministic total
+    order (count DESC, pair ASC) makes the top-K exactly oracle-able."""
+    d = load_table(spark, sf_dir, "documents")
+    pt = d.select(
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(_BPE_PRETOKEN_RE), 0)
+        ).alias("pt")
+    ).filter(F.trim("pt") != "")
+    vocab = pt.groupBy("pt").agg(F.count(F.lit(1)).alias("w"))
+    pairs = vocab.filter(F.length("pt") >= 2).select(
+        "w",
+        F.explode(
+            F.expr("transform(sequence(1, length(pt) - 1), i -> substring(pt, i, 2))")
+        ).alias("pair"),
+    )
+    counted = pairs.groupBy("pair").agg(F.sum("w").alias("pair_count"))
+    w = Window.orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+    return (
+        counted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _BPE_PAIR_TOPK)
+        .select("rank", "pair", "pair_count")
+    )
+
+
+text_bpe_pair_counts.__doc__ = text_bpe_pair_counts.__doc__.format(K=_BPE_PAIR_TOPK)
+
+TEXT_BPE_PAIR_COUNTS_SQL = f"""
+WITH pt AS (
+  SELECT t.pt FROM documents,
+       LATERAL unnest(regexp_extract_all(text, '{_BPE_PRETOKEN_RE.replace("'", "''")}')) t(pt)
+  WHERE trim(t.pt) <> ''
+),
+vocab AS (SELECT pt, COUNT(*) AS w FROM pt GROUP BY pt),
+pairs AS (
+  SELECT substring(pt, CAST(i AS BIGINT), 2) AS pair, w
+  FROM vocab, LATERAL unnest(generate_series(1, length(pt) - 1)) g(i)
+  WHERE length(pt) >= 2
+),
+counted AS (SELECT pair, CAST(SUM(w) AS BIGINT) AS pair_count FROM pairs GROUP BY pair)
+SELECT CAST(row_number() OVER (ORDER BY pair_count DESC, pair ASC) AS INT) AS rank,
+       pair, pair_count
+FROM counted
+ORDER BY rank
+LIMIT {_BPE_PAIR_TOPK}
+"""
+
+
 #: interleave resolution: keys are exact integers on a 1e9 grid
 _ILV_SCALE = 1_000_000_000
 
@@ -2882,6 +2944,7 @@ FROM embeddings
 
 TEXT_QUERIES: dict[str, tuple] = {
     "text_bpe_pretokenize": (text_bpe_pretokenize, TEXT_BPE_PRETOKENIZE_SQL),
+    "text_bpe_pair_counts": (text_bpe_pair_counts, TEXT_BPE_PAIR_COUNTS_SQL),
     "dataset_interleave_order": (dataset_interleave_order, DATASET_INTERLEAVE_SQL),
     "embedding_mrl_energy": (embedding_mrl_energy, EMBEDDING_MRL_SQL),
     "text_trigram_novelty": (text_trigram_novelty, TEXT_TRIGRAM_NOVELTY_SQL),
