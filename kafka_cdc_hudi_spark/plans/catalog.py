@@ -163,6 +163,7 @@ PRUNED: dict[str, str] = {
     "multimodal_video_cuts": "NEW r7 (born past the cap), full oracle locally + swept; rotate in r8",
     "events_histogram_quantile_rollup": "NEW r7 (born past the cap), full oracle locally + swept; rotate in r8",
     "text_bpe_pair_counts": "NEW r7 (born past the cap), full oracle locally + swept; rotate in r8",
+    "text_bpe_train_merges": "NEW r7 (born past the cap), full oracle locally + swept; rotate in r8",
     "dedup_ngram_jaccard": "due r8 — dedup_corpus_final (driver r7) drives the shingle/bucket candidate chain",
 }
 
@@ -238,6 +239,20 @@ assert not set(_DRIVER_ORDER) & set(PRUNED)
 assert len(_DRIVER_ORDER) <= 50, len(_DRIVER_ORDER)
 
 REGISTRY: dict[str, tuple] = {n: FULL_REGISTRY[n] for n in _DRIVER_ORDER}
+
+
+def sf_dependent_sql_builders() -> dict:
+    """Entries whose oracle SQL bakes per-scale-factor literals (trained
+    artifacts rerun at oracle-build time). The registry carries the
+    driver's sf0.01 build; test_oracle.py and scripts/sweep.py rebuild
+    for their own SF via these builders."""
+    from kafka_cdc_hudi_spark.plans.catalog_streaming import ivf_trained_sql_for
+    from kafka_cdc_hudi_spark.plans.catalog_text import bpe_merges_sql_for
+
+    return {
+        "ann_topk_ivf_trained": ivf_trained_sql_for,
+        "text_bpe_train_merges": bpe_merges_sql_for,
+    }
 
 
 def register(name: str, fn, oracle_sql: str | None) -> None:

@@ -2863,6 +2863,91 @@ LIMIT {_BPE_PAIR_TOPK}
 """
 
 
+#: BPE training bounds: frequency-truncated vocabulary (the standard
+#: practice — the merge loop runs on the word-count table, never the raw
+#: corpus) and number of merge rules learned
+_BPE_TRAIN_VOCAB, _BPE_TRAIN_MERGES = 4096, 8
+
+
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer training, end-to-end: learn the first 8 BPE merge rules
+    on the corpus. Spark does the distributed part — pre-tokenize, count,
+    truncate to the top-4096 pre-tokens by (count DESC, token ASC) — and
+    the deterministic merge loop (functions/bpe.py) runs driver-side on
+    that bounded table, exactly like the trained-IVF entry's kmeans
+    (similarity.ivf_train_sql_sample). The oracle builder reruns the SAME
+    trainer on a vocabulary derived independently via DuckDB SQL, so the
+    regex/count/truncation stages are cross-engine-checked through the
+    merge table: any divergence flips a rule and the hash fails.
+
+    Scale shape: the only corpus-bounded work is the pre-token count (one
+    explode + one agg); the collect is hard-bounded at 4096 rows."""
+    from kafka_cdc_hudi_spark.functions.bpe import bpe_train_merges
+
+    d = load_table(spark, sf_dir, "documents")
+    pt = d.select(
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(_BPE_PRETOKEN_RE), 0)
+        ).alias("pt")
+    ).filter(F.trim("pt") != "")
+    vocab = (
+        pt.groupBy("pt")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .orderBy(F.col("w").desc(), F.col("pt").asc())
+        .limit(_BPE_TRAIN_VOCAB)
+        .collect()
+    )
+    merges = bpe_train_merges([(r["pt"], r["w"]) for r in vocab], _BPE_TRAIN_MERGES)
+    return spark.createDataFrame(
+        merges, "rank int, lhs string, rhs string, merged string, pair_count long"
+    )
+
+
+def bpe_merges_sql_for(sf_dir: str) -> str | None:
+    """Build the BPE-merges oracle FOR A GIVEN SCALE FACTOR: derive the
+    frequency-truncated vocabulary via DuckDB SQL (independent of Spark's
+    distributed count) and rerun the shared trainer; the resulting rules
+    are emitted as literals. Registry bakes the driver's sf0.01; the
+    local suite and sweep rebuild for their own SF via
+    catalog.sf_dependent_sql_builders(). Returns None if the testdata is
+    absent so importing never fails data-less."""
+    import duckdb
+
+    from kafka_cdc_hudi_spark.functions.bpe import bpe_train_merges
+
+    re_lit = _BPE_PRETOKEN_RE.replace("'", "''")
+    try:
+        rows = duckdb.sql(
+            f"""
+            WITH pt AS (
+              SELECT t.pt FROM read_parquet('{sf_dir}/documents.parquet'),
+                   LATERAL unnest(regexp_extract_all(text, '{re_lit}')) t(pt)
+              WHERE trim(t.pt) <> ''
+            )
+            SELECT pt, COUNT(*) AS w FROM pt GROUP BY pt
+            ORDER BY w DESC, pt ASC LIMIT {_BPE_TRAIN_VOCAB}
+            """
+        ).fetchall()
+    except Exception:
+        return None
+    merges = bpe_train_merges([(p, int(w)) for p, w in rows], _BPE_TRAIN_MERGES)
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    values = ", ".join(
+        f"({r}, {q(l)}, {q(rr)}, {q(m)}, {c})" for r, l, rr, m, c in merges
+    )
+    return f"""
+SELECT CAST(rank AS INT) AS rank, lhs, rhs, merged,
+       CAST(pair_count AS BIGINT) AS pair_count
+FROM (VALUES {values}) t(rank, lhs, rhs, merged, pair_count)
+"""
+
+
+TEXT_BPE_TRAIN_MERGES_SQL = bpe_merges_sql_for("/root/testdata/sf0.01")
+
+
 #: interleave resolution: keys are exact integers on a 1e9 grid
 _ILV_SCALE = 1_000_000_000
 
@@ -2945,6 +3030,7 @@ FROM embeddings
 TEXT_QUERIES: dict[str, tuple] = {
     "text_bpe_pretokenize": (text_bpe_pretokenize, TEXT_BPE_PRETOKENIZE_SQL),
     "text_bpe_pair_counts": (text_bpe_pair_counts, TEXT_BPE_PAIR_COUNTS_SQL),
+    "text_bpe_train_merges": (text_bpe_train_merges, TEXT_BPE_TRAIN_MERGES_SQL),
     "dataset_interleave_order": (dataset_interleave_order, DATASET_INTERLEAVE_SQL),
     "embedding_mrl_energy": (embedding_mrl_energy, EMBEDDING_MRL_SQL),
     "text_trigram_novelty": (text_trigram_novelty, TEXT_TRIGRAM_NOVELTY_SQL),

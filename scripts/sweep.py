@@ -52,15 +52,16 @@ def main() -> None:
     load0 = list(os.getloadavg())
     calib = _calibrate(spark)
 
-    # the trained-IVF oracle bakes per-SF centroid literals; rebuild for
+    # some oracles bake per-SF literals (trained artifacts); rebuild for
     # the swept SF when it differs from the registry's committed build
-    from kafka_cdc_hudi_spark.plans.catalog_streaming import ivf_trained_sql_for
+    from kafka_cdc_hudi_spark.plans.catalog import sf_dependent_sql_builders
 
+    builders = sf_dependent_sql_builders()
     entries: dict[str, dict] = {}
     n_ok = n_fail = 0
     for name, (fn, sql) in FULL_REGISTRY.items():
-        if name == "ann_topk_ivf_trained":
-            sql = ivf_trained_sql_for(sf_dir) or sql
+        if name in builders:
+            sql = builders[name](sf_dir) or sql
         t0 = time.perf_counter()
         try:
             df = fn(spark, sf_dir)

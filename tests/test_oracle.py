@@ -17,13 +17,14 @@ def con():
 
 
 def _local_sql(name: str, sql: str) -> str:
-    # the trained-IVF oracle bakes centroid literals per scale factor
-    # (embeddings are generated independently per sf); the registry carries
-    # the driver's sf0.01 build — rebuild for the local SF_DIR here
-    if name == "ann_topk_ivf_trained":
-        from kafka_cdc_hudi_spark.plans.catalog_streaming import ivf_trained_sql_for
+    # some oracles bake per-scale-factor literals (trained artifacts);
+    # the registry carries the driver's sf0.01 build — rebuild for the
+    # local SF_DIR here
+    from kafka_cdc_hudi_spark.plans.catalog import sf_dependent_sql_builders
 
-        return ivf_trained_sql_for(SF_DIR) or sql
+    builder = sf_dependent_sql_builders().get(name)
+    if builder is not None:
+        return builder(SF_DIR) or sql
     return sql
 
 
