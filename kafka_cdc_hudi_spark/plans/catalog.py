@@ -164,6 +164,7 @@ PRUNED: dict[str, str] = {
     "events_histogram_quantile_rollup": "NEW r7 (born past the cap), full oracle locally + swept; rotate in r8",
     "text_bpe_pair_counts": "NEW r7 (born past the cap), full oracle locally + swept; rotate in r8",
     "text_bpe_train_merges": "NEW r7 (born past the cap), full oracle locally + swept; rotate in r8",
+    "pipeline_audio_manifest": "NEW r7 (born past the cap), full oracle locally + swept; rotate in r8",
     "dedup_ngram_jaccard": "due r8 — dedup_corpus_final (driver r7) drives the shingle/bucket candidate chain",
 }
 

@@ -2138,6 +2138,16 @@ GROUP BY doc_id, sample_rate
 """
 
 
+#: catalog-level silence threshold (mean-square amplitude), calibrated to
+#: the synthetic fixture like DEDUP_COS_THRESHOLD: text-derived samples
+#: centered at byte 100 have a LOUD floor (min window mean-square ~1.28e6,
+#: median ~6e7 at sf0.001), so the operator's real-world default (1e6)
+#: would never flag a window here — 5e7 flags the low-energy tail and
+#: keeps the silent-branch algebra non-vacuous (pinned in
+#: test_multimodal.py)
+_AUD_SILENCE_MSQ = 50_000_000
+
+
 def multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio segmentation over REAL PCM WAV decode: fixed 64-sample
     windows per clip with exact integer energy / peak / zero-crossing
@@ -2156,10 +2166,10 @@ def multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     media = media_repartition(documents_as_wav(docs, center=100), avg_row_bytes=1024)
-    return audio_segment_features(media)
+    return audio_segment_features(media, silence_msq=_AUD_SILENCE_MSQ)
 
 
-MULTIMODAL_AUDIO_SEGMENTS_SQL = """
+MULTIMODAL_AUDIO_SEGMENTS_SQL = f"""
 WITH s AS (
   -- fixture: operators/multimodal.py::documents_as_wav(center=100):
   -- sample i = (byte_i - 100) * 256 over the first 256 bytes
@@ -2183,7 +2193,7 @@ SELECT doc_id AS media_id,
        CAST(MAX(abs(amp)) AS INT) AS peak_amp,
        CAST(SUM(CASE WHEN same_seg AND prev_amp * amp < 0 THEN 1 ELSE 0 END) AS INT)
          AS zero_crossings,
-       SUM(amp * amp) < COUNT(*) * 1000000 AS is_silence
+       SUM(amp * amp) < COUNT(*) * {_AUD_SILENCE_MSQ} AS is_silence
 FROM p
 GROUP BY doc_id, seg
 """
@@ -2241,6 +2251,90 @@ SELECT doc_id AS media_id,
             ELSE 128 * abs(d - pd) >= 128 * 8 END AS is_cut
 FROM dd
 """
+
+
+#: audio-pipeline voiced-fraction gate (ppm of samples in non-silent windows)
+_AUD_VOICED_MIN_PPM = 250_000
+
+
+def pipeline_audio_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The THIRD flagship composition — speech-corpus curation in one lazy
+    plan: segment every clip through the REAL WAV decode
+    (multimodal_audio_segments' stage), aggregate per-clip voiced/silent
+    window stats, keep clips whose voiced fraction clears the gate, and
+    join transcripts that clear the text-quality gate (the same
+    PIPE_QUALITY_MIN the image manifest uses) into the training manifest
+    an ASR/audio-LM pipeline would consume. All integer/exact algebra on
+    top of independently-oracled stages — this entry proves they compose.
+
+    Scale shape: quality gate fuses into the scan; segmentation is the
+    Arrow mapInPandas stage; ONE groupBy(media_id) agg; ONE doc_id
+    equi-join."""
+    from kafka_cdc_hudi_spark.operators.multimodal import (
+        audio_segment_features,
+        documents_as_wav,
+        media_repartition,
+    )
+
+    q = text_quality_score(spark, sf_dir).filter(
+        F.col("quality") >= PIPE_QUALITY_MIN
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    segs = audio_segment_features(
+        media_repartition(documents_as_wav(docs, center=100), avg_row_bytes=1024),
+        silence_msq=_AUD_SILENCE_MSQ,
+    )
+    per_clip = segs.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum((~F.col("is_silence")).cast("long")).alias("n_voiced"),
+        F.sum(
+            F.when(~F.col("is_silence"), F.col("n_samples")).otherwise(F.lit(0))
+        ).alias("voiced_samples"),
+        F.sum("n_samples").alias("total_samples"),
+        F.max("peak_amp").alias("peak_amp"),
+    )
+    kept = per_clip.withColumn(
+        "voiced_ppm", F.expr("1000000 * voiced_samples div total_samples")
+    ).filter(F.col("voiced_ppm") >= _AUD_VOICED_MIN_PPM)
+    return q.join(kept, q.doc_id == kept.media_id).select(
+        "doc_id",
+        "n_tokens",
+        "quality",
+        "n_windows",
+        "n_voiced",
+        "voiced_samples",
+        "voiced_ppm",
+        "peak_amp",
+    )
+
+
+def _pipeline_audio_sql() -> str:
+    # compose the independently-oracled fragments: quality CTE + the
+    # segments derivation (MULTIMODAL_AUDIO_SEGMENTS_SQL) aggregated
+    return f"""
+WITH q AS ({TEXT_QUALITY_SQL}),
+seg AS ({MULTIMODAL_AUDIO_SEGMENTS_SQL}),
+clip AS (
+  SELECT media_id,
+         COUNT(*) AS n_windows,
+         CAST(SUM(CASE WHEN is_silence THEN 0 ELSE 1 END) AS BIGINT) AS n_voiced,
+         CAST(SUM(CASE WHEN is_silence THEN 0 ELSE n_samples END) AS BIGINT) AS voiced_samples,
+         CAST(SUM(n_samples) AS BIGINT) AS total_samples,
+         CAST(MAX(peak_amp) AS INT) AS peak_amp
+  FROM seg GROUP BY media_id
+)
+SELECT q.doc_id, q.n_tokens, q.quality,
+       CAST(clip.n_windows AS BIGINT) AS n_windows,
+       clip.n_voiced, clip.voiced_samples,
+       (1000000 * clip.voiced_samples) // clip.total_samples AS voiced_ppm,
+       clip.peak_amp
+FROM q JOIN clip ON q.doc_id = clip.media_id
+WHERE q.quality >= {PIPE_QUALITY_MIN}
+  AND (1000000 * clip.voiced_samples) // clip.total_samples >= {_AUD_VOICED_MIN_PPM}
+"""
+
+
+PIPELINE_AUDIO_SQL = _pipeline_audio_sql()
 
 
 #: max docs kept per language by the quota sampler
@@ -3072,6 +3166,7 @@ TEXT_QUERIES: dict[str, tuple] = {
         MULTIMODAL_AUDIO_SEGMENTS_SQL,
     ),
     "multimodal_video_cuts": (multimodal_video_cuts, MULTIMODAL_VIDEO_CUTS_SQL),
+    "pipeline_audio_manifest": (pipeline_audio_manifest, PIPELINE_AUDIO_SQL),
     "multimodal_resize_png_real": (multimodal_resize_png_real, MULTIMODAL_RESIZE_PNG_REAL_SQL),
     "multimodal_decode_bmp": (multimodal_decode_bmp, MULTIMODAL_DECODE_BMP_SQL),
     "multimodal_decode_gif": (multimodal_decode_gif, MULTIMODAL_DECODE_GIF_SQL),

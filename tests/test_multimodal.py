@@ -608,6 +608,18 @@ class TestAudioSegments:
         assert (s1["n_samples"], s1["zero_crossings"]) == (36, 0)
         assert s1["sum_sq"] == 36 * 100 and s1["is_silence"]
 
+    def test_catalog_silence_flag_nonvacuous(self, spark):
+        """The catalog-calibrated threshold must actually flag windows on
+        the fixture corpus (the operator default never fires there — loud
+        floor, see _AUD_SILENCE_MSQ)."""
+        from kafka_cdc_hudi_spark.plans.catalog_text import multimodal_audio_segments
+
+        from .conftest import SF_DIR
+
+        segs = multimodal_audio_segments(spark, SF_DIR)
+        assert segs.filter("is_silence").limit(1).count() == 1
+        assert segs.filter("NOT is_silence").limit(1).count() == 1
+
     def test_non_wav_raises(self, spark):
         import pytest
         from pyspark.errors import PythonException
