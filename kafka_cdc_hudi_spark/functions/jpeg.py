@@ -357,7 +357,8 @@ def encode_jpeg_color(pixels: bytes, width: int, height: int) -> bytes:
 
 
 class _BitReader:
-    """Entropy-segment reader with 0xFF00 unstuffing."""
+    """Entropy-segment reader with 0xFF00 unstuffing and a buffered
+    accumulator (consume n bits per call, not per bit)."""
 
     def __init__(self, data: bytes, pos: int) -> None:
         self.data = data
@@ -372,8 +373,7 @@ class _BitReader:
             if nxt == 0x00:
                 self.pos += 2
             elif nxt == 0xD9:  # EOI reached; spec allows trailing 1-padding
-                b = 0xFF
-                self.pos += 0  # do not consume the marker
+                # do not consume the marker; synthesize 1-padding
                 self.acc = (self.acc << 8) | 0xFF
                 self.nbits += 8
                 return
@@ -384,32 +384,50 @@ class _BitReader:
         self.acc = (self.acc << 8) | b
         self.nbits += 8
 
-    def read_bit(self) -> int:
-        if self.nbits == 0:
+    def peek16(self) -> int:
+        while self.nbits < 16:
             self._fill()
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+        return (self.acc >> (self.nbits - 16)) & 0xFFFF
 
-    def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+    def take(self, n: int) -> int:
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1  # bound the accumulator
         return v
 
+    # back-compat names used by tests/fuzzers if any
+    def read_bit(self) -> int:
+        return self.take(1)
 
-def _decode_tree(bits: list[int], symbols: list[int]) -> dict[tuple[int, int], int]:
-    enc = _canonical_codes(bits, symbols)
-    return {(length, code): sym for sym, (code, length) in enc.items()}
+    def read_bits(self, n: int) -> int:
+        return self.take(n) if n else 0
 
 
-def _read_symbol(r: _BitReader, tree: dict[tuple[int, int], int]) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | r.read_bit()
-        sym = tree.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid huffman code in scan")
+@lru_cache(maxsize=64)
+def _decode_lut(bits_t: tuple, symbols_t: tuple) -> list:
+    """16-bit-prefix lookup table for one canonical Huffman table:
+    lut[peek16] = (symbol, code_length), None for invalid prefixes.
+    Cached by table content — every image our encoder produces shares the
+    two fixed tables, so the 65536-slot build cost amortizes across a
+    whole decode workload (the per-bit tree walk dominated video decode)."""
+    enc = _canonical_codes(list(bits_t), list(symbols_t))
+    lut: list = [None] * 65536
+    for sym, (code, length) in enc.items():
+        base = code << (16 - length)
+        for suffix in range(1 << (16 - length)):
+            lut[base | suffix] = (sym, length)
+    return lut
+
+
+def _read_symbol(r: _BitReader, lut: list) -> int:
+    hit = lut[r.peek16()]
+    if hit is None:
+        raise ValueError("invalid huffman code in scan")
+    sym, length = hit
+    r.take(length)
+    return sym
 
 
 def _extend(bits: int, size: int) -> int:
@@ -469,7 +487,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 bits = list(payload[p + 1 : p + 17])
                 n = sum(bits)
                 symbols = list(payload[p + 17 : p + 17 + n])
-                trees[(cls, tid)] = _decode_tree(bits, symbols)
+                trees[(cls, tid)] = _decode_lut(tuple(bits), tuple(symbols))
                 p += 17 + n
         elif marker == 0xC0:  # SOF0 baseline
             precision, height, width, ncomp = struct.unpack(">BHHB", payload[:6])
@@ -528,7 +546,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 q = comp_q[ci]
                 zz = [0] * 64
                 size = _read_symbol(r, dc_tree)
-                prev_dc[ci] += _extend(r.read_bits(size), size)
+                prev_dc[ci] += _extend(r.take(size) if size else 0, size)
                 zz[0] = prev_dc[ci]
                 i = 1
                 while i < 64:
@@ -542,7 +560,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                     i += run
                     if i > 63:
                         raise ValueError("AC coefficient index out of range")
-                    zz[i] = _extend(r.read_bits(size), size)
+                    zz[i] = _extend(r.take(size) if size else 0, size)
                     i += 1
                 # de-zigzag + dequantize, keeping only nonzero coefficients —
                 # the standard sparse-IDCT: typical blocks carry a handful of
