@@ -58,11 +58,17 @@ FULL_REGISTRY.update(STREAMING_QUERIES)
 #: events_user_gaps, events_active_users_rolling, text_rare_token_fraction,
 #: text_chunk_overlap, text_html_strip, orders_price_percentile_rank,
 #: events_type_cooccurrence, customers_rfm_segments — these are FIRST in
-#: the r8 IN set, followed by the 10 due-r8 entries (text_fingerprint,
-#: text_language_id, embedding_quantize_int8, events_pivot_user_counts,
-#: active_user_set_ops, text_quality_score, events_hourly_agg,
-#: text_token_topk, ann_topk_ivf, dedup_ngram_jaccard), then r6/r7 greens
-#: alternating so no entry goes >2 rounds without a row.
+#: the r8 IN set, followed by the 7 entries BORN in r7 (all fully
+#: oracled + swept from birth: multimodal_decode_jpeg_color,
+#: multimodal_audio_segments, multimodal_video_cuts,
+#: events_histogram_quantile_rollup, text_bpe_pair_counts,
+#: text_bpe_train_merges, pipeline_audio_manifest), then the 10 due-r8
+#: entries (text_fingerprint, text_language_id, embedding_quantize_int8,
+#: events_pivot_user_counts, active_user_set_ops, text_quality_score,
+#: events_hourly_agg, text_token_topk, ann_topk_ivf, dedup_ngram_jaccard),
+#: then r6/r7 greens alternating so no entry goes >2 rounds without a row
+#: (12 + 7 + 10 = 29 of the 50 slots; the remainder rotates the r6 greens
+#: back in oldest-row-first).
 
 #: held out of the driver-facing registry (entry cap) — each is either a
 #: near-duplicate of a surviving entry's physical plan shape or a
