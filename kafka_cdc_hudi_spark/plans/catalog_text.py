@@ -1193,6 +1193,160 @@ FROM train t LEFT JOIN shared sh2 ON t.doc_id = sh2.doc_id
 """
 
 
+#: Bloom-filter parameters for the sketch-based decontamination path:
+#: m bits, k md5-derived hash slots per shingle. m is sized to the
+#: benchmark (fixed in production: the held-out eval set doesn't grow with
+#: the corpus), so the bitmap is a CONSTANT-size broadcast no matter how
+#: large the training side gets. At the fixture scales this gives a lightly
+#: loaded filter at sf0.01 and a visibly loaded one at sf0.1, so the
+#: false-positive accounting below is exercised, not vacuous.
+_BLOOM_M = 131072
+_BLOOM_K = 3
+
+
+def _bloom_pos(ng, i: int):
+    """Hash slot i of shingle `ng` in [0, _BLOOM_M): bigint of the first 15
+    md5 hex chars of the salted shingle — the same md5 idiom every other
+    hash-family operator here uses, bit-identical in DuckDB."""
+    salted = F.concat(ng if not isinstance(ng, str) else F.col(ng), F.lit(f"|bloom{i}"))
+    return (
+        F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("bigint") % _BLOOM_M
+    )
+
+
+def text_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination via a Bloom-filter sketch of the benchmark shingle
+    set — the 100-TB-scale path for :func:`text_decontaminate`.
+
+    Why a sketch: the exact path broadcast-joins the full benchmark shingle
+    SET against every training shingle. That is fine when the benchmark is
+    small, but the broadcast grows with the benchmark's distinct-shingle
+    count (strings). The Bloom bitmap is a fixed ``m``-bit object
+    (here 16 KiB equivalent) regardless of benchmark string sizes, and the
+    probe is pure hashing — so at 100 TB the corpus-side pass is a
+    scan-local broadcast-hash probe, and exact string comparison only runs
+    over the (tiny) bloom-flagged survivor set.
+
+    Plan shape (all equi-joins, no cartesian work):
+
+    1. bitmap build: benchmark shingles -> k md5 hash slots -> distinct
+       set-bit positions (<= m rows of one int; auto-broadcast);
+    2. probe: each distinct training (doc, shingle) hashes to its k slots
+       and is bloom-flagged iff ALL k slots are set (count-distinct
+       matched slots == k after the broadcast join);
+    3. rescue join: ONLY bloom-flagged pairs are string-compared against
+       the true benchmark set (no false negatives, so exact hits are a
+       subset of flagged) — the output counts both, and their difference
+       is the measured false-positive load of the sketch.
+
+    Same shingle size / benchmark slice / threshold as
+    :func:`text_decontaminate`, so the ``contaminated`` verdicts agree
+    entry-to-entry while the plans differ."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    shingled = d.select("doc_id", F.explode(_ngrams_expr("toks", _DECON_N)).alias("ng"))
+    bench = shingled.filter(F.col("doc_id") % 10 == 0).select("ng").distinct()
+    bloom_bits = (
+        bench.select(
+            F.explode(
+                F.array(*[_bloom_pos(F.col("ng"), i) for i in range(_BLOOM_K)])
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    train = (
+        shingled.filter(F.col("doc_id") % 10 != 0).distinct()
+    )
+    probes = train.select(
+        "doc_id",
+        "ng",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("hi"), _bloom_pos(F.col("ng"), i).alias("pos")
+                    )
+                    for i in range(_BLOOM_K)
+                ]
+            )
+        ).alias("h"),
+    ).select("doc_id", "ng", F.col("h.hi").alias("hi"), F.col("h.pos").alias("pos"))
+    flagged = (
+        probes.join(F.broadcast(bloom_bits), "pos")
+        .groupBy("doc_id", "ng")
+        .agg(F.countDistinct("hi").alias("nh"))
+        .filter(F.col("nh") == _BLOOM_K)
+        .select("doc_id", "ng")
+    )
+    n_bloom = flagged.groupBy("doc_id").agg(F.count("*").alias("n_bloom"))
+    n_exact = (
+        flagged.join(F.broadcast(bench), "ng")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_exact"))
+    )
+    return (
+        d.filter(F.col("doc_id") % 10 != 0)
+        .select("doc_id")
+        .join(n_bloom, "doc_id", "left")
+        .join(n_exact, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bloom", F.lit(0)).alias("n_bloom_hits"),
+            F.coalesce("n_exact", F.lit(0)).alias("n_exact_hits"),
+            (F.coalesce("n_bloom", F.lit(0)) - F.coalesce("n_exact", F.lit(0))).alias(
+                "n_bloom_false_pos"
+            ),
+            (F.coalesce("n_exact", F.lit(0)) >= _DECON_FLAG_MIN).alias("contaminated"),
+        )
+    )
+
+
+_DK_BLOOM_POS = (
+    "CAST(('0x' || substring(md5({ng} || '|bloom' || CAST(h.i AS VARCHAR)), 1, 15)) "
+    f"AS BIGINT) % {_BLOOM_M}"
+)
+
+TEXT_BLOOM_DECONTAMINATE_SQL = f"""
+WITH tok AS (SELECT doc_id, {_DK_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id, array_to_string(toks[g.i:g.i+{_DECON_N - 1}], ' ') AS ng
+  FROM tok, LATERAL unnest(generate_series(1, len(toks)-{_DECON_N - 1})) AS g(i)
+),
+bench AS (SELECT DISTINCT ng FROM sh WHERE doc_id % 10 = 0),
+bloom_bits AS (
+  SELECT DISTINCT {_DK_BLOOM_POS.format(ng='ng')} AS pos
+  FROM bench, LATERAL unnest(generate_series(0, {_BLOOM_K - 1})) AS h(i)
+),
+train AS (SELECT DISTINCT doc_id, ng FROM sh WHERE doc_id % 10 <> 0),
+probes AS (
+  SELECT t.doc_id, t.ng, h.i AS hi, {_DK_BLOOM_POS.format(ng='t.ng')} AS pos
+  FROM train t, LATERAL unnest(generate_series(0, {_BLOOM_K - 1})) AS h(i)
+),
+flagged AS (
+  SELECT p.doc_id, p.ng
+  FROM probes p JOIN bloom_bits b ON p.pos = b.pos
+  GROUP BY p.doc_id, p.ng
+  HAVING COUNT(DISTINCT p.hi) = {_BLOOM_K}
+),
+nb AS (SELECT doc_id, COUNT(*) AS n_bloom FROM flagged GROUP BY doc_id),
+ne AS (
+  SELECT f.doc_id, COUNT(*) AS n_exact
+  FROM flagged f JOIN bench b ON f.ng = b.ng
+  GROUP BY f.doc_id
+),
+docs AS (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0)
+SELECT d.doc_id,
+       COALESCE(nb.n_bloom, 0) AS n_bloom_hits,
+       COALESCE(ne.n_exact, 0) AS n_exact_hits,
+       COALESCE(nb.n_bloom, 0) - COALESCE(ne.n_exact, 0) AS n_bloom_false_pos,
+       COALESCE(ne.n_exact, 0) >= {_DECON_FLAG_MIN} AS contaminated
+FROM docs d
+LEFT JOIN nb ON d.doc_id = nb.doc_id
+LEFT JOIN ne ON d.doc_id = ne.doc_id
+"""
+
+
 #: per-language keep-rates for the stratified sample, in basis points of
 #: 10000 — the data-MIXING shape: downsample the dominant language, keep
 #: the tail. Hash-based (not random): reproducible across runs/engines.
@@ -3154,6 +3308,10 @@ TEXT_QUERIES: dict[str, tuple] = {
     "text_repetition_stats": (text_repetition_stats, TEXT_REPETITION_SQL),
     "text_pii_scrub": (text_pii_scrub, TEXT_PII_SCRUB_SQL),
     "text_decontaminate": (text_decontaminate, TEXT_DECONTAMINATE_SQL),
+    "text_bloom_decontaminate": (
+        text_bloom_decontaminate,
+        TEXT_BLOOM_DECONTAMINATE_SQL,
+    ),
     "ann_topk_bruteforce": (ann_topk_bruteforce, ANN_TOPK_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL),
     "multimodal_meta": (multimodal_meta, MULTIMODAL_META_SQL),
