@@ -173,6 +173,7 @@ PRUNED: dict[str, str] = {
     "pipeline_audio_manifest": "NEW r7 (born past the cap), full oracle locally + swept; rotate in r8",
     "dedup_ngram_jaccard": "due r8 — dedup_corpus_final (driver r7) drives the shingle/bucket candidate chain",
     "text_bloom_decontaminate": "NEW r7 (born past the cap), full oracle locally + swept; rotate in r8",
+    "dedup_fuzzy_editdist": "NEW r7 (born past the cap), full oracle locally + swept; rotate in r8",
 }
 
 #: driver evaluation order, round 7: the 5 due-r7 entries first, then the

@@ -1347,6 +1347,196 @@ LEFT JOIN ne ON d.doc_id = ne.doc_id
 """
 
 
+#: edit-distance join parameters: threshold tau, and tau+1 segments per
+#: string (pigeonhole: <= tau edits leave at least one segment intact)
+_FUZZY_TAU = 2
+_FUZZY_NSEG = _FUZZY_TAU + 1
+
+
+def _seg_bounds(i, L):
+    """1-indexed start and length of segment ``i`` of a string of length
+    ``L`` split into ``_FUZZY_NSEG`` even segments: segment i covers
+    0-indexed [i*L//n, (i+1)*L//n). Exact integer math (values are tiny,
+    double division then floor is exact), mirrored verbatim with ``//`` in
+    the DuckDB dialect."""
+    n = _FUZZY_NSEG
+    start0 = F.floor(i * L / n).cast("int")
+    end0 = F.floor((i + 1) * L / n).cast("int")
+    return start0 + 1, (end0 - start0)
+
+
+def dedup_fuzzy_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by edit-distance similarity join — the fuzzy
+    member of the dedup family (typo'd registry strings matched back to
+    their canonical form, lev <= tau), using segment-partition candidate
+    generation in the style of PassJoin (Li/Deng/Feng, VLDB 2012 — public
+    algorithm): each clean entity of length L is split into tau+1 even
+    segments; by pigeonhole, any string within tau edits contains at least
+    one segment VERBATIM, at a position shifted by at most tau. So
+    candidates come from a pure EQUI-join on (L, segment-index, segment
+    text) between clean segments and dirty substrings enumerated over the
+    bounded (candidate-L x segment x +-tau shift) grid — <= 75 constant
+    probes per string at tau=2 — and only candidate pairs pay a
+    levenshtein verify. At 100 TB: no cartesian work anywhere; candidate
+    generation is a shuffle on short segment keys whose selectivity grows
+    with entity diversity, and the verify is a projection on the
+    (near-linear) candidate set. Guaranteed recall — the segment grid is
+    a superset of every reachable alignment, and the verify is exact.
+
+    Fixture: entities are variable-length document-text prefixes
+    (20-28 chars, so the candidate-length enumeration is real); the dirty
+    side applies one deterministic edit keyed by doc_id — delete /
+    substitute-'#' / insert-'#' at a doc_id-derived interior position —
+    so every dirty string has a distance-1 canonical match plus whatever
+    near-prefix cross-matches genuinely exist."""
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") >= 28)
+        .select(
+            "doc_id",
+            (F.lit(20) + F.col("doc_id") % 9).cast("int").alias("elen"),
+            F.col("text"),
+        )
+        .select(
+            "doc_id", "elen", F.col("text").substr(F.lit(1), F.col("elen")).alias("ename")
+        )
+    )
+    pos = (F.col("doc_id") % (F.col("elen") - 2) + 2).cast("int")
+    opsel = F.col("doc_id") % 3
+    head = F.col("ename").substr(F.lit(1), pos - 1)
+    tail_after = F.col("ename").substr(pos + 1, F.lit(64))
+    tail_from = F.col("ename").substr(pos, F.lit(64))
+    dirty = base.select(
+        F.col("doc_id").alias("dirty_id"),
+        F.when(opsel == 0, F.concat(head, tail_after))
+        .when(opsel == 1, F.concat(head, F.lit("#"), tail_after))
+        .otherwise(F.concat(head, F.lit("#"), tail_from))
+        .alias("dname"),
+    )
+    # probe grid: candidate clean length x segment index x alignment shift
+    probes = (
+        dirty.select(
+            "dirty_id",
+            "dname",
+            F.explode(
+                F.sequence(
+                    F.length("dname") - _FUZZY_TAU, F.length("dname") + _FUZZY_TAU
+                )
+            ).alias("L"),
+        )
+        .select(
+            "*", F.explode(F.sequence(F.lit(0), F.lit(_FUZZY_NSEG - 1))).alias("i")
+        )
+        .select(
+            "*",
+            F.explode(F.sequence(F.lit(-_FUZZY_TAU), F.lit(_FUZZY_TAU))).alias("sh"),
+        )
+    )
+    seg_start, seg_len = _seg_bounds(F.col("i"), F.col("L"))
+    start = (seg_start + F.col("sh")).cast("int")
+    probe_keys = (
+        probes.select(
+            "dirty_id",
+            F.col("L").cast("int").alias("L"),
+            F.col("i").cast("int").alias("i"),
+            F.col("dname").substr(start, seg_len).alias("seg"),
+            start.alias("st"),
+            seg_len.alias("sl"),
+            F.length("dname").alias("dl"),
+        )
+        .filter(
+            (F.col("st") >= 1)
+            & (F.col("sl") >= 1)
+            & (F.col("st") + F.col("sl") - 1 <= F.col("dl"))
+        )
+        .select("dirty_id", "L", "i", "seg")
+        .distinct()
+    )
+    ci_seg = base.select(
+        F.col("doc_id").alias("clean_id"),
+        "ename",
+        F.col("elen").alias("L"),
+        F.explode(F.sequence(F.lit(0), F.lit(_FUZZY_NSEG - 1))).alias("i"),
+    )
+    c_start, c_len = _seg_bounds(F.col("i"), F.col("L"))
+    clean_keys = ci_seg.select(
+        "clean_id",
+        F.col("L").cast("int").alias("L"),
+        F.col("i").cast("int").alias("i"),
+        F.col("ename").substr(c_start, c_len).alias("seg"),
+    )
+    cand = (
+        probe_keys.join(clean_keys, ["L", "i", "seg"])
+        .select("dirty_id", "clean_id")
+        .distinct()
+    )
+    return (
+        cand.join(dirty, "dirty_id")
+        .join(base.select(F.col("doc_id").alias("clean_id"), "ename"), "clean_id")
+        .filter(F.levenshtein("dname", "ename") <= _FUZZY_TAU)
+        .select(
+            "dirty_id",
+            "clean_id",
+            F.levenshtein("dname", "ename").cast("int").alias("lev_dist"),
+        )
+    )
+
+
+_DK_SEG_START = "(i.i * {L}) // {n} + 1".format(L="{L}", n=_FUZZY_NSEG)
+_DK_SEG_LEN = "((i.i + 1) * {L}) // {n} - (i.i * {L}) // {n}".format(
+    L="{L}", n=_FUZZY_NSEG
+)
+
+DEDUP_FUZZY_EDITDIST_SQL = f"""
+WITH base AS (
+  SELECT doc_id, CAST(20 + doc_id % 9 AS INT) AS elen,
+         substr(text, 1, CAST(20 + doc_id % 9 AS INT)) AS ename
+  FROM documents WHERE length(text) >= 28
+),
+pos_t AS (SELECT *, CAST(doc_id % (elen - 2) + 2 AS INT) AS pos FROM base),
+dirty AS (
+  SELECT doc_id AS dirty_id,
+         CASE CAST(doc_id % 3 AS INT)
+           WHEN 0 THEN substr(ename, 1, pos - 1) || substr(ename, pos + 1)
+           WHEN 1 THEN substr(ename, 1, pos - 1) || '#' || substr(ename, pos + 1)
+           ELSE substr(ename, 1, pos - 1) || '#' || substr(ename, pos)
+         END AS dname
+  FROM pos_t
+),
+probe_keys AS (
+  SELECT DISTINCT d.dirty_id, CAST(L.l AS INT) AS L, CAST(i.i AS INT) AS i,
+         substr(d.dname, {_DK_SEG_START.format(L='L.l')} + s.s,
+                {_DK_SEG_LEN.format(L='L.l')}) AS seg
+  FROM dirty d,
+       LATERAL unnest(generate_series(length(d.dname) - {_FUZZY_TAU},
+                                      length(d.dname) + {_FUZZY_TAU})) AS L(l),
+       LATERAL unnest(generate_series(0, {_FUZZY_NSEG - 1})) AS i(i),
+       LATERAL unnest(generate_series(-{_FUZZY_TAU}, {_FUZZY_TAU})) AS s(s)
+  WHERE {_DK_SEG_START.format(L='L.l')} + s.s >= 1
+    AND {_DK_SEG_LEN.format(L='L.l')} >= 1
+    AND {_DK_SEG_START.format(L='L.l')} + s.s + {_DK_SEG_LEN.format(L='L.l')} - 1
+        <= length(d.dname)
+),
+clean_keys AS (
+  SELECT b.doc_id AS clean_id, b.elen AS L, CAST(i.i AS INT) AS i,
+         substr(b.ename, {_DK_SEG_START.format(L='b.elen')},
+                {_DK_SEG_LEN.format(L='b.elen')}) AS seg
+  FROM base b, LATERAL unnest(generate_series(0, {_FUZZY_NSEG - 1})) AS i(i)
+),
+cand AS (
+  SELECT DISTINCT p.dirty_id, c.clean_id
+  FROM probe_keys p
+  JOIN clean_keys c ON p.L = c.L AND p.i = c.i AND p.seg = c.seg
+)
+SELECT cand.dirty_id, cand.clean_id,
+       CAST(levenshtein(d.dname, b.ename) AS INT) AS lev_dist
+FROM cand
+JOIN dirty d ON cand.dirty_id = d.dirty_id
+JOIN base b ON cand.clean_id = b.doc_id
+WHERE levenshtein(d.dname, b.ename) <= {_FUZZY_TAU}
+"""
+
+
 #: per-language keep-rates for the stratified sample, in basis points of
 #: 10000 — the data-MIXING shape: downsample the dominant language, keep
 #: the tail. Hash-based (not random): reproducible across runs/engines.
@@ -3312,6 +3502,7 @@ TEXT_QUERIES: dict[str, tuple] = {
         text_bloom_decontaminate,
         TEXT_BLOOM_DECONTAMINATE_SQL,
     ),
+    "dedup_fuzzy_editdist": (dedup_fuzzy_editdist, DEDUP_FUZZY_EDITDIST_SQL),
     "ann_topk_bruteforce": (ann_topk_bruteforce, ANN_TOPK_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL),
     "multimodal_meta": (multimodal_meta, MULTIMODAL_META_SQL),
