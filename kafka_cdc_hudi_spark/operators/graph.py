@@ -183,10 +183,18 @@ def pagerank_int(
     deterministic and harmless for ranking. localCheckpoint per round
     truncates lineage exactly like connected_components. Returns
     (node, deg, rank_ppb)."""
-    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    ).distinct()
-    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    # eager checkpoint: the edge frame may carry an expensive lineage (the
+    # near-dup caller feeds the full LSH candidate chain), and und/deg are
+    # re-read by every iteration's join — without this, each of the
+    # 2*iters+1 jobs replays that lineage from scratch (measured 7.9s ->
+    # 3.7s warm at sf0.01)
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint()
     n = deg.count()
     if n == 0:
         raise ValueError("pagerank over an empty edge set")
