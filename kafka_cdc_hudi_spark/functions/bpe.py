@@ -23,6 +23,28 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 
+def bpe_encode(word: str, merges: Sequence[tuple[int, str, str, str, int]]) -> list[str]:
+    """Encode ``word`` by applying ``merges`` (as returned by
+    :func:`bpe_train_merges`) in rank order, each left-to-right and
+    non-overlapping — the standard property that sequential application of
+    the learned rules to a fresh word reproduces the training-time state.
+    The reference implementation the oracle builder runs; the Spark entry
+    implements the same fold as a codegen'd SQL ``aggregate`` chain."""
+    syms = list(word)
+    for _rank, left, right, merged, _cnt in merges:
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                out.append(merged)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
 def bpe_train_merges(
     vocab: Sequence[tuple[str, int]], k: int
 ) -> list[tuple[int, str, str, str, int]]:

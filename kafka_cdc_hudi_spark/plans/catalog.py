@@ -174,6 +174,7 @@ PRUNED: dict[str, str] = {
     "dedup_ngram_jaccard": "due r8 — dedup_corpus_final (driver r7) drives the shingle/bucket candidate chain",
     "text_bloom_decontaminate": "NEW r7 (born past the cap), full oracle locally + swept; rotate in r8",
     "dedup_fuzzy_editdist": "NEW r7 (born past the cap), full oracle locally + swept; rotate in r8",
+    "text_bpe_encode": "NEW r7 (born past the cap), full oracle locally + swept; rotate in r8",
 }
 
 #: driver evaluation order, round 7: the 5 due-r7 entries first, then the
@@ -256,11 +257,15 @@ def sf_dependent_sql_builders() -> dict:
     driver's sf0.01 build; test_oracle.py and scripts/sweep.py rebuild
     for their own SF via these builders."""
     from kafka_cdc_hudi_spark.plans.catalog_streaming import ivf_trained_sql_for
-    from kafka_cdc_hudi_spark.plans.catalog_text import bpe_merges_sql_for
+    from kafka_cdc_hudi_spark.plans.catalog_text import (
+        bpe_encode_sql_for,
+        bpe_merges_sql_for,
+    )
 
     return {
         "ann_topk_ivf_trained": ivf_trained_sql_for,
         "text_bpe_train_merges": bpe_merges_sql_for,
+        "text_bpe_encode": bpe_encode_sql_for,
     }
 
 

@@ -3307,35 +3307,51 @@ LIMIT {_BPE_PAIR_TOPK}
 _BPE_TRAIN_VOCAB, _BPE_TRAIN_MERGES = 4096, 8
 
 
+#: session cache of the trained BPE artifact per dataset: (app_id, sf_dir)
+#: -> (vocab rows [(pt, w)], merge rules). Both the train and encode
+#: entries consume it; the distributed vocabulary count runs once.
+_BPE_CACHE: dict = {}
+
+
+def _bpe_vocab_and_merges(spark: SparkSession, sf_dir: str):
+    """Distributed part of BPE training — pre-tokenize, count, truncate to
+    the top-4096 pre-tokens by (count DESC, token ASC) — then the
+    deterministic merge loop (functions/bpe.py) driver-side on that
+    bounded table, exactly like the trained-IVF entry's kmeans. The
+    collect is hard-bounded at _BPE_TRAIN_VOCAB rows."""
+    from kafka_cdc_hudi_spark.functions.bpe import bpe_train_merges
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _BPE_CACHE:
+        d = load_table(spark, sf_dir, "documents")
+        pt = d.select(
+            F.explode(
+                F.regexp_extract_all(F.col("text"), F.lit(_BPE_PRETOKEN_RE), 0)
+            ).alias("pt")
+        ).filter(F.trim("pt") != "")
+        vocab = [
+            (r["pt"], r["w"])
+            for r in pt.groupBy("pt")
+            .agg(F.count(F.lit(1)).alias("w"))
+            .orderBy(F.col("w").desc(), F.col("pt").asc())
+            .limit(_BPE_TRAIN_VOCAB)
+            .collect()
+        ]
+        _BPE_CACHE[key] = (vocab, bpe_train_merges(vocab, _BPE_TRAIN_MERGES))
+    return _BPE_CACHE[key]
+
+
 def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer training, end-to-end: learn the first 8 BPE merge rules
-    on the corpus. Spark does the distributed part — pre-tokenize, count,
-    truncate to the top-4096 pre-tokens by (count DESC, token ASC) — and
-    the deterministic merge loop (functions/bpe.py) runs driver-side on
-    that bounded table, exactly like the trained-IVF entry's kmeans
-    (similarity.ivf_train_sql_sample). The oracle builder reruns the SAME
-    trainer on a vocabulary derived independently via DuckDB SQL, so the
-    regex/count/truncation stages are cross-engine-checked through the
-    merge table: any divergence flips a rule and the hash fails.
+    on the corpus (distributed vocabulary count + driver-side bounded
+    merge loop, :func:`_bpe_vocab_and_merges`). The oracle builder reruns
+    the SAME trainer on a vocabulary derived independently via DuckDB SQL,
+    so the regex/count/truncation stages are cross-engine-checked through
+    the merge table: any divergence flips a rule and the hash fails.
 
     Scale shape: the only corpus-bounded work is the pre-token count (one
     explode + one agg); the collect is hard-bounded at 4096 rows."""
-    from kafka_cdc_hudi_spark.functions.bpe import bpe_train_merges
-
-    d = load_table(spark, sf_dir, "documents")
-    pt = d.select(
-        F.explode(
-            F.regexp_extract_all(F.col("text"), F.lit(_BPE_PRETOKEN_RE), 0)
-        ).alias("pt")
-    ).filter(F.trim("pt") != "")
-    vocab = (
-        pt.groupBy("pt")
-        .agg(F.count(F.lit(1)).alias("w"))
-        .orderBy(F.col("w").desc(), F.col("pt").asc())
-        .limit(_BPE_TRAIN_VOCAB)
-        .collect()
-    )
-    merges = bpe_train_merges([(r["pt"], r["w"]) for r in vocab], _BPE_TRAIN_MERGES)
+    _vocab, merges = _bpe_vocab_and_merges(spark, sf_dir)
     return spark.createDataFrame(
         merges, "rank int, lhs string, rhs string, merged string, pair_count long"
     )
@@ -3384,6 +3400,143 @@ FROM (VALUES {values}) t(rank, lhs, rhs, merged, pair_count)
 
 
 TEXT_BPE_TRAIN_MERGES_SQL = bpe_merges_sql_for("/root/testdata/sf0.01")
+
+
+#: encode-time vocabulary cap: pre-tokens outside the top-32 by frequency
+#: fall back to character-level tokens (the byte-fallback shape), so BOTH
+#: encode paths are exercised at every fixture SF (61 distinct pre-tokens)
+_BPE_ENCODE_VOCAB = 32
+
+
+def _sql_str_lit(s: str) -> str:
+    """Spark-SQL single-quoted string literal (backslash escaping)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _bpe_merge_round_expr(inner: str, left: str, right: str, merged: str) -> str:
+    """One BPE merge rule as a SQL ``aggregate`` fold over a symbol array:
+    left-to-right, non-overlapping, via a (accumulated, pending-symbol)
+    struct state — ``pending`` holds the previous symbol so the fold can
+    match the (left, right) bigram without lookahead."""
+    l, r, m = _sql_str_lit(left), _sql_str_lit(right), _sql_str_lit(merged)
+    return (
+        f"aggregate({inner}, "
+        "named_struct('acc', CAST(array() AS ARRAY<STRING>), 'prev', CAST(NULL AS STRING)), "
+        f"(s, x) -> CASE WHEN s.prev = {l} AND x = {r} THEN "
+        f"named_struct('acc', array_append(s.acc, {m}), 'prev', CAST(NULL AS STRING)) "
+        "WHEN s.prev IS NULL THEN named_struct('acc', s.acc, 'prev', x) "
+        "ELSE named_struct('acc', array_append(s.acc, s.prev), 'prev', x) END, "
+        "s -> CASE WHEN s.prev IS NULL THEN s.acc ELSE array_append(s.acc, s.prev) END)"
+    )
+
+
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION — the third stage of the BPE loop (pair
+    counts -> trained merges -> encode the corpus): per-document token
+    accounting under the trained tokenizer, with out-of-vocabulary
+    pre-tokens falling back to character-level tokens.
+
+    Scale shape (the standard vocabulary-bounded encode): the per-string
+    merge fold — 8 chained SQL ``aggregate`` rounds over the character
+    array, one per trained rule — runs ONLY over the bounded vocabulary
+    frame (<= {V} rows), never the corpus; the corpus-bounded work is one
+    pre-token explode + a broadcast join against the encoded vocabulary +
+    one aggregation. At 100 TB the fold cost is a constant, and the
+    per-document pass is scan-local until the final per-doc agg shuffle.
+
+    Oracle: trained-artifact mechanics like the IVF/merges entries — the
+    builder re-derives the vocabulary via DuckDB SQL, reruns the shared
+    trainer AND the shared reference encoder (functions/bpe.py:bpe_encode),
+    and emits the (pre-token, token-count) table as literals; any
+    divergence in Spark's distributed fold flips a per-doc count and the
+    value hash fails."""
+    vocab, merges = _bpe_vocab_and_merges(spark, sf_dir)
+    enc_vocab = spark.createDataFrame(
+        vocab[:_BPE_ENCODE_VOCAB], "pt string, w long"
+    )
+    fold = "split(pt, '')"
+    for _rank, left, right, merged, _cnt in merges:
+        fold = _bpe_merge_round_expr(fold, left, right, merged)
+    encoded = enc_vocab.select(
+        "pt", F.expr(f"size({fold})").cast("long").alias("n_tok")
+    )
+    d = load_table(spark, sf_dir, "documents")
+    pts = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(_BPE_PRETOKEN_RE), 0)
+        ).alias("pt"),
+    ).filter(F.trim("pt") != "")
+    return (
+        pts.join(F.broadcast(encoded), "pt", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pretokens"),
+            F.sum(
+                F.coalesce(F.col("n_tok"), F.length("pt").cast("long"))
+            ).alias("n_bpe_tokens"),
+            F.sum(F.when(F.col("n_tok").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov_pretokens"),
+        )
+    )
+
+
+text_bpe_encode.__doc__ = text_bpe_encode.__doc__.format(V=_BPE_ENCODE_VOCAB)
+
+
+def bpe_encode_sql_for(sf_dir: str) -> str | None:
+    """Build the BPE-encode oracle FOR A GIVEN SCALE FACTOR: re-derive the
+    frequency-truncated vocabulary via DuckDB SQL, rerun the shared
+    trainer and reference encoder, and emit (pre-token, n_tokens) as a
+    literal table the per-doc SQL aggregates against. Returns None if the
+    testdata is absent so importing never fails data-less."""
+    import duckdb
+
+    from kafka_cdc_hudi_spark.functions.bpe import bpe_encode, bpe_train_merges
+
+    re_lit = _BPE_PRETOKEN_RE.replace("'", "''")
+    try:
+        rows = duckdb.sql(
+            f"""
+            WITH pt AS (
+              SELECT t.pt FROM read_parquet('{sf_dir}/documents.parquet'),
+                   LATERAL unnest(regexp_extract_all(text, '{re_lit}')) t(pt)
+              WHERE trim(t.pt) <> ''
+            )
+            SELECT pt, COUNT(*) AS w FROM pt GROUP BY pt
+            ORDER BY w DESC, pt ASC LIMIT {_BPE_TRAIN_VOCAB}
+            """
+        ).fetchall()
+    except Exception:
+        return None
+    merges = bpe_train_merges([(p, int(w)) for p, w in rows], _BPE_TRAIN_MERGES)
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    values = ", ".join(
+        f"({q(p)}, {len(bpe_encode(p, merges))})"
+        for p, _w in rows[:_BPE_ENCODE_VOCAB]
+    )
+    return f"""
+WITH venc(pt, n_tok) AS (VALUES {values}),
+pts AS (
+  SELECT doc_id, t.pt FROM documents,
+       LATERAL unnest(regexp_extract_all(text, '{re_lit}')) t(pt)
+  WHERE trim(t.pt) <> ''
+)
+SELECT p.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_pretokens,
+       CAST(SUM(COALESCE(v.n_tok, length(p.pt))) AS BIGINT) AS n_bpe_tokens,
+       CAST(SUM(CASE WHEN v.n_tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov_pretokens
+FROM pts p LEFT JOIN venc v ON p.pt = v.pt
+GROUP BY p.doc_id
+"""
+
+
+TEXT_BPE_ENCODE_SQL = bpe_encode_sql_for("/root/testdata/sf0.01")
 
 
 #: interleave resolution: keys are exact integers on a 1e9 grid
@@ -3469,6 +3622,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "text_bpe_pretokenize": (text_bpe_pretokenize, TEXT_BPE_PRETOKENIZE_SQL),
     "text_bpe_pair_counts": (text_bpe_pair_counts, TEXT_BPE_PAIR_COUNTS_SQL),
     "text_bpe_train_merges": (text_bpe_train_merges, TEXT_BPE_TRAIN_MERGES_SQL),
+    "text_bpe_encode": (text_bpe_encode, TEXT_BPE_ENCODE_SQL),
     "dataset_interleave_order": (dataset_interleave_order, DATASET_INTERLEAVE_SQL),
     "embedding_mrl_energy": (embedding_mrl_energy, EMBEDDING_MRL_SQL),
     "text_trigram_novelty": (text_trigram_novelty, TEXT_TRIGRAM_NOVELTY_SQL),
