@@ -157,6 +157,12 @@ class JobConfig:
     #: cow-bucketed only: Z-order the cluster columns (>=2, numeric)
     #: instead of sorting them linearly (functions/zorder.py)
     sink_cluster_zorder: bool = False
+    #: plain layouts (cow / mor-compacted bases): RANGE-partition base
+    #: writes on the cluster expression so files cover disjoint ranges and
+    #: the pointer's per-file stats index prunes point lookups to ~1 file
+    #: (sinks/keyed_table.py cluster_range_files); an int pins the file
+    #: count per rewrite, true lets AQE size the files
+    sink_cluster_range_files: bool | int = False
     checkpoint_location: str = "/tmp/cdc_checkpoint"
     #: dead-letter dir: raw records that fail envelope parsing are written
     #: under <quarantine_dir>/batch_<id>/ (overwrite per batch -> replay
@@ -212,6 +218,13 @@ class JobConfig:
             ),
             sink_cluster_zorder=props.get("sink_cluster_zorder", "false").lower()
             == "true",
+            sink_cluster_range_files=(
+                int(_rng)
+                if (_rng := props.get("sink_cluster_range_files", "false"))
+                .strip()
+                .isdigit()
+                else _rng.strip().lower() == "true"
+            ),
             checkpoint_location=props.get("checkpoint_location", "/tmp/cdc_checkpoint"),
             quarantine_dir=props.get("quarantine_dir"),
             trigger_interval=_normalize_interval(props.get("checkpoint_interval", "30")),

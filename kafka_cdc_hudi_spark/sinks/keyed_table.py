@@ -132,6 +132,7 @@ class KeyedParquetTable:
         n_buckets: int = 16,
         cluster_cols: Sequence[str] = (),
         cluster_zorder: bool = False,
+        cluster_range_files: bool | int = False,
     ):
         if mode not in (MODE_COW, MODE_MOR, MODE_COW_BUCKETED):
             raise ValueError(
@@ -174,6 +175,20 @@ class KeyedParquetTable:
         self.cluster_zorder = cluster_zorder
         if cluster_zorder and len(self.cluster_cols) < 2:
             raise ValueError("cluster_zorder needs >= 2 cluster_cols")
+        #: truthy: plain-layout base writes (COW bases, MOR compacted
+        #: bases, restores) are RANGE-partitioned on the cluster expression
+        #: before the within-file sort, so files cover disjoint ranges and
+        #: the per-file stats index (``file_stats`` in the pointer) gets
+        #: real FILE-level selectivity — Delta OPTIMIZE / Hudi clustering
+        #: parity. ``True`` lets AQE size the range partitions (~advisory
+        #: bytes per file — the right default at cluster scale); an int
+        #: pins the exact file count (AQE never coalesces an explicit
+        #: count — useful when the table's file granularity is a contract).
+        #: Off by default: it adds a range-exchange (plus its sampling
+        #: pass) to every rewrite.
+        self.cluster_range_files = cluster_range_files
+        if cluster_range_files and not self.cluster_cols:
+            raise ValueError("cluster_range_files needs cluster_cols")
 
     # -- pointer management -------------------------------------------------
     @property
@@ -197,9 +212,18 @@ class KeyedParquetTable:
         batch_id: int | None,
         commits: dict[int, str],
         savepoints: dict[str, int] | None = None,
+        file_stats: dict[str, dict] | None = None,
     ) -> None:
+        prev = self._read_pointer()
         if savepoints is None:  # preserve existing savepoints on every commit
-            savepoints = self._savepoints(self._read_pointer())
+            savepoints = self._savepoints(prev)
+        # column-stats index: preserve prior versions' entries, fold in the
+        # new commit's, and trim to versions still in the commit map so
+        # retention pruning cleans the index too
+        stats = dict((prev or {}).get("file_stats") or {})
+        stats.update(file_stats or {})
+        live = {str(v) for v in commits}
+        stats = {v: s for v, s in stats.items() if v in live}
         tmp = self._pointer_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(
@@ -208,10 +232,78 @@ class KeyedParquetTable:
                     "last_batch_id": batch_id,
                     "savepoints": savepoints,
                     "commits": {str(v): k for v, k in sorted(commits.items())},
+                    "file_stats": stats,
                 },
                 f,
             )
         os.replace(tmp, self._pointer_path)  # atomic on POSIX
+
+    def _stats_cols(self) -> list[str]:
+        """Columns carried in the per-file stats index: primary keys first
+        (point-lookup pruning), then cluster columns (range pruning),
+        capped so the index stays metadata-sized."""
+        return list(dict.fromkeys([*self.keys, *self.cluster_cols]))[:4]
+
+    @staticmethod
+    def _json_stat(v):
+        """Footer statistic -> JSON-round-trippable value, or None when the
+        type can't be compared faithfully after a JSON round trip."""
+        if isinstance(v, bytes):
+            try:
+                return v.decode("utf-8")
+            except UnicodeDecodeError:
+                return None
+        if isinstance(v, bool) or isinstance(v, (int, float, str)):
+            return v
+        return None  # timestamps / decimals: not indexed
+
+    def _collect_file_stats(self, vdir: str) -> dict[str, dict] | None:
+        """Per-file [min, max] for :meth:`_stats_cols`, harvested from the
+        parquet FOOTERS the write just produced — metadata-only, no data
+        read and no Spark job (the Hudi column-stats-index / Delta
+        file-skipping analog, stored in the commit pointer). A column is
+        only indexed for a file when EVERY row group carries min/max for
+        it; anything unreadable degrades to ``None`` (no index — readers
+        then scan every file, exactly the pre-index behavior)."""
+        try:
+            import pyarrow.parquet as pq
+        except ImportError:  # pragma: no cover - pyarrow is baked in
+            return None
+        want = self._stats_cols()
+        out: dict[str, dict] = {}
+        try:
+            names = sorted(
+                n for n in os.listdir(vdir) if n.endswith(".parquet")
+            )
+        except OSError:
+            return None
+        for name in names:
+            try:
+                md = pq.ParquetFile(os.path.join(vdir, name)).metadata
+            except Exception:
+                return None
+            per: dict[str, list] = {}
+            broken: set[str] = set()
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    cname = col.path_in_schema
+                    if cname not in want or cname in broken:
+                        continue
+                    st = col.statistics
+                    lo = self._json_stat(st.min) if st and st.has_min_max else None
+                    hi = self._json_stat(st.max) if st and st.has_min_max else None
+                    if lo is None or hi is None:
+                        broken.add(cname)
+                        per.pop(cname, None)
+                        continue
+                    if cname in per:
+                        per[cname] = [min(per[cname][0], lo), max(per[cname][1], hi)]
+                    else:
+                        per[cname] = [lo, hi]
+            out[name] = per
+        return out or None
 
     def _version_dir(self, version: int) -> str:
         return os.path.join(self.root, f"v_{version:08d}")
@@ -365,6 +457,10 @@ class KeyedParquetTable:
                 F.struct(*[F.col(k).alias(k) for k in self.keys]).isin(lits)
             )
 
+        if self.mode == MODE_COW:
+            pruned = self._cow_stats_pruned(spark, rows)
+            if pruned is not None:
+                return _match(pruned)
         if self.mode != MODE_COW_BUCKETED:
             return _match(self.read(spark))
         p = self._read_pointer()
@@ -385,6 +481,50 @@ class KeyedParquetTable:
             return _match(snapshot.filter(F.lit(False)))
         pruned = spark.read.option("mergeSchema", "true").parquet(*paths)
         return _match(pruned)
+
+    def _cow_stats_pruned(self, spark: SparkSession, rows: list[tuple]) -> DataFrame | None:
+        """COW point-lookup file pruning via the pointer's column-stats
+        index: keep only base files whose [min, max] for the first key
+        column can contain a requested value (plus any file the index
+        doesn't cover — conservative). Returns None when the index can't
+        prune safely (no pointer, no stats for the current version), in
+        which case the caller scans the full snapshot. MOR is excluded by
+        the caller: pending deltas must always be folded, so its lookups
+        go through :meth:`read`. With ``cluster_range_files`` layouts the
+        index reduces a point lookup to ~1 file regardless of table size;
+        on hash-laid-out tables every file spans the key domain and the
+        index degrades to the full-scan behavior."""
+        p = self._read_pointer()
+        if p is None:
+            return None
+        stats_all = (p.get("file_stats") or {}).get(str(p["version"]))
+        if not stats_all:
+            return None
+        vdir = self._version_dir(p["version"])
+        try:
+            names = sorted(n for n in os.listdir(vdir) if n.endswith(".parquet"))
+        except OSError:
+            return None
+        k0 = self.keys[0]
+        vals = {r[0] for r in rows}
+        keep: list[str] = []
+        for name in names:
+            st = (stats_all.get(name) or {}).get(k0)
+            if not st:
+                keep.append(name)  # unindexed file: include conservatively
+                continue
+            lo, hi = st
+            try:
+                if any(lo <= v <= hi for v in vals):
+                    keep.append(name)
+            except TypeError:
+                keep.append(name)  # incomparable after JSON round trip
+        if not keep:
+            # schema-only read: no file can contain any requested key
+            return spark.read.parquet(vdir).filter(F.lit(False))
+        if len(keep) == len(names):
+            return spark.read.parquet(vdir)
+        return spark.read.parquet(*[os.path.join(vdir, n) for n in keep])
 
     def _merge_batch_bucketed(
         self, spark: SparkSession, batch: DataFrame, batch_id: int | None, p: dict | None
@@ -833,8 +973,14 @@ class KeyedParquetTable:
         self._cluster_sort(merged, bucketed=False).write.mode("overwrite").parquet(
             self._version_dir(new_version)
         )
+        stats = self._collect_file_stats(self._version_dir(new_version))
         commits[new_version] = "base"
-        self._write_pointer(new_version, batch_id, commits)
+        self._write_pointer(
+            new_version,
+            batch_id,
+            commits,
+            file_stats={str(new_version): stats} if stats else None,
+        )
         self._prune(new_version)
         return True
 
@@ -851,6 +997,8 @@ class KeyedParquetTable:
             return out
         prefix = [_BUCKET_COL] if bucketed else []
         if not self.cluster_zorder:
+            if self.cluster_range_files and not bucketed:
+                out = out.repartitionByRange(*self._range_args(self.cluster_cols))
             return out.sortWithinPartitions(*prefix, *self.cluster_cols)
         row = out.agg(
             *[
@@ -866,7 +1014,18 @@ class KeyedParquetTable:
             (c, row[f"_lo_{c}"] or 0.0, row[f"_hi_{c}"] or 0.0)
             for c in self.cluster_cols
         ]
+        if self.cluster_range_files and not bucketed:
+            out = out.repartitionByRange(*self._range_args([zorder_key(bounds)]))
         return out.sortWithinPartitions(*prefix, zorder_key(bounds))
+
+    def _range_args(self, cols: Sequence) -> list:
+        """repartitionByRange args: a pinned partition count when
+        ``cluster_range_files`` is an int (AQE honors explicit counts),
+        else just the columns (AQE sizes the partitions)."""
+        exprs = [F.col(c) if isinstance(c, str) else c for c in cols]
+        if isinstance(self.cluster_range_files, bool):
+            return exprs
+        return [int(self.cluster_range_files), *exprs]
 
     def _commit_bucketed_snapshot(self, state: DataFrame, p: dict, new_version: int) -> int:
         """Write ``state`` as a complete bucketed snapshot committed at
@@ -1024,9 +1183,15 @@ class KeyedParquetTable:
         self._cluster_sort(state, bucketed=False).write.mode("overwrite").parquet(
             self._version_dir(new_version)
         )
+        stats = self._collect_file_stats(self._version_dir(new_version))
         commits = self._commits_map(p)
         commits[new_version] = "base"
-        self._write_pointer(new_version, p.get("last_batch_id"), commits)
+        self._write_pointer(
+            new_version,
+            p.get("last_batch_id"),
+            commits,
+            file_stats={str(new_version): stats} if stats else None,
+        )
         self._prune(new_version)
         return new_version
 
@@ -1081,13 +1246,19 @@ class KeyedParquetTable:
         self._cluster_sort(merged, bucketed=False).write.mode("overwrite").parquet(
             self._version_dir(new_version)
         )
+        stats = self._collect_file_stats(self._version_dir(new_version))
         commits = self._commits_map(p)
         for d in deltas:
             commits.pop(d, None)
         commits[new_version] = "base"
         # pointer first (atomic commit), then remove the folded delta dirs —
         # a crash in between leaves unmanifested dirs for _prune to sweep
-        self._write_pointer(new_version, p.get("last_batch_id"), commits)
+        self._write_pointer(
+            new_version,
+            p.get("last_batch_id"),
+            commits,
+            file_stats={str(new_version): stats} if stats else None,
+        )
         for d in deltas:
             shutil.rmtree(self._delta_dir(d), ignore_errors=True)
         self._prune(new_version)

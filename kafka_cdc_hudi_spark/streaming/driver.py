@@ -77,6 +77,7 @@ class CdcStreamDriver:
                 n_buckets=self.config.sink_n_buckets,
                 cluster_cols=self.config.sink_cluster_cols,
                 cluster_zorder=self.config.sink_cluster_zorder,
+                cluster_range_files=self.config.sink_cluster_range_files,
             )
         return self._sinks[key]
 

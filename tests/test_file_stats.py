@@ -1,0 +1,124 @@
+"""Per-file column-stats index (pointer ``file_stats``) + range-clustered
+base layout: the Hudi column-stats-index / Delta file-skipping analog.
+
+Correctness bar: stats-pruned point lookups must return exactly what a
+full-scan lookup returns, on every layout (range-clustered, hash, MOR),
+and the I/O reduction must be REAL — pinned via ``inputFiles()`` like the
+bucketed-lookup test.
+"""
+
+import json
+import os
+
+import pytest
+
+from kafka_cdc_hudi_spark.sinks.keyed_table import (
+    KeyedParquetTable,
+    MODE_COW,
+    MODE_MOR,
+)
+
+SCHEMA = "id long, mtime long, _deleted boolean, val string"
+
+
+def rows_df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+@pytest.fixture()
+def ranged(tmp_path):
+    return KeyedParquetTable(
+        str(tmp_path / "ranged"),
+        keys=["id"],
+        order_col="mtime",
+        cluster_cols=["id"],
+        cluster_range_files=8,  # pinned file count (AQE would coalesce 2000 tiny rows to 1)
+    )
+
+
+def test_range_layout_stats_prune_lookups(spark, ranged):
+    t = ranged
+    base = [(i, 10, False, f"a{i}") for i in range(2000)]
+    assert t.merge_batch(spark, rows_df(spark, base), batch_id=0)
+
+    p = t._read_pointer()
+    stats = p["file_stats"][str(p["version"])]
+    files = {n for n in os.listdir(t._version_dir(p["version"])) if n.endswith(".parquet")}
+    assert set(stats) == files and len(files) > 1
+    # range layout: per-file id ranges are disjoint
+    ranges = sorted(tuple(s["id"]) for s in stats.values())
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert lo1 <= hi1 < lo2
+
+    got = {(r["id"], r["val"]) for r in t.read_keys(spark, [(5,), (1995,)]).collect()}
+    assert got == {(5, "a5"), (1995, "a1995")}
+    # the pruned plan reads strictly fewer files than the snapshot holds
+    lookup_files = set(t.read_keys(spark, [(5,)]).inputFiles())
+    all_files = set(t.read(spark).inputFiles())
+    assert lookup_files and lookup_files < all_files
+    # no file can contain the key -> schema-only empty frame
+    assert t.read_keys(spark, [(5000,)]).count() == 0
+    assert t.read_keys(spark, [(5000,)]).inputFiles() == []
+
+
+def test_stats_follow_updates_and_retention(spark, ranged):
+    t = ranged
+    t.merge_batch(spark, rows_df(spark, [(i, 10, False, f"a{i}") for i in range(100)]), batch_id=0)
+    for bid in range(1, 5):  # push past keep_versions=3
+        t.merge_batch(
+            spark,
+            rows_df(spark, [(i, 10 + bid, False, f"b{bid}_{i}") for i in range(0, 100, 7)]),
+            batch_id=bid,
+        )
+    p = t._read_pointer()
+    # the index never references pruned versions, and covers the current one
+    assert set(p["file_stats"]) <= set(p["commits"])
+    assert str(p["version"]) in p["file_stats"]
+    got = {r["val"] for r in t.read_keys(spark, [(7,)]).collect()}
+    assert got == {"b4_7"}
+
+
+def test_hash_layout_lookup_still_correct(spark, tmp_path):
+    # no clustering: files span the key domain, the index can't prune,
+    # but lookups must stay correct (degrades to full scan)
+    t = KeyedParquetTable(str(tmp_path / "hash"), keys=["id"], order_col="mtime")
+    t.merge_batch(spark, rows_df(spark, [(i, 10, False, f"a{i}") for i in range(50)]), batch_id=0)
+    got = {(r["id"], r["val"]) for r in t.read_keys(spark, [(3,), (44,)]).collect()}
+    assert got == {(3, "a3"), (44, "a44")}
+
+
+def test_corrupt_index_falls_back_to_full_scan(spark, ranged):
+    t = ranged
+    t.merge_batch(spark, rows_df(spark, [(i, 10, False, f"a{i}") for i in range(200)]), batch_id=0)
+    with open(t._pointer_path) as f:
+        p = json.load(f)
+    del p["file_stats"]
+    with open(t._pointer_path, "w") as f:
+        json.dump(p, f)
+    got = {r["val"] for r in t.read_keys(spark, [(7,)]).collect()}
+    assert got == {"a7"}
+
+
+def test_mor_lookups_fold_pending_deltas(spark, tmp_path):
+    # MOR must NOT take the stats-pruned path: a pending delta can update
+    # any key, so lookups go through the folded read
+    t = KeyedParquetTable(
+        str(tmp_path / "mor"), keys=["id"], order_col="mtime", mode=MODE_MOR,
+        cluster_cols=["id"], cluster_range_files=True,
+    )
+    t.merge_batch(spark, rows_df(spark, [(i, 10, False, f"a{i}") for i in range(50)]), batch_id=0)
+    t.compact(spark)  # base with stats
+    t.merge_batch(spark, rows_df(spark, [(7, 20, False, "updated")]), batch_id=1)
+    got = {r["val"] for r in t.read_keys(spark, [(7,)]).collect()}
+    assert got == {"updated"}
+
+
+def test_restore_and_compact_record_stats(spark, ranged):
+    t = ranged
+    t.merge_batch(spark, rows_df(spark, [(i, 10, False, f"a{i}") for i in range(100)]), batch_id=0)
+    v1 = t._read_pointer()["version"]
+    t.merge_batch(spark, rows_df(spark, [(5, 20, False, "new5")]), batch_id=1)
+    rv = t.restore(spark, version=v1)
+    p = t._read_pointer()
+    assert str(rv) in p["file_stats"]
+    assert {r["val"] for r in t.read_keys(spark, [(5,)]).collect()} == {"a5"}
