@@ -422,6 +422,47 @@ class KeyedParquetTable:
         # bucket id is layout, not data; mergeSchema covers cross-version drift
         return spark.read.option("mergeSchema", "true").parquet(*paths)
 
+    def read_range(self, spark: SparkSession, col: str, lo, hi) -> DataFrame:
+        """Range slice ``lo <= col <= hi`` with file-level skipping: on a
+        COW table whose pointer carries the column-stats index, only the
+        base files whose [min, max] for ``col`` overlap the range are
+        opened (with ``cluster_range_files`` layouts that is the touched
+        slice of the table, not all of it); the predicate is then applied
+        normally, so parquet row-group pruning still works inside the kept
+        files. Falls back to a full snapshot read + filter wherever the
+        index can't prune safely (MOR pending deltas, bucketed layout,
+        missing stats) — same results, more I/O."""
+        pred = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+        if self.mode == MODE_COW:
+            p = self._read_pointer()
+            stats_all = (p or {}).get("file_stats", {}).get(str(p["version"])) if p else None
+            if stats_all:
+                vdir = self._version_dir(p["version"])
+                try:
+                    names = sorted(
+                        n for n in os.listdir(vdir) if n.endswith(".parquet")
+                    )
+                except OSError:
+                    names = []
+                keep = []
+                for name in names:
+                    st = (stats_all.get(name) or {}).get(col)
+                    if not st:
+                        keep.append(name)  # unindexed: include conservatively
+                        continue
+                    try:
+                        if st[0] <= hi and lo <= st[1]:
+                            keep.append(name)
+                    except TypeError:
+                        keep.append(name)
+                if names and not keep:
+                    return spark.read.parquet(vdir).filter(F.lit(False))
+                if names and len(keep) < len(names):
+                    return spark.read.parquet(
+                        *[os.path.join(vdir, n) for n in keep]
+                    ).filter(pred)
+        return self.read(spark).filter(pred)
+
     def read_keys(self, spark: SparkSession, key_values: Sequence[Sequence]) -> DataFrame:
         """Primary-key point lookups. On a bucketed table this reads ONLY
         the bucket files that can contain the requested keys (path-level

@@ -113,6 +113,23 @@ def test_mor_lookups_fold_pending_deltas(spark, tmp_path):
     assert got == {"updated"}
 
 
+def test_read_range_prunes_files(spark, ranged):
+    t = ranged
+    t.merge_batch(spark, rows_df(spark, [(i, 10, False, f"a{i}") for i in range(2000)]), batch_id=0)
+    sl = t.read_range(spark, "id", 100, 120)
+    assert {r["id"] for r in sl.collect()} == set(range(100, 121))
+    assert set(sl.inputFiles()) < set(t.read(spark).inputFiles())
+    # fully out-of-range slice: schema-only empty frame
+    assert t.read_range(spark, "id", 10_000, 10_100).count() == 0
+    # MOR fallback folds deltas and still answers correctly
+    mor = KeyedParquetTable(
+        str(t.root) + "_m", keys=["id"], order_col="mtime", mode=MODE_MOR
+    )
+    mor.merge_batch(spark, rows_df(spark, [(i, 10, False, f"a{i}") for i in range(50)]), batch_id=0)
+    mor.merge_batch(spark, rows_df(spark, [(7, 20, False, "upd")]), batch_id=1)
+    assert {r["val"] for r in mor.read_range(spark, "id", 6, 8).collect()} == {"a6", "upd", "a8"}
+
+
 def test_restore_and_compact_record_stats(spark, ranged):
     t = ranged
     t.merge_batch(spark, rows_df(spark, [(i, 10, False, f"a{i}") for i in range(100)]), batch_id=0)
