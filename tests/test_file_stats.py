@@ -130,6 +130,26 @@ def test_read_range_prunes_files(spark, ranged):
     assert {r["val"] for r in mor.read_range(spark, "id", 6, 8).collect()} == {"a6", "upd", "a8"}
 
 
+def test_zorder_range_layout_skips_in_both_dimensions(spark, tmp_path):
+    # Z-order + range files: Morton-range partitioning keeps files local in
+    # EVERY clustered dimension at once, so the per-column stats index
+    # prunes a slice on either dimension — the property that justifies
+    # z-order over a linear (a, b) sort, where a b-slice touches all files
+    t = KeyedParquetTable(
+        str(tmp_path / "z"), keys=["id"], order_col="mtime",
+        cluster_cols=["a", "b"], cluster_zorder=True, cluster_range_files=8,
+    )
+    rows = [(i, 10, False, (i * 37) % 512, (i * 53) % 512) for i in range(4096)]
+    df = spark.createDataFrame(rows, "id long, mtime long, _deleted boolean, a long, b long")
+    assert t.merge_batch(spark, df, batch_id=0)
+    all_files = set(t.read(spark).inputFiles())
+    assert len(all_files) == 8
+    for col in ("a", "b"):
+        sl = t.read_range(spark, col, 0, 63)
+        assert {r[col] for r in sl.collect()} == set(range(0, 64))
+        assert set(sl.inputFiles()) < all_files, f"no file skipped on {col}"
+
+
 def test_restore_and_compact_record_stats(spark, ranged):
     t = ranged
     t.merge_batch(spark, rows_df(spark, [(i, 10, False, f"a{i}") for i in range(100)]), batch_id=0)
