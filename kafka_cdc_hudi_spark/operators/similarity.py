@@ -26,6 +26,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from kafka_cdc_hudi_spark.functions.vectors import cosine
 
@@ -47,19 +48,55 @@ def _srp_planes(dim: int, n_bits: int, table: int, seed: str = "srp") -> np.ndar
 
 
 def srp_signature_col(dim: int, n_bits: int, table: int, col: str = "embedding") -> F.Column:
-    """Signature as a native expression: sign bits of plane dot-products,
-    packed into a long. All JVM-side — the planes are literal arrays."""
+    """Signature of ONE table as a native expression: sign bits of plane
+    dot-products packed into a long, each dot an unrolled left-to-right
+    ``element_at`` sum parsed from a single SQL string. Kept as the
+    pure-relational reference implementation (tests pin it bit-equal to
+    the vectorized path); :func:`srp_bucketize` uses
+    :func:`_srp_sigs_udf` instead — measured at 32 planes x 64 dims,
+    BOTH relational forms are pathological: the ``zip_with``+``aggregate``
+    fold is interpreted per element (per-ROW cost), and this unrolled
+    2048-term tree costs a multi-second per-QUERY optimizer/codegen
+    constant."""
     planes = _srp_planes(dim, n_bits, table)
-    sig = F.lit(0).cast("long")
+    bits = []
     for b in range(n_bits):
-        plane = F.array(*[F.lit(float(v)) for v in planes[b]])
-        d = F.aggregate(
-            F.zip_with(F.col(col), plane, lambda x, p: x.cast("double") * p),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+        dot = " + ".join(
+            f"CAST(element_at({col}, {j + 1}) AS DOUBLE)"
+            f" * CAST('{float(planes[b][j])!r}' AS DOUBLE)"
+            for j in range(dim)
         )
-        sig = sig + F.when(d > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
-    return sig
+        bits.append(f"(CASE WHEN ({dot}) > 0.0D THEN {2 ** b}L ELSE 0L END)")
+    return F.expr("(" + " + ".join(bits) + ")")
+
+
+def _srp_sigs_udf(dim: int, n_bits: int, n_tables: int, seed: str = "srp"):
+    """All n_tables signatures in one Arrow-batched numpy kernel — the
+    dense-linear-algebra path (32 plane dots per row is a matmul, not a
+    per-element SQL expression). Accumulation is vectorized over ROWS but
+    sequential over DIMENSIONS (``acc += x_j * p_j`` left-to-right), so
+    every per-row double is BIT-IDENTICAL to the relational fold and to
+    the SQL oracles' positional unnest-sum — the sign bits, buckets, and
+    value hashes are unchanged, only the execution engine differs.
+    This is one of the two deliberate ArrowEvalPython exemptions in the
+    relational catalog (see tests/test_plan_invariants.py)."""
+    planes = [_srp_planes(dim, n_bits, t, seed) for t in range(n_tables)]
+
+    @pandas_udf("array<long>")
+    def sigs(col: pd.Series) -> pd.Series:
+        if not len(col):
+            return pd.Series([], dtype=object)
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in col])
+        out = np.zeros((len(x), n_tables), dtype=np.int64)
+        for t, p in enumerate(planes):
+            for b in range(n_bits):
+                acc = np.zeros(len(x), dtype=np.float64)
+                for j in range(dim):
+                    acc = acc + x[:, j] * p[b][j]  # oracle addition order
+                out[:, t] |= (acc > 0).astype(np.int64) << b
+        return pd.Series(list(out))
+
+    return sigs
 
 
 def srp_bucketize(
@@ -68,23 +105,16 @@ def srp_bucketize(
     """Add (table, signature) bucket rows: one output row per input row per
     table. Downstream: equi-join on (table, sig) for candidates.
 
-    All n_tables signatures are computed in ONE projection and fanned out
-    with a single explode — a per-table union would recompute the upstream
+    All n_tables signatures are computed in ONE Arrow-batched numpy kernel
+    (:func:`_srp_sigs_udf` — bit-identical to the relational fold, see its
+    docstring for why Python is the right engine here) and fanned out with
+    a single posexplode — a per-table union would recompute the upstream
     lineage once per table (the same anti-pattern the MinHash bands fix)."""
-    entries = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                srp_signature_col(dim, n_bits, t, col).alias("sig"),
-            )
-            for t in range(n_tables)
-        ]
-    )
+    sigs = _srp_sigs_udf(dim, n_bits, n_tables)
     return (
-        df.withColumn("__e", F.explode(entries))
-        .withColumn("tbl", F.col("__e.tbl"))
-        .withColumn("sig", F.col("__e.sig"))
-        .drop("__e")
+        df.withColumn("__sigs", sigs(F.col(col)))
+        .select("*", F.posexplode("__sigs").alias("tbl", "sig"))
+        .drop("__sigs")
     )
 
 
@@ -99,11 +129,19 @@ def srp_topk(
     col: str = "embedding",
 ) -> DataFrame:
     """LSH-bucketed top-k: exact cosine only on bucket-colliding pairs."""
+    # checkpoint both bucketized sides: this is the LSH INDEX BUILD — the
+    # join should probe materialized signatures, not re-derive them, and
+    # without the checkpoint the join plan carries the (n_tables * n_bits
+    # * dim)-term signature projection TWICE through every optimizer pass
+    # (measured: the sf0.01 entry spends multiples of its execution time
+    # re-optimizing that tree)
     qb = srp_bucketize(
         queries.select(F.col(id_col).alias("qid"), F.col(col).alias("qe")),
         dim, n_bits, n_tables, "qe",
+    ).localCheckpoint(eager=False)
+    cb = srp_bucketize(candidates, dim, n_bits, n_tables, col).localCheckpoint(
+        eager=False
     )
-    cb = srp_bucketize(candidates, dim, n_bits, n_tables, col)
     # dedup collisions across tables: distinct() here carries the arrays
     # in the key, but the candidate set is bounded by |queries| * tables *
     # bucket-size — query-bounded, not corpus-bounded — and measured A/B

@@ -549,9 +549,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_cdc_hudi_spark.operators.similarity import srp_bucketize
 
     e = load_table(spark, sf_dir, "embeddings")
+    # checkpointed index build (see srp_topk): the self-join would
+    # otherwise carry the 32-plane signature projection on BOTH sides of
+    # the optimizer's tree
     b = srp_bucketize(
         e.select("vec_id", "embedding"), _EMB_DIM, DEDUP_COS_BITS, DEDUP_COS_TABLES
-    )
+    ).localCheckpoint(eager=False)
     left = b.select(
         "tbl", "sig", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
     )

@@ -41,6 +41,17 @@ _PY_EXEMPT = {
     "multimodal_video_frames",
     "pipeline_multimodal_manifest",
     "multimodal_decode_tiff",
+    # dense linear algebra: SRP signatures are 32 plane dot-products per
+    # row — a matmul. Both relational forms measured pathological (the
+    # higher-order fold is interpreted PER ELEMENT; the unrolled
+    # 2048-term expression costs a multi-second per-query optimizer/
+    # codegen constant), so the signature kernel is an Arrow-batched
+    # numpy accumulation in the ORACLE'S addition order — bit-identical
+    # results, pinned by test_similarity.py::test_srp_udf_matches_
+    # relational_reference and the value oracles. Everything downstream
+    # (bucket equi-join, cosine verify, top-k) stays relational.
+    "ann_topk_srp",
+    "dedup_embedding_cosine",
 }
 
 #: iterative/self-checking queries that run driver-side loops — their

@@ -51,6 +51,31 @@ def test_srp_signatures_deterministic(spark, emb):
     assert len(sigs) > 1, "all vectors in one bucket — hashing degenerate"
 
 
+def test_srp_udf_matches_relational_reference(spark, emb):
+    # the Arrow-batched numpy kernel must be BIT-identical to the pure-SQL
+    # unrolled reference (same addition order) — this is what licenses the
+    # ArrowEvalPython exemption in test_plan_invariants.py
+    from kafka_cdc_hudi_spark.operators.similarity import srp_signature_col
+
+    sample = emb.limit(100).select("vec_id", "embedding")
+    via_udf = {
+        (r["vec_id"], r["tbl"]): r["sig"]
+        for r in srp_bucketize(sample, DIM, n_bits=6, n_tables=3).collect()
+    }
+    via_sql = {
+        (r["vec_id"], t): r[f"s{t}"]
+        for r in sample.select(
+            "vec_id",
+            *[
+                srp_signature_col(DIM, 6, t, "embedding").alias(f"s{t}")
+                for t in range(3)
+            ],
+        ).collect()
+        for t in range(3)
+    }
+    assert via_udf == via_sql
+
+
 def test_srp_topk_recall(spark, emb, exact):
     # random gaussian-ish embeddings: true top-10 neighbors sit at modest
     # cosine (~0.4), so use few bits + many tables for collision probability
