@@ -1356,18 +1356,6 @@ _FUZZY_TAU = 2
 _FUZZY_NSEG = _FUZZY_TAU + 1
 
 
-def _seg_bounds(i, L):
-    """1-indexed start and length of segment ``i`` of a string of length
-    ``L`` split into ``_FUZZY_NSEG`` even segments: segment i covers
-    0-indexed [i*L//n, (i+1)*L//n). Exact integer math (values are tiny,
-    double division then floor is exact), mirrored verbatim with ``//`` in
-    the DuckDB dialect."""
-    n = _FUZZY_NSEG
-    start0 = F.floor(i * L / n).cast("int")
-    end0 = F.floor((i + 1) * L / n).cast("int")
-    return start0 + 1, (end0 - start0)
-
-
 def dedup_fuzzy_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution by edit-distance similarity join — the fuzzy
     member of the dedup family (typo'd registry strings matched back to
@@ -1391,7 +1379,12 @@ def dedup_fuzzy_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     side applies one deterministic edit keyed by doc_id — delete /
     substitute-'#' / insert-'#' at a doc_id-derived interior position —
     so every dirty string has a distance-1 canonical match plus whatever
-    near-prefix cross-matches genuinely exist."""
+    near-prefix cross-matches genuinely exist. The join itself is the
+    generic :func:`operators.fuzzy.editdist_join`; its recall guarantee
+    is property-tested on random multi-edit strings in tests/test_fuzzy.py
+    beyond this entry's single-edit fixture."""
+    from kafka_cdc_hudi_spark.operators.fuzzy import editdist_join
+
     base = (
         load_table(spark, sf_dir, "documents")
         .filter(F.length("text") >= 28)
@@ -1416,72 +1409,10 @@ def dedup_fuzzy_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.concat(head, F.lit("#"), tail_from))
         .alias("dname"),
     )
-    # probe grid: candidate clean length x segment index x alignment shift
-    probes = (
-        dirty.select(
-            "dirty_id",
-            "dname",
-            F.explode(
-                F.sequence(
-                    F.length("dname") - _FUZZY_TAU, F.length("dname") + _FUZZY_TAU
-                )
-            ).alias("L"),
-        )
-        .select(
-            "*", F.explode(F.sequence(F.lit(0), F.lit(_FUZZY_NSEG - 1))).alias("i")
-        )
-        .select(
-            "*",
-            F.explode(F.sequence(F.lit(-_FUZZY_TAU), F.lit(_FUZZY_TAU))).alias("sh"),
-        )
-    )
-    seg_start, seg_len = _seg_bounds(F.col("i"), F.col("L"))
-    start = (seg_start + F.col("sh")).cast("int")
-    probe_keys = (
-        probes.select(
-            "dirty_id",
-            F.col("L").cast("int").alias("L"),
-            F.col("i").cast("int").alias("i"),
-            F.col("dname").substr(start, seg_len).alias("seg"),
-            start.alias("st"),
-            seg_len.alias("sl"),
-            F.length("dname").alias("dl"),
-        )
-        .filter(
-            (F.col("st") >= 1)
-            & (F.col("sl") >= 1)
-            & (F.col("st") + F.col("sl") - 1 <= F.col("dl"))
-        )
-        .select("dirty_id", "L", "i", "seg")
-        .distinct()
-    )
-    ci_seg = base.select(
-        F.col("doc_id").alias("clean_id"),
-        "ename",
-        F.col("elen").alias("L"),
-        F.explode(F.sequence(F.lit(0), F.lit(_FUZZY_NSEG - 1))).alias("i"),
-    )
-    c_start, c_len = _seg_bounds(F.col("i"), F.col("L"))
-    clean_keys = ci_seg.select(
-        "clean_id",
-        F.col("L").cast("int").alias("L"),
-        F.col("i").cast("int").alias("i"),
-        F.col("ename").substr(c_start, c_len).alias("seg"),
-    )
-    cand = (
-        probe_keys.join(clean_keys, ["L", "i", "seg"])
-        .select("dirty_id", "clean_id")
-        .distinct()
-    )
-    return (
-        cand.join(dirty, "dirty_id")
-        .join(base.select(F.col("doc_id").alias("clean_id"), "ename"), "clean_id")
-        .filter(F.levenshtein("dname", "ename") <= _FUZZY_TAU)
-        .select(
-            "dirty_id",
-            "clean_id",
-            F.levenshtein("dname", "ename").cast("int").alias("lev_dist"),
-        )
+    return editdist_join(
+        dirty,
+        base.select(F.col("doc_id").alias("clean_id"), "ename"),
+        tau=_FUZZY_TAU,
     )
 
 
