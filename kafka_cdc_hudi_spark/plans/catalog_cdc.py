@@ -462,6 +462,64 @@ GROUP BY event_type
 """
 
 
+def cdc_incremental_enriched_agg_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Materialized-view maintenance for an ENRICHED view — the common
+    fact-to-dimension reporting shape (revenue per customer segment):
+    ``V = events_state JOIN customer_dim ON user -> GROUP BY segment``.
+    The v1 aggregate is rolled forward to v2 by enriching ONLY the
+    commit's pre-image diff against the broadcast dimension and applying
+    the same retraction algebra as the plain entry — the fact table is
+    never re-scanned and the dim join touches change-set-sized input.
+    The dim attribute rides the immutable primary key (a row can never
+    move between segments), so the pre-image group equals the post-image
+    group by construction. The ORACLE recomputes the v2 enriched
+    aggregate directly from raw events joined to the customer table, so a
+    green row proves maintained-from-deltas == direct-recompute THROUGH
+    the dimension join across engines."""
+    from kafka_cdc_hudi_spark.operators.incremental import maintain_sum_agg, sum_agg
+
+    t = _mor_table(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    state_v1 = sum_agg(
+        t.read(spark, version=1).join(F.broadcast(dim), "user_id"),
+        ["c_mktsegment"],
+        ["value"],
+    )
+    changes = t.diff(spark, 1, 2, include_pre_image=True)
+    enriched = changes.join(F.broadcast(dim), "user_id").withColumn(
+        "_pre_c_mktsegment", F.col("c_mktsegment")
+    )
+    maintained = maintain_sum_agg(state_v1, enriched, ["c_mktsegment"], ["value"])
+    return maintained.select(
+        "c_mktsegment",
+        "n_rows",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+
+
+CDC_INCREMENTAL_ENRICHED_AGG_SQL = f"""
+WITH {_EVT_CTE},
+allrows AS (
+  SELECT *, CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END AS src FROM evt
+),
+s2 AS (
+  SELECT user_id, value
+  FROM (
+    SELECT * FROM allrows
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY mtime DESC, src DESC, event_id DESC) = 1
+  ) WHERE NOT is_deleted
+)
+SELECT c.c_mktsegment, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(s2.value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+FROM s2 JOIN customer c ON s2.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
 def cdc_incremental_minmax_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MIN/MAX materialized-view maintenance, driver-grade: commit v1's
     per-event_type extremes roll forward to v2 by the PARTIAL-RECOMPUTE
@@ -575,6 +633,10 @@ CDC_QUERIES: dict[str, tuple] = {
     "cdc_incremental_agg_maintenance": (
         cdc_incremental_agg_maintenance,
         CDC_INCREMENTAL_AGG_SQL,
+    ),
+    "cdc_incremental_enriched_agg_maintenance": (
+        cdc_incremental_enriched_agg_maintenance,
+        CDC_INCREMENTAL_ENRICHED_AGG_SQL,
     ),
     "cdc_incremental_minmax_maintenance": (
         cdc_incremental_minmax_maintenance,
