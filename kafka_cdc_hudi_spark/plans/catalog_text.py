@@ -520,6 +520,115 @@ QUALIFY rank <= 10
 """
 
 
+#: negative sampling: M hash candidates per query, keep the first K that
+#: survive exclusion (self + true top-10 neighbors)
+_NEG_M, _NEG_K, _NEG_SALT = 30, 5, "negs_v1"
+
+
+def dataset_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training negative sampling: for each query vector, K
+    deterministic pseudo-random negatives drawn by salted md5 over the id
+    space, EXCLUDING the query itself and its true top-10 neighbors (so a
+    'negative' is never an actual near-duplicate — the classic false-
+    negative bug in contrastive data prep). Candidate generation is
+    scan-free (M hash draws per query, no corpus join); the exclusion is
+    an anti-join against the query-bounded positive set; dedup + rank are
+    one per-query window. Hash-based, not RNG: reproducible across runs,
+    engines, and retries, and composes with any ANN entry as the positive
+    set for hard-negative mining (here the exact brute-force baseline)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ntot = e.agg(F.count(F.lit(1)).alias("n_vecs"))
+    q = e.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("qid"))
+    cands = (
+        q.crossJoin(F.broadcast(ntot))  # 1-row scalar broadcast
+        .select(
+            "qid",
+            "n_vecs",
+            F.explode(F.sequence(F.lit(1), F.lit(_NEG_M))).alias("i"),
+        )
+        .withColumn(
+            "cand",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("qid").cast("string"),
+                            F.lit("|"),
+                            F.col("i").cast("string"),
+                            F.lit(f"|{_NEG_SALT}"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % F.col("n_vecs"),
+        )
+    )
+    pos = ann_topk_bruteforce(spark, sf_dir).select("qid", F.col("nid").alias("cand"))
+    kept = (
+        cands.filter(F.col("cand") != F.col("qid"))
+        .join(pos, ["qid", "cand"], "left_anti")
+        .groupBy("qid", "cand")
+        .agg(F.min("i").alias("i"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("i"), F.col("cand"))
+    return (
+        kept.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= _NEG_K)
+        .select("qid", "neg_rank", F.col("cand").alias("neg_id"))
+    )
+
+
+_DK_NEG_HASH = (
+    "CAST(('0x' || substring(md5(CAST(q.qid AS VARCHAR) || '|' || "
+    f"CAST(g.i AS VARCHAR) || '|{_NEG_SALT}'), 1, 15)) AS BIGINT)"
+)
+
+DATASET_NEGATIVE_SAMPLE_SQL = f"""
+WITH q0 AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+pairs AS (
+  SELECT q0.qid, e.vec_id AS nid,
+         {{dot}}
+         / ({{nq}} * {{ne}}) AS cosine
+  FROM embeddings e, q0
+  WHERE e.vec_id <> q0.qid
+),
+pos AS (
+  SELECT qid, nid FROM (
+    SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+    FROM pairs
+  ) WHERE rank <= 10
+),
+n AS (SELECT COUNT(*) AS n_vecs FROM embeddings),
+cands AS (
+  SELECT q.qid, g.i, {_DK_NEG_HASH} % n.n_vecs AS cand
+  FROM (SELECT qid FROM q0) q, n,
+       LATERAL unnest(generate_series(1, {_NEG_M})) g(i)
+),
+kept AS (
+  SELECT c.qid, c.cand, MIN(c.i) AS i
+  FROM cands c
+  WHERE c.cand <> c.qid
+    AND NOT EXISTS (SELECT 1 FROM pos p WHERE p.qid = c.qid AND p.nid = c.cand)
+  GROUP BY c.qid, c.cand
+)
+SELECT qid,
+       CAST(row_number() OVER (PARTITION BY qid ORDER BY i, cand) AS INT) AS neg_rank,
+       cand AS neg_id
+FROM kept
+QUALIFY neg_rank <= {_NEG_K}
+"""
+
+DATASET_NEGATIVE_SAMPLE_SQL = DATASET_NEGATIVE_SAMPLE_SQL.format(
+    dot=_DK_DOT.format(A="q0.qe", B="e.embedding"),
+    nq=_DK_NORM.format(A="q0.qe"),
+    ne=_DK_NORM.format(A="e.embedding"),
+)
+
+
 #: SRP blocking parameters for embedding near-dup detection. Few bits +
 #: many tables = high recall at the calibrated threshold (p_collide ~= 0.7
 #: at cosine 0.35, rising steeply with similarity) while capping candidate
@@ -3592,6 +3701,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     ),
     "dedup_fuzzy_editdist": (dedup_fuzzy_editdist, DEDUP_FUZZY_EDITDIST_SQL),
     "ann_topk_bruteforce": (ann_topk_bruteforce, ANN_TOPK_SQL),
+    "dataset_negative_sample": (dataset_negative_sample, DATASET_NEGATIVE_SAMPLE_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL),
     "multimodal_meta": (multimodal_meta, MULTIMODAL_META_SQL),
     "multimodal_frame_sample": (multimodal_frame_sample, MULTIMODAL_FRAME_SAMPLE_SQL),
