@@ -213,17 +213,22 @@ class KeyedParquetTable:
         commits: dict[int, str],
         savepoints: dict[str, int] | None = None,
         file_stats: dict[str, dict] | None = None,
+        commit_meta: dict[str, dict] | None = None,
     ) -> None:
         prev = self._read_pointer()
         if savepoints is None:  # preserve existing savepoints on every commit
             savepoints = self._savepoints(prev)
-        # column-stats index: preserve prior versions' entries, fold in the
-        # new commit's, and trim to versions still in the commit map so
-        # retention pruning cleans the index too
+        # column-stats index + per-commit operational metadata: preserve
+        # prior versions' entries, fold in the new commit's, and trim to
+        # versions still in the commit map so retention pruning cleans
+        # both maps too
+        live = {str(v) for v in commits}
         stats = dict((prev or {}).get("file_stats") or {})
         stats.update(file_stats or {})
-        live = {str(v) for v in commits}
         stats = {v: s for v, s in stats.items() if v in live}
+        meta = dict((prev or {}).get("commit_meta") or {})
+        meta.update(commit_meta or {})
+        meta = {v: m for v, m in meta.items() if v in live}
         tmp = self._pointer_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(
@@ -233,10 +238,37 @@ class KeyedParquetTable:
                     "savepoints": savepoints,
                     "commits": {str(v): k for v, k in sorted(commits.items())},
                     "file_stats": stats,
+                    "commit_meta": meta,
                 },
                 f,
             )
         os.replace(tmp, self._pointer_path)  # atomic on POSIX
+
+    def _commit_meta_entry(self, path: str, op: str, t0: float) -> dict:
+        """Per-commit operational metadata (the Hudi commit-metadata
+        analog, kept in the pointer next to the commit it describes):
+        operation kind, file count + bytes written (metadata-only walk),
+        and wall time from the commit operation's start. Powers
+        round-over-round operational auditing (write amplification,
+        commit latency) without scanning data."""
+        n_files = 0
+        for root, _dirs, names in os.walk(path):
+            n_files += sum(1 for n in names if n.endswith(".parquet"))
+        return {
+            "op": op,
+            "files": n_files,
+            "bytes": _dir_bytes(path),
+            "wall_ms": int((time.monotonic() - t0) * 1000),
+        }
+
+    def commit_meta(self) -> dict[int, dict]:
+        """Operational metadata per retained commit: {version: {op, files,
+        bytes, wall_ms}} (empty for tables written before the field or via
+        the bucketed pointer)."""
+        p = self._read_pointer()
+        return {
+            int(v): m for v, m in ((p or {}).get("commit_meta") or {}).items()
+        }
 
     def _stats_cols(self) -> list[str]:
         """Columns carried in the per-file stats index: primary keys first
@@ -967,6 +999,7 @@ class KeyedParquetTable:
     def _merge_batch_locked(
         self, spark: SparkSession, batch: DataFrame, batch_id: int | None = None
     ) -> bool:
+        t0 = time.monotonic()
         p = self._read_pointer()
         if (
             batch_id is not None
@@ -994,7 +1027,16 @@ class KeyedParquetTable:
             ).withColumn(_SEQ_COL, F.lit(new_version))
             delta.write.mode("overwrite").parquet(self._delta_dir(new_version))
             commits[new_version] = "delta"
-            self._write_pointer(new_version, batch_id, commits)
+            self._write_pointer(
+                new_version,
+                batch_id,
+                commits,
+                commit_meta={
+                    str(new_version): self._commit_meta_entry(
+                        self._delta_dir(new_version), "delta", t0
+                    )
+                },
+            )
             base, pending = self._resolve(new_version)
             if (self.compact_every is not None and len(pending) >= self.compact_every) or (
                 self.compact_bytes_ratio is not None
@@ -1021,6 +1063,11 @@ class KeyedParquetTable:
             batch_id,
             commits,
             file_stats={str(new_version): stats} if stats else None,
+            commit_meta={
+                str(new_version): self._commit_meta_entry(
+                    self._version_dir(new_version), "upsert", t0
+                )
+            },
         )
         self._prune(new_version)
         return True
@@ -1217,6 +1264,7 @@ class KeyedParquetTable:
             if name not in sps:
                 raise KeyError(f"no savepoint {name!r}")
             version = sps[name]
+        t0 = time.monotonic()
         state = self.read(spark, version=version)  # raises if not retained
         new_version = self._next_version(p)
         if self.mode == MODE_COW_BUCKETED:
@@ -1232,6 +1280,11 @@ class KeyedParquetTable:
             p.get("last_batch_id"),
             commits,
             file_stats={str(new_version): stats} if stats else None,
+            commit_meta={
+                str(new_version): self._commit_meta_entry(
+                    self._version_dir(new_version), "restore", t0
+                )
+            },
         )
         self._prune(new_version)
         return new_version
@@ -1279,6 +1332,7 @@ class KeyedParquetTable:
         base, deltas = self._resolve(p["version"], p)
         if not deltas:
             return None
+        t0 = time.monotonic()
         merged = self._fold(spark, base, deltas)
         new_version = self._next_version(p)
         # MOR compacted bases get the same clustering as COW bases: this is
@@ -1299,6 +1353,11 @@ class KeyedParquetTable:
             p.get("last_batch_id"),
             commits,
             file_stats={str(new_version): stats} if stats else None,
+            commit_meta={
+                str(new_version): self._commit_meta_entry(
+                    self._version_dir(new_version), "compact", t0
+                )
+            },
         )
         for d in deltas:
             shutil.rmtree(self._delta_dir(d), ignore_errors=True)

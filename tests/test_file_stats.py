@@ -150,6 +150,30 @@ def test_zorder_range_layout_skips_in_both_dimensions(spark, tmp_path):
         assert set(sl.inputFiles()) < all_files, f"no file skipped on {col}"
 
 
+def test_commit_meta_records_operations(spark, tmp_path):
+    # Hudi commit-metadata parity: every pointer commit carries op kind,
+    # files, bytes, wall time — and retention trims it with the commits
+    cow = KeyedParquetTable(str(tmp_path / "c"), keys=["id"], order_col="mtime")
+    for bid in range(5):  # past keep_versions=3
+        cow.merge_batch(
+            spark, rows_df(spark, [(i, 10 + bid, False, f"v{bid}_{i}") for i in range(20)]),
+            batch_id=bid,
+        )
+    meta = cow.commit_meta()
+    p = cow._read_pointer()
+    assert set(map(str, meta)) <= set(p["commits"]) and meta
+    for m in meta.values():
+        assert m["op"] == "upsert" and m["files"] >= 1 and m["bytes"] > 0 and m["wall_ms"] >= 0
+
+    mor = KeyedParquetTable(str(tmp_path / "m"), keys=["id"], order_col="mtime", mode=MODE_MOR)
+    mor.merge_batch(spark, rows_df(spark, [(1, 10, False, "a")]), batch_id=0)
+    mor.merge_batch(spark, rows_df(spark, [(2, 10, False, "b")]), batch_id=1)
+    assert {m["op"] for m in mor.commit_meta().values()} == {"delta"}
+    mor.compact(spark)
+    # folded deltas leave the commit map, so their metadata is trimmed too
+    assert {m["op"] for m in mor.commit_meta().values()} == {"compact"}
+
+
 def test_restore_and_compact_record_stats(spark, ranged):
     t = ranged
     t.merge_batch(spark, rows_df(spark, [(i, 10, False, f"a{i}") for i in range(100)]), batch_id=0)
