@@ -133,6 +133,7 @@ class KeyedParquetTable:
         cluster_cols: Sequence[str] = (),
         cluster_zorder: bool = False,
         cluster_range_files: bool | int = False,
+        parquet_bloom_keys: bool = False,
     ):
         if mode not in (MODE_COW, MODE_MOR, MODE_COW_BUCKETED):
             raise ValueError(
@@ -189,6 +190,14 @@ class KeyedParquetTable:
         self.cluster_range_files = cluster_range_files
         if cluster_range_files and not self.cluster_cols:
             raise ValueError("cluster_range_files needs cluster_cols")
+        #: when True, every parquet write carries per-row-group BLOOM
+        #: FILTERS on the key columns (parquet.bloom.filter.enabled#<key>)
+        #: — the complement to the min/max stats index: on hash-laid-out
+        #: tables key ranges span every file so range stats can't prune,
+        #: but the reader's pushed equality predicates still skip row
+        #: groups through the bloom. Costs ~1 MB/row-group/column of file
+        #: size (parquet-mr default NDV); off by default.
+        self.parquet_bloom_keys = parquet_bloom_keys
 
     # -- pointer management -------------------------------------------------
     @property
@@ -632,7 +641,7 @@ class KeyedParquetTable:
             max(1, len(touched)), F.col(_BUCKET_COL)
         )
         out = self._cluster_sort(out)
-        out.write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(vdir)
+        self._write_parquet(out, vdir, partition_by=_BUCKET_COL)
         present = {
             int(n.split("=", 1)[1])
             for n in os.listdir(vdir)
@@ -1025,7 +1034,7 @@ class KeyedParquetTable:
                 deleted_col=self.deleted_col,
                 tiebreakers=self.tiebreakers,
             ).withColumn(_SEQ_COL, F.lit(new_version))
-            delta.write.mode("overwrite").parquet(self._delta_dir(new_version))
+            self._write_parquet(delta, self._delta_dir(new_version))
             commits[new_version] = "delta"
             self._write_pointer(
                 new_version,
@@ -1053,8 +1062,8 @@ class KeyedParquetTable:
             deleted_col=self.deleted_col,
             tiebreakers=self.tiebreakers,
         )
-        self._cluster_sort(merged, bucketed=False).write.mode("overwrite").parquet(
-            self._version_dir(new_version)
+        self._write_parquet(
+            self._cluster_sort(merged, bucketed=False), self._version_dir(new_version)
         )
         stats = self._collect_file_stats(self._version_dir(new_version))
         commits[new_version] = "base"
@@ -1071,6 +1080,19 @@ class KeyedParquetTable:
         )
         self._prune(new_version)
         return True
+
+    def _write_parquet(
+        self, df: DataFrame, path: str, partition_by: str | None = None
+    ) -> None:
+        """All sink parquet writes funnel here so table-level write
+        options (key bloom filters) apply uniformly to every layout."""
+        w = df.write.mode("overwrite")
+        if self.parquet_bloom_keys:
+            for k in self.keys:
+                w = w.option(f"parquet.bloom.filter.enabled#{k}", "true")
+        if partition_by is not None:
+            w = w.partitionBy(partition_by)
+        w.parquet(path)
 
     def _cluster_sort(self, out: DataFrame, bucketed: bool = True) -> DataFrame:
         """Within-file ordering before a write: linear sort on
@@ -1126,7 +1148,7 @@ class KeyedParquetTable:
             self.n_buckets, F.col(_BUCKET_COL)
         )
         out = self._cluster_sort(out)
-        out.write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(vdir)
+        self._write_parquet(out, vdir, partition_by=_BUCKET_COL)
         present = {
             int(n.split("=", 1)[1])
             for n in os.listdir(vdir)
@@ -1269,8 +1291,8 @@ class KeyedParquetTable:
         new_version = self._next_version(p)
         if self.mode == MODE_COW_BUCKETED:
             return self._commit_bucketed_snapshot(state, p, new_version)
-        self._cluster_sort(state, bucketed=False).write.mode("overwrite").parquet(
-            self._version_dir(new_version)
+        self._write_parquet(
+            self._cluster_sort(state, bucketed=False), self._version_dir(new_version)
         )
         stats = self._collect_file_stats(self._version_dir(new_version))
         commits = self._commits_map(p)
@@ -1338,8 +1360,8 @@ class KeyedParquetTable:
         # MOR compacted bases get the same clustering as COW bases: this is
         # the write the read-optimized (_ro) path scans, so row-group
         # min/max selectivity matters most here
-        self._cluster_sort(merged, bucketed=False).write.mode("overwrite").parquet(
-            self._version_dir(new_version)
+        self._write_parquet(
+            self._cluster_sort(merged, bucketed=False), self._version_dir(new_version)
         )
         stats = self._collect_file_stats(self._version_dir(new_version))
         commits = self._commits_map(p)

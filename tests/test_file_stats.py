@@ -174,6 +174,33 @@ def test_commit_meta_records_operations(spark, tmp_path):
     assert {m["op"] for m in mor.commit_meta().values()} == {"compact"}
 
 
+def test_parquet_bloom_keys_written_and_reads_correct(spark, tmp_path):
+    # can't introspect bloom offsets through pyarrow/duckdb here, so pin
+    # the observable contract: identical data writes BIGGER files with the
+    # option on (the bloom bitmaps are real bytes), and reads/lookups are
+    # unchanged
+    rows = [(i, 10, False, f"a{i}") for i in range(5000)]
+    plain = KeyedParquetTable(str(tmp_path / "p"), keys=["id"], order_col="mtime")
+    bloom = KeyedParquetTable(
+        str(tmp_path / "b"), keys=["id"], order_col="mtime", parquet_bloom_keys=True
+    )
+    plain.merge_batch(spark, rows_df(spark, rows), batch_id=0)
+    bloom.merge_batch(spark, rows_df(spark, rows), batch_id=0)
+
+    def _bytes(t):
+        v = t._read_pointer()["version"]
+        d = t._version_dir(v)
+        return sum(
+            os.path.getsize(os.path.join(d, n))
+            for n in os.listdir(d)
+            if n.endswith(".parquet")
+        )
+
+    assert _bytes(bloom) > _bytes(plain)
+    got = {(r["id"], r["val"]) for r in bloom.read_keys(spark, [(7,), (4999,)]).collect()}
+    assert got == {(7, "a7"), (4999, "a4999")}
+
+
 def test_restore_and_compact_record_stats(spark, ranged):
     t = ranged
     t.merge_batch(spark, rows_df(spark, [(i, 10, False, f"a{i}") for i in range(100)]), batch_id=0)
