@@ -163,6 +163,9 @@ class JobConfig:
     #: (sinks/keyed_table.py cluster_range_files); an int pins the file
     #: count per rewrite, true lets AQE size the files
     sink_cluster_range_files: bool | int = False
+    #: write per-row-group parquet bloom filters on the key columns
+    #: (point-lookup row-group skipping on hash layouts)
+    sink_parquet_bloom_keys: bool = False
     checkpoint_location: str = "/tmp/cdc_checkpoint"
     #: dead-letter dir: raw records that fail envelope parsing are written
     #: under <quarantine_dir>/batch_<id>/ (overwrite per batch -> replay
@@ -225,6 +228,10 @@ class JobConfig:
                 .isdigit()
                 else _rng.strip().lower() == "true"
             ),
+            sink_parquet_bloom_keys=props.get(
+                "sink_parquet_bloom_keys", "false"
+            ).lower()
+            == "true",
             checkpoint_location=props.get("checkpoint_location", "/tmp/cdc_checkpoint"),
             quarantine_dir=props.get("quarantine_dir"),
             trigger_interval=_normalize_interval(props.get("checkpoint_interval", "30")),

@@ -78,6 +78,7 @@ class CdcStreamDriver:
                 cluster_cols=self.config.sink_cluster_cols,
                 cluster_zorder=self.config.sink_cluster_zorder,
                 cluster_range_files=self.config.sink_cluster_range_files,
+                parquet_bloom_keys=self.config.sink_parquet_bloom_keys,
             )
         return self._sinks[key]
 
