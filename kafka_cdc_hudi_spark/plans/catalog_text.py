@@ -1530,8 +1530,7 @@ _DK_SEG_LEN = "((i.i + 1) * {L}) // {n} - (i.i * {L}) // {n}".format(
     L="{L}", n=_FUZZY_NSEG
 )
 
-DEDUP_FUZZY_EDITDIST_SQL = f"""
-WITH base AS (
+_FUZZY_CTES = f"""base AS (
   SELECT doc_id, CAST(20 + doc_id % 9 AS INT) AS elen,
          substr(text, 1, CAST(20 + doc_id % 9 AS INT)) AS ename
   FROM documents WHERE length(text) >= 28
@@ -1570,13 +1569,75 @@ cand AS (
   SELECT DISTINCT p.dirty_id, c.clean_id
   FROM probe_keys p
   JOIN clean_keys c ON p.L = c.L AND p.i = c.i AND p.seg = c.seg
-)
+)"""
+
+DEDUP_FUZZY_EDITDIST_SQL = f"""
+WITH {_FUZZY_CTES}
 SELECT cand.dirty_id, cand.clean_id,
        CAST(levenshtein(d.dname, b.ename) AS INT) AS lev_dist
 FROM cand
 JOIN dirty d ON cand.dirty_id = d.dirty_id
 JOIN base b ON cand.clean_id = b.doc_id
 WHERE levenshtein(d.dname, b.ename) <= {_FUZZY_TAU}
+"""
+
+
+def dedup_fuzzy_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end: fuzzy edit-distance match pairs ->
+    connected components -> every record labeled with its entity's
+    canonical (minimum) id — the composition that turns pairwise string
+    matches into the actual merge/canonicalize decision of a registry
+    cleanup (keep entity_id == doc_id, redirect the rest). Self-matches
+    are dropped before clustering, so ``has_fuzzy_match`` means the
+    record genuinely resolved to ANOTHER record. Same O(diameter)
+    min-label propagation as the minhash cluster entries; the oracle
+    unrolls the identical reachability as a recursive CTE over the
+    shared fuzzy candidate chain."""
+    from kafka_cdc_hudi_spark.operators.graph import connected_components
+
+    pairs = (
+        dedup_fuzzy_editdist(spark, sf_dir)
+        .filter(F.col("dirty_id") != F.col("clean_id"))
+        .select("dirty_id", "clean_id")
+    )
+    cc = connected_components(pairs, "dirty_id", "clean_id")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") >= 28)
+        .select("doc_id")
+    )
+    return docs.join(cc, docs.doc_id == cc.node, "left").select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("entity_id"),
+        F.col("component").isNotNull().alias("has_fuzzy_match"),
+    )
+
+
+DEDUP_FUZZY_CANONICALIZE_SQL = f"""
+WITH RECURSIVE {_FUZZY_CTES},
+fpairs AS (
+  SELECT cand.dirty_id, cand.clean_id
+  FROM cand
+  JOIN dirty d ON cand.dirty_id = d.dirty_id
+  JOIN base b ON cand.clean_id = b.doc_id
+  WHERE levenshtein(d.dname, b.ename) <= {_FUZZY_TAU}
+    AND cand.dirty_id <> cand.clean_id
+),
+edges AS (
+  SELECT dirty_id AS a, clean_id AS b FROM fpairs
+  UNION
+  SELECT clean_id, dirty_id FROM fpairs
+),
+reach(node, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
+),
+comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+SELECT b.doc_id,
+       COALESCE(c.component, b.doc_id) AS entity_id,
+       c.component IS NOT NULL AS has_fuzzy_match
+FROM base b LEFT JOIN comp c ON b.doc_id = c.node
 """
 
 
@@ -3700,6 +3761,10 @@ TEXT_QUERIES: dict[str, tuple] = {
         TEXT_BLOOM_DECONTAMINATE_SQL,
     ),
     "dedup_fuzzy_editdist": (dedup_fuzzy_editdist, DEDUP_FUZZY_EDITDIST_SQL),
+    "dedup_fuzzy_canonicalize": (
+        dedup_fuzzy_canonicalize,
+        DEDUP_FUZZY_CANONICALIZE_SQL,
+    ),
     "ann_topk_bruteforce": (ann_topk_bruteforce, ANN_TOPK_SQL),
     "dataset_negative_sample": (dataset_negative_sample, DATASET_NEGATIVE_SAMPLE_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL),
