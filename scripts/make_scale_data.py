@@ -109,7 +109,18 @@ def main(factor: int = 10) -> str:
         ec = ec.unionByName(c)
     ec.repartition(8).write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
 
-    print(f"wrote {out_dir}: events x{factor}, documents x{factor}, embeddings x{factor}")
+    # customer: copied UNCHANGED — the realistic scale shape is a fixed-size
+    # dimension under x-factor facts, and sf0.1's c_custkey range [0, 15000)
+    # already covers every shifted user_id (USER_ID_STEP * factor), so the
+    # enriched-IVM dim join keeps full coverage at scale
+    load_table(spark, SRC, "customer").repartition(4).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "customer.parquet")
+    )
+
+    print(
+        f"wrote {out_dir}: events x{factor}, documents x{factor}, "
+        f"embeddings x{factor}, customer x1 (static dim)"
+    )
     return out_dir
 
 
