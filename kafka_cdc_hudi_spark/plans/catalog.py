@@ -182,6 +182,7 @@ PRUNED: dict[str, str] = {
     "cdc_incremental_enriched_agg_maintenance": "NEW r7 (born past the cap), full oracle locally + swept; rotate in r8",
     "dataset_negative_sample": "NEW r7 (born past the cap), full oracle locally + swept; rotate in r8",
     "dedup_fuzzy_canonicalize": "NEW r7 (born past the cap), full oracle locally + swept; rotate in r8",
+    "text_duplicated_span_fraction": "NEW r7 (born past the cap), full oracle locally + swept; rotate in r8",
 }
 
 #: driver evaluation order, round 7: the 5 due-r7 entries first, then the

@@ -520,6 +520,101 @@ QUALIFY rank <= 10
 """
 
 
+#: duplicated-span accounting: n-gram width for the exact-substring pass
+_DUPSPAN_N = 8
+
+
+def text_duplicated_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication accounting (the measure behind
+    'Deduplicating Training Data Makes Language Models Better', Lee et
+    al. 2022 — public paper): per document, the fraction of token
+    positions covered by at least one {N}-gram that also appears VERBATIM
+    in another document. Unlike the shingle-set dedup entries this is
+    positional — overlapping duplicated {N}-grams merge into spans, and
+    the output is the span-covered fraction, the signal used to cut
+    boilerplate at span (not document) granularity.
+
+    Plan shape: one explode to positional {N}-grams; cross-doc duplicate
+    {N}-grams found with a single agg on the n-gram (count of DISTINCT
+    source docs > 1 — corpus-frequency-bounded, the same vocabulary trick
+    the BPE pass uses); positions joined back on the n-gram; covered
+    positions = explode of each duplicated window into its {N} token
+    indexes + count distinct per doc. Every join is an equi-join on the
+    n-gram string; nothing is all-pairs."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    base = d.select("doc_id", F.size("toks").alias("n_tokens"), "toks").filter(
+        F.col("n_tokens") >= _DUPSPAN_N
+    )
+    grams = base.select(
+        "doc_id",
+        "n_tokens",
+        F.posexplode(_ngrams_expr("toks", _DUPSPAN_N)).alias("pos", "ng"),
+    )
+    dup = (
+        grams.groupBy("ng")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("ng")
+    )
+    covered = (
+        grams.join(dup, "ng")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + _DUPSPAN_N - 1)
+            ).alias("tokpos"),
+        )
+        .groupBy("doc_id")
+        .agg(F.countDistinct("tokpos").alias("n_dup_tokens"))
+    )
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("n_dup_tokens", F.lit(0)).cast("long").alias("n_dup_tokens"),
+            (
+                F.coalesce("n_dup_tokens", F.lit(0)).cast("double")
+                / F.col("n_tokens")
+            ).alias("dup_fraction"),
+        )
+    )
+
+
+text_duplicated_span_fraction.__doc__ = text_duplicated_span_fraction.__doc__.format(
+    N=_DUPSPAN_N
+)
+
+TEXT_DUPLICATED_SPAN_SQL = f"""
+WITH tok AS (SELECT doc_id, {_DK_TOKS} AS toks FROM documents),
+base AS (
+  SELECT doc_id, len(toks) AS n_tokens, toks FROM tok WHERE len(toks) >= {_DUPSPAN_N}
+),
+grams AS (
+  SELECT doc_id, n_tokens, g.i - 1 AS pos,
+         array_to_string(toks[g.i:g.i+{_DUPSPAN_N - 1}], ' ') AS ng
+  FROM base, LATERAL unnest(generate_series(1, len(toks)-{_DUPSPAN_N - 1})) AS g(i)
+),
+dup AS (
+  SELECT ng FROM grams GROUP BY ng HAVING COUNT(DISTINCT doc_id) >= 2
+),
+covered AS (
+  SELECT g.doc_id, COUNT(DISTINCT g.pos + t.j) AS n_dup_tokens
+  FROM grams g JOIN dup USING (ng),
+       LATERAL unnest(generate_series(0, {_DUPSPAN_N - 1})) AS t(j)
+  GROUP BY g.doc_id
+)
+SELECT b.doc_id,
+       CAST(b.n_tokens AS BIGINT) AS n_tokens,
+       CAST(COALESCE(c.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+       CAST(COALESCE(c.n_dup_tokens, 0) AS DOUBLE) / b.n_tokens AS dup_fraction
+FROM base b LEFT JOIN covered c ON b.doc_id = c.doc_id
+"""
+
+
 #: negative sampling: M hash candidates per query, keep the first K that
 #: survive exclusion (self + true top-10 neighbors)
 _NEG_M, _NEG_K, _NEG_SALT = 30, 5, "negs_v1"
@@ -3764,6 +3859,10 @@ TEXT_QUERIES: dict[str, tuple] = {
     "dedup_fuzzy_canonicalize": (
         dedup_fuzzy_canonicalize,
         DEDUP_FUZZY_CANONICALIZE_SQL,
+    ),
+    "text_duplicated_span_fraction": (
+        text_duplicated_span_fraction,
+        TEXT_DUPLICATED_SPAN_SQL,
     ),
     "ann_topk_bruteforce": (ann_topk_bruteforce, ANN_TOPK_SQL),
     "dataset_negative_sample": (dataset_negative_sample, DATASET_NEGATIVE_SAMPLE_SQL),
