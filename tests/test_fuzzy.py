@@ -37,24 +37,30 @@ def _random_edits(rng, s: str, n: int) -> str:
     return s
 
 
-def test_editdist_join_recall_and_precision_on_random_edits(spark):
-    rng = random.Random(20260814)
+import pytest
+
+
+@pytest.mark.parametrize("tau", [1, 2, 3])
+def test_editdist_join_recall_and_precision_on_random_edits(spark, tau):
+    # the recall guarantee must hold for ANY tau the operator accepts,
+    # with up to tau random edits of every kind
+    rng = random.Random(20260814 + tau)
+    n_strings = 150 if tau == 3 else 300
     cleans = []
-    for cid in range(300):
-        n = rng.randrange(6, 40)
+    for cid in range(n_strings):
+        n = rng.randrange(tau + 4, 40)
         cleans.append((cid, "".join(rng.choice(ALPHABET) for _ in range(n))))
     dirties = [
-        (did, _random_edits(rng, cleans[did % 300][1], rng.randrange(0, 3)))
-        for did in range(300)
+        (did, _random_edits(rng, cleans[did % n_strings][1], rng.randrange(0, tau + 1)))
+        for did in range(n_strings)
     ]
-    tau = 2
     clean_df = spark.createDataFrame(cleans, "clean_id long, ename string")
     dirty_df = spark.createDataFrame(dirties, "dirty_id long, dname string")
     got = {
         (r["dirty_id"], r["clean_id"]): r["lev_dist"]
         for r in editdist_join(dirty_df, clean_df, tau=tau).collect()
     }
-    # brute-force oracle over all 300x300 pairs
+    # brute-force oracle over all pairs
     expected = {}
     for did, d in dirties:
         for cid, c in cleans:
