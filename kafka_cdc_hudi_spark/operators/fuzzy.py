@@ -46,11 +46,18 @@ def editdist_join(
 ) -> DataFrame:
     """All (dirty, clean) pairs with ``levenshtein <= tau``. Returns
     ``DataFrame[dirty_id, clean_id, lev_dist]``. Both inputs must carry
-    distinct ids; strings of length < tau + 1 segments still work (empty
-    segments are filtered; the remaining segments keep the pigeonhole
-    property only when every segment is non-empty, i.e. len >= tau+1 —
-    callers filter shorter strings)."""
+    distinct ids and ``dirty_id`` must differ from ``clean_id`` (the name
+    columns may collide — they are aliased internally); strings of length
+    < tau + 1 segments still work (empty segments are filtered; the
+    remaining segments keep the pigeonhole property only when every
+    segment is non-empty, i.e. len >= tau+1 — callers filter shorter
+    strings)."""
     nseg = tau + 1
+    # internal aliases: the final verify joins both frames into one plan,
+    # so identical caller column names must not collide
+    dirty = dirty.select(dirty_id, F.col(dirty_col).alias("__fz_dname"))
+    clean = clean.select(clean_id, F.col(clean_col).alias("__fz_ename"))
+    dirty_col, clean_col = "__fz_dname", "__fz_ename"
     probes = (
         dirty.select(
             dirty_id,
@@ -103,10 +110,10 @@ def editdist_join(
     return (
         cand.join(dirty, dirty_id)
         .join(clean, clean_id)
-        .filter(F.levenshtein(dirty_col, clean_col) <= tau)
-        .select(
-            dirty_id,
-            clean_id,
-            F.levenshtein(dirty_col, clean_col).cast("int").alias("lev_dist"),
+        # compute the O(len^2) verify ONCE per candidate, then filter on it
+        .withColumn(
+            "lev_dist", F.levenshtein(dirty_col, clean_col).cast("int")
         )
+        .filter(F.col("lev_dist") <= tau)
+        .select(dirty_id, clean_id, "lev_dist")
     )

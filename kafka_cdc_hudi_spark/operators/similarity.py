@@ -84,16 +84,26 @@ def _srp_sigs_udf(dim: int, n_bits: int, n_tables: int, seed: str = "srp"):
 
     @pandas_udf("array<long>")
     def sigs(col: pd.Series) -> pd.Series:
-        if not len(col):
-            return pd.Series([], dtype=object)
-        x = np.stack([np.asarray(v, dtype=np.float64) for v in col])
-        out = np.zeros((len(x), n_tables), dtype=np.int64)
-        for t, p in enumerate(planes):
-            for b in range(n_bits):
-                acc = np.zeros(len(x), dtype=np.float64)
-                for j in range(dim):
-                    acc = acc + x[:, j] * p[b][j]  # oracle addition order
-                out[:, t] |= (acc > 0).astype(np.int64) << b
+        out = np.zeros((len(col), n_tables), dtype=np.int64)
+        # NULL / wrong-length embeddings get all-zero signatures — the
+        # same graceful degradation the relational form had (a NULL dot
+        # fails every `> 0` sign test), instead of failing the whole job
+        # on one corrupt row
+        valid = np.array(
+            [v is not None and len(v) == dim for v in col], dtype=bool
+        )
+        if valid.any():
+            x = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in col[valid]]
+            )
+            vout = np.zeros((len(x), n_tables), dtype=np.int64)
+            for t, p in enumerate(planes):
+                for b in range(n_bits):
+                    acc = np.zeros(len(x), dtype=np.float64)
+                    for j in range(dim):
+                        acc = acc + x[:, j] * p[b][j]  # oracle addition order
+                    vout[:, t] |= (acc > 0).astype(np.int64) << b
+            out[valid] = vout
         return pd.Series(list(out))
 
     return sigs

@@ -58,20 +58,20 @@ FULL_REGISTRY.update(STREAMING_QUERIES)
 #: events_user_gaps, events_active_users_rolling, text_rare_token_fraction,
 #: text_chunk_overlap, text_html_strip, orders_price_percentile_rank,
 #: events_type_cooccurrence, customers_rfm_segments — these are FIRST in
-#: the r8 IN set, followed by the 13 entries BORN in r7 (all fully
+#: the r8 IN set, followed by the 14 entries BORN in r7 (all fully
 #: oracled + swept from birth: multimodal_decode_jpeg_color,
 #: multimodal_audio_segments, multimodal_video_cuts,
 #: events_histogram_quantile_rollup, text_bpe_pair_counts,
 #: text_bpe_train_merges, pipeline_audio_manifest,
 #: text_bloom_decontaminate, dedup_fuzzy_editdist,
 #: dedup_fuzzy_canonicalize, text_bpe_encode,
-#: cdc_incremental_enriched_agg_maintenance, dataset_negative_sample),
-#: then the 10 due-r8
+#: cdc_incremental_enriched_agg_maintenance, dataset_negative_sample,
+#: text_duplicated_span_fraction), then the 10 due-r8
 #: entries (text_fingerprint, text_language_id, embedding_quantize_int8,
 #: events_pivot_user_counts, active_user_set_ops, text_quality_score,
 #: events_hourly_agg, text_token_topk, ann_topk_ivf, dedup_ngram_jaccard),
 #: then r6/r7 greens alternating so no entry goes >2 rounds without a row
-#: (12 + 13 + 10 = 35 of the 50 slots; the remainder rotates the r6 greens
+#: (12 + 14 + 10 = 36 of the 50 slots; the remainder rotates the r6 greens
 #: back in oldest-row-first).
 
 #: held out of the driver-facing registry (entry cap) — each is either a

@@ -3556,14 +3556,24 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def bpe_merges_sql_for(sf_dir: str) -> str | None:
-    """Build the BPE-merges oracle FOR A GIVEN SCALE FACTOR: derive the
-    frequency-truncated vocabulary via DuckDB SQL (independent of Spark's
-    distributed count) and rerun the shared trainer; the resulting rules
-    are emitted as literals. Registry bakes the driver's sf0.01; the
-    local suite and sweep rebuild for their own SF via
-    catalog.sf_dependent_sql_builders(). Returns None if the testdata is
-    absent so importing never fails data-less."""
+def _sql_q(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+#: per-sf_dir cache of the ORACLE-side trained artifact (DuckDB-derived
+#: vocab + merges): both the merges and encode builders consume it, and
+#: without the cache every import / per-SF sweep rebuild scanned
+#: documents.parquet and re-ran the trainer once per builder
+_BPE_ORACLE_CACHE: dict = {}
+
+
+def _bpe_oracle_vocab_and_merges(sf_dir: str):
+    """Vocabulary + merge rules derived INDEPENDENTLY of Spark (DuckDB SQL
+    count + the shared trainer) — the cross-engine check both BPE oracle
+    builders rest on. Returns None (uncached, so a later call can retry)
+    when the testdata is absent."""
+    if sf_dir in _BPE_ORACLE_CACHE:
+        return _BPE_ORACLE_CACHE[sf_dir]
     import duckdb
 
     from kafka_cdc_hudi_spark.functions.bpe import bpe_train_merges
@@ -3583,13 +3593,25 @@ def bpe_merges_sql_for(sf_dir: str) -> str | None:
         ).fetchall()
     except Exception:
         return None
-    merges = bpe_train_merges([(p, int(w)) for p, w in rows], _BPE_TRAIN_MERGES)
+    vocab = [(p, int(w)) for p, w in rows]
+    merges = bpe_train_merges(vocab, _BPE_TRAIN_MERGES)
+    _BPE_ORACLE_CACHE[sf_dir] = (vocab, merges)
+    return _BPE_ORACLE_CACHE[sf_dir]
 
-    def q(s: str) -> str:
-        return "'" + s.replace("'", "''") + "'"
 
+def bpe_merges_sql_for(sf_dir: str) -> str | None:
+    """Build the BPE-merges oracle FOR A GIVEN SCALE FACTOR: the shared
+    independently-derived artifact's rules emitted as literals. Registry
+    bakes the driver's sf0.01; the local suite and sweep rebuild for
+    their own SF via catalog.sf_dependent_sql_builders(). Returns None if
+    the testdata is absent so importing never fails data-less."""
+    art = _bpe_oracle_vocab_and_merges(sf_dir)
+    if art is None:
+        return None
+    _vocab, merges = art
     values = ", ".join(
-        f"({r}, {q(l)}, {q(rr)}, {q(m)}, {c})" for r, l, rr, m, c in merges
+        f"({r}, {_sql_q(l)}, {_sql_q(rr)}, {_sql_q(m)}, {c})"
+        for r, l, rr, m, c in merges
     )
     return f"""
 SELECT CAST(rank AS INT) AS rank, lhs, rhs, merged,
@@ -3685,38 +3707,22 @@ text_bpe_encode.__doc__ = text_bpe_encode.__doc__.format(V=_BPE_ENCODE_VOCAB)
 
 
 def bpe_encode_sql_for(sf_dir: str) -> str | None:
-    """Build the BPE-encode oracle FOR A GIVEN SCALE FACTOR: re-derive the
-    frequency-truncated vocabulary via DuckDB SQL, rerun the shared
-    trainer and reference encoder, and emit (pre-token, n_tokens) as a
-    literal table the per-doc SQL aggregates against. Returns None if the
-    testdata is absent so importing never fails data-less."""
-    import duckdb
+    """Build the BPE-encode oracle FOR A GIVEN SCALE FACTOR: run the
+    shared reference encoder over the independently-derived vocabulary +
+    merges (cached, :func:`_bpe_oracle_vocab_and_merges`) and emit
+    (pre-token, n_tokens) as a literal table the per-doc SQL aggregates
+    against. Returns None if the testdata is absent so importing never
+    fails data-less."""
+    from kafka_cdc_hudi_spark.functions.bpe import bpe_encode
 
-    from kafka_cdc_hudi_spark.functions.bpe import bpe_encode, bpe_train_merges
-
-    re_lit = _BPE_PRETOKEN_RE.replace("'", "''")
-    try:
-        rows = duckdb.sql(
-            f"""
-            WITH pt AS (
-              SELECT t.pt FROM read_parquet('{sf_dir}/documents.parquet'),
-                   LATERAL unnest(regexp_extract_all(text, '{re_lit}')) t(pt)
-              WHERE trim(t.pt) <> ''
-            )
-            SELECT pt, COUNT(*) AS w FROM pt GROUP BY pt
-            ORDER BY w DESC, pt ASC LIMIT {_BPE_TRAIN_VOCAB}
-            """
-        ).fetchall()
-    except Exception:
+    art = _bpe_oracle_vocab_and_merges(sf_dir)
+    if art is None:
         return None
-    merges = bpe_train_merges([(p, int(w)) for p, w in rows], _BPE_TRAIN_MERGES)
-
-    def q(s: str) -> str:
-        return "'" + s.replace("'", "''") + "'"
-
+    vocab, merges = art
+    re_lit = _BPE_PRETOKEN_RE.replace("'", "''")
     values = ", ".join(
-        f"({q(p)}, {len(bpe_encode(p, merges))})"
-        for p, _w in rows[:_BPE_ENCODE_VOCAB]
+        f"({_sql_q(p)}, {len(bpe_encode(p, merges))})"
+        for p, _w in vocab[:_BPE_ENCODE_VOCAB]
     )
     return f"""
 WITH venc(pt, n_tok) AS (VALUES {values}),

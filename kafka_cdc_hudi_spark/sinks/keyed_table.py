@@ -256,17 +256,20 @@ class KeyedParquetTable:
     def _commit_meta_entry(self, path: str, op: str, t0: float) -> dict:
         """Per-commit operational metadata (the Hudi commit-metadata
         analog, kept in the pointer next to the commit it describes):
-        operation kind, file count + bytes written (metadata-only walk),
-        and wall time from the commit operation's start. Powers
+        operation kind, file count + bytes written (one metadata-only
+        walk), and wall time from the commit operation's start. Powers
         round-over-round operational auditing (write amplification,
         commit latency) without scanning data."""
-        n_files = 0
+        n_files = total = 0
         for root, _dirs, names in os.walk(path):
-            n_files += sum(1 for n in names if n.endswith(".parquet"))
+            for n in names:
+                if n.endswith(".parquet"):
+                    n_files += 1
+                    total += os.path.getsize(os.path.join(root, n))
         return {
             "op": op,
             "files": n_files,
-            "bytes": _dir_bytes(path),
+            "bytes": total,
             "wall_ms": int((time.monotonic() - t0) * 1000),
         }
 
@@ -463,6 +466,29 @@ class KeyedParquetTable:
         # bucket id is layout, not data; mergeSchema covers cross-version drift
         return spark.read.option("mergeSchema", "true").parquet(*paths)
 
+    def _stats_keep_files(self, vdir: str, stats_all: dict, col: str, overlaps):
+        """Shared file-skipping core for point lookups and range slices:
+        a file survives when the index has no entry for ``col``
+        (conservative), its [lo, hi] satisfies ``overlaps``, or its
+        bounds are incomparable after the JSON round trip. Returns
+        (all_names, kept_names) or None when the directory is unreadable."""
+        try:
+            names = sorted(n for n in os.listdir(vdir) if n.endswith(".parquet"))
+        except OSError:
+            return None
+        keep: list[str] = []
+        for name in names:
+            st = (stats_all.get(name) or {}).get(col)
+            if not st:
+                keep.append(name)  # unindexed file: include conservatively
+                continue
+            try:
+                if overlaps(st[0], st[1]):
+                    keep.append(name)
+            except TypeError:
+                keep.append(name)  # incomparable after JSON round trip
+        return names, keep
+
     def read_range(self, spark: SparkSession, col: str, lo, hi) -> DataFrame:
         """Range slice ``lo <= col <= hi`` with file-level skipping: on a
         COW table whose pointer carries the column-stats index, only the
@@ -479,29 +505,17 @@ class KeyedParquetTable:
             stats_all = (p or {}).get("file_stats", {}).get(str(p["version"])) if p else None
             if stats_all:
                 vdir = self._version_dir(p["version"])
-                try:
-                    names = sorted(
-                        n for n in os.listdir(vdir) if n.endswith(".parquet")
-                    )
-                except OSError:
-                    names = []
-                keep = []
-                for name in names:
-                    st = (stats_all.get(name) or {}).get(col)
-                    if not st:
-                        keep.append(name)  # unindexed: include conservatively
-                        continue
-                    try:
-                        if st[0] <= hi and lo <= st[1]:
-                            keep.append(name)
-                    except TypeError:
-                        keep.append(name)
-                if names and not keep:
-                    return spark.read.parquet(vdir).filter(F.lit(False))
-                if names and len(keep) < len(names):
-                    return spark.read.parquet(
-                        *[os.path.join(vdir, n) for n in keep]
-                    ).filter(pred)
+                kept = self._stats_keep_files(
+                    vdir, stats_all, col, lambda flo, fhi: flo <= hi and lo <= fhi
+                )
+                if kept is not None:
+                    names, keep = kept
+                    if names and not keep:
+                        return spark.read.parquet(vdir).filter(F.lit(False))
+                    if names and len(keep) < len(names):
+                        return spark.read.parquet(
+                            *[os.path.join(vdir, n) for n in keep]
+                        ).filter(pred)
         return self.read(spark).filter(pred)
 
     def read_keys(self, spark: SparkSession, key_values: Sequence[Sequence]) -> DataFrame:
@@ -583,24 +597,16 @@ class KeyedParquetTable:
         if not stats_all:
             return None
         vdir = self._version_dir(p["version"])
-        try:
-            names = sorted(n for n in os.listdir(vdir) if n.endswith(".parquet"))
-        except OSError:
-            return None
-        k0 = self.keys[0]
         vals = {r[0] for r in rows}
-        keep: list[str] = []
-        for name in names:
-            st = (stats_all.get(name) or {}).get(k0)
-            if not st:
-                keep.append(name)  # unindexed file: include conservatively
-                continue
-            lo, hi = st
-            try:
-                if any(lo <= v <= hi for v in vals):
-                    keep.append(name)
-            except TypeError:
-                keep.append(name)  # incomparable after JSON round trip
+        kept = self._stats_keep_files(
+            vdir,
+            stats_all,
+            self.keys[0],
+            lambda lo, hi: any(lo <= v <= hi for v in vals),
+        )
+        if kept is None:
+            return None
+        names, keep = kept
         if not keep:
             # schema-only read: no file can contain any requested key
             return spark.read.parquet(vdir).filter(F.lit(False))

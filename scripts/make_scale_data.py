@@ -109,17 +109,30 @@ def main(factor: int = 10) -> str:
         ec = ec.unionByName(c)
     ec.repartition(8).write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
 
-    # customer: copied UNCHANGED — the realistic scale shape is a fixed-size
-    # dimension under x-factor facts, and sf0.1's c_custkey range [0, 15000)
-    # already covers every shifted user_id (USER_ID_STEP * factor), so the
-    # enriched-IVM dim join keeps full coverage at scale
-    load_table(spark, SRC, "customer").repartition(4).write.mode("overwrite").parquet(
+    # customer: the realistic scale shape is a dimension that grows far
+    # slower than the facts. sf0.1's c_custkey range [0, 15000) covers the
+    # shifted user_ids only up to factor 10 (USER_ID_STEP * factor ids are
+    # needed), so replicate the dim just enough copies to keep the
+    # enriched-IVM join total — a silent coverage gap would make scale
+    # runs measure a half-empty join, not scaling
+    cust = load_table(spark, SRC, "customer")
+    n_cust = cust.count()  # 15000 at sf0.1
+    dim_copies = -(-(USER_ID_STEP * factor) // n_cust)  # ceil
+    dc = cust
+    for i in range(1, dim_copies):
+        dc = dc.unionByName(
+            cust.select(
+                (F.col("c_custkey") + i * n_cust).alias("c_custkey"),
+                *[c for c in cust.columns if c != "c_custkey"],
+            )
+        )
+    dc.repartition(4).write.mode("overwrite").parquet(
         os.path.join(out_dir, "customer.parquet")
     )
 
     print(
         f"wrote {out_dir}: events x{factor}, documents x{factor}, "
-        f"embeddings x{factor}, customer x1 (static dim)"
+        f"embeddings x{factor}, customer x{dim_copies} (slow-growing dim)"
     )
     return out_dir
 

@@ -76,6 +76,24 @@ def test_srp_udf_matches_relational_reference(spark, emb):
     assert via_udf == via_sql
 
 
+def test_srp_tolerates_null_and_ragged_embeddings(spark):
+    # graceful degradation parity with the relational form: corrupt rows
+    # (NULL / wrong-length embedding) get all-zero signatures instead of
+    # failing the job
+    rows = [
+        (1, [float(i) for i in range(DIM)]),
+        (2, None),
+        (3, [1.0, 2.0]),  # wrong length
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = srp_bucketize(df, DIM, n_bits=4, n_tables=2).collect()
+    sigs = {}
+    for r in out:
+        sigs.setdefault(r["vec_id"], set()).add(r["sig"])
+    assert sigs[2] == {0} and sigs[3] == {0}
+    assert len(out) == 6  # every row still produces one row per table
+
+
 def test_srp_topk_recall(spark, emb, exact):
     # random gaussian-ish embeddings: true top-10 neighbors sit at modest
     # cosine (~0.4), so use few bits + many tables for collision probability
