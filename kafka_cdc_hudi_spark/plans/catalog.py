@@ -35,44 +35,22 @@ FULL_REGISTRY.update(STREAMING_QUERIES)
 #: driver status, and the full-registry sf0.01 sweep artifact
 #: (SWEEP_r{N}.json, scripts/sweep.py) is committed each round.
 #:
-#: ROUND-7 ROTATION (this file's current state): the entire driver-facing
-#: set is given over to the never-driver-tested backlog. IN (50 slots):
-#:   - the 5 due-r7 entries (rotated out r5): q10_returned_items,
-#:     q14_promo_revenue, text_normalize, dataset_split_assign,
-#:     dedup_clusters
-#:   - 45 of the 57 entries that have never had a driver row, prioritized
-#:     by oracle-mechanism novelty: the TPC-H completion set (q2 q7 q8 q9
-#:     q11 q13 q15 q16 q17 q18 q19 q20 q21 q22), the four driver-less
-#:     media codecs + real PNG resize, the PQ pair (encode + ADC scan),
-#:     PageRank, both composed pipelines, pack-materialize / quota /
-#:     weighted-sample / mixture-weights, line-dedup + corpus-final,
-#:     incremental agg/minmax maintenance, bucketed COW merge,
-#:     reconciliation, the events analytics block (anomaly / OHLC /
-#:     profile / KMV / Markov / JSON-stats), parts co-occurrence, and the
-#:     BPE / hash-embedding / LM-score / trigram-novelty text passes.
-#: OUT: every r6 driver entry (all 50 hold green CORRECTNESS_r06 rows;
-#: due back r8/r9 by the alternation rule below). Still never-tested after
-#: r7 (the 12 deferred, all simple projection/window shapes covered by
-#: multiple green survivors): dataset_interleave_order,
-#: dataset_length_buckets, embedding_mrl_energy, events_value_percentiles,
-#: events_user_gaps, events_active_users_rolling, text_rare_token_fraction,
-#: text_chunk_overlap, text_html_strip, orders_price_percentile_rank,
-#: events_type_cooccurrence, customers_rfm_segments — these are FIRST in
-#: the r8 IN set, followed by the 14 entries BORN in r7 (all fully
-#: oracled + swept from birth: multimodal_decode_jpeg_color,
-#: multimodal_audio_segments, multimodal_video_cuts,
-#: events_histogram_quantile_rollup, text_bpe_pair_counts,
-#: text_bpe_train_merges, pipeline_audio_manifest,
-#: text_bloom_decontaminate, dedup_fuzzy_editdist,
-#: dedup_fuzzy_canonicalize, text_bpe_encode,
-#: cdc_incremental_enriched_agg_maintenance, dataset_negative_sample,
-#: text_duplicated_span_fraction), then the 10 due-r8
-#: entries (text_fingerprint, text_language_id, embedding_quantize_int8,
-#: events_pivot_user_counts, active_user_set_ops, text_quality_score,
-#: events_hourly_agg, text_token_topk, ann_topk_ivf, dedup_ngram_jaccard),
-#: then r6/r7 greens alternating so no entry goes >2 rounds without a row
-#: (12 + 14 + 10 = 36 of the 50 slots; the remainder rotates the r6 greens
-#: back in oldest-row-first).
+#: ROUND-8 ROTATION (this file's current state; executes the schedule
+#: committed in r7 verbatim, VERDICT r7 item 2). IN (50 slots):
+#:   1. text_hash_embedding — the r7 red row (driver canonicalization
+#:      crash on its raw array column), re-presented as to_json in both
+#:      dialects; held in per VERDICT r7 item 1.
+#:   2. the 12 deferred never-driver-tested entries (after which the
+#:      never-tested backlog is ZERO).
+#:   3. the 14 entries born in r7 (all fully oracled + swept from birth).
+#:   4. the 10 due-r8 entries (rotated out r6).
+#:   5. 13 of the 14 due-back-r8 r6 greens (q12_priority_by_linestatus
+#:      slips to r9 to make room for the text_hash_embedding re-test —
+#:      the TPC-H family holds 14 fresh green r7 rows, the most
+#:      driver-covered family in the registry).
+#: OUT: the 49 green r7 driver entries (due back r9 by the alternation
+#: rule). Never-driver-tested backlog after r8: 0 (plus any entry born
+#: in r8, which rotates in r9 per the standing rule).
 
 #: held out of the driver-facing registry (entry cap) — each is either a
 #: near-duplicate of a surviving entry's physical plan shape or a
@@ -91,33 +69,10 @@ PRUNED: dict[str, str] = {
     "events_tumbling_windows": "events_sliding_windows (same windowed-agg family) + test_streaming_windows builder tests",
     "embedding_norms": "ann_topk_bruteforce (computes the same norms)",
     "text_token_count": "text_bpe_pretokenize (driver r7; same tokenizer-count shape) + text_tfidf_topk (green r6)",
-    # ---- never-driver-tested, deferred to r8 (12; FIRST in the r8 IN set;
-    #      all simple projection/window/agg shapes with multiple green
-    #      shape-twins; locally oracled + in the committed sweep) ----
-    "dataset_interleave_order": "due r8 — dataset_weighted_sample (driver r7; same salted-hash ordering projection)",
-    "dataset_length_buckets": "due r8 — dataset_pack_materialize (driver r7; same cumsum/bucket window)",
-    "embedding_mrl_energy": "due r8 — embedding_pq_encode (driver r7; same array-slice math, zero-shuffle)",
-    "events_value_percentiles": "due r8 — events_data_profile (driver r7; same percentile aggs)",
-    "events_user_gaps": "due r8 — events_markov_transitions (driver r7; same lag-window shape)",
-    "events_active_users_rolling": "due r8 — events_daily_ohlc (driver r7; same per-day window family)",
-    "text_rare_token_fraction": "due r8 — text_trigram_novelty (driver r7; same explode+broadcast-join-back shape)",
-    "text_chunk_overlap": "due r8 — dedup_lines_reconstruct (driver r7; same posexplode/reassemble shape)",
-    "text_html_strip": "due r8 — text_normalize (driver r7; same regexp projection shape)",
-    "orders_price_percentile_rank": "due r8 — events_data_profile (driver r7; percentile/rank windows)",
-    "events_type_cooccurrence": "due r8 — parts_cooccurrence (driver r7; identical self-join co-occurrence shape)",
-    "customers_rfm_segments": "due r8 — events_data_profile (driver r7; same ntile/agg segmentation shape)",
-    # ---- r6 driver set, resting after green CORRECTNESS_r06 rows (due
-    #      back r8/r9 by alternation; all locally oracled + swept) ----
-    "dataset_sample_stratified": "green r6; due back r8",
-    "text_tfidf_topk": "green r6; due back r8",
-    "events_user_rate_window": "green r6; due back r8",
-    "multimodal_decode_png": "green r6; due back r8 (codec family driver-covered r7 by bmp/gif/tiff/wav)",
-    "ann_topk_ivf_trained": "green r6; due back r8 (IVF family driver-covered r7 by ann_topk_pq_adc)",
-    "multimodal_decode_jpeg": "green r6; due back r8",
-    "multimodal_video_frames": "green r6; due back r8",
-    "cdc_merge_partial_updates": "green r6; due back r8",
-    "events_cms_heavy_hitters": "green r6; due back r8",
-    "ann_topk_ivfpq": "green r6; due back r8",
+    # ---- due back r9: deferred one extra round to admit the
+    #      text_hash_embedding re-test (see rotation note above) ----
+    "q12_priority_by_linestatus": "green r6; due back r9 (TPC-H family holds 14 green r7 rows)",
+    # ---- r5-or-earlier greens resting, due back r9 (standing) ----
     "text_repetition_stats": "green r5+r6; due back r9",
     "text_pii_scrub": "green r5+r6; due back r9",
     "text_decontaminate": "green r5+r6; due back r9",
@@ -131,10 +86,6 @@ PRUNED: dict[str, str] = {
     "multimodal_resize": "green r3-r6; due back r9 (resize driver-covered r7 by multimodal_resize_png_real)",
     "events_session_windows": "green r3-r6; due back r9",
     "user_running_stats_batch": "green r3-r6; due back r9",
-    "dedup_clusters_star": "green r6; due back r8 (CC operator driver-covered r7 by dedup_clusters label-prop — identical oracle)",
-    "events_sketches": "green r6; due back r8 (sketch family driver-covered r7 by events_kmv_distinct_rollup)",
-    "events_hll_mergeable_rollup": "green r6; due back r8 (same)",
-    "q12_priority_by_linestatus": "green r6; due back r8 (TPC-H family driver-covered r7 by the completion set)",
     "cdc_parse_debezium": "green r2-r6; due back r9",
     "cdc_parse_dms": "green r2-r6; due back r9",
     "cdc_latest_per_composite_key": "green r2-r6; due back r9",
@@ -158,96 +109,118 @@ PRUNED: dict[str, str] = {
     "dedup_minhash_lsh": "green r2-r6; due back r9",
     "dedup_simhash": "green r2-r6; due back r9",
     "ann_topk_bruteforce": "green r2-r6; due back r9",
-    # ---- rotated out r6, due back r8 (unchanged commitment) ----
-    "text_fingerprint": "due r8 — dataset_split_assign (driver r7; deterministic-hash projection)",
-    "text_language_id": "due r8 — text_normalize (driver r7; regex/ratio scoring projection)",
-    "embedding_quantize_int8": "due r8 — embedding_pq_encode (driver r7; same array math, zero-shuffle)",
-    "events_pivot_user_counts": "due r8 — events_data_profile (driver r7) + events_cube (green r6)",
-    "active_user_set_ops": "due r8 — user_activity_reconciliation (driver r7; same set-reconcile shape)",
-    "text_quality_score": "due r8 — pipeline_pretraining_corpus (driver r7) recomputes the full quality expression",
-    "events_hourly_agg": "due r8 — events_daily_ohlc (driver r7; same keyed time-bucket agg family)",
-    "text_token_topk": "due r8 — text_trigram_novelty (driver r7; same explode+count+rank shape)",
-    "ann_topk_ivf": "due r8 — ann_topk_pq_adc (driver r7) subsumes the IVF assignment/probe plan",
-    "multimodal_decode_jpeg_color": "NEW r7 (born past the cap), full oracle locally + swept; rotate in r8",
-    "multimodal_audio_segments": "NEW r7 (born past the cap), full oracle locally + swept; rotate in r8",
-    "multimodal_video_cuts": "NEW r7 (born past the cap), full oracle locally + swept; rotate in r8",
-    "events_histogram_quantile_rollup": "NEW r7 (born past the cap), full oracle locally + swept; rotate in r8",
-    "text_bpe_pair_counts": "NEW r7 (born past the cap), full oracle locally + swept; rotate in r8",
-    "text_bpe_train_merges": "NEW r7 (born past the cap), full oracle locally + swept; rotate in r8",
-    "pipeline_audio_manifest": "NEW r7 (born past the cap), full oracle locally + swept; rotate in r8",
-    "dedup_ngram_jaccard": "due r8 — dedup_corpus_final (driver r7) drives the shingle/bucket candidate chain",
-    "text_bloom_decontaminate": "NEW r7 (born past the cap), full oracle locally + swept; rotate in r8",
-    "dedup_fuzzy_editdist": "NEW r7 (born past the cap), full oracle locally + swept; rotate in r8",
-    "text_bpe_encode": "NEW r7 (born past the cap), full oracle locally + swept; rotate in r8",
-    "cdc_incremental_enriched_agg_maintenance": "NEW r7 (born past the cap), full oracle locally + swept; rotate in r8",
-    "dataset_negative_sample": "NEW r7 (born past the cap), full oracle locally + swept; rotate in r8",
-    "dedup_fuzzy_canonicalize": "NEW r7 (born past the cap), full oracle locally + swept; rotate in r8",
-    "text_duplicated_span_fraction": "NEW r7 (born past the cap), full oracle locally + swept; rotate in r8",
+    # ---- r7 driver set, resting after green CORRECTNESS_r07 rows (due
+    #      back r9 by alternation; all locally oracled + swept) ----
+    "q10_returned_items": "green r7; due back r9",
+    "q14_promo_revenue": "green r7; due back r9",
+    "text_normalize": "green r7; due back r9",
+    "dataset_split_assign": "green r7; due back r9",
+    "dedup_clusters": "green r7; due back r9",
+    "q2_min_cost_supplier": "green r7; due back r9",
+    "q7_volume_shipping": "green r7; due back r9",
+    "q8_market_share": "green r7; due back r9",
+    "q9_product_profit": "green r7; due back r9",
+    "q11_important_parts": "green r7; due back r9",
+    "q13_customer_distribution": "green r7; due back r9",
+    "q15_top_supplier": "green r7; due back r9",
+    "q16_part_supplier_variety": "green r7; due back r9",
+    "q17_small_quantity_revenue": "green r7; due back r9",
+    "q18_large_volume_customers": "green r7; due back r9",
+    "q19_disjunctive_revenue": "green r7; due back r9",
+    "q20_excess_quantity_suppliers": "green r7; due back r9",
+    "q21_last_shipper_blame": "green r7; due back r9",
+    "q22_sales_opportunity": "green r7; due back r9",
+    "embedding_pq_encode": "green r7; due back r9",
+    "ann_topk_pq_adc": "green r7; due back r9",
+    "graph_pagerank_neardup": "green r7; due back r9",
+    "multimodal_decode_bmp": "green r7; due back r9",
+    "multimodal_decode_gif": "green r7; due back r9",
+    "multimodal_decode_tiff": "green r7; due back r9",
+    "multimodal_decode_wav": "green r7; due back r9",
+    "multimodal_resize_png_real": "green r7; due back r9",
+    "pipeline_pretraining_corpus": "green r7; due back r9",
+    "pipeline_multimodal_manifest": "green r7; due back r9",
+    "dataset_pack_materialize": "green r7; due back r9",
+    "dataset_quota_per_group": "green r7; due back r9",
+    "dataset_weighted_sample": "green r7; due back r9",
+    "dataset_mixture_weights": "green r7; due back r9",
+    "dedup_lines_reconstruct": "green r7; due back r9",
+    "dedup_corpus_final": "green r7; due back r9",
+    "cdc_merge_bucketed": "green r7; due back r9",
+    "cdc_incremental_agg_maintenance": "green r7; due back r9",
+    "cdc_incremental_minmax_maintenance": "green r7; due back r9",
+    "user_activity_reconciliation": "green r7; due back r9",
+    "events_anomaly_zscore": "green r7; due back r9",
+    "events_daily_ohlc": "green r7; due back r9",
+    "events_data_profile": "green r7; due back r9",
+    "events_kmv_distinct_rollup": "green r7; due back r9",
+    "events_markov_transitions": "green r7; due back r9",
+    "events_props_json_stats": "green r7; due back r9",
+    "parts_cooccurrence": "green r7; due back r9",
+    "text_bpe_pretokenize": "green r7; due back r9",
+    "text_lm_score": "green r7; due back r9",
+    "text_trigram_novelty": "green r7; due back r9",
 }
 
-#: driver evaluation order, round 7: the 5 due-r7 entries first, then the
-#: 45 never-driver-tested entries newest-mechanism-first
+#: driver evaluation order, round 8: the r7 red-row fix first, then the 12
+#: deferred never-tested entries, the 14 born-r7 entries, the 10 due-r8
+#: entries, and 13 due-back r6 greens
 _DRIVER_ORDER = [
-    # -- due back r7 (rotated out r5) --
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "text_normalize",
-    "dataset_split_assign",
-    "dedup_clusters",
-    # -- TPC-H completion set (all 22 shapes now driver-visible at least once) --
-    "q2_min_cost_supplier",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_part_supplier_variety",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_disjunctive_revenue",
-    "q20_excess_quantity_suppliers",
-    "q21_last_shipper_blame",
-    "q22_sales_opportunity",
-    # -- PQ pair + PageRank (novel oracle mechanics) --
-    "embedding_pq_encode",
-    "ann_topk_pq_adc",
-    "graph_pagerank_neardup",
-    # -- driver-less media codecs + real resize --
-    "multimodal_decode_bmp",
-    "multimodal_decode_gif",
-    "multimodal_decode_tiff",
-    "multimodal_decode_wav",
-    "multimodal_resize_png_real",
-    # -- composed pipelines --
-    "pipeline_pretraining_corpus",
-    "pipeline_multimodal_manifest",
-    # -- dataset assembly --
-    "dataset_pack_materialize",
-    "dataset_quota_per_group",
-    "dataset_weighted_sample",
-    "dataset_mixture_weights",
-    # -- sub-document dedup + corpus finalization --
-    "dedup_lines_reconstruct",
-    "dedup_corpus_final",
-    # -- CDC sinks / incremental maintenance --
-    "cdc_merge_bucketed",
-    "cdc_incremental_agg_maintenance",
-    "cdc_incremental_minmax_maintenance",
-    "user_activity_reconciliation",
-    # -- events analytics block --
-    "events_anomaly_zscore",
-    "events_daily_ohlc",
-    "events_data_profile",
-    "events_kmv_distinct_rollup",
-    "events_markov_transitions",
-    "events_props_json_stats",
-    "parts_cooccurrence",
-    # -- text corpus-statistics passes --
-    "text_bpe_pretokenize",
+    # -- r7 red row, fixed (array column -> to_json; VERDICT r7 item 1) --
     "text_hash_embedding",
-    "text_lm_score",
-    "text_trigram_novelty",
+    # -- the 12 deferred never-driver-tested entries (backlog -> zero) --
+    "dataset_interleave_order",
+    "dataset_length_buckets",
+    "embedding_mrl_energy",
+    "events_value_percentiles",
+    "events_user_gaps",
+    "events_active_users_rolling",
+    "text_rare_token_fraction",
+    "text_chunk_overlap",
+    "text_html_strip",
+    "orders_price_percentile_rank",
+    "events_type_cooccurrence",
+    "customers_rfm_segments",
+    # -- born in r7 (oracled + swept from birth) --
+    "multimodal_decode_jpeg_color",
+    "multimodal_audio_segments",
+    "multimodal_video_cuts",
+    "events_histogram_quantile_rollup",
+    "text_bpe_pair_counts",
+    "text_bpe_train_merges",
+    "pipeline_audio_manifest",
+    "text_bloom_decontaminate",
+    "dedup_fuzzy_editdist",
+    "dedup_fuzzy_canonicalize",
+    "text_bpe_encode",
+    "cdc_incremental_enriched_agg_maintenance",
+    "dataset_negative_sample",
+    "text_duplicated_span_fraction",
+    # -- due back r8 (rotated out r6) --
+    "text_fingerprint",
+    "text_language_id",
+    "embedding_quantize_int8",
+    "events_pivot_user_counts",
+    "active_user_set_ops",
+    "text_quality_score",
+    "events_hourly_agg",
+    "text_token_topk",
+    "ann_topk_ivf",
+    "dedup_ngram_jaccard",
+    # -- due back r8 (green r6, resting one round) --
+    "dataset_sample_stratified",
+    "text_tfidf_topk",
+    "events_user_rate_window",
+    "multimodal_decode_png",
+    "ann_topk_ivf_trained",
+    "multimodal_decode_jpeg",
+    "multimodal_video_frames",
+    "cdc_merge_partial_updates",
+    "events_cms_heavy_hitters",
+    "ann_topk_ivfpq",
+    "dedup_clusters_star",
+    "events_sketches",
+    "events_hll_mergeable_rollup",
 ]
 
 assert set(_DRIVER_ORDER) | set(PRUNED) == set(FULL_REGISTRY), (

@@ -905,7 +905,7 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HASHEMB_DIM = 16
 
 
-def text_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+def hash_embedding_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding GENERATION via the signed hashing trick: every token maps
     to one of 16 buckets (salted md5) with a +/-1 sign from an independent
     hash, and the document vector is the per-bucket sign sum — the
@@ -914,7 +914,13 @@ def text_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     array and its squared norm are exact. Plan: one explode + one
     (doc, bucket) shuffle with map-side partial sums, then a per-doc
     map->dense-array projection (order-independent: the array is built by
-    bucket LOOKUP, not collect order)."""
+    bucket LOOKUP, not collect order).
+
+    Returns the raw ``array<bigint>`` column — the shape internal
+    consumers (ANN indexing, cosine dedup) want. The registry entry
+    :func:`text_hash_embedding` wraps this with ``to_json`` because the
+    correctness driver canonicalizes results via pandas ``sort_values``,
+    which cannot factorize collection cells (the r7 red row)."""
     d = load_table(spark, sf_dir, "documents")
     d = d.repartition(spark.sparkContext.defaultParallelism)
     tok = d.select("doc_id", F.explode(tokens("text")).alias("token"))
@@ -952,6 +958,19 @@ def text_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing presentation of :func:`hash_embedding_vectors`: the
+    integer vector is serialized with ``to_json`` (compact ``[v0,v1,...]``
+    in both Spark and DuckDB) so every output column is a scalar the
+    driver's pandas canonicalization can sort and hash — no raw collection
+    columns cross the driver boundary (CORRECTNESS_r07's only red row)."""
+    return hash_embedding_vectors(spark, sf_dir).select(
+        "doc_id",
+        F.to_json(F.col("embedding")).alias("embedding_json"),
+        "l2_sq",
+    )
+
+
 TEXT_HASH_EMBEDDING_SQL = f"""
 WITH tok AS (SELECT doc_id, unnest({_DK_TOKS}) AS token FROM documents),
 cells AS (
@@ -968,7 +987,7 @@ dense AS (
   FROM (SELECT doc_id,
                MAP(list(bucket ORDER BY bucket), list(s ORDER BY bucket)) AS m
         FROM cells GROUP BY doc_id))
-SELECT doc_id, embedding,
+SELECT doc_id, CAST(to_json(embedding) AS VARCHAR) AS embedding_json,
        CAST(list_sum(list_transform(embedding, x -> x * x)) AS BIGINT) AS l2_sq
 FROM dense
 """

@@ -58,17 +58,21 @@ def main() -> None:
 
     builders = sf_dependent_sql_builders()
     entries: dict[str, dict] = {}
-    n_ok = n_fail = 0
+    n_ok = n_fail = n_unoracled = 0
     for name, (fn, sql) in FULL_REGISTRY.items():
         if name in builders:
             sql = builders[name](sf_dir) or sql
+        oracled = sql is not None
         t0 = time.perf_counter()
         try:
             df = fn(spark, sf_dir)
             pdf = df.toPandas()
             spark_sec = round(time.perf_counter() - t0, 3)
             if sql is None:
-                ok, msg = len(pdf) >= 0, "rows-only (no SQL oracle)"
+                # NOT a pass: counted separately so a degraded sweep (an
+                # sf-dependent oracle builder silently returning None) is
+                # distinguishable from a fully-oracled one (ADVICE r7).
+                ok, msg = len(pdf) > 0, "rows-only (no SQL oracle)"
             else:
                 # re-wrap so compare() sees a Spark DF only once — reuse
                 # the collected pandas via a tiny adapter
@@ -81,9 +85,16 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — sweep must finish
             spark_sec = round(time.perf_counter() - t0, 3)
             ok, msg, rows = False, f"EXC: {exc}"[:300], -1
-        entries[name] = {"ok": bool(ok), "rows": rows, "spark_sec": spark_sec, "msg": str(msg)[:300]}
+        entries[name] = {
+            "ok": bool(ok),
+            "oracled": oracled,
+            "rows": rows,
+            "spark_sec": spark_sec,
+            "msg": str(msg)[:300],
+        }
         n_ok += ok
         n_fail += not ok
+        n_unoracled += not oracled
         print(f"# {'OK ' if ok else 'FAIL'} {name}: {spark_sec}s {rows} rows {'' if ok else msg}", file=sys.stderr)
 
     result = {
@@ -91,6 +102,7 @@ def main() -> None:
         "n_entries": len(entries),
         "n_ok": n_ok,
         "n_fail": n_fail,
+        "n_unoracled": n_unoracled,
         "calib_sec": calib,
         "loadavg_start": load0,
         "loadavg_end": list(os.getloadavg()),

@@ -1,8 +1,14 @@
 """Local stand-in for the driver's DuckDB-oracle comparison.
 
-Stricter than any plausible driver hashing: requires exact cell equality
+NOT a mirror of the driver: stricter about VALUES (exact cell equality
 after sorting columns by name and rows by value — if this passes, any
-order-insensitive value-hash comparison passes too.
+order-insensitive value-hash comparison passes too) but historically
+WEAKER about dtypes/shapes. CORRECTNESS_r07 proved the gap: the driver's
+pandas ``sort_values`` canonicalization crashes on collection-typed cells
+(``TypeError: unhashable type: 'list'``) that this harness used to
+tuple-ize. Collection-typed (list/dict/array) result columns are now a
+hard FAILURE here so the gap can't reopen; present vectors as JSON
+strings or scalar columns instead (see text_hash_embedding).
 """
 
 from __future__ import annotations
@@ -34,27 +40,34 @@ def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def _canon_cell(v):
-    """Recursively convert lists/arrays (incl. inside structs/dicts) to
-    tuples so cells are hashable+comparable for sorting — mirrors the
-    driver's canonicalization of array-valued columns."""
-    if isinstance(v, (bytearray, memoryview)):
-        return bytes(v)  # Spark binary collects as bytearray, DuckDB as bytes
-    if isinstance(v, (list, tuple, np.ndarray)):
-        return tuple(_canon_cell(x) for x in v)
-    if isinstance(v, dict):
-        return tuple(sorted((k, _canon_cell(x)) for k, x in v.items()))
-    return v
+class CollectionColumnError(AssertionError):
+    """A result column holds raw lists/dicts/arrays — the driver's pandas
+    canonicalization cannot sort or hash these (the CORRECTNESS_r07
+    text_hash_embedding crash). The query must present such values as
+    JSON strings or scalar columns in BOTH dialects."""
 
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         s = df[c]
-        if s.dtype == object and len(s.dropna()) and isinstance(
-            s.dropna().iloc[0], (list, tuple, dict, np.ndarray)
+        if s.dtype != object:
+            continue
+        nonnull = s.dropna()
+        if len(nonnull) and isinstance(
+            nonnull.iloc[0], (bytearray, memoryview)
         ):
-            df[c] = s.map(lambda v: _canon_cell(v) if v is not None else None)
+            # Spark binary collects as bytearray, DuckDB as bytes; bytes
+            # cells sort/hash fine, so normalize rather than fail.
+            df[c] = s.map(lambda v: bytes(v) if v is not None else None)
+        elif len(nonnull) and isinstance(
+            nonnull.iloc[0], (list, tuple, dict, np.ndarray)
+        ):
+            raise CollectionColumnError(
+                f"column {c!r} holds {type(nonnull.iloc[0]).__name__} cells; "
+                "the correctness driver cannot canonicalize collection "
+                "columns — emit to_json(...) or scalar columns instead"
+            )
     df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="last")
     return df.reset_index(drop=True)
 

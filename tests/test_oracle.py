@@ -69,33 +69,40 @@ def test_calibrated_queries_stay_nonvacuous(spark, name):
     assert fn(spark, SF_DIR).limit(1).count() == 1, f"{name}: vacuous again"
 
 
-def test_normalize_handles_struct_nested_lists():
-    """Canonicalization must handle array columns AND arrays nested inside
-    structs (dicts) — struct<array> cells must become hashable/sortable
-    tuples instead of raising on sort_values."""
+def test_normalize_rejects_collection_columns():
+    """The driver's pandas canonicalization crashes on collection-typed
+    cells (CORRECTNESS_r07: text_hash_embedding, unhashable 'list'). The
+    local harness must FAIL on them — loudly, before the driver does —
+    while still normalizing binary cells (bytearray vs bytes), which sort
+    and hash fine."""
     import pandas as pd
+    import pytest as _pytest
 
-    from .oracle_harness import _normalize
+    from .oracle_harness import CollectionColumnError, _normalize
 
-    df = pd.DataFrame(
-        {
-            "id": [2, 1, 3],
-            "s": [
-                {"xs": [3, 4], "tag": "b"},
-                {"xs": [1, 2], "tag": "a"},
-                None,
-            ],
-            "arr": [[5, 6], [7, [8, 9]], None],
-        }
+    for bad in ([[5, 6], [7, 8], None], [{"k": 1}, {"k": 2}, None]):
+        with _pytest.raises(CollectionColumnError):
+            _normalize(pd.DataFrame({"id": [2, 1, 3], "c": bad}))
+    ok = _normalize(
+        pd.DataFrame({"id": [2, 1], "b": [bytearray(b"zz"), b"aa"]})
     )
-    out = _normalize(df)
-    assert list(out.columns) == ["arr", "id", "s"]
-    # rows sort by arr first: (5,6) [tag b], (7,(8,9)) [tag a], None last
-    assert out["s"].iloc[0] == (("tag", "b"), ("xs", (3, 4)))
-    assert out["s"].iloc[1] == (("tag", "a"), ("xs", (1, 2)))
-    assert out["arr"].iloc[1] == (7, (8, 9))
-    # deterministic: same input, same order
-    assert _normalize(df).equals(out)
+    assert list(ok.columns) == ["b", "id"]
+    assert ok["b"].tolist() == [b"aa", b"zz"]
+
+
+def test_no_collection_typed_output_columns(spark):
+    """Schema walk over EVERY registry entry (driver-facing or not): no
+    result may expose a top-level array/map/struct column — the driver's
+    canonicalizer crashes on them (CORRECTNESS_r07). Schema-only, no jobs
+    run. Binary is fine (bytes cells sort/hash)."""
+    from pyspark.sql import types as T
+
+    offenders = []
+    for name, (fn, _sql) in REGISTRY.items():
+        for field in fn(spark, SF_DIR).schema.fields:
+            if isinstance(field.dataType, (T.ArrayType, T.MapType, T.StructType)):
+                offenders.append(f"{name}.{field.name}: {field.dataType.simpleString()}")
+    assert not offenders, offenders
 
 
 def test_reconciliation_exercises_all_outer_branches(spark):
