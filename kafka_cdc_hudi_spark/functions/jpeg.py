@@ -367,8 +367,14 @@ class _BitReader:
         self.nbits = 0
 
     def _fill(self) -> None:
+        # bounds-check so a truncated scan (data ends before EOI) raises
+        # the documented corruption error, not a bare IndexError (ADVICE r7)
+        if self.pos >= len(self.data):
+            raise ValueError("truncated scan: entropy data ends before EOI")
         b = self.data[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(self.data):
+                raise ValueError("truncated scan: entropy data ends before EOI")
             nxt = self.data[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
@@ -520,6 +526,14 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
         pos += ln
     if not width or not height:
         raise ValueError("missing SOF before SOS")
+    if ncomp == 3 and (comp_order != [1, 2, 3] or scan_order != [1, 2, 3]):
+        # the color path below maps plane position -> (Y, Cb, Cr); a legal
+        # baseline JPEG with non-JFIF component ids or a reordered scan
+        # would silently swap channels — refuse instead (ADVICE r7)
+        raise NotImplementedError(
+            f"non-JFIF component order (SOF={comp_order}, SOS={scan_order}); "
+            "only ids 1,2,3 in order are supported"
+        )
     comp_q: list[list[int]] = []
     comp_trees: list[tuple[dict, dict]] = []
     for cid in scan_order:

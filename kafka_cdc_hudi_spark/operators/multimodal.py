@@ -726,8 +726,21 @@ def documents_as_wav(docs: DataFrame, center: int = 128) -> DataFrame:
         for pdf in batches:
             blobs = []
             for mid, text in zip(pdf["media_id"], pdf["text"]):
-                raw = (text or "").encode("utf-8")[:WAV_FIXTURE_MAX_SAMPLES]
-                samples = [(b - center) * 256 for b in raw] or [0]
+                # fixture CONTRACT (ADVICE r7): the DuckDB oracles model
+                # samples as per-CHARACTER ascii(substring(text,i,1)), but
+                # this kernel samples UTF-8 BYTES — identical only for
+                # non-empty ASCII text. Enforce rather than silently
+                # diverge on a future fixture change.
+                raw = (text or "").encode("utf-8")
+                if not raw or len(raw) != len(text):
+                    raise ValueError(
+                        f"documents_as_wav fixture contract violated for doc "
+                        f"{mid}: text must be non-empty ASCII (oracle SQL "
+                        "models per-character ascii(); bytes == chars only "
+                        "for ASCII)"
+                    )
+                raw = raw[:WAV_FIXTURE_MAX_SAMPLES]
+                samples = [(b - center) * 256 for b in raw]
                 blobs.append(encode_wav(samples, _wav_fixture_rate(int(mid)), channels=1))
             yield pd.DataFrame(
                 {

@@ -948,6 +948,45 @@ class KeyedParquetTable:
     _LOCK_TIMEOUT_S = 60.0
     _LOCK_STALE_S = 300.0
 
+    def _claim_and_remove(self, lock: str, my_token: str | None = None) -> bool:
+        """Atomically claim the lock file via ``os.rename`` to a unique
+        path, then decide on the CLAIMED file — only the renamer proceeds,
+        so two waiters can never both break the same stale lock, and the
+        old stat-recheck-unlink TOCTOU (a fresh lock created between the
+        re-check and the unlink getting unlinked) is gone.
+
+        With ``my_token`` this is the RELEASE path: remove the lock only
+        if the claimed file holds our token. Without it, the STALE-BREAK
+        path: remove only if the claimed file's mtime is past
+        ``_LOCK_STALE_S``. If the claimed file turns out to be someone
+        else's LIVE lock (we yanked a fresh one), restore it with
+        ``os.link`` — which atomically refuses (EEXIST) to clobber a lock
+        a newer writer created in the meantime."""
+        claim = f"{lock}.claim.{os.getpid()}.{uuid.uuid4().hex}"
+        try:
+            os.rename(lock, claim)
+        except OSError:
+            return False  # another waiter claimed it first, or it vanished
+        try:
+            if my_token is not None:
+                with open(claim, "rb") as f:
+                    ours = f.read().decode(errors="replace") == my_token
+            else:
+                ours = time.time() - os.path.getmtime(claim) > self._LOCK_STALE_S
+        except OSError:
+            ours = False
+        if ours:
+            with contextlib.suppress(OSError):
+                os.unlink(claim)
+            return True
+        # live lock of another writer: put it back without clobbering a
+        # newcomer (link is atomic and fails if lock reappeared)
+        with contextlib.suppress(OSError):
+            os.link(claim, lock)
+        with contextlib.suppress(OSError):
+            os.unlink(claim)
+        return False
+
     @contextlib.contextmanager
     def _table_lock(self):
         """Multi-writer safety (Hudi optimistic-concurrency lock-provider
@@ -986,23 +1025,18 @@ class KeyedParquetTable:
                     time.sleep(0.05)  # lock vanished between check and stat
                     continue
                 if age > self._LOCK_STALE_S:
-                    # recheck mtime immediately before unlink so we don't
-                    # break a lock that was just refreshed/recreated by a
-                    # live writer between the stat above and now
-                    with contextlib.suppress(OSError):
-                        if time.time() - os.path.getmtime(lock) > self._LOCK_STALE_S:
-                            os.unlink(lock)  # break the abandoned lock
+                    # rename-claim break: atomic, single-winner, re-verifies
+                    # staleness on the claimed file itself (ADVICE r7)
+                    self._claim_and_remove(lock)
                     continue
                 time.sleep(0.05)
         try:
             yield
         finally:
-            # unlink only if the file still holds OUR token (ownership may
-            # have moved if we stalled past _LOCK_STALE_S and were broken)
-            with contextlib.suppress(OSError):
-                with open(lock, "rb") as f:
-                    if f.read().decode(errors="replace") == token:
-                        os.unlink(lock)
+            # remove only if the claimed file holds OUR token (ownership
+            # may have moved if we stalled past _LOCK_STALE_S and were
+            # broken); rename-claim closes the read-then-unlink window
+            self._claim_and_remove(lock, my_token=token)
 
     def merge_batch(self, spark: SparkSession, batch: DataFrame, batch_id: int | None = None) -> bool:
         """Upsert one normalized CDC batch; returns False if skipped

@@ -94,3 +94,41 @@ def test_single_byte_corruptions_fail_cleanly_or_decode(fmt):
             _DECODERS[fmt](bytes(mutated))
         except _CLEAN:
             pass
+
+
+def test_jpeg_truncated_scan_raises_valueerror():
+    """A scan cut off before EOI must raise the documented corruption
+    error (ValueError), not a bare IndexError from the bit reader
+    (ADVICE r7). Cut INSIDE the entropy segment: past the SOS header but
+    before the final 2-byte EOI marker."""
+    blob = _valid_samples()["jpeg"]
+    sos = blob.index(b"\xff\xda")
+    hdr_len = struct.unpack(">H", blob[sos + 2 : sos + 4])[0]
+    scan_start = sos + 2 + hdr_len
+    assert blob[-2:] == b"\xff\xd9"
+    for cut in range(scan_start + 1, len(blob) - 2):
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode_jpeg_gray(blob[:cut])
+
+
+def test_jpeg_non_jfif_component_order_rejected():
+    """A baseline color JPEG whose components are ordered 3,2,1 would
+    silently swap channels if mapped by position — the decoder must
+    refuse (ADVICE r7)."""
+    blob = bytearray(_valid_samples()["jpeg_color"])
+    # SOF0 payload: precision(1) h(2) w(2) ncomp(1), then (cid, sampling,
+    # tq) per component; SOS payload: ns(1), then (cid, tids) per component
+    sof = bytes(blob).index(b"\xff\xc0")
+    base = sof + 4 + 6
+    for i in range(3):
+        assert blob[base + 3 * i] == i + 1
+        blob[base + 3 * i] = 3 - i
+    sos = bytes(blob).index(b"\xff\xda")
+    sbase = sos + 5
+    for i in range(3):
+        assert blob[sbase + 2 * i] == i + 1
+        blob[sbase + 2 * i] = 3 - i
+    # swap the SOS table ids and SOF quant ids along with the ids so the
+    # stream stays self-consistent — ONLY the ordering differs
+    with pytest.raises(NotImplementedError, match="component order"):
+        decode_jpeg_gray(bytes(blob))
