@@ -110,3 +110,43 @@ def topk_per_key_salted(
         tiebreakers,
     ).drop("__salt")
     return topk_per_key(phase1, keys, order_col, k, tiebreakers)
+
+
+def pairs_within_groups_salted(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    id_col: str,
+    out_a: str = "doc_a",
+    out_b: str = "doc_b",
+    n_salt: int = 1,
+) -> DataFrame:
+    """All ordered pairs (``out_a`` < ``out_b``) of rows sharing
+    ``group_cols`` — the candidate-generation self-join of every LSH-style
+    blocking scheme (MinHash bands, SRP buckets, shingle blocks).
+
+    ``n_salt > 1`` is the HOT-GROUP scale path (VERDICT r7 item 4): a
+    group holding m rows pins one task with m^2 pair work in the plain
+    self-join, because the whole group hashes to a single shuffle
+    partition. Salting splits it: the probe side keeps one deterministic
+    salt per row (hash of the id), the build side replicates each row
+    ``n_salt`` times (once per salt value), and the join key becomes
+    (group, salt) — the hot group's pair work spreads across ``n_salt``
+    tasks (m/n_salt x m each) at the cost of replicating the build side
+    ``n_salt``x. Each qualifying pair still meets EXACTLY once (the build
+    replica whose salt equals the probe row's salt), so no distinct is
+    needed beyond what the caller already does. Output is identical for
+    every ``n_salt``; pick ~4-16 when a blocking key can go hot (boilerplate
+    template families), 1 when groups are provably tiny."""
+    a = df.select(*group_cols, F.col(id_col).alias(out_a))
+    b = df.select(*group_cols, F.col(id_col).alias(out_b))
+    if n_salt <= 1:
+        return a.join(b, list(group_cols)).filter(F.col(out_a) < F.col(out_b)).select(out_a, out_b)
+    a = a.withColumn("__salt", F.pmod(F.xxhash64(F.col(out_a)), F.lit(n_salt)).cast("int"))
+    b = b.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    return (
+        a.join(b, [*group_cols, "__salt"])
+        .filter(F.col(out_a) < F.col(out_b))
+        .select(out_a, out_b)
+    )

@@ -323,11 +323,20 @@ def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sx.groupBy("doc_id").agg(*aggs)
 
 
+#: salt factor for the band self-join: a hot band (one template shared by
+#: a visible fraction of the corpus) otherwise pins its full m^2 candidate
+#: work on ONE task; 4 spreads it across 4 tasks for a 4x replication of
+#: the tiny band frame (measured skew spread in tests/test_dedup_skew.py)
+LSH_BAND_SALT = 4
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding near-dup candidates with signature-estimated
     Jaccard. The scale path: signature size is constant per doc, banding
     turns all-pairs into an equi-join on band keys — exactly the shape that
-    survives 100 TB (shuffle on band hash, skew-salted if a band is hot)."""
+    survives 100 TB — and the band self-join is SALTED
+    (operators/dedup.py:pairs_within_groups_salted) so a hot band spreads
+    across ``LSH_BAND_SALT`` tasks instead of pinning one."""
     # signatures are the INDEX artifact (K ints per doc — tiny relative to
     # the corpus) and are referenced four times below (band join both sides
     # + exact-estimate join-back); materialize once via the session cache
@@ -345,17 +354,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sig.select(
         "doc_id", F.posexplode(F.array(*band_cols)).alias("bi", "bv")
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.bi") == F.col("b.bi"))
-            & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    from kafka_cdc_hudi_spark.operators.dedup import pairs_within_groups_salted
+
+    cand = pairs_within_groups_salted(
+        bands, ["bi", "bv"], "doc_id", n_salt=LSH_BAND_SALT
+    ).distinct()
     sa = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(MINHASH_K)])
     sb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(MINHASH_K)])
     est = None

@@ -112,3 +112,66 @@ def test_salt_spreads_constant_order_values(spark):
     direct = topk_per_key(df, ["k"], "score", 3, tiebreakers=["seq"])
     salted = topk_per_key_salted(df, ["k"], "score", 3, tiebreakers=["seq"], salt_buckets=8)
     assert {tuple(r) for r in direct.collect()} == {tuple(r) for r in salted.collect()}
+
+
+def test_hot_band_salted_pairs_match_and_spread(spark):
+    """VERDICT r7 item 4 — the LSH band self-join under a hot band (one
+    band value shared by ~10% of docs, the boilerplate-template shape).
+    Unsalted, the hot band's m^2/2 pair generation lands on ONE shuffle
+    partition (the join key IS the band); salted, it spreads across
+    n_salt tasks. Asserted: (a) identical output (count + order-free
+    checksum over ~8M pairs), (b) measured wall-clock improvement with
+    broadcast disabled so the join actually shuffles (at driver SFs the
+    tiny band frame broadcasts and no partition is hot — skew bites in
+    the at-scale sort-merge regime this test forces)."""
+    import time
+
+    from kafka_cdc_hudi_spark.operators.dedup import pairs_within_groups_salted
+
+    m = 8000
+    hot = spark.range(m).selectExpr("id AS doc_id", "0 AS bi", "'hot' AS bv")
+    cold = spark.range(16_000).selectExpr(
+        "8000 + id AS doc_id",
+        "CAST(id % 4 AS INT) AS bi",
+        "concat('c', CAST(id DIV 8 AS STRING)) AS bv",
+    )
+    bands = hot.unionByName(cold).repartition(32).cache()
+    bands.count()
+
+    def run(n_salt):
+        pairs = pairs_within_groups_salted(bands, ["bi", "bv"], "doc_id", n_salt=n_salt)
+        return pairs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.pmod(F.xxhash64("doc_a", "doc_b"), F.lit(1_000_000_007))).alias("chk"),
+        ).collect()[0]
+
+    def best_of(n_salt, runs=2):
+        best = None
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            row = run(n_salt)
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return best, row
+
+    default = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        t_plain, r_plain = best_of(1)
+        t_salt, r_salt = best_of(8)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", default)
+        bands.unpersist()
+
+    # identical pairs regardless of salt
+    assert r_plain["n"] == r_salt["n"] >= m * (m - 1) // 2
+    assert r_plain["chk"] == r_salt["chk"]
+    print(f"\nhot-band join: unsalted {t_plain:.2f}s, salted(8) {t_salt:.2f}s "
+          f"({t_plain / t_salt:.1f}x) over {r_plain['n']} pairs")
+    # the straggler must measurably shrink (8 tasks vs 1 on the hot band).
+    # Measured 1.5x at 32M pairs on local[32]; the ratio is compressed by
+    # ~0.8s of fixed per-action cost (plan+3 stages) shared by both runs —
+    # at real scale it approaches n_salt. Bar at 1.25x for flake margin.
+    assert t_salt * 1.25 <= t_plain, (
+        f"salting gave no spread: unsalted {t_plain:.2f}s vs salted {t_salt:.2f}s"
+    )
