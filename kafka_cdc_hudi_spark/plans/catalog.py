@@ -161,6 +161,9 @@ PRUNED: dict[str, str] = {
     "text_bpe_pretokenize": "green r7; due back r9",
     "text_lm_score": "green r7; due back r9",
     "text_trigram_novelty": "green r7; due back r9",
+    # ---- born in r8 past the driver cap: oracled + swept from birth ----
+    "dedup_incremental_candidates": "NEW r8 (born past the cap), full oracle locally + swept; rotate in r9",
+    "graph_triangles_neardup": "NEW r8 (born past the cap), full oracle locally + swept; rotate in r9",
 }
 
 #: driver evaluation order, round 8: the r7 red-row fix first, then the 12

@@ -330,17 +330,10 @@ def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 LSH_BAND_SALT = 4
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH banding near-dup candidates with signature-estimated
-    Jaccard. The scale path: signature size is constant per doc, banding
-    turns all-pairs into an equi-join on band keys — exactly the shape that
-    survives 100 TB — and the band self-join is SALTED
-    (operators/dedup.py:pairs_within_groups_salted) so a hot band spreads
-    across ``LSH_BAND_SALT`` tasks instead of pinning one."""
-    # signatures are the INDEX artifact (K ints per doc — tiny relative to
-    # the corpus) and are referenced four times below (band join both sides
-    # + exact-estimate join-back); materialize once via the session cache
-    sig = _cached_index("minhash_sig", sf_dir, lambda: _minhash_signatures(spark, sf_dir))
+def _lsh_bands(sig: DataFrame) -> DataFrame:
+    """Banding projection over the signature index: one posexplode fans
+    out to n_bands rows per doc in a single pass — a per-band union would
+    recompute the shingle->minhash aggregation once per band per side."""
     n_bands = MINHASH_K // MINHASH_BAND
     band_cols = [
         F.md5(
@@ -348,17 +341,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for b in range(n_bands)
     ]
-    # one pass over the signatures: posexplode fans out to n_bands rows per
-    # doc in a single projection — a per-band union would recompute the
-    # shingle->minhash aggregation once per band per join side
-    bands = sig.select(
-        "doc_id", F.posexplode(F.array(*band_cols)).alias("bi", "bv")
-    )
-    from kafka_cdc_hudi_spark.operators.dedup import pairs_within_groups_salted
+    return sig.select("doc_id", F.posexplode(F.array(*band_cols)).alias("bi", "bv"))
 
-    cand = pairs_within_groups_salted(
-        bands, ["bi", "bv"], "doc_id", n_salt=LSH_BAND_SALT
-    ).distinct()
+
+def _est_jaccard_filter(sig: DataFrame, cand: DataFrame) -> DataFrame:
+    """Signature-estimated Jaccard over candidate (doc_a, doc_b) pairs,
+    kept at >= 0.5 — the verify stage shared by the full and incremental
+    LSH entries."""
     sa = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(MINHASH_K)])
     sb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(MINHASH_K)])
     est = None
@@ -372,6 +361,25 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("est_jaccard") >= 0.5)
         .select("doc_a", "doc_b", "est_jaccard")
     )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding near-dup candidates with signature-estimated
+    Jaccard. The scale path: signature size is constant per doc, banding
+    turns all-pairs into an equi-join on band keys — exactly the shape that
+    survives 100 TB — and the band self-join is SALTED
+    (operators/dedup.py:pairs_within_groups_salted) so a hot band spreads
+    across ``LSH_BAND_SALT`` tasks instead of pinning one."""
+    # signatures are the INDEX artifact (K ints per doc — tiny relative to
+    # the corpus) and are referenced four times below (band join both sides
+    # + exact-estimate join-back); materialize once via the session cache
+    sig = _cached_index("minhash_sig", sf_dir, lambda: _minhash_signatures(spark, sf_dir))
+    from kafka_cdc_hudi_spark.operators.dedup import pairs_within_groups_salted
+
+    cand = pairs_within_groups_salted(
+        _lsh_bands(sig), ["bi", "bv"], "doc_id", n_salt=LSH_BAND_SALT
+    ).distinct()
+    return _est_jaccard_filter(sig, cand)
 
 
 def _minhash_ctes() -> tuple[str, str]:
@@ -413,6 +421,68 @@ WHERE CAST({est} AS DOUBLE) / {MINHASH_K} >= 0.5
 
 
 DEDUP_MINHASH_LSH_SQL = "WITH {0}{1}".format(*_minhash_ctes())
+
+
+#: "newly ingested" slice for the incremental-dedup entry: doc_id % 10 == 0
+#: (10% of the corpus — a realistic ingest batch relative to the base)
+_INCR_DELTA_MOD = 10
+
+
+def dedup_incremental_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup detection — the shape a 100-TB streaming
+    corpus actually runs: when a delta batch of new documents arrives
+    (here the doc_id % 10 == 0 slice standing in for a CDC ingest batch),
+    candidates are generated by probing the delta's bands against the
+    FULL band index (base + delta) — base x base pairs are structurally
+    never formed, so per-batch cost is O(delta x collisions) instead of
+    O(corpus^2) re-dedup. Same signature index, banding, and >= 0.5
+    estimated-Jaccard verify as :func:`dedup_minhash_lsh`; output is
+    exactly the subset of the full LSH pairs touching at least one new
+    doc (pinned by the oracle, which filters the full chain). At scale
+    the delta side broadcasts and the base index is the persisted
+    artifact the streaming driver maintains."""
+    sig = _cached_index("minhash_sig", sf_dir, lambda: _minhash_signatures(spark, sf_dir))
+    bands = _lsh_bands(sig)
+    delta = bands.filter(F.col("doc_id") % _INCR_DELTA_MOD == 0)
+    j = delta.alias("a").join(
+        bands.alias("b"),
+        (F.col("a.bi") == F.col("b.bi"))
+        & (F.col("a.bv") == F.col("b.bv"))
+        & (F.col("a.doc_id") != F.col("b.doc_id")),
+    )
+    cand = j.select(
+        F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+        F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+    ).distinct()
+    return _est_jaccard_filter(sig, cand)
+
+
+def _incremental_lsh_sql() -> str:
+    ctes, final = _minhash_ctes()
+    # same chain, but candidates must touch the delta slice: replace the
+    # self-join cand CTE with a delta-probe form (identical semantics to
+    # the Spark plan's delta x all join + least/greatest normalization)
+    old_cand = """cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+)"""
+    assert old_cand in ctes, "minhash oracle cand CTE moved; update _incremental_lsh_sql"
+    ctes = ctes.replace(
+        """cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+)""",
+        f"""cand AS (
+  SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+                  greatest(a.doc_id, b.doc_id) AS doc_b
+  FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id <> b.doc_id
+  WHERE a.doc_id % {_INCR_DELTA_MOD} = 0
+)""",
+    )
+    return "WITH " + ctes + final
+
+
+DEDUP_INCREMENTAL_CANDIDATES_SQL = _incremental_lsh_sql()
 
 
 def _simhash_shift(expr: str, r: int, dialect: str) -> str:
@@ -994,6 +1064,76 @@ SELECT doc_id, CAST(to_json(embedding) AS VARCHAR) AS embedding_json,
        CAST(list_sum(list_transform(embedding, x -> x * x)) AS BIGINT) AS l2_sq
 FROM dense
 """
+
+
+def graph_triangles_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle participation per document over the near-dup graph — the
+    clustering-DENSITY signal the pair count can't give: a doc in many
+    triangles sits inside a tight boilerplate clique (safe to collapse to
+    one canonical survivor), one in zero triangles hangs off chains of
+    marginal matches (review before deleting). Degree-ordered wedge
+    counting (operators/graph.py:count_triangles) — exact, three
+    shuffles, out-degrees bounded O(sqrt(m)) by the orientation so a hub
+    doc cannot pin a task. Oracle: the identical orientation/wedge/close
+    algebra in SQL over the shared MinHash-LSH pair chain."""
+    from kafka_cdc_hudi_spark.operators.graph import count_triangles
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    tri = count_triangles(pairs)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.join(tri, docs.doc_id == tri.node, "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias("n_triangles"),
+    )
+
+
+def _triangles_sql() -> str:
+    ctes, _ = _minhash_ctes()
+    est = " + ".join(
+        f"(CASE WHEN x.h{i} = y.h{i} THEN 1 ELSE 0 END)" for i in range(MINHASH_K)
+    )
+    return f"""
+WITH {ctes},
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM cand JOIN sig x ON doc_a = x.doc_id JOIN sig y ON doc_b = y.doc_id
+  WHERE CAST({est} AS DOUBLE) / {MINHASH_K} >= 0.5
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+deg AS (SELECT a AS n, COUNT(*) AS deg FROM edges GROUP BY a),
+-- orient each undirected edge low-(deg, id) -> high (same total order as
+-- operators/graph.py:count_triangles)
+o AS (
+  SELECT CASE WHEN (da.deg, doc_a) < (db.deg, doc_b) THEN doc_a ELSE doc_b END AS s,
+         CASE WHEN (da.deg, doc_a) < (db.deg, doc_b) THEN doc_b ELSE doc_a END AS t,
+         CASE WHEN (da.deg, doc_a) < (db.deg, doc_b) THEN db.deg ELSE da.deg END AS tdeg
+  FROM pairs JOIN deg da ON doc_a = da.n JOIN deg db ON doc_b = db.n
+),
+wedges AS (
+  SELECT e1.s AS a, e1.t AS b, e2.t AS c
+  FROM o e1 JOIN o e2 ON e1.s = e2.s
+  WHERE (e1.tdeg, e1.t) < (e2.tdeg, e2.t)
+),
+tri AS (
+  SELECT w.a, w.b, w.c FROM wedges w JOIN o e3 ON w.b = e3.s AND w.c = e3.t
+),
+cnt AS (
+  SELECT node, COUNT(*) AS n_triangles FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY node
+)
+SELECT d.doc_id, CAST(COALESCE(cnt.n_triangles, 0) AS BIGINT) AS n_triangles
+FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.node
+"""
+
+
+GRAPH_TRIANGLES_SQL = _triangles_sql()
 
 
 _PAGERANK_ITERS = 5
@@ -3944,10 +4084,12 @@ TEXT_QUERIES: dict[str, tuple] = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_LSH_SQL),
+    "dedup_incremental_candidates": (dedup_incremental_candidates, DEDUP_INCREMENTAL_CANDIDATES_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
     "dedup_clusters_star": (dedup_clusters_star, DEDUP_CLUSTERS_SQL),
     "graph_pagerank_neardup": (graph_pagerank_neardup, GRAPH_PAGERANK_SQL),
+    "graph_triangles_neardup": (graph_triangles_neardup, GRAPH_TRIANGLES_SQL),
     "text_hash_embedding": (text_hash_embedding, TEXT_HASH_EMBEDDING_SQL),
     "embedding_norms": (embedding_norms, EMBEDDING_NORMS_SQL),
     "embedding_quantize_int8": (embedding_quantize_int8, EMBEDDING_QUANTIZE_INT8_SQL),

@@ -175,3 +175,29 @@ def test_hot_band_salted_pairs_match_and_spread(spark):
     assert t_salt * 1.25 <= t_plain, (
         f"salting gave no spread: unsalted {t_plain:.2f}s vs salted {t_salt:.2f}s"
     )
+
+
+def test_incremental_candidates_equal_full_lsh_delta_slice(spark):
+    """dedup_incremental_candidates must produce EXACTLY the full-LSH
+    pairs touching the delta slice (doc_id % 10 == 0) while structurally
+    never joining base x base — the incremental-ingest contract."""
+    from kafka_cdc_hudi_spark.plans.catalog_text import (
+        dedup_incremental_candidates,
+        dedup_minhash_lsh,
+    )
+
+    from .conftest import SF_DIR
+
+    full = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in dedup_minhash_lsh(spark, SF_DIR).collect()
+    }
+    inc = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in dedup_incremental_candidates(spark, SF_DIR).collect()
+    }
+    want = {k: v for k, v in full.items() if k[0] % 10 == 0 or k[1] % 10 == 0}
+    assert inc == want
+    assert inc, "fixture produced no delta-touching pairs — vacuous"
+    # and it must be a PROPER subset (base-base pairs exist and are absent)
+    assert len(inc) < len(full)
