@@ -396,6 +396,74 @@ FROM scored QUALIFY rank <= {_IVF_K}
 ANN_TOPK_IVF_SQL = _ivf_sql(_cents_values(ivf_static_codebook(EMBEDDING_DIM, _IVF_CELLS)))
 
 
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality MEASUREMENT as a first-class query: per-query
+    recall@10 of the IVF index (3-probe, static codebook) against the
+    exact brute-force top-10, computed in ONE plan — the audit a training
+    pipeline runs before trusting an ANN index for hard-negative mining
+    or near-dup blocking. Exact integer hit counts and ppm recall (no
+    float tolerance); both the truth side and the index side are the
+    already-oracled entry plans, so this entry additionally proves they
+    compose. Scale shape: truth is the broadcast-query brute scan (the
+    documented exhaustive baseline — at 100 TB you run it on a sampled
+    query set, which is exactly what vec_id < 10 is), the index side is
+    the probed-cells-only IVF join; the final hit join is a tiny
+    (queries x k) equi-join."""
+    from kafka_cdc_hudi_spark.plans.catalog_text import ann_topk_bruteforce
+
+    exact = ann_topk_bruteforce(spark, sf_dir).select("qid", "nid")
+    approx = ann_topk_ivf(spark, sf_dir).select("qid", "nid").withColumn(
+        "hit", F.lit(1)
+    )
+    return (
+        exact.join(approx, ["qid", "nid"], "left")
+        .groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("hit").alias("n_hits"),
+        )
+        .withColumn("recall_ppm", F.expr("n_hits * 1000000 DIV n_exact"))
+    )
+
+
+def _recall_sql() -> str:
+    # compose the two already-proven oracle chains: brute-force truth +
+    # IVF probe, joined on (qid, nid) for exact integer hit counts
+    ivf_body = ANN_TOPK_IVF_SQL.strip()
+    assert ivf_body.startswith("WITH ")
+    brute = f"""
+q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+bp AS (
+  SELECT q.qid, e.vec_id AS nid,
+         {_DOT.format(A="q.qe", B="e.embedding")}
+         / ({_NORM.format(A="q.qe")} * {_NORM.format(A="e.embedding")}) AS cosine
+  FROM embeddings e, q
+  WHERE e.vec_id <> q.qid
+),
+exact AS (
+  SELECT qid, nid FROM bp
+  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) <= {_IVF_K}
+),
+ivf AS (
+  SELECT qid, nid FROM scored
+  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) <= {_IVF_K}
+)
+SELECT e.qid,
+       COUNT(*) AS n_exact,
+       COUNT(i.nid) AS n_hits,
+       CAST((COUNT(i.nid) * 1000000) // COUNT(*) AS BIGINT) AS recall_ppm
+FROM exact e LEFT JOIN ivf i ON e.qid = i.qid AND e.nid = i.nid
+GROUP BY e.qid
+"""
+    # reuse the IVF chain's CTEs (cents/asg_d/asg/probe/cand/scored), drop
+    # its final SELECT, and append the recall CTEs
+    head = ivf_body[: ivf_body.index("\nSELECT qid, nid, cosine,")]
+    return head + ",\n" + brute
+
+
+ANN_RECALL_AT_K_SQL = _recall_sql()
+
+
 # -- trained IVF: end-to-end (training + probe) hash-verified -----------------
 
 #: the correctness driver evaluates oracles at this scale factor (driver
@@ -603,6 +671,7 @@ STREAMING_QUERIES: dict[str, tuple] = {
     "events_user_rate_window": (events_user_rate_window, EVENTS_USER_RATE_SQL),
     "events_user_gaps": (events_user_gaps, EVENTS_USER_GAPS_SQL),
     "ann_topk_ivf": (ann_topk_ivf, ANN_TOPK_IVF_SQL),
+    "ann_recall_at_k": (ann_recall_at_k, ANN_RECALL_AT_K_SQL),
     "ann_topk_ivf_trained": (ann_topk_ivf_trained, ANN_TOPK_IVF_TRAINED_SQL),
     "ann_topk_srp": (ann_topk_srp, ANN_TOPK_SRP_SQL),
 }
