@@ -290,27 +290,20 @@ def _hash_family(k: int) -> list[tuple[int, int]]:
 MINHASH_FAMILY = _hash_family(MINHASH_K)
 
 
-def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K minhashes per doc: one md5 per shingle -> 60-bit int, then the
-    universal-hash family min-aggregated per doc.
+def minhash_signatures_for(docs: DataFrame) -> DataFrame:
+    """K minhashes over an arbitrary ``(doc_id, text)`` frame — the
+    signature builder the incremental/streaming ingest path calls per
+    batch (the sf_dir entry below wraps it over the documents table).
+    One md5 per shingle -> 60-bit int, then the universal-hash family
+    min-aggregated per doc.
 
     Two shapes were measured: explode + K codegen'd min aggregates (this
     one) vs a shuffle-free ``array_min(transform(...))`` per h_i. The array
     version loses ~2x despite avoiding the shuffle: higher-order array
     functions are interpreted per element, while the exploded min
     aggregation is whole-stage-codegen'd with map-side partial agg (the
-    shuffle carries only K ints per doc).
-    """
-    d = load_table(spark, sf_dir, "documents")
-    # The fixture parquet is a single row group, so the scan yields ONE
-    # input partition and the whole tokenize->shingle->md5 build would run
-    # on one core (measured 6s of the 7s build at sf0.1). Fan the docs out
-    # across the cluster first: the raw text is tiny relative to the
-    # per-shingle hashing work below, so this round-robin shuffle buys full
-    # parallelism for the expensive projection. On a real multi-file corpus
-    # this is a near-no-op (already ~defaultParallelism input splits).
-    d = d.repartition(spark.sparkContext.defaultParallelism)
-    sh = d.select("doc_id", F.explode(shingles(tokens("text"))).alias("s"))
+    shuffle carries only K ints per doc)."""
+    sh = docs.select("doc_id", F.explode(shingles(tokens("text"))).alias("s"))
     # one digest per shingle; 15 hex chars = 60 bits, exact in a bigint
     x = (
         F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10).cast("bigint") % MINHASH_P
@@ -321,6 +314,19 @@ def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, (a, b) in enumerate(MINHASH_FAMILY)
     ]
     return sx.groupBy("doc_id").agg(*aggs)
+
+
+def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    # The fixture parquet is a single row group, so the scan yields ONE
+    # input partition and the whole tokenize->shingle->md5 build would run
+    # on one core (measured 6s of the 7s build at sf0.1). Fan the docs out
+    # across the cluster first: the raw text is tiny relative to the
+    # per-shingle hashing work below, so this round-robin shuffle buys full
+    # parallelism for the expensive projection. On a real multi-file corpus
+    # this is a near-no-op (already ~defaultParallelism input splits).
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    return minhash_signatures_for(d)
 
 
 #: salt factor for the band self-join: a hot band (one template shared by
