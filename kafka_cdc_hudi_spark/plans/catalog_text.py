@@ -694,6 +694,114 @@ FROM base b LEFT JOIN covered c ON b.doc_id = c.doc_id
 """
 
 
+def dedup_spans_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTIONABLE form of :func:`text_duplicated_span_fraction` —
+    span-level dedup that actually rewrites the corpus (Lee et al. 2022's
+    remove-all-but-one policy): every token position covered by a
+    cross-document verbatim {N}-gram is CUT unless this document is the
+    n-gram's canonical keeper (its minimum doc_id), and the surviving
+    tokens are reassembled in order into the deduplicated text. Exact and
+    deterministic, so the rewritten strings themselves are value-oracled.
+
+    Plan shape: the same positional n-gram chain as the fraction entry
+    (one explode, one n-gram agg now also carrying min-doc keeper, one
+    equi-join-back), plus a positional anti-join and one ordered
+    per-doc reassembly agg — every join keyed on the n-gram string or
+    (doc, position); nothing is all-pairs, and the n-gram agg volume is
+    corpus-frequency-bounded exactly like the BPE vocabulary pass."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    base = d.select("doc_id", F.size("toks").alias("n_tokens"), "toks")
+    toks_pos = base.select(
+        "doc_id", F.posexplode("toks").alias("tokpos", "token")
+    )
+    grams = base.filter(F.col("n_tokens") >= _DUPSPAN_N).select(
+        "doc_id",
+        F.posexplode(_ngrams_expr("toks", _DUPSPAN_N)).alias("pos", "ng"),
+    )
+    dupk = (
+        grams.groupBy("ng")
+        .agg(F.countDistinct("doc_id").alias("nd"), F.min("doc_id").alias("keeper"))
+        .filter(F.col("nd") >= 2)
+        .select("ng", "keeper")
+    )
+    rem = (
+        grams.join(dupk, "ng")
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + _DUPSPAN_N - 1)
+            ).alias("tokpos"),
+        )
+        .distinct()
+    )
+    kept = toks_pos.join(rem, ["doc_id", "tokpos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(tokpos, token))),"
+            " s -> s.token), ' ')"
+        ).alias("kept_text"),
+    )
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+        )
+    )
+
+
+dedup_spans_remove.__doc__ = dedup_spans_remove.__doc__.format(N=_DUPSPAN_N)
+
+DEDUP_SPANS_REMOVE_SQL = f"""
+WITH tok AS (SELECT doc_id, {_DK_TOKS} AS toks FROM documents),
+base AS (SELECT doc_id, len(toks) AS n_tokens, toks FROM tok),
+toks_pos AS (
+  SELECT doc_id, g.i - 1 AS tokpos, toks[g.i] AS token
+  FROM base, LATERAL unnest(generate_series(1, len(toks))) AS g(i)
+),
+grams AS (
+  SELECT doc_id, g.i - 1 AS pos,
+         array_to_string(toks[g.i:g.i+{_DUPSPAN_N - 1}], ' ') AS ng
+  FROM base, LATERAL unnest(generate_series(1, len(toks)-{_DUPSPAN_N - 1})) AS g(i)
+  WHERE n_tokens >= {_DUPSPAN_N}
+),
+dupk AS (
+  SELECT ng, MIN(doc_id) AS keeper
+  FROM grams GROUP BY ng HAVING COUNT(DISTINCT doc_id) >= 2
+),
+rem AS (
+  SELECT DISTINCT g.doc_id, g.pos + t.j AS tokpos
+  FROM grams g JOIN dupk d ON g.ng = d.ng AND g.doc_id <> d.keeper,
+       LATERAL unnest(generate_series(0, {_DUPSPAN_N - 1})) AS t(j)
+),
+kept AS (
+  SELECT tp.doc_id, tp.tokpos, tp.token
+  FROM toks_pos tp LEFT JOIN rem r
+    ON tp.doc_id = r.doc_id AND tp.tokpos = r.tokpos
+  WHERE r.tokpos IS NULL
+),
+rebuilt AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(token, ' ' ORDER BY tokpos) AS kept_text
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(b.n_tokens AS BIGINT) AS n_tokens,
+       CAST(b.n_tokens - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+       COALESCE(r.kept_text, '') AS kept_text
+FROM base b LEFT JOIN rebuilt r ON b.doc_id = r.doc_id
+"""
+
+
 #: negative sampling: M hash candidates per query, keep the first K that
 #: survive exclusion (self + true top-10 neighbors)
 _NEG_M, _NEG_K, _NEG_SALT = 30, 5, "negs_v1"
@@ -4096,6 +4204,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "dedup_clusters_star": (dedup_clusters_star, DEDUP_CLUSTERS_SQL),
     "graph_pagerank_neardup": (graph_pagerank_neardup, GRAPH_PAGERANK_SQL),
     "graph_triangles_neardup": (graph_triangles_neardup, GRAPH_TRIANGLES_SQL),
+    "dedup_spans_remove": (dedup_spans_remove, DEDUP_SPANS_REMOVE_SQL),
     "text_hash_embedding": (text_hash_embedding, TEXT_HASH_EMBEDDING_SQL),
     "embedding_norms": (embedding_norms, EMBEDDING_NORMS_SQL),
     "embedding_quantize_int8": (embedding_quantize_int8, EMBEDDING_QUANTIZE_INT8_SQL),

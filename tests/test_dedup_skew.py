@@ -201,3 +201,28 @@ def test_incremental_candidates_equal_full_lsh_delta_slice(spark):
     assert inc, "fixture produced no delta-touching pairs — vacuous"
     # and it must be a PROPER subset (base-base pairs exist and are absent)
     assert len(inc) < len(full)
+
+
+def test_spans_remove_consistent_with_span_fraction(spark):
+    """Removal is the actionable form of the fraction measure: per doc,
+    removed tokens are a subset of covered tokens (the keeper retains its
+    copy), and a doc removes tokens iff it has covered tokens AND is not
+    the keeper of every one of its duplicated windows."""
+    from kafka_cdc_hudi_spark.plans.catalog_text import (
+        dedup_spans_remove,
+        text_duplicated_span_fraction,
+    )
+
+    from .conftest import SF_DIR
+
+    frac = {
+        r.doc_id: r.n_dup_tokens
+        for r in text_duplicated_span_fraction(spark, SF_DIR).collect()
+    }
+    rem = {r.doc_id: r.n_removed for r in dedup_spans_remove(spark, SF_DIR).collect()}
+    assert any(v > 0 for v in rem.values()), "vacuous: nothing removed"
+    for doc, n_removed in rem.items():
+        assert n_removed <= frac.get(doc, 0), (doc, n_removed, frac.get(doc))
+    # every duplicated family keeps at least one copy: total removed must be
+    # strictly less than total covered
+    assert sum(rem.values()) < sum(frac.values())
