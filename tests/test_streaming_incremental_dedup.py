@@ -31,7 +31,12 @@ def _batch_processor(spark, sig_store: str, pairs_store: str):
         ).persist()
         try:
             try:
-                sig_old = spark.read.parquet(sig_store)
+                # exclude this batch's own partition: an at-least-once
+                # REPLAY must probe the same 'prior' index the original
+                # run saw, not its own half-written output
+                sig_old = spark.read.parquet(sig_store).filter(
+                    F.col("bid") < batch_id
+                ).drop("bid")
             except Exception:  # first batch: empty index
                 sig_old = None
             sig_all = (
@@ -54,8 +59,12 @@ def _batch_processor(spark, sig_store: str, pairs_store: str):
                 .distinct()
             )
             flagged = _est_jaccard_filter(sig_all, cand)
-            flagged.write.mode("append").parquet(pairs_store)
-            sig_new.write.mode("append").parquet(sig_store)
+            # exactly-once under at-least-once replay: the standard
+            # foreachBatch idiom — write each batch to its batch-id
+            # partition with OVERWRITE, so a replayed batch replaces its
+            # own output instead of double-appending
+            flagged.write.mode("overwrite").parquet(f"{pairs_store}/bid={batch_id}")
+            sig_new.write.mode("overwrite").parquet(f"{sig_store}/bid={batch_id}")
         finally:
             sig_new.unpersist()
 
@@ -103,19 +112,33 @@ def test_streaming_ingest_finds_all_pairs_exactly_once(spark, tmp_path):
     q.processAllAvailable()
     q.stop()
 
-    streamed = {
-        (r.doc_a, r.doc_b): round(r.est_jaccard, 9)
-        for r in spark.read.parquet(pairs_store).collect()
-    }
+    def read_pairs():
+        return {
+            (r.doc_a, r.doc_b): round(r.est_jaccard, 9)
+            for r in spark.read.parquet(pairs_store).collect()
+        }
+
+    streamed = read_pairs()
     batch = {
         (r.doc_a, r.doc_b): round(r.est_jaccard, 9)
         for r in dedup_minhash_lsh(spark, SF_DIR).collect()
     }
     assert streamed == batch
     assert streamed, "fixture produced no near-dup pairs — vacuous"
-    # exactly-once discovery: append-mode writes would double rows if a
-    # pair were flagged in more than one batch
-    total_rows = spark.read.parquet(pairs_store).count()
-    assert total_rows == len(streamed)
+    # exactly-once discovery: a pair flagged in more than one batch would
+    # show up as duplicate rows
+    assert spark.read.parquet(pairs_store).count() == len(streamed)
     # the signature index holds every doc exactly once
+    assert spark.read.parquet(sig_store).count() == docs.count()
+
+    # at-least-once REPLAY: foreachBatch may re-deliver a batch after a
+    # crash-restart. Re-invoke the processor manually with exactly the
+    # docs the stream's batch 2 carried (read back from the index's bid=2
+    # partition — no assumption about file->batch ordering) — the
+    # batch-id-partitioned overwrite must leave both stores equivalent
+    # (no double-append, same pairs).
+    bid2_ids = spark.read.parquet(sig_store).filter("bid = 2").select("doc_id")
+    _batch_processor(spark, sig_store, pairs_store)(docs.join(bid2_ids, "doc_id"), 2)
+    assert read_pairs() == streamed
+    assert spark.read.parquet(pairs_store).count() == len(streamed)
     assert spark.read.parquet(sig_store).count() == docs.count()
