@@ -542,6 +542,76 @@ SELECT doc_id, {total} AS simhash FROM votes
 DEDUP_SIMHASH_SQL = _simhash_sql()
 
 
+#: hamming radius for simhash pairing: 4 byte-bands pigeonhole-guarantee
+#: recall for distance <= 3 (any 3 flipped bits leave one byte intact)
+_SIMHASH_HAMMING_MAX = 3
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completes the SimHash family: CANDIDATE PAIRS within hamming
+    distance {H} via byte-banding — split the 32-bit signature into 4
+    bytes; by pigeonhole any two signatures within {H} flipped bits share
+    at least one verbatim byte, so candidates are a pure equi-join on
+    (byte index, byte value) — the same bounded-blocking shape as the
+    MinHash band join, and routed through the same salted pair operator
+    so a hot byte band cannot pin a task. Exact ``bit_count(xor)`` verify
+    on candidates only. All-integer end to end -> full value oracle."""
+    sim = dedup_simhash(spark, sf_dir)
+    byte_cols = [
+        F.shiftright(F.col("simhash"), 8 * i).bitwiseAND(F.lit(255))
+        for i in range(4)
+    ]
+    bands = sim.select("doc_id", F.posexplode(F.array(*byte_cols)).alias("bi", "bv"))
+    from kafka_cdc_hudi_spark.operators.dedup import pairs_within_groups_salted
+
+    cand = pairs_within_groups_salted(
+        bands, ["bi", "bv"], "doc_id", n_salt=LSH_BAND_SALT
+    ).distinct()
+    sa = sim.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"))
+    sb = sim.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("hamming", F.expr("CAST(bit_count(sa ^ sb) AS INT)"))
+        .filter(F.col("hamming") <= _SIMHASH_HAMMING_MAX)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+dedup_simhash_pairs.__doc__ = dedup_simhash_pairs.__doc__.format(H=_SIMHASH_HAMMING_MAX)
+
+
+def _simhash_pairs_sql() -> str:
+    sums = ", ".join(
+        f"sum(CASE WHEN {_simhash_bit(j, 'duck')} = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(32)
+    )
+    total = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END)" for j in range(32)
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, {_DK_TOKS} AS toks FROM documents),
+t AS (SELECT doc_id, md5(unnest(toks)) AS h FROM tok),
+votes AS (SELECT doc_id, {sums} FROM t GROUP BY doc_id),
+sig AS (SELECT doc_id, {total} AS simhash FROM votes),
+bands AS (
+  SELECT doc_id, b.i AS bi, (simhash >> (8 * b.i)) & 255 AS bv
+  FROM sig, LATERAL unnest(generate_series(0, 3)) AS b(i)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+FROM cand JOIN sig x ON doc_a = x.doc_id JOIN sig y ON doc_b = y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= {_SIMHASH_HAMMING_MAX}
+"""
+
+
+DEDUP_SIMHASH_PAIRS_SQL = _simhash_pairs_sql()
+
+
 # -- embeddings / similarity --------------------------------------------------
 
 _DK_DOT = (
@@ -4205,6 +4275,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "graph_pagerank_neardup": (graph_pagerank_neardup, GRAPH_PAGERANK_SQL),
     "graph_triangles_neardup": (graph_triangles_neardup, GRAPH_TRIANGLES_SQL),
     "dedup_spans_remove": (dedup_spans_remove, DEDUP_SPANS_REMOVE_SQL),
+    "dedup_simhash_pairs": (dedup_simhash_pairs, DEDUP_SIMHASH_PAIRS_SQL),
     "text_hash_embedding": (text_hash_embedding, TEXT_HASH_EMBEDDING_SQL),
     "embedding_norms": (embedding_norms, EMBEDDING_NORMS_SQL),
     "embedding_quantize_int8": (embedding_quantize_int8, EMBEDDING_QUANTIZE_INT8_SQL),
