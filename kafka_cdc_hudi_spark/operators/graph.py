@@ -248,6 +248,12 @@ def count_triangles(
         pairs.select(F.col(src).alias("s"), F.col(dst).alias("t"))
         .filter(F.col("s") != F.col("t"))
         .distinct()
+        # the edge set is referenced 5x below (symmetrization, orientation
+        # x2, wedges x2, closing); without truncation every reference
+        # re-expands the caller's full candidate-generation lineage —
+        # measured 1544 Exchange nodes in the near-dup entry's plan vs 10
+        # after (PLAN_AUDIT r8). Same pattern as the CC/PageRank ops.
+        .localCheckpoint()
     )
     und = e.unionByName(e.select(F.col("t").alias("s"), F.col("s").alias("t"))).distinct()
     deg = und.groupBy("s").agg(F.count(F.lit(1)).alias("deg")).withColumnRenamed("s", "n")
@@ -258,7 +264,8 @@ def count_triangles(
     rev = ed.filter(F.struct("tdeg", "t") < F.struct("sdeg", "s")).select(
         F.col("t").alias("s"), F.col("s").alias("t"), F.col("sdeg").alias("tdeg")
     )
-    o = fwd.unionByName(rev)
+    # oriented edges feed three joins (wedge x2 + closing) — truncate once
+    o = fwd.unionByName(rev).localCheckpoint()
     e1 = o.select(F.col("s").alias("a"), F.col("t").alias("b"), F.col("tdeg").alias("bdeg"))
     e2 = o.select(F.col("s").alias("a"), F.col("t").alias("c"), F.col("tdeg").alias("cdeg"))
     wedges = e1.join(e2, "a").filter(F.struct("bdeg", "b") < F.struct("cdeg", "c"))

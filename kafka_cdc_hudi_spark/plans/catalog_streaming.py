@@ -204,6 +204,68 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
 """
 
 
+#: session-scoped date-partitioned copy of events (one write per app+sf)
+_PART_SCRATCH: dict = {}
+_PART_LOCK = __import__("threading").Lock()
+
+
+def _events_partitioned(spark: SparkSession, sf_dir: str) -> tuple[str, object]:
+    """Materialize events as a Hive-layout DATE-PARTITIONED table once per
+    (application, sf_dir) — the storage layout every 100-TB event store
+    uses — and return (path, min event_date). Idempotent per session."""
+    import datetime
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    with _PART_LOCK:
+        if key not in _PART_SCRATCH:
+            out = tempfile.mkdtemp(prefix="events_part_")
+            e = load_table(spark, sf_dir, "events").withColumn(
+                "event_date", F.to_date("ts")
+            )
+            e.write.mode("overwrite").partitionBy("event_date").parquet(out)
+            min_date = (
+                spark.read.parquet(out)
+                .agg(F.min("event_date"))
+                .collect()[0][0]
+            )
+            assert isinstance(min_date, datetime.date)
+            _PART_SCRATCH[key] = (out, min_date)
+        return _PART_SCRATCH[key]
+
+
+def events_partitioned_day_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION PRUNING, the query-side 100-TB primitive the file-stats
+    index covers on the sink side: events are materialized date-partitioned
+    (Hive layout — the standard event-store shape), and a one-day slice
+    query filters on the PARTITION column with a literal, so the scan
+    plans with ``PartitionFilters`` and reads ONLY that day's files —
+    verified by an inputFiles() subset pin in test_plan_invariants. At
+    100 TB this is the difference between scanning one day and scanning
+    three years. The day literal is the corpus's minimum event date
+    (one bounded 1-row driver action per session, same pattern as the
+    index-artifact collects)."""
+    path, min_date = _events_partitioned(spark, sf_dir)
+    sliced = spark.read.parquet(path).filter(F.col("event_date") == F.lit(min_date))
+    return sliced.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+EVENTS_PARTITIONED_DAY_SQL = f"""
+WITH md AS (SELECT MIN(CAST(ts AS DATE)) AS d FROM events)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) AS sum_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events, md
+WHERE CAST(ts AS DATE) = md.d
+GROUP BY event_type
+"""
+
+
 def events_user_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-event gap statistics per user via ``lag`` — the
     inactivity/heartbeat/session-boundary primitive (and the one ordered-
@@ -672,6 +734,7 @@ STREAMING_QUERIES: dict[str, tuple] = {
     "events_user_gaps": (events_user_gaps, EVENTS_USER_GAPS_SQL),
     "ann_topk_ivf": (ann_topk_ivf, ANN_TOPK_IVF_SQL),
     "ann_recall_at_k": (ann_recall_at_k, ANN_RECALL_AT_K_SQL),
+    "events_partitioned_day_slice": (events_partitioned_day_slice, EVENTS_PARTITIONED_DAY_SQL),
     "ann_topk_ivf_trained": (ann_topk_ivf_trained, ANN_TOPK_IVF_TRAINED_SQL),
     "ann_topk_srp": (ann_topk_srp, ANN_TOPK_SRP_SQL),
 }
