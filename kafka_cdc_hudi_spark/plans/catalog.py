@@ -51,6 +51,27 @@ FULL_REGISTRY.update(STREAMING_QUERIES)
 #: OUT: the 49 green r7 driver entries (due back r9 by the alternation
 #: rule). Never-driver-tested backlog after r8: 0 (plus any entry born
 #: in r8, which rotates in r9 per the standing rule).
+#:
+#: ROUND-9 ROTATION (committed in advance, the standing pattern): IN
+#: (50 slots, in order):
+#:   1. the 7 entries born in r8 (all oracled + swept from birth):
+#:      multimodal_video_keyframes is already driver-visible r8; then
+#:      dedup_incremental_candidates, graph_triangles_neardup,
+#:      ann_recall_at_k, dedup_spans_remove, dedup_simhash_pairs,
+#:      events_partitioned_day_slice.
+#:   2. the 2 one-round slips: q12_priority_by_linestatus,
+#:      events_hll_mergeable_rollup.
+#:   3. the oldest-green rows first: the r2-r6 green block (cdc parse/
+#:      merge/time-travel/route set, q1 q3 q4 q5, topk/asof/anti/cube/
+#:      range/retention/funnel, dedup exact/minhash/simhash/bruteforce),
+#:      then the r3-r6 block (sliding windows, SRP, embedding-cosine,
+#:      multimodal meta/frame/resize, session windows, running stats),
+#:      then the r5+r6 block (repetition, pii, decontaminate, drift,
+#:      pack_sequences).
+#:   4. remaining slots filled from the 49 r7 greens oldest-row-first;
+#:      r8 greens rest one round and return r10.
+#: Structural near-duplicates (the 11 standing PRUNED entries) stay out
+#: with covered-by reasons.
 
 #: held out of the driver-facing registry (entry cap) — each is either a
 #: near-duplicate of a surviving entry's physical plan shape or a

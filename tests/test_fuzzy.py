@@ -116,3 +116,41 @@ def test_editdist_join_short_strings_exact_at_tau2(spark):
     # the short regime must actually be present in the expectation
     assert any(len(c) <= tau for cid, c in cleans for (d_, c_) in [(0, cid)] if (d_, c_) in expected or True)
     assert {(10, 0), (10, 1), (10, 2)} <= set(expected)
+
+
+def test_editdist_join_unicode_exact(spark):
+    """Segmentation uses substr (code-point indexed) and verify uses
+    levenshtein (code-point distance) — the two must agree on non-ASCII
+    text or candidates misalign. Exact vs brute force on accented/CJK/
+    emoji strings with multi-byte characters at segment boundaries."""
+    cleans = [
+        (0, "café au lait"),
+        (1, "naïve approach"),
+        (2, "日本語のテキスト処理"),
+        (3, "smörgåsbord"),
+        (4, "emoji 😀 test"),
+        (5, "ω"),
+    ]
+    dirties = [
+        (10, "cafe au lait"),      # é -> e (1 sub)
+        (11, "naïve approach"),    # exact
+        (12, "日本語のテキスト処理x"),  # 1 insert
+        (13, "smørgåsbord"),       # ö -> ø (1 sub)
+        (14, "emoji 😀 tost"),      # 1 sub
+        (15, "Ω"),                 # case = 1 sub
+        (16, "unrelated string"),
+    ]
+    clean_df = spark.createDataFrame(cleans, "clean_id long, ename string")
+    dirty_df = spark.createDataFrame(dirties, "dirty_id long, dname string")
+    got = {
+        (r["dirty_id"], r["clean_id"]): r["lev_dist"]
+        for r in editdist_join(dirty_df, clean_df, tau=2).collect()
+    }
+    expected = {
+        (did, cid): _lev(d, c)
+        for did, d in dirties
+        for cid, c in cleans
+        if _lev(d, c) <= 2
+    }
+    assert got == expected
+    assert {(10, 0), (12, 2), (14, 4), (15, 5)} <= set(expected)
