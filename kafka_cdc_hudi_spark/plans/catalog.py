@@ -189,6 +189,7 @@ PRUNED: dict[str, str] = {
     "dedup_spans_remove": "NEW r8 (born past the cap), full oracle locally + swept; rotate in r9",
     "dedup_simhash_pairs": "NEW r8 (born past the cap), full oracle locally + swept; rotate in r9",
     "events_partitioned_day_slice": "NEW r8 (born past the cap), full oracle locally + swept; rotate in r9",
+    "dedup_simhash_wide_pairs": "NEW r8 (born past the cap), full oracle locally + swept; rotate in r9",
 }
 
 #: driver evaluation order, round 8: the r7 red-row fix first, then the 12

@@ -558,12 +558,14 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     on candidates only. All-integer end to end -> full value oracle.
 
     Scale note (measured sf0.1 -> sf1): pair OUTPUT grows ~19.6x at 10x
-    docs — not an operator defect (oracle-verified truth) but the metric's
-    width: at radius {H} of a 32-bit signature, distinct template families
-    collide by chance, and cross-family collisions scale quadratically in
-    family count. Compute stays sub-linear (6.3x at 10x). Production
-    corpora at 100 TB should widen to 64-bit signatures (8 bands) — same
-    plan shape, quadratic chance term suppressed by 2^32."""
+    docs — oracle-verified truth, two causes measured separately: 3259
+    cross-copy CHANCE collisions (the ~2^-32 birthday term of a 32-bit
+    signature at radius {H}; the wide variant measures exactly 0) and the
+    scale fixture's consonant-rotated copies being denser corpora under a
+    token-multiset metric (within-copy growth, no cross-talk). Compute
+    stays sub-linear (6.3x at 10x). Production corpora should use
+    :func:`dedup_simhash_wide_pairs` — same plan shape, chance term
+    suppressed below one expected pair per 10^11 comparisons."""
     sim = dedup_simhash(spark, sf_dir)
     byte_cols = [
         F.shiftright(F.col("simhash"), 8 * i).bitwiseAND(F.lit(255))
@@ -587,6 +589,103 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 dedup_simhash_pairs.__doc__ = dedup_simhash_pairs.__doc__.format(H=_SIMHASH_HAMMING_MAX)
+
+
+#: wide-signature production variant: 60 bits (md5 nibbles, bigint-safe),
+#: 6 bands of 10 bits -> pigeonhole recall guarantee up to hamming 5;
+#: chance cross-family collisions at radius 5 are ~C(60,5)/2^60 ~ 5e-12
+#: per pair — the quadratic chance term of the 32-bit entry vanishes
+_SIMHASH_WIDE_BITS = 60
+_SIMHASH_WIDE_BANDS = 6
+_SIMHASH_WIDE_HAMMING_MAX = 5
+
+
+def dedup_simhash_wide_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION-width SimHash pairing ({B}-bit signature): same
+    vote/band/verify algebra as :func:`dedup_simhash_pairs` but with
+    {B} bits and {NB} 10-bit bands (pigeonhole recall guarantee up to
+    hamming {H}). The 32-bit entry's measured quadratic cross-family
+    chance collisions (~2^-32 per pair) drop to ~2^-60 x C({B},{H}) here,
+    so pair output scales with TRUE near-dups — the width a 100-TB corpus
+    runs. All-integer -> full value oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("t")).withColumn(
+        "h", F.md5(F.col("t"))
+    )
+    aggs = [
+        F.expr(
+            f"sum(CASE WHEN {_simhash_bit(j, 'spark')} = 1 THEN 1 ELSE -1 END)"
+        ).alias(f"s{j}")
+        for j in range(_SIMHASH_WIDE_BITS)
+    ]
+    votes = tok.groupBy("doc_id").agg(*aggs)
+    sim = None
+    for j in range(_SIMHASH_WIDE_BITS):
+        bit = F.when(F.col(f"s{j}") > 0, F.lit(2**j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = bit if sim is None else sim + bit
+    sig = votes.select("doc_id", sim.alias("simhash"))
+    width = _SIMHASH_WIDE_BITS // _SIMHASH_WIDE_BANDS
+    mask = (1 << width) - 1
+    band_cols = [
+        F.shiftright(F.col("simhash"), width * b).bitwiseAND(F.lit(mask))
+        for b in range(_SIMHASH_WIDE_BANDS)
+    ]
+    bands = sig.select("doc_id", F.posexplode(F.array(*band_cols)).alias("bi", "bv"))
+    from kafka_cdc_hudi_spark.operators.dedup import pairs_within_groups_salted
+
+    cand = pairs_within_groups_salted(
+        bands, ["bi", "bv"], "doc_id", n_salt=LSH_BAND_SALT
+    ).distinct()
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("hamming", F.expr("CAST(bit_count(sa ^ sb) AS INT)"))
+        .filter(F.col("hamming") <= _SIMHASH_WIDE_HAMMING_MAX)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+dedup_simhash_wide_pairs.__doc__ = dedup_simhash_wide_pairs.__doc__.format(
+    B=_SIMHASH_WIDE_BITS, NB=_SIMHASH_WIDE_BANDS, H=_SIMHASH_WIDE_HAMMING_MAX
+)
+
+
+def _simhash_wide_pairs_sql() -> str:
+    sums = ", ".join(
+        f"sum(CASE WHEN {_simhash_bit(j, 'duck')} = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(_SIMHASH_WIDE_BITS)
+    )
+    total = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END)"
+        for j in range(_SIMHASH_WIDE_BITS)
+    )
+    width = _SIMHASH_WIDE_BITS // _SIMHASH_WIDE_BANDS
+    mask = (1 << width) - 1
+    return f"""
+WITH tok AS (SELECT doc_id, {_DK_TOKS} AS toks FROM documents),
+t AS (SELECT doc_id, md5(unnest(toks)) AS h FROM tok),
+votes AS (SELECT doc_id, {sums} FROM t GROUP BY doc_id),
+sig AS (SELECT doc_id, {total} AS simhash FROM votes),
+bands AS (
+  SELECT doc_id, b.i AS bi, (simhash >> ({width} * b.i)) & {mask} AS bv
+  FROM sig, LATERAL unnest(generate_series(0, {_SIMHASH_WIDE_BANDS - 1})) AS b(i)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+FROM cand JOIN sig x ON doc_a = x.doc_id JOIN sig y ON doc_b = y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= {_SIMHASH_WIDE_HAMMING_MAX}
+"""
+
+
+DEDUP_SIMHASH_WIDE_PAIRS_SQL = _simhash_wide_pairs_sql()
 
 
 def _simhash_pairs_sql() -> str:
@@ -4284,6 +4383,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "graph_triangles_neardup": (graph_triangles_neardup, GRAPH_TRIANGLES_SQL),
     "dedup_spans_remove": (dedup_spans_remove, DEDUP_SPANS_REMOVE_SQL),
     "dedup_simhash_pairs": (dedup_simhash_pairs, DEDUP_SIMHASH_PAIRS_SQL),
+    "dedup_simhash_wide_pairs": (dedup_simhash_wide_pairs, DEDUP_SIMHASH_WIDE_PAIRS_SQL),
     "text_hash_embedding": (text_hash_embedding, TEXT_HASH_EMBEDDING_SQL),
     "embedding_norms": (embedding_norms, EMBEDDING_NORMS_SQL),
     "embedding_quantize_int8": (embedding_quantize_int8, EMBEDDING_QUANTIZE_INT8_SQL),
