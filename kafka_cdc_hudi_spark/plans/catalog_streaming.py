@@ -549,6 +549,75 @@ def ann_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(q, assigned, cents, k=_IVF_K, n_probe=_IVF_PROBE)
 
 
+def ann_recall_trained_vs_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality A/B in one plan: per-query recall@10 of the TRAINED
+    IVF codebook vs the STATIC seeded one, both against the exact
+    brute-force truth — the measurement that justifies paying for index
+    training before a 100-TB build. Exact integer hits + ppm recall; all
+    three sides are already-oracled entry plans. The oracle is
+    sf-dependent (trained centroids are re-derived per scale factor via
+    ``recall_trained_vs_static_sql_for``, the trained-IVF pattern)."""
+    from kafka_cdc_hudi_spark.plans.catalog_text import ann_topk_bruteforce
+
+    exact = ann_topk_bruteforce(spark, sf_dir).select("qid", "nid")
+    static = (
+        ann_topk_ivf(spark, sf_dir).select("qid", "nid").withColumn("hit_s", F.lit(1))
+    )
+    trained = (
+        ann_topk_ivf_trained(spark, sf_dir)
+        .select("qid", "nid")
+        .withColumn("hit_t", F.lit(1))
+    )
+    return (
+        exact.join(static, ["qid", "nid"], "left")
+        .join(trained, ["qid", "nid"], "left")
+        .groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("hit_s").alias("n_hits_static"),
+            F.count("hit_t").alias("n_hits_trained"),
+        )
+        .withColumn("recall_static_ppm", F.expr("n_hits_static * 1000000 DIV n_exact"))
+        .withColumn("recall_trained_ppm", F.expr("n_hits_trained * 1000000 DIV n_exact"))
+    )
+
+
+def recall_trained_vs_static_sql_for(sf_dir: str) -> str | None:
+    """Per-SF oracle for :func:`ann_recall_trained_vs_static` — the two
+    IVF oracle chains (static literals + per-SF-retrained literals) and
+    the brute-force truth composed as derived tables. None if the sf's
+    testdata is absent (rows-only driver fallback)."""
+    trained_sql = ivf_trained_sql_for(sf_dir)
+    if trained_sql is None:
+        return None
+    return f"""
+WITH bp AS (
+  SELECT q.qid, e.vec_id AS nid,
+         {_DOT.format(A="q.qe", B="e.embedding")}
+         / ({_NORM.format(A="q.qe")} * {_NORM.format(A="e.embedding")}) AS cosine
+  FROM embeddings e,
+       (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10) q
+  WHERE e.vec_id <> q.qid
+),
+exact AS (
+  SELECT qid, nid FROM bp
+  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) <= {_IVF_K}
+),
+sivf AS (SELECT qid, nid FROM ({ANN_TOPK_IVF_SQL}) _s),
+tivf AS (SELECT qid, nid FROM ({trained_sql}) _t)
+SELECT e.qid,
+       COUNT(*) AS n_exact,
+       COUNT(s.nid) AS n_hits_static,
+       COUNT(t.nid) AS n_hits_trained,
+       CAST((COUNT(s.nid) * 1000000) // COUNT(*) AS BIGINT) AS recall_static_ppm,
+       CAST((COUNT(t.nid) * 1000000) // COUNT(*) AS BIGINT) AS recall_trained_ppm
+FROM exact e
+LEFT JOIN sivf s ON e.qid = s.qid AND e.nid = s.nid
+LEFT JOIN tivf t ON e.qid = t.qid AND e.nid = t.nid
+GROUP BY e.qid
+"""
+
+
 def ivf_trained_sql_for(sf_dir: str) -> str | None:
     """Build the trained-IVF oracle FOR A GIVEN SCALE FACTOR by rerunning
     the shared kmeans core on that sf's parquet (read via DuckDB — no Spark
@@ -578,6 +647,9 @@ def ivf_trained_sql_for(sf_dir: str) -> str | None:
 
     x = np.array([np.asarray(r[0], dtype=np.float64) for r in rows])
     return _ivf_sql(_cents_values(kmeans_lite(x, _IVF_CELLS, iters=5)))
+
+
+ANN_RECALL_TRAINED_VS_STATIC_SQL = recall_trained_vs_static_sql_for(_ORACLE_SF_DIR)
 
 
 ANN_TOPK_IVF_TRAINED_SQL = ivf_trained_sql_for(_ORACLE_SF_DIR)
@@ -734,6 +806,7 @@ STREAMING_QUERIES: dict[str, tuple] = {
     "events_user_gaps": (events_user_gaps, EVENTS_USER_GAPS_SQL),
     "ann_topk_ivf": (ann_topk_ivf, ANN_TOPK_IVF_SQL),
     "ann_recall_at_k": (ann_recall_at_k, ANN_RECALL_AT_K_SQL),
+    "ann_recall_trained_vs_static": (ann_recall_trained_vs_static, ANN_RECALL_TRAINED_VS_STATIC_SQL),
     "events_partitioned_day_slice": (events_partitioned_day_slice, EVENTS_PARTITIONED_DAY_SQL),
     "ann_topk_ivf_trained": (ann_topk_ivf_trained, ANN_TOPK_IVF_TRAINED_SQL),
     "ann_topk_srp": (ann_topk_srp, ANN_TOPK_SRP_SQL),
