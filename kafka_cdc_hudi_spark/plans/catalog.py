@@ -191,6 +191,7 @@ PRUNED: dict[str, str] = {
     "events_partitioned_day_slice": "NEW r8 (born past the cap), full oracle locally + swept; rotate in r9",
     "dedup_simhash_wide_pairs": "NEW r8 (born past the cap), full oracle locally + swept; rotate in r9",
     "ann_recall_trained_vs_static": "NEW r8 (born past the cap), full oracle locally + swept; rotate in r9",
+    "events_ab_test": "NEW r8 (born past the cap), full oracle locally + swept; rotate in r9",
 }
 
 #: driver evaluation order, round 8: the r7 red-row fix first, then the 12

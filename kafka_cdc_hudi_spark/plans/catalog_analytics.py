@@ -1773,6 +1773,98 @@ GROUP BY c_nationkey
 # -- pipeline data-quality surface --------------------------------------------
 
 
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment readout — the two-proportion z-test every product
+    pipeline runs: users are split into variants by a salted
+    deterministic hash (never ``user_id % 2`` — ids correlate with
+    signup cohorts), per-user conversion is a SCALE-FREE metric (purchase
+    share above the 1/5 uniform expectation — ">= 1 purchase" saturates
+    to 100% as events-per-user grows with SF and degenerates the pooled
+    variance), and the one-row readout carries exact integer exposures/
+    conversions/ppm rates plus the pooled z statistic (NULL when pooled
+    p is degenerate, guarded identically in both dialects). The z is the
+    only float and both dialects compute it with the identical
+    IEEE-double expression tree, so even it is hash-oracled. One scan +
+    one user agg + one 1-row agg; at 100 TB the user agg's map-side
+    combine makes shuffle volume ~users, not ~events."""
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        (
+            F.sum((F.col("event_type") == "purchase").cast("int")) * 5
+            > F.count(F.lit(1))
+        )
+        .cast("int")
+        .alias("conv")
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit("|ab_v1"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    a = u.withColumn("is_a", (bucket == 0).cast("long"))
+    s = a.agg(
+        F.sum("is_a").alias("n_a"),
+        F.sum(1 - F.col("is_a")).alias("n_b"),
+        F.sum(F.col("is_a") * F.col("conv")).alias("conv_a"),
+        F.sum((1 - F.col("is_a")) * F.col("conv")).alias("conv_b"),
+    )
+    z = (
+        "CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b THEN NULL"
+        " ELSE (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)"
+        " - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))"
+        " / sqrt((CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))"
+        " * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))"
+        " * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) END"
+    )
+    return s.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.expr("conv_a * 1000000 DIV n_a").alias("rate_a_ppm"),
+        F.expr("conv_b * 1000000 DIV n_b").alias("rate_b_ppm"),
+        F.expr(z).alias("z_score"),
+    )
+
+
+EVENTS_AB_TEST_SQL = """
+WITH u AS (
+  SELECT user_id,
+         CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 5
+                   > COUNT(*) THEN 1 ELSE 0 END AS conv
+  FROM events GROUP BY user_id
+),
+a AS (
+  SELECT CASE WHEN CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR) || '|ab_v1'), 1, 15))
+                   AS BIGINT) % 2 = 0 THEN 1 ELSE 0 END AS is_a,
+         conv
+  FROM u
+),
+s AS (
+  SELECT CAST(SUM(is_a) AS BIGINT) AS n_a,
+         CAST(SUM(1 - is_a) AS BIGINT) AS n_b,
+         CAST(SUM(is_a * conv) AS BIGINT) AS conv_a,
+         CAST(SUM((1 - is_a) * conv) AS BIGINT) AS conv_b
+  FROM a
+)
+SELECT n_a, n_b, conv_a, conv_b,
+       CAST((conv_a * 1000000) // n_a AS BIGINT) AS rate_a_ppm,
+       CAST((conv_b * 1000000) // n_b AS BIGINT) AS rate_b_ppm,
+       CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b THEN NULL
+            ELSE (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                  - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                 / sqrt((CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                        * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                        * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) END AS z_score
+FROM s
+"""
+
+
 def events_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deequ-style table profile in ONE scan: row count, per-column null
     counts, exact distinct cardinalities, min/max ranges, and derived
@@ -2529,6 +2621,7 @@ ANALYTICS_QUERIES: dict[str, tuple] = {
     "events_value_percentiles": (events_value_percentiles, EVENTS_VALUE_PERCENTILES_SQL),
     "customers_rfm_segments": (customers_rfm_segments, CUSTOMERS_RFM_SQL),
     "events_data_profile": (events_data_profile, EVENTS_DATA_PROFILE_SQL),
+    "events_ab_test": (events_ab_test, EVENTS_AB_TEST_SQL),
     "events_anomaly_zscore": (events_anomaly_zscore, EVENTS_ANOMALY_ZSCORE_SQL),
     "q13_customer_distribution": (q13_customer_distribution, Q13_SQL),
     "q18_large_volume_customers": (q18_large_volume_customers, Q18_SQL),
