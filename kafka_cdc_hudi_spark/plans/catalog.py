@@ -192,6 +192,7 @@ PRUNED: dict[str, str] = {
     "dedup_simhash_wide_pairs": "NEW r8 (born past the cap), full oracle locally + swept; rotate in r9",
     "ann_recall_trained_vs_static": "NEW r8 (born past the cap), full oracle locally + swept; rotate in r9",
     "events_ab_test": "NEW r8 (born past the cap), full oracle locally + swept; rotate in r9",
+    "dedup_semantic_clusters": "NEW r8 (born past the cap), full oracle locally + swept; rotate in r9",
 }
 
 #: driver evaluation order, round 8: the r7 red-row fix first, then the 12
@@ -278,11 +279,13 @@ def sf_dependent_sql_builders() -> dict:
 
     from kafka_cdc_hudi_spark.plans.catalog_streaming import (
         recall_trained_vs_static_sql_for,
+        semdedup_sql_for,
     )
 
     return {
         "ann_topk_ivf_trained": ivf_trained_sql_for,
         "ann_recall_trained_vs_static": recall_trained_vs_static_sql_for,
+        "dedup_semantic_clusters": semdedup_sql_for,
         "text_bpe_train_merges": bpe_merges_sql_for,
         "text_bpe_encode": bpe_encode_sql_for,
     }

@@ -794,6 +794,151 @@ FROM scored QUALIFY rank <= {_PQ_K}
 ANN_TOPK_IVFPQ_SQL = _ivfpq_sql()
 
 
+# -- SemDeDup: k-means semantic clustering + within-cluster prune -------------
+#
+# Semantic deduplication in the SemDeDup style (Abbas et al. 2023,
+# arXiv:2303.09540): cluster the corpus embeddings with k-means, then prune
+# within each cluster any document whose cosine to a lower-id clustermate
+# exceeds tau — cross-cluster near-dups are deliberately out of scope (the
+# paper's own recall trade for near-linear cost). Differs from
+# dedup_embedding_cosine (SRP-bucket pair mining) in BOTH halves: candidates
+# come from a trained data-adapted partition of the space, and the output is
+# the per-document keep/prune decision, not the pair list.
+
+SEMDEDUP_TAU = 0.35
+_SEMDEDUP_TARGET_CELL = 96
+_SEMDEDUP_MIN_CELLS, _SEMDEDUP_MAX_CELLS = 8, 256
+
+
+def semdedup_cells_for(n_rows: int) -> int:
+    """Cell count that holds CLUSTER SIZE (not cluster count) roughly fixed
+    as the corpus grows — the property that makes within-cluster pairing
+    LINEAR in corpus size: with clusters capped near ``_SEMDEDUP_TARGET_CELL``
+    docs, pairs-per-cluster is a constant and total candidate work is
+    N * O(target). Doubling cells until the mean cluster fits mirrors the
+    SemDeDup paper's practice of scaling cluster count with the corpus
+    (50k clusters for LAION); the ``_SEMDEDUP_MAX_CELLS`` clamp keeps the
+    broadcast codebook and the oracle's literal block bounded — at 100 TB
+    you raise the clamp, not the algorithm."""
+    c = _SEMDEDUP_MIN_CELLS
+    while c < _SEMDEDUP_MAX_CELLS and n_rows // c > _SEMDEDUP_TARGET_CELL:
+        c *= 2
+    return c
+
+
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings corpus: kmeans-lite is trained on the
+    deterministic SQL-expressible sample (bounded 2048-row collect, the
+    trained-IVF pattern), every vector is assigned to its argmax-dot cell
+    (broadcast codebook, one scan), and within each cell a document is
+    pruned when a smaller-id clustermate sits at cosine >= SEMDEDUP_TAU
+    (greedy min-id survivor — deterministic, so the whole decision is
+    SQL-reproducible). Output: one row per document with its cluster, the
+    keep/prune verdict, and the canonical survivor it duplicates (-1 when
+    kept).
+
+    Scale shape: candidate generation is an equi-join on ``cell`` whose
+    per-key size is bounded by :func:`semdedup_cells_for` (cluster size,
+    not count, is held fixed → pair work linear in N); the codebook is a
+    driver artifact broadcast as literals; one count job + one training
+    collect, both bounded. The assignment is localCheckpointed because the
+    self-join references it twice (the standing LSH-chain rule). Oracle:
+    per-SF builder :func:`semdedup_sql_for` reruns the identical numpy
+    trainer on the same rows via DuckDB and emits centroid literals, so
+    training, assignment, cosines, and verdicts all hash-match."""
+    from kafka_cdc_hudi_spark.functions.vectors import cosine
+    from kafka_cdc_hudi_spark.operators.similarity import ivf_assign_pandas
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n_cells = semdedup_cells_for(e.count())
+    cents = ivf_train_sql_sample(e, n_cells=n_cells, iters=5)
+    # native expressions up to 64 cells (codegen-friendly); the Arrow matmul
+    # kernel beyond (identical assignments — test_similarity.py pins the
+    # equality). The oracle SFs (<=2000 rows) always take the native path.
+    assign = ivf_assign if n_cells <= 64 else ivf_assign_pandas
+    asg = assign(e, cents).localCheckpoint(eager=False)
+    left = asg.select(
+        "cell", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+    )
+    right = asg.select(
+        "cell", F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
+    )
+    dup = (
+        left.join(right, "cell")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", cosine(F.col("ea"), F.col("eb")))
+        .filter(F.col("cosine") >= SEMDEDUP_TAU)
+        .groupBy("vec_b")
+        .agg(F.min("vec_a").alias("dup_min"))
+    )
+    return (
+        asg.select("vec_id", "cell")
+        .join(dup, asg.vec_id == dup.vec_b, "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.when(F.col("dup_min").isNull(), 1).otherwise(0).cast("int").alias("keep"),
+            F.coalesce(F.col("dup_min"), F.lit(-1)).cast("long").alias("dup_of"),
+        )
+    )
+
+
+def semdedup_sql_for(sf_dir: str) -> str | None:
+    """Per-SF oracle for :func:`dedup_semantic_clusters`: rerun the shared
+    kmeans core on that SF's parquet (read via DuckDB, no Spark at import),
+    re-derive the adaptive cell count from the same row count, and emit the
+    centroids as literals. None (rows-only driver fallback) if the testdata
+    is absent."""
+    import duckdb
+
+    from kafka_cdc_hudi_spark.operators.similarity import (
+        TRAIN_SAMPLE_BOUND,
+        TRAIN_SAMPLE_MOD,
+        kmeans_lite,
+    )
+
+    try:
+        n_rows = duckdb.sql(
+            f"SELECT count(*) FROM read_parquet('{sf_dir}/embeddings.parquet')"
+        ).fetchone()[0]
+        rows = duckdb.sql(
+            f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
+            f"WHERE vec_id % {TRAIN_SAMPLE_MOD} = 0 AND vec_id < {TRAIN_SAMPLE_BOUND} "
+            "ORDER BY vec_id"
+        ).fetchall()
+    except Exception:
+        return None
+    import numpy as np
+
+    x = np.array([np.asarray(r[0], dtype=np.float64) for r in rows])
+    cents = kmeans_lite(x, semdedup_cells_for(n_rows), iters=5)
+    cos = (
+        f"{_DOT.format(A='x.embedding', B='y.embedding')} "
+        f"/ ({_NORM.format(A='x.embedding')} * {_NORM.format(A='y.embedding')})"
+    )
+    return f"""
+WITH cents(cell, c) AS (VALUES {_cents_values(cents)}),
+asg AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, cents.cell,
+           {_DOT.format(A='e.embedding', B='cents.c')} AS d
+    FROM embeddings e CROSS JOIN cents)
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) = 1),
+dup AS (
+  SELECT y.vec_id AS vec_b, MIN(x.vec_id) AS dup_min
+  FROM asg x JOIN asg y ON x.cell = y.cell AND x.vec_id < y.vec_id
+  WHERE {cos} >= {SEMDEDUP_TAU}
+  GROUP BY y.vec_id)
+SELECT a.vec_id, a.cell,
+       CAST(CASE WHEN d.dup_min IS NULL THEN 1 ELSE 0 END AS INT) AS keep,
+       CAST(COALESCE(d.dup_min, -1) AS BIGINT) AS dup_of
+FROM asg a LEFT JOIN dup d ON a.vec_id = d.vec_b
+"""
+
+
+DEDUP_SEMANTIC_CLUSTERS_SQL = semdedup_sql_for(_ORACLE_SF_DIR)
+
+
 STREAMING_QUERIES: dict[str, tuple] = {
     "embedding_pq_encode": (embedding_pq_encode, EMBEDDING_PQ_ENCODE_SQL),
     "ann_topk_pq_adc": (ann_topk_pq_adc, ANN_TOPK_PQ_ADC_SQL),
@@ -810,4 +955,5 @@ STREAMING_QUERIES: dict[str, tuple] = {
     "events_partitioned_day_slice": (events_partitioned_day_slice, EVENTS_PARTITIONED_DAY_SQL),
     "ann_topk_ivf_trained": (ann_topk_ivf_trained, ANN_TOPK_IVF_TRAINED_SQL),
     "ann_topk_srp": (ann_topk_srp, ANN_TOPK_SRP_SQL),
+    "dedup_semantic_clusters": (dedup_semantic_clusters, DEDUP_SEMANTIC_CLUSTERS_SQL),
 }

@@ -271,3 +271,32 @@ def test_pq_adc_recall(spark):
         adc.setdefault(r.qid, set()).add(r.nid)
     recall = sum(len(adc[q] & tmap[q]) for q in tmap) / (10 * len(tmap))
     assert recall >= 0.08, f"PQ ADC mean recall@10 regressed: {recall}"
+
+
+def test_semdedup_cells_formula():
+    """Cluster SIZE, not count, is the fixed point: cells double until the
+    mean cluster fits the target, clamped so the broadcast codebook stays
+    bounded at any corpus size."""
+    from kafka_cdc_hudi_spark.plans.catalog_streaming import semdedup_cells_for
+
+    assert semdedup_cells_for(500) == 8
+    assert semdedup_cells_for(2_000) == 32
+    assert semdedup_cells_for(20_000) == 256
+    assert semdedup_cells_for(10**9) == 256  # clamp: raise it, not the algorithm
+
+
+def test_semdedup_prunes_nonvacuously_and_consistently(spark):
+    """The tau=0.35 calibration must keep the prune decision non-vacuous on
+    the near-orthogonal fixture, and every verdict must be internally
+    consistent: pruned docs point at a smaller-id clustermate, kept docs at
+    the -1 sentinel, exactly one row per document."""
+    from kafka_cdc_hudi_spark.plans.catalog_streaming import dedup_semantic_clusters
+
+    rows = dedup_semantic_clusters(spark, SF_DIR).collect()
+    n_docs = load_table(spark, SF_DIR, "embeddings").count()
+    assert len(rows) == n_docs
+    pruned = [r for r in rows if r.keep == 0]
+    assert pruned, "semdedup vacuous: tau calibration drifted"
+    for r in pruned:
+        assert -1 < r.dup_of < r.vec_id
+    assert all(r.dup_of == -1 for r in rows if r.keep == 1)
