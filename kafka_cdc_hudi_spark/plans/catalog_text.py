@@ -4357,6 +4357,147 @@ FROM embeddings
 """
 
 
+# -- distributed classifier training: multinomial naive Bayes ----------------
+#
+# The canonical train-a-cheap-classifier-on-the-whole-corpus capability of a
+# pretraining pipeline (fastText-style quality/domain filters): sufficient
+# statistics are INTEGER count aggregations (one shuffle, deterministic in
+# any row order — the property float gradient sums lack, which is why this
+# is the scalable exact-training choice over SGD), the model is a bounded
+# driver artifact (2*K+2 integers -> K+1 log-weights), and scoring is a
+# broadcast-literal projection pass. ln is bitwise-identical across Python,
+# the JVM, and DuckDB on this platform (verified by the text_lm_score
+# oracle since r5), so training + scoring carry a FULL value oracle.
+
+_NB_K = 32
+_NB_SALT = "|nb_v1"
+#: weak label for the demonstration: "doc uses 'batch' more than 'window'"
+#: — a deterministic, roughly class-balanced stand-in for the upstream
+#: heuristic label a real pipeline would bootstrap from (wiki-vs-crawl,
+#: language-ID, quality rules)
+_NB_POS_TOKEN, _NB_NEG_TOKEN = "batch", "window"
+
+
+def text_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a multinomial naive-Bayes classifier on hashed token-count
+    features over the FULL corpus, then score every document with it — in
+    one entry, so the driver verifies training and inference end-to-end.
+
+    Scale shape: the training pass is one integer groupBy (class, bucket)
+    — exact in any partition order, map-side combinable, one shuffle; the
+    collect is hard-bounded at 2*``_NB_K``+2 rows regardless of corpus
+    size (the index-artifact pattern); scoring embeds the K+1 log-weights
+    as broadcast literals and runs as a projection over the per-doc dense
+    count vector (same map-lookup build as hash_embedding_vectors). The
+    per-row score folds f_j * w_j in array order from 0.0 then adds the
+    prior — exactly the oracle's positional unnest-sum, so the float
+    scores hash-match. Train accuracy ~0.95 vs 0.59 majority at sf0.01
+    (non-degeneracy pinned in tests/test_text_more.py)."""
+    import math
+
+    d = load_table(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    toks = tokens("text")
+    lab = d.select(
+        "doc_id",
+        F.when(
+            F.size(F.filter(toks, lambda t: t == _NB_POS_TOKEN))
+            > F.size(F.filter(toks, lambda t: t == _NB_NEG_TOKEN)),
+            1,
+        )
+        .otherwise(-1)
+        .alias("ypm"),
+        toks.alias("tk"),
+    ).localCheckpoint(eager=False)
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("token"), F.lit(_NB_SALT))), 1, 15), 16, 10
+        ).cast("bigint")
+        % _NB_K
+    )
+    cells = (
+        lab.select("doc_id", "ypm", F.explode("tk").alias("token"))
+        .select("doc_id", "ypm", bucket.alias("bucket"))
+        .groupBy("doc_id", "ypm", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    # -- train: bounded collects of integer sufficient statistics --
+    cpos, cneg = [0] * _NB_K, [0] * _NB_K
+    for r in cells.groupBy("ypm", "bucket").agg(F.sum("c").alias("c")).collect():
+        (cpos if r.ypm == 1 else cneg)[r.bucket] += r.c
+    n_by_class = {r.ypm: r.n for r in lab.groupBy("ypm").agg(F.count(F.lit(1)).alias("n")).collect()}
+    tpos, tneg = sum(cpos), sum(cneg)
+    w = [
+        math.log((cpos[j] + 1) / (tpos + float(_NB_K)))
+        - math.log((cneg[j] + 1) / (tneg + float(_NB_K)))
+        for j in range(_NB_K)
+    ]
+    prior = math.log(n_by_class.get(1, 0) / n_by_class.get(-1, 1))
+    # -- score every document with the broadcast-literal model --
+    m = cells.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("bucket", "c"))).alias("m")
+    )
+    feat = lab.select("doc_id", "ypm").join(m, "doc_id", "left")
+    farr = F.expr(
+        f"transform(sequence(0, {_NB_K - 1}),"
+        " j -> coalesce(element_at(m, CAST(j AS BIGINT)), CAST(0 AS BIGINT)))"
+    )
+    warr = F.array(*[F.lit(float(v)) for v in w])
+    score = F.lit(prior) + F.aggregate(
+        F.zip_with(farr, warr, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    pred = F.when(score > 0, 1).otherwise(-1)
+    return feat.select(
+        "doc_id",
+        "ypm",
+        score.alias("score"),
+        pred.alias("pred"),
+        F.when(pred == F.col("ypm"), 1).otherwise(0).alias("correct"),
+    )
+
+
+TEXT_NB_CLASSIFIER_SQL = f"""
+WITH tok0 AS (SELECT doc_id, {_DK_TOKS} AS tk FROM documents),
+lab AS (SELECT doc_id,
+        CASE WHEN len(list_filter(tk, t -> t = '{_NB_POS_TOKEN}'))
+              > len(list_filter(tk, t -> t = '{_NB_NEG_TOKEN}')) THEN 1 ELSE -1 END AS ypm,
+        tk FROM tok0),
+tok AS (SELECT doc_id, ypm, unnest(tk) AS token FROM lab),
+cells AS (SELECT doc_id, ypm,
+          CAST(('0x' || substring(md5(token || '{_NB_SALT}'), 1, 15)) AS BIGINT) % {_NB_K} AS bucket,
+          CAST(COUNT(*) AS BIGINT) AS c
+          FROM tok GROUP BY 1, 2, 3),
+cnts AS (SELECT bucket,
+         CAST(SUM(CASE WHEN ypm = 1 THEN c ELSE 0 END) AS BIGINT) AS cp,
+         CAST(SUM(CASE WHEN ypm = -1 THEN c ELSE 0 END) AS BIGINT) AS cn
+         FROM cells GROUP BY bucket),
+allb AS (SELECT r.j AS bucket, COALESCE(cp, 0) AS cp, COALESCE(cn, 0) AS cn
+         FROM range(0, {_NB_K}) r(j) LEFT JOIN cnts ON r.j = cnts.bucket),
+tot AS (SELECT CAST(SUM(cp) AS BIGINT) AS tp, CAST(SUM(cn) AS BIGINT) AS tn FROM allb),
+warr AS (SELECT list(ln((cp + 1) / (tp + {_NB_K}.0)) - ln((cn + 1) / (tn + {_NB_K}.0))
+                     ORDER BY bucket) AS w
+         FROM allb CROSS JOIN tot),
+prior AS (SELECT ln(CAST(SUM(CASE WHEN ypm = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                    / SUM(CASE WHEN ypm = -1 THEN 1 ELSE 0 END)) AS b FROM lab),
+m AS (SELECT doc_id, MAP(list(bucket ORDER BY bucket), list(c ORDER BY bucket)) AS m
+      FROM cells GROUP BY doc_id),
+feat AS (SELECT l.doc_id, l.ypm,
+         list_transform(range(0, {_NB_K}), j -> COALESCE(m.m[j][1], 0)) AS farr
+         FROM lab l LEFT JOIN m USING (doc_id)),
+scored AS (SELECT doc_id, ypm,
+           prior.b + {_DK_DOT.format(A='farr', B='warr.w')} AS score
+           FROM feat CROSS JOIN warr CROSS JOIN prior)
+SELECT doc_id, ypm, score,
+       CAST(CASE WHEN score > 0 THEN 1 ELSE -1 END AS INT) AS pred,
+       CAST(CASE WHEN (CASE WHEN score > 0 THEN 1 ELSE -1 END) = ypm THEN 1 ELSE 0 END AS INT)
+         AS correct
+FROM scored
+"""
+
+
 TEXT_QUERIES: dict[str, tuple] = {
     "text_bpe_pretokenize": (text_bpe_pretokenize, TEXT_BPE_PRETOKENIZE_SQL),
     "text_bpe_pair_counts": (text_bpe_pair_counts, TEXT_BPE_PAIR_COUNTS_SQL),
@@ -4385,6 +4526,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "dedup_simhash_pairs": (dedup_simhash_pairs, DEDUP_SIMHASH_PAIRS_SQL),
     "dedup_simhash_wide_pairs": (dedup_simhash_wide_pairs, DEDUP_SIMHASH_WIDE_PAIRS_SQL),
     "text_hash_embedding": (text_hash_embedding, TEXT_HASH_EMBEDDING_SQL),
+    "text_nb_classifier": (text_nb_classifier, TEXT_NB_CLASSIFIER_SQL),
     "embedding_norms": (embedding_norms, EMBEDDING_NORMS_SQL),
     "embedding_quantize_int8": (embedding_quantize_int8, EMBEDDING_QUANTIZE_INT8_SQL),
     "text_token_topk": (text_token_topk, TEXT_TOKEN_TOPK_SQL),
