@@ -4498,6 +4498,160 @@ FROM scored
 """
 
 
+# -- DSIR-style importance weighting for targeted data selection -------------
+#
+# Data Selection via Importance Resampling (Xie et al. 2023,
+# arXiv:2302.03169): score every raw document by the log-likelihood ratio of
+# its hashed n-gram features under a TARGET domain model vs the SOURCE
+# (full-corpus) model, then select the top-budget documents. The
+# deterministic complement to the NB classifier above: same
+# integer-statistics / literal-broadcast machinery, but a two-corpus ratio
+# over hashed BIGRAMS and a selection quota instead of a class prediction.
+
+_DSIR_K = 64
+_DSIR_SALT = "|dsir_v1"
+_DSIR_TARGET_TOKEN = "dup"  # the fixture's 5% minority — a distinctive domain
+_DSIR_BUDGET = 100
+
+
+def dataset_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-bigram importance weights + top-budget selection, DSIR-style.
+
+    The target domain is the deterministic subset of docs containing the
+    ``_DSIR_TARGET_TOKEN`` minority token; both the target and source
+    bigram distributions are INTEGER count aggregations (one shuffle,
+    map-side combinable, order-independent), the K log-ratio weights are a
+    bounded driver artifact broadcast as literals, and each doc's score is
+    the positional fold of its dense bigram-count vector against them —
+    the proven _DK_DOT congruence, so the float scores (and therefore the
+    selection set) carry a FULL value oracle. The selection threshold is
+    the min score of the top-``_DSIR_BUDGET`` rows by (score desc, doc_id)
+    — TakeOrderedAndProject in Spark (per-partition top-B, no global
+    sort), a 1-row scalar broadcast join back. Ties at the boundary admit
+    every tying doc (deterministic in both dialects). Measured: 19 of the
+    25 target docs land in the top-100 at sf0.01 (~4x the 5% base rate;
+    non-degeneracy pinned in tests/test_text_more.py)."""
+    import math
+
+    d = load_table(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    base = d.select(
+        "doc_id",
+        tokens("text").alias("tk"),
+    ).select(
+        "doc_id",
+        F.array_contains("tk", _DSIR_TARGET_TOKEN).alias("is_target"),
+        F.expr(
+            "CASE WHEN size(tk) >= 2 THEN zip_with(slice(tk, 1, size(tk) - 1),"
+            " slice(tk, 2, size(tk) - 1), (a, b) -> concat(a, ' ', b))"
+            " ELSE CAST(array() AS array<string>) END"
+        ).alias("bg"),
+    ).localCheckpoint(eager=False)
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("gram"), F.lit(_DSIR_SALT))), 1, 15),
+            16,
+            10,
+        ).cast("bigint")
+        % _DSIR_K
+    )
+    cells = (
+        base.select("doc_id", "is_target", F.explode("bg").alias("gram"))
+        .select("doc_id", "is_target", bucket.alias("bucket"))
+        .groupBy("doc_id", "is_target", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    # -- train the two hashed-bigram models: bounded K-row collect --
+    tj, sj = [0] * _DSIR_K, [0] * _DSIR_K
+    for r in (
+        cells.groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("is_target"), F.col("c")).otherwise(0)).alias("t"),
+            F.sum("c").alias("s"),
+        )
+        .collect()
+    ):
+        tj[r.bucket], sj[r.bucket] = r.t, r.s
+    tt, ss = sum(tj), sum(sj)
+    w = [
+        math.log((tj[j] + 1) / (tt + float(_DSIR_K)))
+        - math.log((sj[j] + 1) / (ss + float(_DSIR_K)))
+        for j in range(_DSIR_K)
+    ]
+    # -- score every doc against the broadcast-literal ratio model --
+    m = cells.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("bucket", "c"))).alias("m")
+    )
+    farr = F.expr(
+        f"transform(sequence(0, {_DSIR_K - 1}),"
+        " j -> coalesce(element_at(m, CAST(j AS BIGINT)), CAST(0 AS BIGINT)))"
+    )
+    warr = F.array(*[F.lit(float(v)) for v in w])
+    score = F.aggregate(
+        F.zip_with(farr, warr, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        base.select("doc_id", "is_target")
+        .join(m, "doc_id", "left")
+        .select("doc_id", "is_target", score.alias("score"))
+        .localCheckpoint(eager=False)
+    )
+    thr = (
+        scored.orderBy(F.col("score").desc(), "doc_id")
+        .limit(_DSIR_BUDGET)
+        .agg(F.min("score").alias("thr"))
+    )
+    return scored.crossJoin(F.broadcast(thr)).select(
+        "doc_id",
+        F.when(F.col("is_target"), 1).otherwise(0).alias("is_target"),
+        "score",
+        F.when(F.col("score") >= F.col("thr"), 1).otherwise(0).alias("selected"),
+    )
+
+
+DATASET_DSIR_WEIGHTS_SQL = f"""
+WITH tok0 AS (SELECT doc_id, {_DK_TOKS} AS tk FROM documents),
+base AS (SELECT doc_id, list_contains(tk, '{_DSIR_TARGET_TOKEN}') AS is_target,
+         CASE WHEN len(tk) >= 2
+              THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1])
+              ELSE CAST([] AS VARCHAR[]) END AS bg
+         FROM tok0),
+cells AS (SELECT doc_id, is_target,
+          CAST(('0x' || substring(md5(gram || '{_DSIR_SALT}'), 1, 15)) AS BIGINT) % {_DSIR_K} AS bucket,
+          CAST(COUNT(*) AS BIGINT) AS c
+          FROM (SELECT doc_id, is_target, unnest(bg) AS gram FROM base)
+          GROUP BY 1, 2, 3),
+cnts AS (SELECT bucket,
+         CAST(SUM(CASE WHEN is_target THEN c ELSE 0 END) AS BIGINT) AS t,
+         CAST(SUM(c) AS BIGINT) AS s
+         FROM cells GROUP BY bucket),
+allb AS (SELECT r.j AS bucket, COALESCE(t, 0) AS t, COALESCE(s, 0) AS s
+         FROM range(0, {_DSIR_K}) r(j) LEFT JOIN cnts ON r.j = cnts.bucket),
+tot AS (SELECT CAST(SUM(t) AS BIGINT) AS tt, CAST(SUM(s) AS BIGINT) AS ss FROM allb),
+warr AS (SELECT list(ln((t + 1) / (tt + {_DSIR_K}.0)) - ln((s + 1) / (ss + {_DSIR_K}.0))
+                     ORDER BY bucket) AS w
+         FROM allb CROSS JOIN tot),
+m AS (SELECT doc_id, MAP(list(bucket ORDER BY bucket), list(c ORDER BY bucket)) AS m
+      FROM cells GROUP BY doc_id),
+feat AS (SELECT b.doc_id, b.is_target,
+         list_transform(range(0, {_DSIR_K}), j -> COALESCE(m.m[j][1], 0)) AS farr
+         FROM base b LEFT JOIN m USING (doc_id)),
+scored AS (SELECT doc_id, is_target,
+           {_DK_DOT.format(A='farr', B='warr.w')} AS score
+           FROM feat CROSS JOIN warr),
+thr AS (SELECT min(score) AS thr FROM
+        (SELECT score FROM scored ORDER BY score DESC, doc_id LIMIT {_DSIR_BUDGET}))
+SELECT doc_id,
+       CAST(CASE WHEN is_target THEN 1 ELSE 0 END AS INT) AS is_target,
+       score,
+       CAST(CASE WHEN score >= thr.thr THEN 1 ELSE 0 END AS INT) AS selected
+FROM scored CROSS JOIN thr
+"""
+
+
 TEXT_QUERIES: dict[str, tuple] = {
     "text_bpe_pretokenize": (text_bpe_pretokenize, TEXT_BPE_PRETOKENIZE_SQL),
     "text_bpe_pair_counts": (text_bpe_pair_counts, TEXT_BPE_PAIR_COUNTS_SQL),
@@ -4527,6 +4681,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "dedup_simhash_wide_pairs": (dedup_simhash_wide_pairs, DEDUP_SIMHASH_WIDE_PAIRS_SQL),
     "text_hash_embedding": (text_hash_embedding, TEXT_HASH_EMBEDDING_SQL),
     "text_nb_classifier": (text_nb_classifier, TEXT_NB_CLASSIFIER_SQL),
+    "dataset_dsir_weights": (dataset_dsir_weights, DATASET_DSIR_WEIGHTS_SQL),
     "embedding_norms": (embedding_norms, EMBEDDING_NORMS_SQL),
     "embedding_quantize_int8": (embedding_quantize_int8, EMBEDDING_QUANTIZE_INT8_SQL),
     "text_token_topk": (text_token_topk, TEXT_TOKEN_TOPK_SQL),

@@ -32,3 +32,27 @@ def test_nb_classifier_learns_above_majority(spark):
         assert bad == 0
     finally:
         df.unpersist()
+
+
+def test_dsir_selection_enriches_target_domain(spark):
+    """The importance-resampling selection must over-represent the target
+    domain well beyond its base rate — the whole point of DSIR. Also pins
+    the budget contract: exactly _DSIR_BUDGET selected unless boundary
+    ties admit more."""
+    from kafka_cdc_hudi_spark.plans.catalog_text import (
+        _DSIR_BUDGET,
+        dataset_dsir_weights,
+    )
+
+    df = dataset_dsir_weights(spark, SF_DIR).cache()
+    try:
+        n = df.count()
+        n_sel = df.filter("selected = 1").count()
+        assert n_sel >= _DSIR_BUDGET
+        t_sel = df.filter("selected = 1").agg(F.sum("is_target")).collect()[0][0]
+        t_all = df.agg(F.sum("is_target")).collect()[0][0]
+        base_rate = t_all / n
+        sel_rate = t_sel / n_sel
+        assert sel_rate >= 2.5 * base_rate, f"{sel_rate} vs base {base_rate}"
+    finally:
+        df.unpersist()
