@@ -52,7 +52,11 @@ def _cached_index(kind: str, sf_dir: str, build):
 
 # DuckDB fragments mirroring textfns -----------------------------------------
 
-_DK_TOKS = f"list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'), t -> t <> '')"
+def _dk_toks_of(col: str) -> str:
+    return f"list_filter(string_split_regex(lower({col}), '{TOKEN_SPLIT_RE}'), t -> t <> '')"
+
+
+_DK_TOKS = _dk_toks_of("text")
 
 _DK_SHINGLES = (
     f"CASE WHEN len(toks) >= {SHINGLE_K} THEN "
@@ -1287,7 +1291,14 @@ def hash_embedding_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     which cannot factorize collection cells (the r7 red row)."""
     d = load_table(spark, sf_dir, "documents")
     d = d.repartition(spark.sparkContext.defaultParallelism)
-    tok = d.select("doc_id", F.explode(tokens("text")).alias("token"))
+    return _hash_embed_df(d, ["doc_id"], "text")
+
+
+def _hash_embed_df(df: DataFrame, id_cols: list[str], text_col: str) -> DataFrame:
+    """Signed-hashing-trick embedding of arbitrary (ids, text) rows into
+    the shared ``_HASHEMB_DIM`` space — same salts as the document
+    entry, so documents, chunks, and queries are mutually comparable."""
+    tok = df.select(*id_cols, F.explode(tokens(text_col)).alias("token"))
     bucket = (
         F.conv(F.substring(F.md5(F.concat(F.col("token"), F.lit("|emb_v1"))), 1, 15), 16, 10)
         .cast("bigint") % _HASHEMB_DIM
@@ -1297,19 +1308,19 @@ def hash_embedding_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint") % 2
     )
     cells = (
-        tok.select("doc_id", bucket.alias("bucket"), sign.alias("sign"))
-        .groupBy("doc_id", "bucket")
+        tok.select(*id_cols, bucket.alias("bucket"), sign.alias("sign"))
+        .groupBy(*id_cols, "bucket")
         .agg(F.sum("sign").alias("s"))
     )
     return (
-        cells.groupBy("doc_id")
+        cells.groupBy(*id_cols)
         .agg(
             F.map_from_entries(
                 F.collect_list(F.struct(F.col("bucket"), F.col("s")))
             ).alias("m")
         )
         .select(
-            "doc_id",
+            *id_cols,
             F.expr(
                 f"transform(sequence(0, {_HASHEMB_DIM - 1}),"
                 " j -> coalesce(element_at(m, CAST(j AS BIGINT)), CAST(0 AS BIGINT)))"
@@ -4652,6 +4663,99 @@ FROM scored CROSS JOIN thr
 """
 
 
+# -- RAG indexing pipeline: chunk -> embed -> retrieve ------------------------
+
+_RAG_K, _RAG_NQ = 5, 5
+
+
+def pipeline_rag_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end retrieval-index build in ONE lazy plan: every document is
+    split into overlapping token windows (text_chunk_overlap's zero-shuffle
+    generate), every chunk is hash-embedded into the shared
+    ``_HASHEMB_DIM`` space (same salts as the document embeddings, so
+    queries and chunks are comparable), and the first ``_RAG_NQ`` documents
+    retrieve their top-``_RAG_K`` chunks by exact cosine — EXCLUDING their
+    own chunks (the self-hit a real RAG eval always masks).
+
+    Scale shape: chunking and embedding are scan-parallel (one (id, bucket)
+    shuffle each); the query side is pruned at the scan (doc_id predicate
+    pushed down) and broadcast — retrieval is a query-bounded broadcast
+    nested-loop over the chunk index, the documented exhaustive baseline
+    (ann_topk_bruteforce's contract); swapping in the IVF/SRP entries'
+    bucketed candidate generation is the large-query-set path. Top-k is a
+    per-query WindowGroupLimit, never a global sort. The chunk index is
+    localCheckpointed: it feeds the join AND its lineage contains the
+    chunk explode chain."""
+    chunks = text_chunk_overlap(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    ce = (
+        _hash_embed_df(chunks.repartition(par), ["doc_id", "chunk_id"], "chunk_text")
+        .filter(F.col("l2_sq") > 0)
+        .localCheckpoint(eager=False)
+    )
+    q = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < _RAG_NQ)
+    qe = (
+        _hash_embed_df(q, ["doc_id"], "text")
+        .filter(F.col("l2_sq") > 0)
+        .select(F.col("doc_id").alias("qid"), F.col("embedding").alias("qemb"))
+    )
+    from kafka_cdc_hudi_spark.functions.vectors import cosine
+
+    scored = ce.join(F.broadcast(qe), F.col("qid") != F.col("doc_id")).withColumn(
+        "cosine", cosine(F.col("qemb"), F.col("embedding"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), "doc_id", "chunk_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _RAG_K)
+        .select("qid", "doc_id", "chunk_id", "cosine", "rank")
+    )
+
+
+_DK_EMB_BUCKET = (
+    "CAST(('0x' || substring(md5(token || '|emb_v1'), 1, 15)) AS BIGINT)"
+    f" % {_HASHEMB_DIM}"
+)
+_DK_EMB_SIGN = (
+    "1 - 2 * (CAST(('0x' || substring(md5(token || '|sign_v1'), 1, 15)) AS BIGINT) % 2)"
+)
+
+
+def _dk_hash_embed_ctes(prefix: str, src: str, ids: str, toks_expr: str) -> str:
+    """The map->dense hash-embedding chain as CTE text, keyed by ``ids``
+    (comma-separated id columns of ``src``)."""
+    return f"""
+{prefix}tok AS (SELECT {ids}, unnest({toks_expr}) AS token FROM {src}),
+{prefix}cells AS (SELECT {ids}, {_DK_EMB_BUCKET} AS bucket,
+                  CAST(SUM({_DK_EMB_SIGN}) AS BIGINT) AS s
+                  FROM {prefix}tok GROUP BY ALL),
+{prefix}emb AS (SELECT {ids},
+                list_transform(range(0, {_HASHEMB_DIM}), j -> COALESCE(m[j][1], 0)) AS emb
+                FROM (SELECT {ids},
+                      MAP(list(bucket ORDER BY bucket), list(s ORDER BY bucket)) AS m
+                      FROM {prefix}cells GROUP BY {ids})),
+{prefix}nz AS (SELECT * FROM {prefix}emb
+               WHERE list_sum(list_transform(emb, x -> x * x)) > 0)"""
+
+
+_RAG_SQL_TEMPLATE = f"""
+WITH chunks AS (SELECT * FROM (__CHUNK_SQL__) _c),
+{_dk_hash_embed_ctes("c", "chunks", "doc_id, chunk_id", _dk_toks_of("chunk_text"))},
+qdocs AS (SELECT doc_id, text FROM documents WHERE doc_id < {_RAG_NQ}),
+{_dk_hash_embed_ctes("q", "qdocs", "doc_id", _DK_TOKS)},
+scored AS (
+  SELECT q.doc_id AS qid, c.doc_id, c.chunk_id,
+         {_DK_DOT.format(A='q.emb', B='c.emb')}
+         / ({_DK_NORM.format(A='q.emb')} * {_DK_NORM.format(A='c.emb')}) AS cosine
+  FROM qnz q JOIN cnz c ON q.doc_id <> c.doc_id)
+SELECT qid, doc_id, chunk_id, cosine,
+       CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, doc_id, chunk_id) AS INT) AS rank
+FROM scored QUALIFY rank <= {_RAG_K}
+"""
+
+PIPELINE_RAG_INDEX_SQL = _RAG_SQL_TEMPLATE.replace("__CHUNK_SQL__", TEXT_CHUNK_OVERLAP_SQL)
+
+
 TEXT_QUERIES: dict[str, tuple] = {
     "text_bpe_pretokenize": (text_bpe_pretokenize, TEXT_BPE_PRETOKENIZE_SQL),
     "text_bpe_pair_counts": (text_bpe_pair_counts, TEXT_BPE_PAIR_COUNTS_SQL),
@@ -4682,6 +4786,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "text_hash_embedding": (text_hash_embedding, TEXT_HASH_EMBEDDING_SQL),
     "text_nb_classifier": (text_nb_classifier, TEXT_NB_CLASSIFIER_SQL),
     "dataset_dsir_weights": (dataset_dsir_weights, DATASET_DSIR_WEIGHTS_SQL),
+    "pipeline_rag_index": (pipeline_rag_index, PIPELINE_RAG_INDEX_SQL),
     "embedding_norms": (embedding_norms, EMBEDDING_NORMS_SQL),
     "embedding_quantize_int8": (embedding_quantize_int8, EMBEDDING_QUANTIZE_INT8_SQL),
     "text_token_topk": (text_token_topk, TEXT_TOKEN_TOPK_SQL),

@@ -90,3 +90,20 @@ def test_html_strip_matches_python_re(spark):
         assert got["title"] == f"Doc {i}"
         assert got["n_tags"] == len(re.findall(r"<[^>]+>", aug))
         assert got["n_links"] == (2 if i % 2 == 0 else 1)
+
+
+def test_rag_index_masks_self_hits_and_fills_k(spark):
+    """Every query retrieves exactly _RAG_K chunks, ranked 1..K, and never
+    one of its own chunks (the self-hit mask a RAG eval depends on)."""
+    from kafka_cdc_hudi_spark.plans.catalog_text import _RAG_K, _RAG_NQ, pipeline_rag_index
+
+    from .conftest import SF_DIR
+
+    rows = pipeline_rag_index(spark, SF_DIR).collect()
+    by_q = {}
+    for r in rows:
+        assert r.doc_id != r.qid
+        by_q.setdefault(r.qid, []).append(r.rank)
+    assert len(by_q) == _RAG_NQ
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, _RAG_K + 1))
