@@ -4756,6 +4756,96 @@ FROM scored QUALIFY rank <= {_RAG_K}
 PIPELINE_RAG_INDEX_SQL = _RAG_SQL_TEMPLATE.replace("__CHUNK_SQL__", TEXT_CHUNK_OVERLAP_SQL)
 
 
+# -- corpus-filter funnel: staged gates with per-stage attrition --------------
+
+_FUNNEL_QUALITY_TAU = 0.38
+
+
+def pipeline_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observability for the corpus-filtering pipeline: run the standard
+    gate sequence — language-ID, quality threshold, benchmark
+    decontamination, exact-dedup keeper — CUMULATIVELY and report how many
+    documents survive each stage. This is the attrition readout every
+    pretraining-data run is judged by ("we started with X docs and kept
+    Y"), composed from the already-oracled component entries so the funnel
+    numbers are consistent with each individual report by construction.
+
+    Scale shape: each component is its own optimized plan (single-pass
+    column math, broadcast shingle probe, hash-group dedup); the funnel
+    joins them on doc_id and folds to ONE aggregation row unpivoted to 5
+    stage rows — output is O(stages), never O(docs). Benchmark-slice docs
+    (absent from the decontaminate report) count as dropped at the
+    decontamination stage: they ARE the eval set."""
+    q = text_quality_score(spark, sf_dir).select("doc_id", "quality")
+    lang = text_language_id(spark, sf_dir).select("doc_id", "pred_lang")
+    dc = text_decontaminate(spark, sf_dir).select("doc_id", "contaminated")
+    d = load_table(spark, sf_dir, "documents")
+    keep = (
+        d.select("doc_id", F.md5(F.lower(F.col("text"))).alias("text_hash"))
+        .withColumn(
+            "is_canonical",
+            F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("text_hash")),
+        )
+        .select("doc_id", "is_canonical")
+    )
+    flags = (
+        d.select("doc_id")
+        .join(lang, "doc_id")
+        .join(q, "doc_id")
+        .join(dc, "doc_id", "left")
+        .join(keep, "doc_id")
+    )
+    g1 = F.col("pred_lang") == "en"
+    g2 = g1 & (F.col("quality") >= _FUNNEL_QUALITY_TAU)
+    g3 = g2 & F.col("contaminated").isNotNull() & ~F.col("contaminated")
+    g4 = g3 & F.col("is_canonical")
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(g1.cast("long")).alias("n1"),
+        F.sum(g2.cast("long")).alias("n2"),
+        F.sum(g3.cast("long")).alias("n3"),
+        F.sum(g4.cast("long")).alias("n4"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(5, 0, 'all', n0, 1, 'lang_en', n1, 2, 'quality', n2,"
+            " 3, 'decontaminated', n3, 4, 'dedup_keep', n4) AS (stage, gate, n_docs)"
+        )
+    )
+
+
+PIPELINE_QUALITY_FUNNEL_SQL = f"""
+WITH q AS (SELECT doc_id, quality FROM ({{q}}) _q),
+l AS (SELECT doc_id, pred_lang FROM ({{l}}) _l),
+dc AS (SELECT doc_id, contaminated FROM ({{d}}) _dc),
+k AS (SELECT doc_id,
+      doc_id = MIN(doc_id) OVER (PARTITION BY md5(lower(text))) AS is_canonical
+      FROM documents),
+f AS (SELECT d.doc_id,
+      (pred_lang = 'en') AS g1,
+      (pred_lang = 'en' AND quality >= CAST('{_FUNNEL_QUALITY_TAU}' AS DOUBLE)) AS g2,
+      (pred_lang = 'en' AND quality >= CAST('{_FUNNEL_QUALITY_TAU}' AS DOUBLE)
+       AND contaminated IS NOT NULL AND NOT contaminated) AS g3,
+      (pred_lang = 'en' AND quality >= CAST('{_FUNNEL_QUALITY_TAU}' AS DOUBLE)
+       AND contaminated IS NOT NULL AND NOT contaminated AND is_canonical) AS g4
+      FROM documents d JOIN l USING (doc_id) JOIN q USING (doc_id)
+      LEFT JOIN dc USING (doc_id) JOIN k USING (doc_id)),
+g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+      CAST(SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      CAST(SUM(CASE WHEN g2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+      CAST(SUM(CASE WHEN g3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+      CAST(SUM(CASE WHEN g4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+      FROM f)
+SELECT CAST(0 AS INT) AS stage, 'all' AS gate, n0 AS n_docs FROM g
+UNION ALL SELECT 1, 'lang_en', n1 FROM g
+UNION ALL SELECT 2, 'quality', n2 FROM g
+UNION ALL SELECT 3, 'decontaminated', n3 FROM g
+UNION ALL SELECT 4, 'dedup_keep', n4 FROM g
+""".replace("{q}", TEXT_QUALITY_SQL).replace("{l}", TEXT_LANGUAGE_ID_SQL).replace(
+    "{d}", TEXT_DECONTAMINATE_SQL
+)
+
+
 TEXT_QUERIES: dict[str, tuple] = {
     "text_bpe_pretokenize": (text_bpe_pretokenize, TEXT_BPE_PRETOKENIZE_SQL),
     "text_bpe_pair_counts": (text_bpe_pair_counts, TEXT_BPE_PAIR_COUNTS_SQL),
@@ -4787,6 +4877,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "text_nb_classifier": (text_nb_classifier, TEXT_NB_CLASSIFIER_SQL),
     "dataset_dsir_weights": (dataset_dsir_weights, DATASET_DSIR_WEIGHTS_SQL),
     "pipeline_rag_index": (pipeline_rag_index, PIPELINE_RAG_INDEX_SQL),
+    "pipeline_quality_funnel": (pipeline_quality_funnel, PIPELINE_QUALITY_FUNNEL_SQL),
     "embedding_norms": (embedding_norms, EMBEDDING_NORMS_SQL),
     "embedding_quantize_int8": (embedding_quantize_int8, EMBEDDING_QUANTIZE_INT8_SQL),
     "text_token_topk": (text_token_topk, TEXT_TOKEN_TOPK_SQL),

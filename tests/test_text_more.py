@@ -56,3 +56,18 @@ def test_dsir_selection_enriches_target_domain(spark):
         assert sel_rate >= 2.5 * base_rate, f"{sel_rate} vs base {base_rate}"
     finally:
         df.unpersist()
+
+
+def test_quality_funnel_is_monotone_and_nonvacuous(spark):
+    """Cumulative gates can only shrink the survivor set, and the funnel
+    must actually discriminate (the final stage keeps a strict, nonzero
+    subset on the fixture)."""
+    from kafka_cdc_hudi_spark.plans.catalog_text import pipeline_quality_funnel
+
+    rows = sorted(
+        pipeline_quality_funnel(spark, SF_DIR).collect(), key=lambda r: r.stage
+    )
+    assert [r.stage for r in rows] == [0, 1, 2, 3, 4]
+    counts = [r.n_docs for r in rows]
+    assert all(a >= b for a, b in zip(counts, counts[1:])), counts
+    assert 0 < counts[-1] < counts[0]
