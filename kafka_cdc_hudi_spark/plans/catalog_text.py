@@ -495,6 +495,103 @@ def _incremental_lsh_sql() -> str:
 DEDUP_INCREMENTAL_CANDIDATES_SQL = _incremental_lsh_sql()
 
 
+#: deterministic CDC script constants for the pair-IVM entry: docs with
+#: doc_id % 11 == 4 are UPDATED to their successor's text (creating
+#: exact-copy pairs and retracting their old ones); docs with
+#: doc_id % 13 == 6 are DELETED (retract-only)
+_IVM_UPD_MOD, _IVM_UPD_RES = 11, 4
+_IVM_DEL_MOD, _IVM_DEL_RES = 13, 6
+
+#: session-scoped state stores for the pair-IVM entry, keyed by
+#: (application id, sf_dir) — the CDC script runs once; later calls fold
+#: the persisted delta stream (the same lifecycle/lock rationale as
+#: catalog_cdc._MOR_SCRATCH)
+_PAIR_IVM_STATE: dict = {}
+_PAIR_IVM_LOCK = __import__("threading").Lock()
+
+
+def dedup_cdc_pair_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance of the near-dup PAIR SET under CDC
+    (streaming/dedup_ivm.py): a deterministic 3-batch script — bulk insert
+    two thirds of the corpus, then insert the rest plus updates
+    (doc_id % 11 == 4 takes its successor's text), then deletes
+    (doc_id % 13 == 6) — is fed through ``DedupPairMaintainer``, which
+    per batch retracts the pairs of every changed doc's OLD signature and
+    probes the NEW signatures against the maintained index, emitting a
+    ±1 delta stream. The returned fold (cumulative delta = 1) must equal
+    a full LSH recompute over the final live corpus — which is exactly
+    what the oracle computes, so the driver value-checks the whole IVM
+    algebra (insert/update/delete, retraction, exactly-once fold), not
+    just a single-shot query. Per-batch cost is O(changed docs): batch
+    signatures + two bounded band equi-joins + a latest-per-key index
+    fold — the shape that holds when the corpus is 100 TB and the daily
+    churn is 0.1% of it."""
+    import tempfile
+
+    from kafka_cdc_hudi_spark.streaming.dedup_ivm import DedupPairMaintainer
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    with _PAIR_IVM_LOCK:
+        root = _PAIR_IVM_STATE.get(key)
+        if root is None:
+            root = tempfile.mkdtemp(prefix="pair_ivm_")
+            m = DedupPairMaintainer(spark, f"{root}/sig_ops", f"{root}/pair_deltas")
+            docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+            did = F.col("doc_id")
+
+            def inserts(df):
+                return df.select(
+                    F.lit("i").alias("op"), "doc_id", "text", did.alias("seq")
+                )
+
+            nxt = docs.select((did - 1).alias("doc_id"), F.col("text").alias("next_text"))
+            upd = (
+                docs.filter(did % _IVM_UPD_MOD == _IVM_UPD_RES)
+                .join(nxt, "doc_id", "left")
+                .select(
+                    F.lit("u").alias("op"),
+                    "doc_id",
+                    F.coalesce("next_text", "text").alias("text"),
+                    (did + F.lit(10_000_000)).alias("seq"),
+                )
+            )
+            b0 = inserts(docs.filter(did % 3 != 2))
+            # %3==2 docs that are also update targets appear twice in this
+            # batch — the higher update seq wins (precombine), as in the oracle
+            b1 = inserts(docs.filter(did % 3 == 2)).unionByName(upd)
+            b2 = docs.filter(did % _IVM_DEL_MOD == _IVM_DEL_RES).select(
+                F.lit("d").alias("op"),
+                "doc_id",
+                F.lit(None).cast("string").alias("text"),
+                (did + F.lit(20_000_000)).alias("seq"),
+            )
+            for bid, bdf in enumerate([b0, b1, b2]):
+                m.process(bdf, bid)
+            _PAIR_IVM_STATE[key] = root
+    m = DedupPairMaintainer(spark, f"{root}/sig_ops", f"{root}/pair_deltas")
+    return m.live_pairs_with_est()
+
+
+def _pair_ivm_sql() -> str:
+    """The oracle is a FULL RECOMPUTE: the MinHash-LSH chain over the
+    corpus as it stands after the CDC script — updates applied, deletes
+    gone. The maintainer must converge to this from deltas alone."""
+    ctes, final = _minhash_ctes()
+    assert ctes.count("FROM documents)") == 1, "minhash tok CTE moved; update _pair_ivm_sql"
+    corpus = f"""corpus AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % {_IVM_UPD_MOD} = {_IVM_UPD_RES} AND n.text IS NOT NULL
+              THEN n.text ELSE d.text END AS text
+  FROM documents d LEFT JOIN documents n ON n.doc_id = d.doc_id + 1
+  WHERE d.doc_id % {_IVM_DEL_MOD} <> {_IVM_DEL_RES}
+),
+"""
+    return "WITH " + corpus + ctes.replace("FROM documents)", "FROM corpus)") + final
+
+
+DEDUP_CDC_PAIR_IVM_SQL = _pair_ivm_sql()
+
+
 def _simhash_shift(expr: str, r: int, dialect: str) -> str:
     if r == 0:
         return expr
@@ -4865,6 +4962,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_LSH_SQL),
     "dedup_incremental_candidates": (dedup_incremental_candidates, DEDUP_INCREMENTAL_CANDIDATES_SQL),
+    "dedup_cdc_pair_ivm": (dedup_cdc_pair_ivm, DEDUP_CDC_PAIR_IVM_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
     "dedup_clusters_star": (dedup_clusters_star, DEDUP_CLUSTERS_SQL),
