@@ -755,7 +755,9 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(q, e, cents, books, k=_PQ_K, n_probe=_IVF_PROBE)
 
 
-def _ivfpq_sql() -> str:
+def _ivfpq_scored_ctes() -> str:
+    """CTE chain ending in ``scored`` (per-query ADC scores over the probed
+    cells) — shared by the plain IVF-PQ oracle and the exact-rerank one."""
     books = pq_codebooks(EMBEDDING_DIM, _PQ_SUB, _PQ_CODES)
     cents_values = _cents_values(ivf_static_codebook(EMBEDDING_DIM, _IVF_CELLS))
     qd = ", ".join(
@@ -784,7 +786,12 @@ q AS (SELECT vec_id AS qid, {qd} FROM embeddings WHERE vec_id < 10),
 scored AS (
   SELECT p.qid, i.vec_id AS nid, ({lookup}) AS adc_dot
   FROM probe p JOIN idx i USING (cell) JOIN q USING (qid)
-  WHERE p.qid <> i.vec_id)
+  WHERE p.qid <> i.vec_id)"""
+
+
+def _ivfpq_sql() -> str:
+    return f"""
+{_ivfpq_scored_ctes()}
 SELECT qid, nid, adc_dot,
        CAST(row_number() OVER (PARTITION BY qid ORDER BY adc_dot DESC, nid) AS INT) AS rank
 FROM scored QUALIFY rank <= {_PQ_K}
@@ -792,6 +799,70 @@ FROM scored QUALIFY rank <= {_PQ_K}
 
 
 ANN_TOPK_IVFPQ_SQL = _ivfpq_sql()
+
+
+#: ADC shortlist width for the exact-rerank entry: 5x the final k — wide
+#: enough that the exact stage, not quantization, decides the final order
+_RERANK_C = 50
+
+
+def ann_topk_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ + EXACT RE-RANK — the production retrieval shape: the
+    quantized index (4 bytes/vector) prunes and coarsely scores, an ADC
+    shortlist of C=50 per query survives, and only those C raw vectors are
+    re-read for exact cosine, which decides the final top-10. At scale the
+    (shortlist x query-vector) frame is queries x C rows — broadcast into
+    the raw-corpus scan, so the refine stage costs one broadcast-hash-join
+    pass over the corpus and reads full vectors for 50 rows per query
+    instead of all of them. Output ranks are EXACT for every shortlisted
+    neighbor (quantization error only costs recall, never ordering) —
+    directly comparable to ann_topk_bruteforce rows."""
+    from kafka_cdc_hudi_spark.functions.vectors import cosine
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_static_codebook(EMBEDDING_DIM, _IVF_CELLS)
+    books = pq_codebooks(EMBEDDING_DIM, _PQ_SUB, _PQ_CODES)
+    q = e.filter(F.col("vec_id") < 10)
+    shortlist = ivfpq_topk(q, e, cents, books, k=_RERANK_C, n_probe=_IVF_PROBE).select(
+        "qid", "nid"
+    )
+    qe = q.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    sl = shortlist.join(qe, "qid")
+    exact = (
+        e.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("ne"))
+        .join(F.broadcast(sl), "nid")
+        .withColumn("cosine", cosine(F.col("qe"), F.col("ne")))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _PQ_K)
+        .select("qid", "nid", "cosine", "rank")
+    )
+
+
+def _ivfpq_rerank_sql() -> str:
+    cos = (
+        f"{_DOT.format(A='qv.embedding', B='nv.embedding')}"
+        f" / ({_NORM.format(A='qv.embedding')} * {_NORM.format(A='nv.embedding')})"
+    )
+    return f"""
+{_ivfpq_scored_ctes()},
+short AS (
+  SELECT qid, nid FROM scored
+  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY adc_dot DESC, nid) <= {_RERANK_C}),
+exact AS (
+  SELECT s.qid, s.nid, {cos} AS cosine
+  FROM short s
+  JOIN embeddings qv ON qv.vec_id = s.qid
+  JOIN embeddings nv ON nv.vec_id = s.nid)
+SELECT qid, nid, cosine,
+       CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS INT) AS rank
+FROM exact QUALIFY rank <= {_PQ_K}
+"""
+
+
+ANN_TOPK_IVFPQ_RERANK_SQL = _ivfpq_rerank_sql()
 
 
 # -- SemDeDup: k-means semantic clustering + within-cluster prune -------------
@@ -943,6 +1014,7 @@ STREAMING_QUERIES: dict[str, tuple] = {
     "embedding_pq_encode": (embedding_pq_encode, EMBEDDING_PQ_ENCODE_SQL),
     "ann_topk_pq_adc": (ann_topk_pq_adc, ANN_TOPK_PQ_ADC_SQL),
     "ann_topk_ivfpq": (ann_topk_ivfpq, ANN_TOPK_IVFPQ_SQL),
+    "ann_topk_ivfpq_rerank": (ann_topk_ivfpq_rerank, ANN_TOPK_IVFPQ_RERANK_SQL),
     "events_tumbling_windows": (events_tumbling_windows, EVENTS_TUMBLING_SQL),
     "events_sliding_windows": (events_sliding_windows, EVENTS_SLIDING_SQL),
     "events_session_windows": (events_session_windows, EVENTS_SESSION_SQL),
