@@ -199,6 +199,8 @@ PRUNED: dict[str, str] = {
     "pipeline_quality_funnel": "NEW r8 (born past the cap), full oracle locally + swept; rotate in r9",
     "dedup_cdc_pair_ivm": "NEW r8 (born past the cap), full oracle locally + swept; rotate in r9",
     "ann_topk_ivfpq_rerank": "NEW r8 (born past the cap), full oracle locally + swept; rotate in r9",
+    "dedup_cross_source_stats": "NEW r8 (born past the cap), full oracle locally + swept; rotate in r9",
+    "dataset_epoch_order": "NEW r8 (born past the cap), full oracle locally + swept; rotate in r9",
 }
 
 #: driver evaluation order, round 8: the r7 red-row fix first, then the 12

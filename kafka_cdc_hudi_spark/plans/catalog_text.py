@@ -1290,6 +1290,93 @@ WHERE {cos} >= {DEDUP_COS_THRESHOLD}
 DEDUP_EMBEDDING_COSINE_SQL = _dedup_embedding_cosine_sql()
 
 
+def dedup_cross_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair composition BY SOURCE — the contamination readout a
+    corpus curator reads before mixing sources: how many near-dup pairs
+    live within each source vs across source boundaries (cross-source
+    duplication means the mixture double-counts content that two providers
+    both scraped). Pairs come from the shared LSH chain; each side is
+    labeled by a doc_id-keyed join to the documents dim (at 100 TB the
+    pair set is tiny relative to the corpus, so the label joins shuffle
+    only pairs), then one small groupBy on the (source, source) matrix.
+    ``mean_est`` is exact cross-engine: est values are dyadic multiples of
+    1/16 (MINHASH_K), so their double sum is order-independent."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    sa = d.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    sb = d.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.least("sa", "sb").alias("src_a"),
+            F.greatest("sa", "sb").alias("src_b"),
+            "est_jaccard",
+        )
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            (F.sum("est_jaccard") / F.count(F.lit(1))).alias("mean_est"),
+        )
+    )
+
+
+def _cross_source_sql() -> str:
+    ctes, final = _minhash_ctes()
+    return f"""
+WITH {ctes},
+pairs AS ({final}),
+lab AS (
+  SELECT least(da.source, db.source) AS src_a,
+         greatest(da.source, db.source) AS src_b,
+         p.est_jaccard
+  FROM pairs p
+  JOIN documents da ON p.doc_a = da.doc_id
+  JOIN documents db ON p.doc_b = db.doc_id)
+SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs,
+       sum(est_jaccard) / count(*) AS mean_est
+FROM lab GROUP BY src_a, src_b
+"""
+
+
+DEDUP_CROSS_SOURCE_SQL = _cross_source_sql()
+
+
+#: epochs materialized by the training-order entry
+_N_EPOCHS = 3
+
+
+def dataset_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multi-epoch training order: each epoch reshuffles the
+    corpus differently via md5(epoch:doc_id), and `position` is the global
+    per-epoch ordinal — the materialized read-order a trainer consumes.
+    The per-epoch row_number is a range-partitioned global sort: that IS
+    the job at any scale (training order is a total order by definition),
+    and it parallelizes as a TotalOrderPartitioner-style sort, not a
+    single-task window. Seeded differently per epoch, so no epoch's order
+    correlates with another's or with doc_id."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    x = d.select("doc_id", F.explode(F.sequence(F.lit(0), F.lit(_N_EPOCHS - 1))).alias("e"))
+    x = x.select(F.col("e").cast("bigint").alias("epoch"), "doc_id").withColumn(
+        "shuffle_key", F.md5(F.concat_ws(":", F.col("epoch"), F.col("doc_id")))
+    )
+    w = Window.partitionBy("epoch").orderBy("shuffle_key", "doc_id")
+    return x.withColumn("position", F.row_number().over(w)).select(
+        "epoch", "doc_id", "position"
+    )
+
+
+DATASET_EPOCH_ORDER_SQL = f"""
+WITH x AS (
+  SELECT e.epoch, d.doc_id,
+         md5(CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)) AS k
+  FROM documents d, (SELECT unnest(generate_series(0, {_N_EPOCHS - 1})) AS epoch) e)
+SELECT epoch, doc_id,
+       CAST(row_number() OVER (PARTITION BY epoch ORDER BY k, doc_id) AS INT) AS position
+FROM x
+"""
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup FAMILY assignment: MinHash-LSH pairs -> connected components
     -> every document labeled with its cluster's canonical (minimum) doc_id;
@@ -4963,6 +5050,8 @@ TEXT_QUERIES: dict[str, tuple] = {
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_LSH_SQL),
     "dedup_incremental_candidates": (dedup_incremental_candidates, DEDUP_INCREMENTAL_CANDIDATES_SQL),
     "dedup_cdc_pair_ivm": (dedup_cdc_pair_ivm, DEDUP_CDC_PAIR_IVM_SQL),
+    "dedup_cross_source_stats": (dedup_cross_source_stats, DEDUP_CROSS_SOURCE_SQL),
+    "dataset_epoch_order": (dataset_epoch_order, DATASET_EPOCH_ORDER_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
     "dedup_clusters_star": (dedup_clusters_star, DEDUP_CLUSTERS_SQL),

@@ -71,3 +71,40 @@ def test_quality_funnel_is_monotone_and_nonvacuous(spark):
     counts = [r.n_docs for r in rows]
     assert all(a >= b for a, b in zip(counts, counts[1:])), counts
     assert 0 < counts[-1] < counts[0]
+
+
+def test_cross_source_stats_nonvacuous(spark):
+    """The source matrix must contain BOTH within-source and cross-source
+    near-dup cells (otherwise the contamination readout reads nothing),
+    and its pair mass must equal the LSH pair count exactly."""
+    from kafka_cdc_hudi_spark.plans.catalog_text import (
+        dedup_cross_source_stats,
+        dedup_minhash_lsh,
+    )
+
+    rows = dedup_cross_source_stats(spark, SF_DIR).collect()
+    assert any(r.src_a == r.src_b for r in rows), "no within-source cell"
+    assert any(r.src_a != r.src_b for r in rows), "no cross-source cell"
+    assert all(0.5 <= r.mean_est <= 1.0 for r in rows)
+    assert sum(r.n_pairs for r in rows) == dedup_minhash_lsh(spark, SF_DIR).count()
+
+
+def test_epoch_order_is_permutation_and_decorrelated(spark):
+    """Each epoch is a complete permutation (positions 1..n exactly once),
+    and no two epochs share an order (nor does any epoch equal doc_id
+    order) — a broken shuffle key would collapse them."""
+    from kafka_cdc_hudi_spark.plans.catalog_text import _N_EPOCHS, dataset_epoch_order
+    from kafka_cdc_hudi_spark.sources.tables import load_table
+
+    rows = dataset_epoch_order(spark, SF_DIR).collect()
+    n = load_table(spark, SF_DIR, "documents").count()
+    orders = {}
+    for r in rows:
+        orders.setdefault(r.epoch, {})[r.position] = r.doc_id
+    assert set(orders) == set(range(_N_EPOCHS))
+    seqs = []
+    for e in range(_N_EPOCHS):
+        assert set(orders[e]) == set(range(1, n + 1)), f"epoch {e} not a permutation"
+        seqs.append(tuple(orders[e][p] for p in range(1, n + 1)))
+    assert len(set(seqs)) == _N_EPOCHS, "two epochs share an order"
+    assert all(s != tuple(sorted(s)) for s in seqs), "an epoch is doc_id-ordered"
