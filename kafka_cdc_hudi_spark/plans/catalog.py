@@ -201,6 +201,7 @@ PRUNED: dict[str, str] = {
     "ann_topk_ivfpq_rerank": "NEW r8 (born past the cap), full oracle locally + swept; rotate in r9",
     "dedup_cross_source_stats": "NEW r8 (born past the cap), full oracle locally + swept; rotate in r9",
     "dataset_epoch_order": "NEW r8 (born past the cap), full oracle locally + swept; rotate in r9",
+    "text_containment_pairs": "NEW r8 (born past the cap), full oracle locally + swept; rotate in r9",
 }
 
 #: driver evaluation order, round 8: the r7 red-row fix first, then the 12

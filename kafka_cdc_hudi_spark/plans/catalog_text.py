@@ -220,16 +220,13 @@ GROUP BY 1
 """
 
 
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via inverted shingle index —
-    explode distinct shingle hashes, self-join on shingle, count
-    intersections. The exact (quadratic-in-collisions) baseline that
-    MinHash approximates."""
+def _shingle_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-shingle inverted postings (doc_id, md5(shingle)) — feeds
+    the exact Jaccard and containment entries' self-joins and size tables
+    (4 references between them): materialize once via the session cache
+    instead of re-running tokenize+shingle+md5+explode per reference."""
     d = load_table(spark, sf_dir, "documents")
-    # the shingle postings feed the self-join (both sides) and the size
-    # table (joined twice): materialize once via the session cache instead
-    # of re-running tokenize+shingle+md5+explode four times in one plan
-    sh = _cached_index(
+    return _cached_index(
         "shingle_postings",
         sf_dir,
         lambda: d.select(
@@ -237,6 +234,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.array_distinct(F.transform(shingles(tokens("text")), F.md5))).alias("s"),
         ),
     )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted shingle index —
+    explode distinct shingle hashes, self-join on shingle, count
+    intersections. The exact (quadratic-in-collisions) baseline that
+    MinHash approximates."""
+    sh = _shingle_postings(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -269,6 +274,80 @@ inter AS (
 SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (x.n + y.n - i) AS jaccard
 FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
 WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.2
+"""
+
+
+#: directed-containment keep threshold: |sub ∩ sup| / |sub| >= 0.9 —
+#: calibrated so the fixture exhibits one-way survivors (snippet-in-doc
+#: cases where only the smaller side clears tau), keeping the directed
+#: semantics non-vacuous at sf0.001 and sf0.01
+_CONTAINMENT_TAU = 0.9
+
+
+def text_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-subset detection: directed shingle containment
+    |A∩B|/|A| >= 0.8 — the measure that catches a snippet living inside a
+    larger document (quotes, syndicated excerpts, boilerplate inclusion),
+    which symmetric Jaccard structurally misses (a 100-shingle doc fully
+    contained in a 10,000-shingle doc has Jaccard ~0.01). Candidates come
+    from the same inverted-postings self-join as the exact-Jaccard
+    baseline (undirected, computed once), then BOTH directions are scored
+    from the one intersection count — no second join. Same scale
+    contract as dedup_ngram_jaccard: exact, quadratic in per-shingle
+    collisions, the documented verification path next to the MinHash
+    approximations."""
+    sh = _shingle_postings(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    both = inter.join(
+        sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a"
+    ).join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+    d1 = both.select(
+        F.col("doc_a").alias("doc_sub"),
+        F.col("doc_b").alias("doc_sup"),
+        F.col("na").alias("n_sub"),
+        F.col("nb").alias("n_sup"),
+        (F.col("i").cast("double") / F.col("na")).alias("containment"),
+    )
+    d2 = both.select(
+        F.col("doc_b").alias("doc_sub"),
+        F.col("doc_a").alias("doc_sup"),
+        F.col("nb").alias("n_sub"),
+        F.col("na").alias("n_sup"),
+        (F.col("i").cast("double") / F.col("nb")).alias("containment"),
+    )
+    return d1.unionByName(d2).filter(F.col("containment") >= _CONTAINMENT_TAU)
+
+
+TEXT_CONTAINMENT_SQL = f"""
+WITH tok AS (SELECT doc_id, {_DK_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform({_DK_SHINGLES}, s -> md5(s)))) AS s
+  FROM tok
+),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairsz AS (
+  SELECT doc_a, doc_b, i, x.n AS na, y.n AS nb
+  FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+),
+directed AS (
+  SELECT doc_a AS doc_sub, doc_b AS doc_sup, na AS n_sub, nb AS n_sup,
+         CAST(i AS DOUBLE) / na AS containment
+  FROM pairsz
+  UNION ALL
+  SELECT doc_b, doc_a, nb, na, CAST(i AS DOUBLE) / nb FROM pairsz
+)
+SELECT * FROM directed WHERE containment >= {_CONTAINMENT_TAU}
 """
 
 
@@ -5047,6 +5126,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "text_fingerprint": (text_fingerprint, TEXT_FINGERPRINT_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL),
+    "text_containment_pairs": (text_containment_pairs, TEXT_CONTAINMENT_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_LSH_SQL),
     "dedup_incremental_candidates": (dedup_incremental_candidates, DEDUP_INCREMENTAL_CANDIDATES_SQL),
     "dedup_cdc_pair_ivm": (dedup_cdc_pair_ivm, DEDUP_CDC_PAIR_IVM_SQL),

@@ -108,3 +108,23 @@ def test_epoch_order_is_permutation_and_decorrelated(spark):
         seqs.append(tuple(orders[e][p] for p in range(1, n + 1)))
     assert len(set(seqs)) == _N_EPOCHS, "two epochs share an order"
     assert all(s != tuple(sorted(s)) for s in seqs), "an epoch is doc_id-ordered"
+
+
+def test_containment_is_directed_and_asymmetric(spark):
+    """Containment must find genuinely asymmetric cases (smaller doc
+    mostly inside a bigger one, where only ONE direction clears tau) and
+    stay consistent: containment >= the pair's Jaccard, both in [tau, 1]."""
+    from kafka_cdc_hudi_spark.plans.catalog_text import (
+        _CONTAINMENT_TAU,
+        text_containment_pairs,
+    )
+
+    rows = text_containment_pairs(spark, SF_DIR).collect()
+    assert rows, "containment entry vacuous"
+    pairs = {(r.doc_sub, r.doc_sup): r for r in rows}
+    assert all(_CONTAINMENT_TAU <= r.containment <= 1.0 for r in rows)
+    one_way = [k for k in pairs if (k[1], k[0]) not in pairs]
+    assert one_way, "every containment is mutual — no asymmetric case found"
+    assert any(pairs[k].n_sub < pairs[k].n_sup for k in one_way), (
+        "no strict snippet-in-document case"
+    )
