@@ -240,6 +240,54 @@ def ivf_train_sql_sample(
     return kmeans_lite(x, n_cells, iters)
 
 
+#: principal components kept by the PCA-whitening projection
+PCA_COMPONENTS = 8
+
+
+def pca_whiten_core(x: np.ndarray, n_comp: int = PCA_COMPONENTS):
+    """(mean[dim], weights[n_comp, dim], eigvals[n_comp]) of the sample
+    matrix — the whitening weights are eigvec/sqrt(eigval), descending by
+    eigenvalue, each eigenvector sign-fixed so its largest-|entry|
+    component is positive (eigh's sign is otherwise arbitrary, which would
+    make the baked oracle literals unstable). Shared by the Spark entry
+    and the DuckDB oracle builder so both bake IDENTICAL float64 artifacts
+    from the same sample rows (the kmeans_lite pattern)."""
+    mu = x.mean(axis=0)
+    xc = x - mu
+    cov = xc.T @ xc / (len(x) - 1)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:n_comp]
+    ws, lams = [], []
+    for idx in order:
+        lam = float(evals[idx])
+        assert lam > 0, "degenerate sample: non-positive eigenvalue"
+        v = evecs[:, idx].copy()
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v
+        ws.append(v / np.sqrt(lam))
+        lams.append(lam)
+    return mu, np.array(ws), np.array(lams)
+
+
+def pca_whiten_train(
+    df: DataFrame, id_col: str = "vec_id", col: str = "embedding"
+):
+    """Train the whitening projection on the deterministic SQL-expressible
+    sample (same hard-bounded ≤2048-row collect + driver-side id sort as
+    :func:`ivf_train_sql_sample`); apply is a pure literal projection."""
+    pdf = (
+        df.filter(
+            (F.col(id_col) % TRAIN_SAMPLE_MOD == 0)
+            & (F.col(id_col) < TRAIN_SAMPLE_BOUND)
+        )
+        .select(id_col, col)
+        .toPandas()
+        .sort_values(id_col)
+    )
+    x = np.array([np.asarray(v, dtype=np.float64) for v in pdf[col]])
+    return pca_whiten_core(x)
+
+
 def ivf_train_centroids(
     df: DataFrame, dim: int, n_cells: int = 16, iters: int = 5, sample: int = 2048, col: str = "embedding"
 ) -> np.ndarray:

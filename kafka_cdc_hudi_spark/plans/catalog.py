@@ -202,6 +202,7 @@ PRUNED: dict[str, str] = {
     "dedup_cross_source_stats": "NEW r8 (born past the cap), full oracle locally + swept; rotate in r9",
     "dataset_epoch_order": "NEW r8 (born past the cap), full oracle locally + swept; rotate in r9",
     "text_containment_pairs": "NEW r8 (born past the cap), full oracle locally + swept; rotate in r9",
+    "embedding_pca_whiten": "NEW r8 (born past the cap), full oracle locally + swept; rotate in r9",
 }
 
 #: driver evaluation order, round 8: the r7 red-row fix first, then the 12
@@ -291,7 +292,10 @@ def sf_dependent_sql_builders() -> dict:
         semdedup_sql_for,
     )
 
+    from kafka_cdc_hudi_spark.plans.catalog_streaming import pca_whiten_sql_for
+
     return {
+        "embedding_pca_whiten": pca_whiten_sql_for,
         "ann_topk_ivf_trained": ivf_trained_sql_for,
         "ann_recall_trained_vs_static": recall_trained_vs_static_sql_for,
         "dedup_semantic_clusters": semdedup_sql_for,

@@ -655,6 +655,80 @@ ANN_RECALL_TRAINED_VS_STATIC_SQL = recall_trained_vs_static_sql_for(_ORACLE_SF_D
 ANN_TOPK_IVF_TRAINED_SQL = ivf_trained_sql_for(_ORACLE_SF_DIR)
 
 
+# -- PCA whitening ------------------------------------------------------------
+
+
+def embedding_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA-whitened embedding projection — the standard preprocessing
+    before cosine retrieval / clustering on anisotropic embeddings
+    (decorrelates dimensions, equalizes variance; e.g. the whitening step
+    in SimCSE-style pipelines). Train: covariance + eigh on the SAME
+    hard-bounded deterministic sample as the IVF trainer (≤2048 rows — at
+    100 TB the projection trains on a sample and broadcasts, never scans).
+    Apply: pc_k = dot(x, w_k) - dot(mean, w_k), a pure literal projection
+    (512 codegen'd flops/row, zero shuffle, scan-parallel). Identity used:
+    (x - mean)·w == x·w - mean·w, so no per-row centering array is
+    needed and the mean folds into one baked scalar per component."""
+    import numpy as np
+
+    from kafka_cdc_hudi_spark.operators.similarity import pca_whiten_train
+
+    e = load_table(spark, sf_dir, "embeddings")
+    mu, ws, _lams = pca_whiten_train(e)
+    cols = []
+    for k, w in enumerate(ws):
+        arr = F.array(*[F.lit(float(v)) for v in w])
+        d = F.aggregate(
+            F.zip_with(F.col("embedding"), arr, lambda x, p: x.cast("double") * p),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        cols.append((d - F.lit(float(np.dot(mu, w)))).alias(f"pc{k}"))
+    return e.select("vec_id", *cols, "label")
+
+
+def pca_whiten_sql_for(sf_dir: str) -> str | None:
+    """Oracle builder (sf-dependent trained artifact, the
+    ivf_trained_sql_for pattern): re-derive mean/weights from the same
+    sample rows via DuckDB + the shared numpy core, bake them as literals.
+    Scalar constants go through CAST('repr' AS DOUBLE) (bare full-precision
+    literals parse as DECIMAL and double-round the last bit)."""
+    import duckdb
+
+    from kafka_cdc_hudi_spark.operators.similarity import (
+        TRAIN_SAMPLE_BOUND,
+        TRAIN_SAMPLE_MOD,
+        pca_whiten_core,
+    )
+
+    try:
+        rows = duckdb.sql(
+            f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
+            f"WHERE vec_id % {TRAIN_SAMPLE_MOD} = 0 AND vec_id < {TRAIN_SAMPLE_BOUND} "
+            "ORDER BY vec_id"
+        ).fetchall()
+    except Exception:
+        return None
+    import numpy as np
+
+    x = np.array([np.asarray(r[0], dtype=np.float64) for r in rows])
+    mu, ws, _lams = pca_whiten_core(x)
+    terms = []
+    for k, w in enumerate(ws):
+        # per-element string cast: bare full-precision literals parse as
+        # DECIMAL and double-round the last bit (see pq_sub_dot's rule 2);
+        # eigenvector weights, unlike the dyadic md5 centroids, hit this
+        lit = "[" + ",".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in w) + "]"
+        c = repr(float(np.dot(mu, w)))
+        terms.append(
+            f"({_DOT.format(A='embedding', B=lit)}) - CAST('{c}' AS DOUBLE) AS pc{k}"
+        )
+    return f"SELECT vec_id, {', '.join(terms)}, label FROM embeddings"
+
+
+EMBEDDING_PCA_WHITEN_SQL = pca_whiten_sql_for(_ORACLE_SF_DIR)
+
+
 # -- product quantization: encode + ADC scan ----------------------------------
 #
 # The memory-bound half of an IVF-PQ index (operators/similarity.py). Both
@@ -1015,6 +1089,7 @@ STREAMING_QUERIES: dict[str, tuple] = {
     "ann_topk_pq_adc": (ann_topk_pq_adc, ANN_TOPK_PQ_ADC_SQL),
     "ann_topk_ivfpq": (ann_topk_ivfpq, ANN_TOPK_IVFPQ_SQL),
     "ann_topk_ivfpq_rerank": (ann_topk_ivfpq_rerank, ANN_TOPK_IVFPQ_RERANK_SQL),
+    "embedding_pca_whiten": (embedding_pca_whiten, EMBEDDING_PCA_WHITEN_SQL),
     "events_tumbling_windows": (events_tumbling_windows, EVENTS_TUMBLING_SQL),
     "events_sliding_windows": (events_sliding_windows, EVENTS_SLIDING_SQL),
     "events_session_windows": (events_session_windows, EVENTS_SESSION_SQL),

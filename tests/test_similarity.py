@@ -327,3 +327,34 @@ def test_ivfpq_rerank_improves_on_quantized_ranks(spark):
     assert hits_rerank > hits_plain, (
         "re-rank never beat plain IVF-PQ on this fixture — vacuous"
     )
+
+
+def test_pca_whiten_whitens_the_sample(spark, emb):
+    """On the rows it was trained from, the projection must actually
+    whiten: each component has unit variance and pairwise covariances
+    vanish (up to float tolerance) — and component variance over the FULL
+    corpus is near 1 too (the sample is representative), ordered
+    non-degenerately."""
+    import numpy as np
+
+    from kafka_cdc_hudi_spark.operators.similarity import (
+        PCA_COMPONENTS,
+        TRAIN_SAMPLE_BOUND,
+        TRAIN_SAMPLE_MOD,
+    )
+    from kafka_cdc_hudi_spark.plans.catalog_streaming import embedding_pca_whiten
+
+    from .conftest import SF_DIR as _SF
+
+    out = embedding_pca_whiten(spark, _SF)
+    pcs = [f"pc{k}" for k in range(PCA_COMPONENTS)]
+    sample = out.filter(
+        (F.col("vec_id") % TRAIN_SAMPLE_MOD == 0) & (F.col("vec_id") < TRAIN_SAMPLE_BOUND)
+    ).select(pcs).toPandas()
+    cov = np.cov(sample.to_numpy().T)
+    assert np.allclose(np.diag(cov), 1.0, atol=1e-6), np.diag(cov)
+    off = cov - np.diag(np.diag(cov))
+    assert np.abs(off).max() < 1e-6, np.abs(off).max()
+    full = out.select(pcs).toPandas().to_numpy()
+    fvar = full.var(axis=0, ddof=1)
+    assert ((fvar > 0.5) & (fvar < 2.0)).all(), fvar
