@@ -152,3 +152,65 @@ def test_pair_ivm_entry_nonvacuous(spark):
     assert ivm != static, "CDC script had no effect vs the static corpus"
     assert ivm - static, "no update-created pair absent from the static corpus"
     assert static - ivm, "no static pair was retracted by an update/delete"
+
+
+# -- randomized CDC scripts vs full recompute ---------------------------------
+
+import pytest as _pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+#: tiny synthetic vocabulary: 4-word phrases over a 6-word alphabet make
+#: shingle collisions (hence pairs, retractions, re-pairs) common enough
+#: that random scripts exercise every IVM path
+_WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+_texts = st.lists(
+    st.sampled_from(_WORDS), min_size=6, max_size=9
+).map(" ".join)
+
+_ops = st.lists(
+    st.tuples(
+        st.sampled_from(["i", "u", "d"]),
+        st.integers(min_value=0, max_value=11),  # doc id pool of 12
+        _texts,
+    ),
+    min_size=4,
+    max_size=24,
+)
+_splits = st.lists(st.integers(min_value=1, max_value=8), min_size=1, max_size=5)
+
+
+@_pytest.mark.slow
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(ops=_ops, splits=_splits)
+def test_random_cdc_scripts_match_full_recompute(spark, tmp_path_factory, ops, splits):
+    """ANY op sequence (deletes of absent docs, re-inserts, updates to an
+    identical text, same-doc churn within a batch) chopped into ANY batch
+    boundaries must leave live_pairs == full LSH recompute of the live
+    corpus."""
+    from kafka_cdc_hudi_spark.streaming.dedup_ivm import DedupPairMaintainer
+
+    tmp = tmp_path_factory.mktemp("ivm")
+    m = DedupPairMaintainer(spark, str(tmp / "sig_ops"), str(tmp / "pair_deltas"))
+    live: dict[int, str] = {}
+    seq_rows = [(op, did, None if op == "d" else tx, i) for i, (op, did, tx) in enumerate(ops)]
+    i, bid = 0, 0
+    for size in splits:
+        batch = seq_rows[i : i + size]
+        i += size
+        if not batch:
+            break
+        m.process(_batch_df(spark, batch), bid)
+        bid += 1
+        for op, did, tx, _ in batch:  # already seq-ordered
+            if op == "d":
+                live.pop(did, None)
+            else:
+                live[did] = tx
+        got = {(r.doc_a, r.doc_b) for r in m.live_pairs().collect()}
+        want = set(_truth_pairs(spark, live)) if live else set()
+        assert got == want, f"diverged after batch {bid - 1}: {got ^ want}"
