@@ -203,6 +203,7 @@ PRUNED: dict[str, str] = {
     "dataset_epoch_order": "NEW r8 (born past the cap), full oracle locally + swept; rotate in r9",
     "text_containment_pairs": "NEW r8 (born past the cap), full oracle locally + swept; rotate in r9",
     "embedding_pca_whiten": "NEW r8 (born past the cap), full oracle locally + swept; rotate in r9",
+    "pipeline_cdc_corpus_refresh": "NEW r8 (born past the cap), full oracle locally + swept; rotate in r9",
 }
 
 #: driver evaluation order, round 8: the r7 red-row fix first, then the 12

@@ -5024,6 +5024,128 @@ PIPELINE_RAG_INDEX_SQL = _RAG_SQL_TEMPLATE.replace("__CHUNK_SQL__", TEXT_CHUNK_O
 _FUNNEL_QUALITY_TAU = 0.38
 
 
+#: corpus-refresh quality gate: live docs shorter than this are dropped
+_REFRESH_MIN_TOKENS = 30
+
+#: stale-arrival slice for the refresh entry: these docs get a LATE,
+#: lower-seq update that precombine must discard
+_REFRESH_STALE_MOD, _REFRESH_STALE_RES = 19, 7
+
+
+def _cdc_refreshed_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LIVE documents snapshot after a two-batch CDC merge — the
+    composition's first half. Batch 0 inserts even doc_ids; batch 1
+    inserts the odd ones, applies updates (doc_id % 11 == 4 takes its
+    successor's text, high seq), injects STALE out-of-order updates
+    (doc_id % 19 == 7, seq=-1 — precombine must discard them; pinned in
+    tests/test_text_more.py), and deletes doc_id % 13 == 6. Returns
+    (doc_id, text, source, n_tok)."""
+    from kafka_cdc_hudi_spark.operators.merge import merge_upsert
+
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+
+    def inserts(df):
+        return df.select(
+            "doc_id", "text", "source", F.lit(False).alias("_deleted"), did.alias("seq")
+        )
+
+    nxt = d.select((did - 1).alias("doc_id"), F.col("text").alias("next_text"))
+    upd = (
+        d.filter(did % _IVM_UPD_MOD == _IVM_UPD_RES)
+        .join(nxt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("next_text", "text").alias("text"),
+            "source",
+            F.lit(False).alias("_deleted"),
+            (did + F.lit(10_000_000)).alias("seq"),
+        )
+    )
+    stale = d.filter(did % _REFRESH_STALE_MOD == _REFRESH_STALE_RES).select(
+        "doc_id",
+        F.concat(F.lit("STALE "), F.col("text")).alias("text"),
+        "source",
+        F.lit(False).alias("_deleted"),
+        F.lit(-1).cast("bigint").alias("seq"),
+    )
+    dels = d.filter(did % _IVM_DEL_MOD == _IVM_DEL_RES).select(
+        "doc_id",
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("source"),
+        F.lit(True).alias("_deleted"),
+        (did + F.lit(20_000_000)).alias("seq"),
+    )
+    s1 = merge_upsert(None, inserts(d.filter(did % 2 == 0)), ["doc_id"], order_col="seq")
+    batch1 = (
+        inserts(d.filter(did % 2 == 1))
+        .unionByName(upd)
+        .unionByName(stale)
+        .unionByName(dels)
+    )
+    s2 = merge_upsert(s1, batch1, ["doc_id"], order_col="seq")
+    return s2.select(
+        "doc_id", "text", "source", F.size(tokens("text")).cast("long").alias("n_tok")
+    )
+
+
+def pipeline_cdc_corpus_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE repo's two halves in one plan — maintain a training corpus
+    under CDC: a two-batch document merge through the real upsert operator
+    (precombine discards an injected stale out-of-order update, deletes
+    tombstone), then the refresh pipeline over the LIVE snapshot — token
+    gate (>= 30) and exact dedup (min-doc_id keeper per identical text;
+    the successor-text updates create exact copies, so the CDC step itself
+    feeds the dedup step) — read out per source. The oracle is a statement
+    about the FINAL corpus only (QUALIFY-free closed form over documents):
+    the merge must converge to it from batches, which is what makes this a
+    value-check of the whole composition rather than of one query.
+    Reference parity: the Glue job's merge loop (glue/cdc_hudi.py:183-216)
+    feeds dashboards; this feeds a corpus build — same sink contract."""
+    live = _cdc_refreshed_snapshot(spark, sf_dir)
+    w = Window.partitionBy("text")
+    passed = live.filter(F.col("n_tok") >= _REFRESH_MIN_TOKENS).withColumn(
+        "keeper", F.min("doc_id").over(w)
+    )
+    lab = live.join(passed.select("doc_id", "keeper"), "doc_id", "left")
+    one = F.lit(1)
+    return lab.groupBy("source").agg(
+        F.count(one).alias("n_live"),
+        F.sum(F.when(F.col("n_tok") < _REFRESH_MIN_TOKENS, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_short"),
+        F.sum(
+            F.when(F.col("keeper").isNotNull() & (F.col("doc_id") != F.col("keeper")), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_dup"),
+        F.sum(F.when(F.col("keeper") == F.col("doc_id"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+    )
+
+
+PIPELINE_CDC_CORPUS_REFRESH_SQL = f"""
+WITH corpus AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % {_IVM_UPD_MOD} = {_IVM_UPD_RES} AND n.text IS NOT NULL
+              THEN n.text ELSE d.text END AS text,
+         d.source
+  FROM documents d LEFT JOIN documents n ON n.doc_id = d.doc_id + 1
+  WHERE d.doc_id % {_IVM_DEL_MOD} <> {_IVM_DEL_RES}),
+t AS (SELECT doc_id, source, text, len({_DK_TOKS}) AS n_tok FROM corpus),
+p AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS keeper
+      FROM t WHERE n_tok >= {_REFRESH_MIN_TOKENS}),
+lab AS (SELECT t.*, p.keeper FROM t LEFT JOIN p USING (doc_id))
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_live,
+       CAST(count(*) FILTER (n_tok < {_REFRESH_MIN_TOKENS}) AS BIGINT) AS n_short,
+       CAST(count(*) FILTER (keeper IS NOT NULL AND doc_id <> keeper) AS BIGINT) AS n_dup,
+       CAST(count(*) FILTER (keeper = doc_id) AS BIGINT) AS n_kept
+FROM lab GROUP BY source
+"""
+
+
 def pipeline_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Observability for the corpus-filtering pipeline: run the standard
     gate sequence — language-ID, quality threshold, benchmark
@@ -5145,6 +5267,10 @@ TEXT_QUERIES: dict[str, tuple] = {
     "dataset_dsir_weights": (dataset_dsir_weights, DATASET_DSIR_WEIGHTS_SQL),
     "pipeline_rag_index": (pipeline_rag_index, PIPELINE_RAG_INDEX_SQL),
     "pipeline_quality_funnel": (pipeline_quality_funnel, PIPELINE_QUALITY_FUNNEL_SQL),
+    "pipeline_cdc_corpus_refresh": (
+        pipeline_cdc_corpus_refresh,
+        PIPELINE_CDC_CORPUS_REFRESH_SQL,
+    ),
     "embedding_norms": (embedding_norms, EMBEDDING_NORMS_SQL),
     "embedding_quantize_int8": (embedding_quantize_int8, EMBEDDING_QUANTIZE_INT8_SQL),
     "text_token_topk": (text_token_topk, TEXT_TOKEN_TOPK_SQL),

@@ -128,3 +128,31 @@ def test_containment_is_directed_and_asymmetric(spark):
     assert any(pairs[k].n_sub < pairs[k].n_sup for k in one_way), (
         "no strict snippet-in-document case"
     )
+
+
+def test_cdc_corpus_refresh_precombine_and_gates(spark):
+    """The refresh composition's merge half must discard the injected
+    stale out-of-order updates (no 'STALE ' text survives; every stale-hit
+    doc still carries a live row), and every funnel cell must be
+    non-vacuous with per-source conservation n_live == n_short + n_dup +
+    n_kept."""
+    from kafka_cdc_hudi_spark.plans.catalog_text import (
+        _REFRESH_STALE_MOD,
+        _REFRESH_STALE_RES,
+        _cdc_refreshed_snapshot,
+        pipeline_cdc_corpus_refresh,
+    )
+
+    snap = _cdc_refreshed_snapshot(spark, SF_DIR)
+    assert snap.filter(F.col("text").startswith("STALE ")).count() == 0
+    stale_targets = snap.filter(
+        (F.col("doc_id") % _REFRESH_STALE_MOD == _REFRESH_STALE_RES)
+    ).count()
+    assert stale_targets > 0, "no stale-update target survived — probe vacuous"
+
+    rows = pipeline_cdc_corpus_refresh(spark, SF_DIR).collect()
+    assert sum(r.n_short for r in rows) > 0
+    assert sum(r.n_dup for r in rows) > 0
+    assert sum(r.n_kept for r in rows) > 0
+    for r in rows:
+        assert r.n_live == r.n_short + r.n_dup + r.n_kept, r
