@@ -52,24 +52,29 @@ FULL_REGISTRY.update(STREAMING_QUERIES)
 #: rule). Never-driver-tested backlog after r8: 0 (plus any entry born
 #: in r8, which rotates in r9 per the standing rule).
 #:
-#: ROUND-9 ROTATION (committed in advance, the standing pattern): IN
-#: (50 slots, in order):
-#:   1. the 7 entries born in r8 (all oracled + swept from birth):
-#:      multimodal_video_keyframes is already driver-visible r8; then
+#: ROUND-9 ROTATION (committed in advance, the standing pattern; REVISED
+#: late-r8 as the born-in-r8 block kept growing): IN (50 slots, in order):
+#:   1. ALL 21 entries born in r8 after the driver-set freeze (the
+#:      "NEW r8" PRUNED block below, oracled + swept from birth) — the
+#:      never-driver-tested backlog must return to zero in one round:
 #:      dedup_incremental_candidates, graph_triangles_neardup,
 #:      ann_recall_at_k, dedup_spans_remove, dedup_simhash_pairs,
-#:      events_partitioned_day_slice.
+#:      events_partitioned_day_slice, dedup_simhash_wide_pairs,
+#:      ann_recall_trained_vs_static, events_ab_test,
+#:      dedup_semantic_clusters, text_nb_classifier, dataset_dsir_weights,
+#:      pipeline_rag_index, pipeline_quality_funnel, dedup_cdc_pair_ivm,
+#:      ann_topk_ivfpq_rerank, dedup_cross_source_stats,
+#:      dataset_epoch_order, text_containment_pairs, embedding_pca_whiten,
+#:      pipeline_cdc_corpus_refresh.
 #:   2. the 2 one-round slips: q12_priority_by_linestatus,
 #:      events_hll_mergeable_rollup.
-#:   3. the oldest-green rows first: the r2-r6 green block (cdc parse/
-#:      merge/time-travel/route set, q1 q3 q4 q5, topk/asof/anti/cube/
-#:      range/retention/funnel, dedup exact/minhash/simhash/bruteforce),
-#:      then the r3-r6 block (sliding windows, SRP, embedding-cosine,
-#:      multimodal meta/frame/resize, session windows, running stats),
-#:      then the r5+r6 block (repetition, pii, decontaminate, drift,
-#:      pack_sequences).
-#:   4. remaining slots filled from the 49 r7 greens oldest-row-first;
-#:      r8 greens rest one round and return r10.
+#:   3. the remaining ~27 slots from the oldest-green rows first: the
+#:      r2-r6 green block (cdc parse/merge/time-travel/route set,
+#:      q1 q3 q4 q5, topk/asof/anti/cube/range/retention/funnel, dedup
+#:      exact/minhash/simhash/bruteforce), then the r3-r6 block (sliding
+#:      windows, SRP, embedding-cosine, multimodal meta/frame/resize,
+#:      session windows, running stats) as slots allow.
+#:   4. r7/r8 greens rest and return r10 oldest-row-first.
 #: Structural near-duplicates (the 11 standing PRUNED entries) stay out
 #: with covered-by reasons.
 
