@@ -266,6 +266,61 @@ GROUP BY event_type
 """
 
 
+#: EWMA filter depth and decay: alpha = 0.5 makes every weight 2^-j — an
+#: EXACT dyadic double, so the weighted sums are bit-identical cross-engine
+_EWMA_LAGS = 16
+
+
+def events_ewma_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA one-step forecast + residual — the lag-window linear
+    filter none of the other window entries exercise (smoothing /
+    anomaly-scoring primitive for metric streams). forecast_t is the
+    exponentially-weighted mean of the previous 16 values (truncated EWMA,
+    weights 2^-j renormalized over the lags that exist); resid_t = value_t
+    - forecast_t is the surprise signal a threshold alert consumes. One
+    shuffle on user_id + one sort; the 16-lag filter is a single window
+    pass (each lag reuses the same sorted frame), all codegen'd."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(epoch_micros("ts"), "event_id")
+    num, den = F.lit(0.0), F.lit(0.0)
+    for j in range(1, _EWMA_LAGS + 1):
+        x = F.lag("value", j).over(w)
+        wt = F.lit(2.0 ** -(j - 1))
+        num = num + F.when(x.isNotNull(), x * wt).otherwise(F.lit(0.0))
+        den = den + F.when(x.isNotNull(), wt).otherwise(F.lit(0.0))
+    forecast = F.when(den > 0, num / den)
+    return e.select(
+        "event_id",
+        "user_id",
+        "value",
+        forecast.alias("forecast"),
+        (F.col("value") - forecast).alias("resid"),
+    )
+
+
+def _ewma_sql() -> str:
+    num_terms, den_terms = [], []
+    for j in range(1, _EWMA_LAGS + 1):
+        x = f"lag(value, {j}) OVER w"
+        wt = repr(2.0 ** -(j - 1))
+        num_terms.append(f"CASE WHEN {x} IS NOT NULL THEN {x} * {wt} ELSE 0.0 END")
+        den_terms.append(f"CASE WHEN {x} IS NOT NULL THEN {wt} ELSE 0.0 END")
+    num = "(0.0 + " + " + ".join(num_terms) + ")"
+    den = "(0.0 + " + " + ".join(den_terms) + ")"
+    return f"""
+WITH f AS (
+  SELECT event_id, user_id, value,
+         CASE WHEN {den} > 0 THEN {num} / {den} END AS forecast
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id, value, forecast, value - forecast AS resid FROM f
+"""
+
+
+EVENTS_EWMA_FORECAST_SQL = _ewma_sql()
+
+
 def events_user_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-event gap statistics per user via ``lag`` — the
     inactivity/heartbeat/session-boundary primitive (and the one ordered-
@@ -1096,6 +1151,7 @@ STREAMING_QUERIES: dict[str, tuple] = {
     "user_running_stats_batch": (user_running_stats_batch, USER_RUNNING_STATS_SQL),
     "events_user_rate_window": (events_user_rate_window, EVENTS_USER_RATE_SQL),
     "events_user_gaps": (events_user_gaps, EVENTS_USER_GAPS_SQL),
+    "events_ewma_forecast": (events_ewma_forecast, EVENTS_EWMA_FORECAST_SQL),
     "ann_topk_ivf": (ann_topk_ivf, ANN_TOPK_IVF_SQL),
     "ann_recall_at_k": (ann_recall_at_k, ANN_RECALL_AT_K_SQL),
     "ann_recall_trained_vs_static": (ann_recall_trained_vs_static, ANN_RECALL_TRAINED_VS_STATIC_SQL),
