@@ -129,3 +129,39 @@ def range_join(
         (F.col(left_ts) >= F.col(start_col)) & (F.col(left_ts) < F.col(end_col))
     )
     return joined.drop("__bucket")
+
+
+def scd2_history(
+    changes: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    tiebreakers: Sequence[str] = (),
+    deleted_col: str = "_deleted",
+) -> DataFrame:
+    """Slowly-changing-dimension TYPE-2 reconstruction from a CDC change
+    log — the canonical warehouse read of a Debezium/DMS stream the
+    reference job feeds (glue/cdc_hudi.py keeps only the LATEST row; SCD2
+    keeps every version with its validity interval).
+
+    Each non-delete change opens a version valid from its own ``ts_col``;
+    any later change to the same key (including a delete tombstone) closes
+    it: ``valid_to`` = the next change's timestamp, NULL while current.
+    Delete rows close the prior interval but emit no row themselves, so a
+    deleted key has no current version and a re-insert afterwards opens a
+    fresh one — all falling out of one ``lead()`` over (key, time) BEFORE
+    the tombstone filter.
+
+    Scale shape: ONE shuffle on the key + one sort — identical cost to the
+    latest-per-key dedup the merge sink already pays; no self-join, no
+    interval explosion."""
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col), *[F.col(t) for t in tiebreakers]]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    out = changes.withColumn("valid_to", F.lead(ts_col).over(w))
+    if deleted_col in changes.columns:
+        out = out.filter(~F.coalesce(F.col(deleted_col), F.lit(False)))
+    return (
+        out.withColumn("valid_from", F.col(ts_col))
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )

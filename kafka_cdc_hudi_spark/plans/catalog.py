@@ -210,6 +210,7 @@ PRUNED: dict[str, str] = {
     "embedding_pca_whiten": "NEW r8 (born past the cap), full oracle locally + swept; rotate in r9",
     "pipeline_cdc_corpus_refresh": "NEW r8 (born past the cap), full oracle locally + swept; rotate in r9",
     "events_ewma_forecast": "NEW r8 (born past the cap), full oracle locally + swept; rotate in r9",
+    "cdc_scd2_history": "NEW r8 (born past the cap), full oracle locally + swept; rotate in r9",
 }
 
 #: driver evaluation order, round 8: the r7 red-row fix first, then the 12

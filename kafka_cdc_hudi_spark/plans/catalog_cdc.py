@@ -106,6 +106,36 @@ WHERE event_id % 97 <> 0
 """
 
 
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD TYPE-2 reconstruction of the full Debezium stream: every key
+    version with its validity interval — the warehouse-history read the
+    reference's latest-row-only merge throws away (glue/cdc_hudi.py keeps
+    one row per key; this keeps them all, delete tombstones closing
+    intervals without opening one, so a deleted key has no current row).
+    One shuffle + one sort (the latest-per-key cost), no self-join."""
+    from kafka_cdc_hudi_spark.operators.temporal import scd2_history
+
+    env = debezium_envelopes(_events(spark, sf_dir))
+    parsed = parse_debezium(env, EVENTS_PAYLOAD_SCHEMA)
+    hist = scd2_history(parsed, ["user_id"], ts_col="ts", tiebreakers=["event_id"])
+    return hist.select(
+        "user_id", "event_id", "event_type", "value", "valid_from", "valid_to", "is_current"
+    )
+
+
+CDC_SCD2_HISTORY_SQL = f"""
+WITH {_EVT_CTE},
+h AS (
+  SELECT user_id, event_id, event_type, value, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+         is_deleted
+  FROM evt)
+SELECT user_id, event_id, event_type, value, valid_from, valid_to,
+       (valid_to IS NULL) AS is_current
+FROM h WHERE NOT is_deleted
+"""
+
+
 def cdc_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O15: in-batch latest event per primary key (user_id), deterministic
     tie-break by event_id."""
@@ -645,6 +675,7 @@ CDC_QUERIES: dict[str, tuple] = {
     "cdc_parse_debezium": (cdc_parse_debezium, CDC_PARSE_DEBEZIUM_SQL),
     "cdc_parse_dms": (cdc_parse_dms, CDC_PARSE_DMS_SQL),
     "cdc_latest_per_key": (cdc_latest_per_key, CDC_LATEST_PER_KEY_SQL),
+    "cdc_scd2_history": (cdc_scd2_history, CDC_SCD2_HISTORY_SQL),
     "cdc_latest_per_composite_key": (
         cdc_latest_per_composite_key,
         CDC_LATEST_PER_COMPOSITE_KEY_SQL,

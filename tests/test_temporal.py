@@ -63,3 +63,49 @@ def test_range_join_buckets_and_boundaries(spark):
     # ts=0,3600,7199 inside [0,7200); 7200 excluded (half-open); null
     # bounds/keys never match
     assert out == {(1, "a"), (2, "a"), (3, "a")}
+
+
+def test_scd2_history_semantics(spark):
+    """SCD2 invariants on the Debezium stream: per key the emitted
+    intervals are strictly ordered and non-overlapping; a key has exactly
+    one current version iff its LAST change was not a delete (tombstones
+    close history without opening any); and the fixture exercises all
+    three cases (current, closed, delete-terminated)."""
+    from collections import defaultdict
+
+    from kafka_cdc_hudi_spark.operators.cdc import parse_debezium
+    from kafka_cdc_hudi_spark.plans.catalog_cdc import (
+        EVENTS_PAYLOAD_SCHEMA,
+        cdc_scd2_history,
+        _events,
+    )
+    from kafka_cdc_hudi_spark.plans.cdc_fixtures import debezium_envelopes
+
+    from .conftest import SF_DIR
+
+    rows = cdc_scd2_history(spark, SF_DIR).collect()
+    by_key = defaultdict(list)
+    for r in rows:
+        by_key[r.user_id].append(r)
+    closed = current = 0
+    for k, vs in by_key.items():
+        vs.sort(key=lambda r: (r.valid_from, r.event_id))
+        for a, b in zip(vs, vs[1:]):
+            assert a.valid_to is not None and a.valid_to <= b.valid_from, (k, a, b)
+        current += sum(1 for v in vs if v.is_current)
+        closed += sum(1 for v in vs if not v.is_current)
+        assert sum(1 for v in vs if v.is_current) <= 1, k
+
+    parsed = parse_debezium(
+        debezium_envelopes(_events(spark, SF_DIR)), EVENTS_PAYLOAD_SCHEMA
+    ).select("user_id", "ts", "event_id", "_deleted").collect()
+    last_op = {}
+    for r in sorted(parsed, key=lambda r: (r.ts, r.event_id)):
+        last_op[r.user_id] = bool(r._deleted)
+    want_current = sum(1 for v in last_op.values() if not v)
+    assert current == want_current, (current, want_current)
+    terminated = [k for k, d in last_op.items() if d]
+    assert terminated, "no delete-terminated key in fixture — vacuous"
+    assert closed > 0 and current > 0
+    for k in terminated:
+        assert all(not v.is_current for v in by_key.get(k, [])), k
