@@ -214,3 +214,60 @@ def test_random_cdc_scripts_match_full_recompute(spark, tmp_path_factory, ops, s
         got = {(r.doc_a, r.doc_b) for r in m.live_pairs().collect()}
         want = set(_truth_pairs(spark, live)) if live else set()
         assert got == want, f"diverged after batch {bid - 1}: {got ^ want}"
+
+
+@pytest.mark.slow
+def test_pair_ivm_under_structured_streaming(spark, tmp_path):
+    """The maintainer wired as a real foreachBatch sink: a file-source
+    stream delivers three CDC slices (maxFilesPerTrigger=1), and the
+    folded pair set must equal the full recompute of the final live
+    corpus — proving the engine-driven wiring (batch ids, per-batch
+    frames) matches the direct-call contract the other tests pin."""
+    import os
+    import shutil
+
+    from kafka_cdc_hudi_spark.sources.tables import load_table
+    from kafka_cdc_hudi_spark.streaming.dedup_ivm import DedupPairMaintainer
+
+    corpus = {
+        int(r.doc_id): r.text
+        for r in load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    }
+    ids = sorted(corpus)
+    a, b, c = ids[0], ids[1], ids[2]
+    slices = [
+        [("i", i, corpus[i], 100 + i) for i in ids if i % 2 == 0],
+        [("i", i, corpus[i], 10_000 + i) for i in ids if i % 2 == 1]
+        + [("u", a, corpus[b], 50_000)],
+        [("d", c, None, 90_000), ("d", a, None, 90_001)],
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    for n, rows in enumerate(slices):
+        d = tmp_path / f"slice{n}"
+        _batch_df(spark, rows).coalesce(1).write.mode("overwrite").json(str(d))
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".json"):
+                shutil.copy(d / f, src / f"b{n}.json")
+
+    m = DedupPairMaintainer(spark, str(tmp_path / "sig_ops"), str(tmp_path / "pair_deltas"))
+    stream = (
+        spark.readStream.schema("op STRING, doc_id BIGINT, text STRING, seq BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(m.process)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    live = dict(corpus)
+    live[a] = corpus[b]
+    live.pop(c), live.pop(a)
+    got = {(r.doc_a, r.doc_b) for r in m.live_pairs().collect()}
+    assert got == set(_truth_pairs(spark, live))
+    assert got, "streaming IVM found no pairs — vacuous"
