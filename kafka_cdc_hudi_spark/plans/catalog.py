@@ -54,7 +54,7 @@ FULL_REGISTRY.update(STREAMING_QUERIES)
 #:
 #: ROUND-9 ROTATION (committed in advance, the standing pattern; REVISED
 #: late-r8 as the born-in-r8 block kept growing): IN (50 slots, in order):
-#:   1. ALL 21 entries born in r8 after the driver-set freeze (the
+#:   1. ALL 23 entries born in r8 after the driver-set freeze (the
 #:      "NEW r8" PRUNED block below, oracled + swept from birth) — the
 #:      never-driver-tested backlog must return to zero in one round:
 #:      dedup_incremental_candidates, graph_triangles_neardup,
@@ -65,10 +65,11 @@ FULL_REGISTRY.update(STREAMING_QUERIES)
 #:      pipeline_rag_index, pipeline_quality_funnel, dedup_cdc_pair_ivm,
 #:      ann_topk_ivfpq_rerank, dedup_cross_source_stats,
 #:      dataset_epoch_order, text_containment_pairs, embedding_pca_whiten,
-#:      pipeline_cdc_corpus_refresh.
+#:      pipeline_cdc_corpus_refresh, events_ewma_forecast,
+#:      cdc_scd2_history.
 #:   2. the 2 one-round slips: q12_priority_by_linestatus,
 #:      events_hll_mergeable_rollup.
-#:   3. the remaining ~27 slots from the oldest-green rows first: the
+#:   3. the remaining ~25 slots from the oldest-green rows first: the
 #:      r2-r6 green block (cdc parse/merge/time-travel/route set,
 #:      q1 q3 q4 q5, topk/asof/anti/cube/range/retention/funnel, dedup
 #:      exact/minhash/simhash/bruteforce), then the r3-r6 block (sliding
