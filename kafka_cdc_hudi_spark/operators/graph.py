@@ -245,7 +245,14 @@ def count_triangles(
     Returns ``DataFrame[node, n_triangles]`` for nodes in >= 1 triangle.
     """
     e = (
-        pairs.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+        # canonicalize BEFORE distinct (ADVICE r8): a caller passing both
+        # (a,b) and (b,a) must collapse them to one undirected edge here —
+        # otherwise the oriented set holds the edge twice and the wedge/
+        # closing joins inflate triangle counts
+        pairs.select(
+            F.least(F.col(src), F.col(dst)).alias("s"),
+            F.greatest(F.col(src), F.col(dst)).alias("t"),
+        )
         .filter(F.col("s") != F.col("t"))
         .distinct()
         # the edge set is referenced 5x below (symmetrization, orientation

@@ -286,7 +286,7 @@ _CONTAINMENT_TAU = 0.9
 
 def text_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ASYMMETRIC near-subset detection: directed shingle containment
-    |A∩B|/|A| >= 0.8 — the measure that catches a snippet living inside a
+    |A∩B|/|A| >= _CONTAINMENT_TAU (0.9) — catches a snippet living inside a
     larger document (quotes, syndicated excerpts, boilerplate inclusion),
     which symmetric Jaccard structurally misses (a 100-shingle doc fully
     contained in a 10,000-shingle doc has Jaccard ~0.01). Candidates come

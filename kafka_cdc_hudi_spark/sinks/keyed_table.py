@@ -962,6 +962,21 @@ class KeyedParquetTable:
         else's LIVE lock (we yanked a fresh one), restore it with
         ``os.link`` — which atomically refuses (EEXIST) to clobber a lock
         a newer writer created in the meantime."""
+        if my_token is not None:
+            # Release path: peek at the lock IN PLACE first (ADVICE r8).
+            # If it is not ours — we stalled past _LOCK_STALE_S, were
+            # stale-broken, and another writer now holds a live lock —
+            # never rename-claim it: the lock's transient absence during
+            # the claim would let a third waiter O_EXCL-acquire, and the
+            # os.link restore then fails EEXIST, silently dropping the
+            # second writer's lock. The rename-claim below re-verifies
+            # ownership, closing the peek-then-rename window on OUR lock.
+            try:
+                with open(lock, "rb") as f:
+                    if f.read().decode(errors="replace") != my_token:
+                        return False
+            except OSError:
+                return False  # already claimed/broken by someone else
         claim = f"{lock}.claim.{os.getpid()}.{uuid.uuid4().hex}"
         try:
             os.rename(lock, claim)

@@ -72,7 +72,13 @@ def main() -> None:
                 # NOT a pass: counted separately so a degraded sweep (an
                 # sf-dependent oracle builder silently returning None) is
                 # distinguishable from a fully-oracled one (ADVICE r7).
-                ok, msg = len(pdf) > 0, "rows-only (no SQL oracle)"
+                # An EMPTY rows-only result gets a distinct msg (ADVICE
+                # r8): an sf-dependent entry legitimately empty at a small
+                # SF is distinguishable from a real failure in the artifact.
+                if len(pdf) > 0:
+                    ok, msg = True, "rows-only (no SQL oracle)"
+                else:
+                    ok, msg = False, "rows-only, EMPTY (no SQL oracle; may be sf-dependent)"
             else:
                 # re-wrap so compare() sees a Spark DF only once — reuse
                 # the collected pandas via a tiny adapter

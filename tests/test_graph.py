@@ -138,3 +138,20 @@ class TestPagerankInt:
         a = sorted((r.node, r.rank_ppb) for r in pagerank_int(edges).collect())
         b = sorted((r.node, r.rank_ppb) for r in pagerank_int(edges).collect())
         assert a == b
+
+
+def test_count_triangles_reversed_duplicate_edges(spark):
+    """ADVICE r8: a non-canonical edge list containing both (a,b) and
+    (b,a) must count each triangle once — least/greatest canonicalization
+    collapses reversed duplicates before orientation."""
+    from kafka_cdc_hudi_spark.operators.graph import count_triangles
+
+    tri = [(1, 2), (2, 3), (3, 1)]
+    canonical = spark.createDataFrame(tri, "doc_a long, doc_b long")
+    doubled = spark.createDataFrame(
+        tri + [(b, a) for a, b in tri], "doc_a long, doc_b long"
+    )
+    want = {(r["node"], r["n_triangles"]) for r in count_triangles(canonical).collect()}
+    got = {(r["node"], r["n_triangles"]) for r in count_triangles(doubled).collect()}
+    assert want == {(1, 1), (2, 1), (3, 1)}
+    assert got == want

@@ -311,3 +311,30 @@ class TestMultiWriterLock:
         with open(lock) as f:
             assert f.read() == "writer-B-token"
         os.unlink(lock)
+
+
+def test_release_with_foreign_lock_never_renames(tmp_path, monkeypatch):
+    """ADVICE r8: the release path must peek at the lock in place and
+    leave a foreign LIVE lock completely untouched — no rename-claim,
+    so the lock is never even transiently absent (the window where a
+    third waiter could O_EXCL-acquire alongside the current owner)."""
+    import os
+
+    t = KeyedParquetTable(root=str(tmp_path / "peek"), keys=["id"], order_col="mtime")
+    os.makedirs(t.root, exist_ok=True)
+    lock = os.path.join(t.root, ".commit_lock")
+    cm = t._table_lock()
+    cm.__enter__()
+    os.unlink(lock)  # A's lock stale-broken while it stalled
+    with open(lock, "w") as f:
+        f.write("writer-B-token")
+    renames = []
+    real_rename = os.rename
+    monkeypatch.setattr(
+        os, "rename", lambda a, b: (renames.append(a), real_rename(a, b))
+    )
+    cm.__exit__(None, None, None)
+    assert renames == [], f"release rename-claimed a foreign live lock: {renames}"
+    with open(lock) as f:
+        assert f.read() == "writer-B-token"
+    os.unlink(lock)
