@@ -316,8 +316,19 @@ def raw_route_prefilter(df: DataFrame, db: str, table: str, dialect: str, value_
     it may keep foreign rows (exact routing happens post-parse on typed
     columns) but never drops a matching one. Useful when one topic carries
     many tables and most rows are foreign.
+
+    ``dialect`` must be one of ``config.ALL_DIALECTS`` — an unrecognized
+    string would silently select the Debezium key names and filter a DMS
+    stream to zero rows (prefilters may over-keep, never over-drop).
     """
     import re
+
+    from kafka_cdc_hudi_spark.config import ALL_DIALECTS
+
+    if dialect not in ALL_DIALECTS:
+        raise ValueError(
+            f"unknown CDC dialect {dialect!r} (expected one of {ALL_DIALECTS})"
+        )
 
     # only safe when the raw wire form is guaranteed to contain the literal:
     # JSON writers escape non-ASCII (\\uXXXX), quotes, and backslashes, so a

@@ -35,47 +35,39 @@ FULL_REGISTRY.update(STREAMING_QUERIES)
 #: driver status, and the full-registry sf0.01 sweep artifact
 #: (SWEEP_r{N}.json, scripts/sweep.py) is committed each round.
 #:
-#: ROUND-8 ROTATION (this file's current state; executes the schedule
-#: committed in r7 verbatim, VERDICT r7 item 2). IN (50 slots):
-#:   1. text_hash_embedding — the r7 red row (driver canonicalization
-#:      crash on its raw array column), re-presented as to_json in both
-#:      dialects; held in per VERDICT r7 item 1.
-#:   2. the 12 deferred never-driver-tested entries (after which the
-#:      never-tested backlog is ZERO).
-#:   3. the 14 entries born in r7 (all fully oracled + swept from birth).
-#:   4. the 10 due-r8 entries (rotated out r6).
-#:   5. 13 of the 14 due-back-r8 r6 greens (q12_priority_by_linestatus
-#:      slips to r9 to make room for the text_hash_embedding re-test —
-#:      the TPC-H family holds 14 fresh green r7 rows, the most
-#:      driver-covered family in the registry).
-#: OUT: the 49 green r7 driver entries (due back r9 by the alternation
-#: rule). Never-driver-tested backlog after r8: 0 (plus any entry born
-#: in r8, which rotates in r9 per the standing rule).
-#:
-#: ROUND-9 ROTATION (committed in advance, the standing pattern; REVISED
-#: late-r8 as the born-in-r8 block kept growing): IN (50 slots, in order):
-#:   1. ALL 23 entries born in r8 after the driver-set freeze (the
-#:      "NEW r8" PRUNED block below, oracled + swept from birth) — the
-#:      never-driver-tested backlog must return to zero in one round:
-#:      dedup_incremental_candidates, graph_triangles_neardup,
-#:      ann_recall_at_k, dedup_spans_remove, dedup_simhash_pairs,
-#:      events_partitioned_day_slice, dedup_simhash_wide_pairs,
-#:      ann_recall_trained_vs_static, events_ab_test,
-#:      dedup_semantic_clusters, text_nb_classifier, dataset_dsir_weights,
-#:      pipeline_rag_index, pipeline_quality_funnel, dedup_cdc_pair_ivm,
-#:      ann_topk_ivfpq_rerank, dedup_cross_source_stats,
-#:      dataset_epoch_order, text_containment_pairs, embedding_pca_whiten,
-#:      pipeline_cdc_corpus_refresh, events_ewma_forecast,
-#:      cdc_scd2_history.
-#:   2. the 2 one-round slips: q12_priority_by_linestatus,
+#: ROUND-9 ROTATION (this file's current state; executes the schedule
+#: pre-committed in r8 verbatim, VERDICT r8 item 1, plus the one entry
+#: born this round). IN (50 slots, in order):
+#:   1. cdc_merge_dms_e2e — born r9 (VERDICT r8 item 6: the DMS envelope
+#:      family value-checked through the full route->parse->dedup->merge
+#:      path, closing the Debezium-only merge asymmetry in the driver set).
+#:   2. ALL 23 entries born in r8 after the driver-set freeze — the
+#:      never-driver-tested backlog returns to zero in one round.
+#:   3. the 2 one-round slips: q12_priority_by_linestatus,
 #:      events_hll_mergeable_rollup.
-#:   3. the remaining ~25 slots from the oldest-green rows first: the
-#:      r2-r6 green block (cdc parse/merge/time-travel/route set,
-#:      q1 q3 q4 q5, topk/asof/anti/cube/range/retention/funnel, dedup
-#:      exact/minhash/simhash/bruteforce), then the r3-r6 block (sliding
-#:      windows, SRP, embedding-cosine, multimodal meta/frame/resize,
-#:      session windows, running stats) as slots allow.
-#:   4. r7/r8 greens rest and return r10 oldest-row-first.
+#:   4. 23 slots of the oldest-green rows: the full r2-r6 green block
+#:      (cdc parse/merge/time-travel/route set, q1 q3 q4 q5,
+#:      topk/asof/anti/cube/range/retention/funnel, dedup
+#:      exact/minhash/simhash/bruteforce).
+#:   5. 1 remaining slot from the r3-r6 block oldest-first:
+#:      events_sliding_windows. The other 12 due-back-r9 r3-r6/r5-r6
+#:      entries slip to r10 (slots consumed by the 24-entry born-r8/r9
+#:      block; each stays locally oracled + swept).
+#: OUT: the 50 green r8 driver entries and the 49 green r7 entries (due
+#: back r10 oldest-row-first). Never-driver-tested backlog after r9: 0
+#: (plus any entry born in r9 past the freeze, which rotates in r10).
+#:
+#: ROUND-10 ROTATION (committed in advance, the standing pattern):
+#: IN (50 slots, in order):
+#:   1. any entries born in r9 after this driver-set freeze.
+#:   2. the 12 slipped r3-r6/r5-r6 entries (text_repetition_stats,
+#:      text_pii_scrub, text_decontaminate, cdc_schema_drift_parse,
+#:      dataset_pack_sequences, ann_topk_srp, dedup_embedding_cosine,
+#:      multimodal_meta, multimodal_frame_sample, multimodal_resize,
+#:      events_session_windows, user_running_stats_batch) — these are the
+#:      oldest rows in the registry by then and must not slip twice.
+#:   3. the r7 green block oldest-row-first as slots allow (~37 slots).
+#:   4. r8/r9 greens rest and return r11 oldest-row-first.
 #: Structural near-duplicates (the 11 standing PRUNED entries) stay out
 #: with covered-by reasons.
 
@@ -96,184 +88,184 @@ PRUNED: dict[str, str] = {
     "events_tumbling_windows": "events_sliding_windows (same windowed-agg family) + test_streaming_windows builder tests",
     "embedding_norms": "ann_topk_bruteforce (computes the same norms)",
     "text_token_count": "text_bpe_pretokenize (driver r7; same tokenizer-count shape) + text_tfidf_topk (green r6)",
-    # ---- due back r9: deferred one extra round to admit the
-    #      text_hash_embedding re-test (see rotation note above) ----
-    "q12_priority_by_linestatus": "green r6; due back r9 (TPC-H family holds 14 green r7 rows)",
-    "events_hll_mergeable_rollup": "green r6; due back r9 (sketch family driver-covered r7 by events_kmv_distinct_rollup; events_sketches is in the r8 set) — slipped one round to admit the born-r8 multimodal_video_keyframes per VERDICT r7 item 5",
-    # ---- r5-or-earlier greens resting, due back r9 (standing) ----
-    "text_repetition_stats": "green r5+r6; due back r9",
-    "text_pii_scrub": "green r5+r6; due back r9",
-    "text_decontaminate": "green r5+r6; due back r9",
-    "cdc_schema_drift_parse": "green r5+r6; due back r9",
-    "dataset_pack_sequences": "green r5+r6; due back r9 (packing family driver-covered r7 by dataset_pack_materialize)",
-    "events_sliding_windows": "green r3-r6; due back r9",
-    "ann_topk_srp": "green r3-r6; due back r9",
-    "dedup_embedding_cosine": "green r3-r6; due back r9",
-    "multimodal_meta": "green r3-r6; due back r9",
-    "multimodal_frame_sample": "green r3-r6; due back r9",
-    "multimodal_resize": "green r3-r6; due back r9 (resize driver-covered r7 by multimodal_resize_png_real)",
-    "events_session_windows": "green r3-r6; due back r9",
-    "user_running_stats_batch": "green r3-r6; due back r9",
-    "cdc_parse_debezium": "green r2-r6; due back r9",
-    "cdc_parse_dms": "green r2-r6; due back r9",
-    "cdc_latest_per_composite_key": "green r2-r6; due back r9",
-    "cdc_merge_two_batches": "green r2-r6; due back r9 (merge family driver-covered r7 by cdc_merge_bucketed — same oracle)",
-    "cdc_merge_mor": "green r2-r6; due back r9",
-    "cdc_time_travel": "green r2-r6; due back r9",
-    "cdc_incremental_diff": "green r2-r6; due back r9 (incremental family driver-covered r7 by agg/minmax maintenance)",
-    "cdc_route_multitable": "green r2-r6; due back r9",
-    "q1_pricing_summary": "green r2-r6; due back r9",
-    "q3_shipping_priority": "green r2-r6; due back r9",
-    "q4_order_priority": "green r2-r6; due back r9",
-    "q5_local_supplier": "green r2-r6; due back r9",
-    "topk_orders_per_customer": "green r2-r6; due back r9",
-    "asof_join_last_click": "green r2-r6; due back r9",
-    "customers_without_orders": "green r2-r6; due back r9",
-    "events_cube": "green r2-r6; due back r9",
-    "range_join_post_purchase": "green r2-r6; due back r9",
-    "events_retention_cohorts": "green r2-r6; due back r9",
-    "events_funnel_conversions": "green r2-r6; due back r9",
-    "dedup_exact": "green r2-r6; due back r9",
-    "dedup_minhash_lsh": "green r2-r6; due back r9",
-    "dedup_simhash": "green r2-r6; due back r9",
-    "ann_topk_bruteforce": "green r2-r6; due back r9",
+    # ---- r3-r6/r5-r6 greens, slipped one round to r10 (r9 slots were
+    #      consumed by the 24-entry born-r8/r9 block; must not slip twice) ----
+    "text_repetition_stats": "green r5+r6; slipped r9, due back r10",
+    "text_pii_scrub": "green r5+r6; slipped r9, due back r10",
+    "text_decontaminate": "green r5+r6; slipped r9, due back r10",
+    "cdc_schema_drift_parse": "green r5+r6; slipped r9, due back r10",
+    "dataset_pack_sequences": "green r5+r6; slipped r9, due back r10 (packing family driver-covered r7 by dataset_pack_materialize)",
+    "ann_topk_srp": "green r3-r6; slipped r9, due back r10",
+    "dedup_embedding_cosine": "green r3-r6; slipped r9, due back r10",
+    "multimodal_meta": "green r3-r6; slipped r9, due back r10",
+    "multimodal_frame_sample": "green r3-r6; slipped r9, due back r10",
+    "multimodal_resize": "green r3-r6; slipped r9, due back r10 (resize driver-covered r7 by multimodal_resize_png_real)",
+    "events_session_windows": "green r3-r6; slipped r9, due back r10",
+    "user_running_stats_batch": "green r3-r6; slipped r9, due back r10",
     # ---- r7 driver set, resting after green CORRECTNESS_r07 rows (due
-    #      back r9 by alternation; all locally oracled + swept) ----
-    "q10_returned_items": "green r7; due back r9",
-    "q14_promo_revenue": "green r7; due back r9",
-    "text_normalize": "green r7; due back r9",
-    "dataset_split_assign": "green r7; due back r9",
-    "dedup_clusters": "green r7; due back r9",
-    "q2_min_cost_supplier": "green r7; due back r9",
-    "q7_volume_shipping": "green r7; due back r9",
-    "q8_market_share": "green r7; due back r9",
-    "q9_product_profit": "green r7; due back r9",
-    "q11_important_parts": "green r7; due back r9",
-    "q13_customer_distribution": "green r7; due back r9",
-    "q15_top_supplier": "green r7; due back r9",
-    "q16_part_supplier_variety": "green r7; due back r9",
-    "q17_small_quantity_revenue": "green r7; due back r9",
-    "q18_large_volume_customers": "green r7; due back r9",
-    "q19_disjunctive_revenue": "green r7; due back r9",
-    "q20_excess_quantity_suppliers": "green r7; due back r9",
-    "q21_last_shipper_blame": "green r7; due back r9",
-    "q22_sales_opportunity": "green r7; due back r9",
-    "embedding_pq_encode": "green r7; due back r9",
-    "ann_topk_pq_adc": "green r7; due back r9",
-    "graph_pagerank_neardup": "green r7; due back r9",
-    "multimodal_decode_bmp": "green r7; due back r9",
-    "multimodal_decode_gif": "green r7; due back r9",
-    "multimodal_decode_tiff": "green r7; due back r9",
-    "multimodal_decode_wav": "green r7; due back r9",
-    "multimodal_resize_png_real": "green r7; due back r9",
-    "pipeline_pretraining_corpus": "green r7; due back r9",
-    "pipeline_multimodal_manifest": "green r7; due back r9",
-    "dataset_pack_materialize": "green r7; due back r9",
-    "dataset_quota_per_group": "green r7; due back r9",
-    "dataset_weighted_sample": "green r7; due back r9",
-    "dataset_mixture_weights": "green r7; due back r9",
-    "dedup_lines_reconstruct": "green r7; due back r9",
-    "dedup_corpus_final": "green r7; due back r9",
-    "cdc_merge_bucketed": "green r7; due back r9",
-    "cdc_incremental_agg_maintenance": "green r7; due back r9",
-    "cdc_incremental_minmax_maintenance": "green r7; due back r9",
-    "user_activity_reconciliation": "green r7; due back r9",
-    "events_anomaly_zscore": "green r7; due back r9",
-    "events_daily_ohlc": "green r7; due back r9",
-    "events_data_profile": "green r7; due back r9",
-    "events_kmv_distinct_rollup": "green r7; due back r9",
-    "events_markov_transitions": "green r7; due back r9",
-    "events_props_json_stats": "green r7; due back r9",
-    "parts_cooccurrence": "green r7; due back r9",
-    "text_bpe_pretokenize": "green r7; due back r9",
-    "text_lm_score": "green r7; due back r9",
-    "text_trigram_novelty": "green r7; due back r9",
-    # ---- born in r8 past the driver cap: oracled + swept from birth ----
-    "dedup_incremental_candidates": "NEW r8 (born past the cap), full oracle locally + swept; rotate in r9",
-    "graph_triangles_neardup": "NEW r8 (born past the cap), full oracle locally + swept; rotate in r9",
-    "ann_recall_at_k": "NEW r8 (born past the cap), full oracle locally + swept; rotate in r9",
-    "dedup_spans_remove": "NEW r8 (born past the cap), full oracle locally + swept; rotate in r9",
-    "dedup_simhash_pairs": "NEW r8 (born past the cap), full oracle locally + swept; rotate in r9",
-    "events_partitioned_day_slice": "NEW r8 (born past the cap), full oracle locally + swept; rotate in r9",
-    "dedup_simhash_wide_pairs": "NEW r8 (born past the cap), full oracle locally + swept; rotate in r9",
-    "ann_recall_trained_vs_static": "NEW r8 (born past the cap), full oracle locally + swept; rotate in r9",
-    "events_ab_test": "NEW r8 (born past the cap), full oracle locally + swept; rotate in r9",
-    "dedup_semantic_clusters": "NEW r8 (born past the cap), full oracle locally + swept; rotate in r9",
-    "text_nb_classifier": "NEW r8 (born past the cap), full oracle locally + swept; rotate in r9",
-    "dataset_dsir_weights": "NEW r8 (born past the cap), full oracle locally + swept; rotate in r9",
-    "pipeline_rag_index": "NEW r8 (born past the cap), full oracle locally + swept; rotate in r9",
-    "pipeline_quality_funnel": "NEW r8 (born past the cap), full oracle locally + swept; rotate in r9",
-    "dedup_cdc_pair_ivm": "NEW r8 (born past the cap), full oracle locally + swept; rotate in r9",
-    "ann_topk_ivfpq_rerank": "NEW r8 (born past the cap), full oracle locally + swept; rotate in r9",
-    "dedup_cross_source_stats": "NEW r8 (born past the cap), full oracle locally + swept; rotate in r9",
-    "dataset_epoch_order": "NEW r8 (born past the cap), full oracle locally + swept; rotate in r9",
-    "text_containment_pairs": "NEW r8 (born past the cap), full oracle locally + swept; rotate in r9",
-    "embedding_pca_whiten": "NEW r8 (born past the cap), full oracle locally + swept; rotate in r9",
-    "pipeline_cdc_corpus_refresh": "NEW r8 (born past the cap), full oracle locally + swept; rotate in r9",
-    "events_ewma_forecast": "NEW r8 (born past the cap), full oracle locally + swept; rotate in r9",
-    "cdc_scd2_history": "NEW r8 (born past the cap), full oracle locally + swept; rotate in r9",
+    #      back r10 by alternation; all locally oracled + swept) ----
+    "q10_returned_items": "green r7; due back r10",
+    "q14_promo_revenue": "green r7; due back r10",
+    "text_normalize": "green r7; due back r10",
+    "dataset_split_assign": "green r7; due back r10",
+    "dedup_clusters": "green r7; due back r10",
+    "q2_min_cost_supplier": "green r7; due back r10",
+    "q7_volume_shipping": "green r7; due back r10",
+    "q8_market_share": "green r7; due back r10",
+    "q9_product_profit": "green r7; due back r10",
+    "q11_important_parts": "green r7; due back r10",
+    "q13_customer_distribution": "green r7; due back r10",
+    "q15_top_supplier": "green r7; due back r10",
+    "q16_part_supplier_variety": "green r7; due back r10",
+    "q17_small_quantity_revenue": "green r7; due back r10",
+    "q18_large_volume_customers": "green r7; due back r10",
+    "q19_disjunctive_revenue": "green r7; due back r10",
+    "q20_excess_quantity_suppliers": "green r7; due back r10",
+    "q21_last_shipper_blame": "green r7; due back r10",
+    "q22_sales_opportunity": "green r7; due back r10",
+    "embedding_pq_encode": "green r7; due back r10",
+    "ann_topk_pq_adc": "green r7; due back r10",
+    "graph_pagerank_neardup": "green r7; due back r10",
+    "multimodal_decode_bmp": "green r7; due back r10",
+    "multimodal_decode_gif": "green r7; due back r10",
+    "multimodal_decode_tiff": "green r7; due back r10",
+    "multimodal_decode_wav": "green r7; due back r10",
+    "multimodal_resize_png_real": "green r7; due back r10",
+    "pipeline_pretraining_corpus": "green r7; due back r10",
+    "pipeline_multimodal_manifest": "green r7; due back r10",
+    "dataset_pack_materialize": "green r7; due back r10",
+    "dataset_quota_per_group": "green r7; due back r10",
+    "dataset_weighted_sample": "green r7; due back r10",
+    "dataset_mixture_weights": "green r7; due back r10",
+    "dedup_lines_reconstruct": "green r7; due back r10",
+    "dedup_corpus_final": "green r7; due back r10",
+    "cdc_merge_bucketed": "green r7; due back r10",
+    "cdc_incremental_agg_maintenance": "green r7; due back r10",
+    "cdc_incremental_minmax_maintenance": "green r7; due back r10",
+    "user_activity_reconciliation": "green r7; due back r10",
+    "events_anomaly_zscore": "green r7; due back r10",
+    "events_daily_ohlc": "green r7; due back r10",
+    "events_data_profile": "green r7; due back r10",
+    "events_kmv_distinct_rollup": "green r7; due back r10",
+    "events_markov_transitions": "green r7; due back r10",
+    "events_props_json_stats": "green r7; due back r10",
+    "parts_cooccurrence": "green r7; due back r10",
+    "text_bpe_pretokenize": "green r7; due back r10",
+    "text_lm_score": "green r7; due back r10",
+    "text_trigram_novelty": "green r7; due back r10",
+    # ---- r8 driver set, resting after green CORRECTNESS_r08 rows (due
+    #      back r10 by alternation; all locally oracled + swept) ----
+    "text_hash_embedding": "green r8; due back r10",
+    "dataset_interleave_order": "green r8; due back r10",
+    "dataset_length_buckets": "green r8; due back r10",
+    "embedding_mrl_energy": "green r8; due back r10",
+    "events_value_percentiles": "green r8; due back r10",
+    "events_user_gaps": "green r8; due back r10",
+    "events_active_users_rolling": "green r8; due back r10",
+    "text_rare_token_fraction": "green r8; due back r10",
+    "text_chunk_overlap": "green r8; due back r10",
+    "text_html_strip": "green r8; due back r10",
+    "orders_price_percentile_rank": "green r8; due back r10",
+    "events_type_cooccurrence": "green r8; due back r10",
+    "customers_rfm_segments": "green r8; due back r10",
+    "multimodal_decode_jpeg_color": "green r8; due back r10",
+    "multimodal_audio_segments": "green r8; due back r10",
+    "multimodal_video_cuts": "green r8; due back r10",
+    "events_histogram_quantile_rollup": "green r8; due back r10",
+    "text_bpe_pair_counts": "green r8; due back r10",
+    "text_bpe_train_merges": "green r8; due back r10",
+    "pipeline_audio_manifest": "green r8; due back r10",
+    "text_bloom_decontaminate": "green r8; due back r10",
+    "dedup_fuzzy_editdist": "green r8; due back r10",
+    "dedup_fuzzy_canonicalize": "green r8; due back r10",
+    "text_bpe_encode": "green r8; due back r10",
+    "cdc_incremental_enriched_agg_maintenance": "green r8; due back r10",
+    "dataset_negative_sample": "green r8; due back r10",
+    "text_duplicated_span_fraction": "green r8; due back r10",
+    "text_fingerprint": "green r8; due back r10",
+    "text_language_id": "green r8; due back r10",
+    "embedding_quantize_int8": "green r8; due back r10",
+    "events_pivot_user_counts": "green r8; due back r10",
+    "active_user_set_ops": "green r8; due back r10",
+    "text_quality_score": "green r8; due back r10",
+    "events_hourly_agg": "green r8; due back r10",
+    "text_token_topk": "green r8; due back r10",
+    "ann_topk_ivf": "green r8; due back r10",
+    "dedup_ngram_jaccard": "green r8; due back r10",
+    "dataset_sample_stratified": "green r8; due back r10",
+    "text_tfidf_topk": "green r8; due back r10",
+    "events_user_rate_window": "green r8; due back r10",
+    "multimodal_decode_png": "green r8; due back r10",
+    "ann_topk_ivf_trained": "green r8; due back r10",
+    "multimodal_decode_jpeg": "green r8; due back r10",
+    "multimodal_video_frames": "green r8; due back r10",
+    "cdc_merge_partial_updates": "green r8; due back r10",
+    "events_cms_heavy_hitters": "green r8; due back r10",
+    "ann_topk_ivfpq": "green r8; due back r10",
+    "dedup_clusters_star": "green r8; due back r10",
+    "events_sketches": "green r8; due back r10",
+    "multimodal_video_keyframes": "green r8; due back r10",
 }
 
-#: driver evaluation order, round 8: the r7 red-row fix first, then the 12
-#: deferred never-tested entries, the 14 born-r7 entries, the 10 due-r8
-#: entries, and 13 due-back r6 greens
+#: driver evaluation order, round 9: the born-r9 DMS e2e merge first,
+#: then the full born-r8 block (backlog -> zero), the 2 slips, and the
+#: oldest-green rows (r2-r6 block + events_sliding_windows)
 _DRIVER_ORDER = [
-    # -- r7 red row, fixed (array column -> to_json; VERDICT r7 item 1) --
-    "text_hash_embedding",
-    # -- the 12 deferred never-driver-tested entries (backlog -> zero) --
-    "dataset_interleave_order",
-    "dataset_length_buckets",
-    "embedding_mrl_energy",
-    "events_value_percentiles",
-    "events_user_gaps",
-    "events_active_users_rolling",
-    "text_rare_token_fraction",
-    "text_chunk_overlap",
-    "text_html_strip",
-    "orders_price_percentile_rank",
-    "events_type_cooccurrence",
-    "customers_rfm_segments",
-    # -- born in r7 (oracled + swept from birth) --
-    "multimodal_decode_jpeg_color",
-    "multimodal_audio_segments",
-    "multimodal_video_cuts",
-    "events_histogram_quantile_rollup",
-    "text_bpe_pair_counts",
-    "text_bpe_train_merges",
-    "pipeline_audio_manifest",
-    "text_bloom_decontaminate",
-    "dedup_fuzzy_editdist",
-    "dedup_fuzzy_canonicalize",
-    "text_bpe_encode",
-    "cdc_incremental_enriched_agg_maintenance",
-    "dataset_negative_sample",
-    "text_duplicated_span_fraction",
-    # -- due back r8 (rotated out r6) --
-    "text_fingerprint",
-    "text_language_id",
-    "embedding_quantize_int8",
-    "events_pivot_user_counts",
-    "active_user_set_ops",
-    "text_quality_score",
-    "events_hourly_agg",
-    "text_token_topk",
-    "ann_topk_ivf",
-    "dedup_ngram_jaccard",
-    # -- due back r8 (green r6, resting one round) --
-    "dataset_sample_stratified",
-    "text_tfidf_topk",
-    "events_user_rate_window",
-    "multimodal_decode_png",
-    "ann_topk_ivf_trained",
-    "multimodal_decode_jpeg",
-    "multimodal_video_frames",
-    "cdc_merge_partial_updates",
-    "events_cms_heavy_hitters",
-    "ann_topk_ivfpq",
-    "dedup_clusters_star",
-    "events_sketches",
-    # -- born in r8 (VERDICT r7 item 5: keyframe extraction end-to-end) --
-    "multimodal_video_keyframes",
+    # -- born r9 (VERDICT r8 item 6: DMS envelopes through the full merge) --
+    "cdc_merge_dms_e2e",
+    # -- the 23 entries born in r8 (oracled + swept from birth; backlog -> 0) --
+    "dedup_incremental_candidates",
+    "graph_triangles_neardup",
+    "ann_recall_at_k",
+    "dedup_spans_remove",
+    "dedup_simhash_pairs",
+    "events_partitioned_day_slice",
+    "dedup_simhash_wide_pairs",
+    "ann_recall_trained_vs_static",
+    "events_ab_test",
+    "dedup_semantic_clusters",
+    "text_nb_classifier",
+    "dataset_dsir_weights",
+    "pipeline_rag_index",
+    "pipeline_quality_funnel",
+    "dedup_cdc_pair_ivm",
+    "ann_topk_ivfpq_rerank",
+    "dedup_cross_source_stats",
+    "dataset_epoch_order",
+    "text_containment_pairs",
+    "embedding_pca_whiten",
+    "pipeline_cdc_corpus_refresh",
+    "events_ewma_forecast",
+    "cdc_scd2_history",
+    # -- the 2 one-round slips (green r6, due back) --
+    "q12_priority_by_linestatus",
+    "events_hll_mergeable_rollup",
+    # -- oldest greens: the r2-r6 block (due back r9 by alternation) --
+    "cdc_parse_debezium",
+    "cdc_parse_dms",
+    "cdc_latest_per_composite_key",
+    "cdc_merge_two_batches",
+    "cdc_merge_mor",
+    "cdc_time_travel",
+    "cdc_incremental_diff",
+    "cdc_route_multitable",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier",
+    "topk_orders_per_customer",
+    "asof_join_last_click",
+    "customers_without_orders",
+    "events_cube",
+    "range_join_post_purchase",
+    "events_retention_cohorts",
+    "events_funnel_conversions",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_topk_bruteforce",
+    # -- r3-r6 block, oldest-first, as the one remaining slot allows --
+    "events_sliding_windows",
 ]
 
 assert set(_DRIVER_ORDER) | set(PRUNED) == set(FULL_REGISTRY), (

@@ -223,3 +223,100 @@ class TestSchemaInference:
         # no retype -> strict is silent
         ok = merge_payload_schemas(old, old, strict=True)
         assert ok == old
+
+
+class TestDmsMergeE2E:
+    """Non-vacuity for cdc_merge_dms_e2e (VERDICT r8 item 6): the fixture
+    must actually exercise control-record drops, `load` ops, delete
+    tombstones, and a LOAD-BEARING route (the foreign stream's perturbed
+    payloads must be provably present pre-route and absent post-route)."""
+
+    def test_fixture_exercises_every_dms_semantic(self, spark):
+        from pyspark.sql import functions as F
+
+        from kafka_cdc_hudi_spark.config import DIALECT_DMS
+        from kafka_cdc_hudi_spark.operators.cdc import (
+            parse_dms,
+            raw_route_prefilter,
+        )
+        from kafka_cdc_hudi_spark.plans.catalog_cdc import (
+            _events,
+            cdc_merge_dms_e2e,
+        )
+        from kafka_cdc_hudi_spark.plans.cdc_fixtures import (
+            EVENTS_PAYLOAD_SCHEMA,
+            dms_envelopes,
+        )
+
+        from .conftest import SF_DIR
+
+        final = cdc_merge_dms_e2e(spark, SF_DIR).cache()
+        try:
+            assert final.count() > 0
+            # `load` ops (event_id % 10 == 2) survive as upserts
+            assert final.filter(F.col("event_id") % 10 == 2).count() > 0
+            # delete tombstones bite on the REAL operator with the DMS
+            # string-mtime precombine: every delete has even event_id
+            # (%10==0), so all tombstones land in batch A — a user whose
+            # latest even-batch row is a delete must be absent from the
+            # batch-A state s1. (The FINAL state may legitimately resurrect
+            # such users from older odd-batch rows — the documented COW
+            # position-split semantic — which the registry oracle pins.)
+            from pyspark.sql.window import Window
+
+            from kafka_cdc_hudi_spark.operators.merge import merge_upsert
+            from kafka_cdc_hudi_spark.plans.cdc_fixtures import (
+                dms_envelopes as _envs,
+            )
+
+            own_parsed = parse_dms(
+                _envs(_events(spark, SF_DIR)), EVENTS_PAYLOAD_SCHEMA
+            )
+            a = own_parsed.filter(F.col("event_id") % 2 == 0).drop("operation")
+            s1 = merge_upsert(None, a, ["user_id"], tiebreakers=["event_id"])
+            even_latest_del = (
+                a.withColumn(
+                    "rn",
+                    F.row_number().over(
+                        Window.partitionBy("user_id").orderBy(
+                            F.col("mtime").desc(), F.col("event_id").desc()
+                        )
+                    ),
+                )
+                .filter((F.col("rn") == 1) & F.col("_deleted"))
+                .select("user_id")
+            )
+            assert even_latest_del.count() > 0, "no tombstoned users — vacuous"
+            assert s1.join(even_latest_del, "user_id", "left_semi").count() == 0
+            # route is load-bearing: foreign perturbed values (>= 1e6) are in
+            # the pre-route stream but never reach the final state
+            assert final.agg(F.max("value")).first()[0] < 1_000_000.0
+        finally:
+            final.unpersist()
+        foreign_env = dms_envelopes(
+            _events(spark, SF_DIR)
+            .filter(F.col("event_id") % 5 == 0)
+            .withColumn("value", F.col("value") + F.lit(1_000_000.0)),
+            table="events_mirror",
+        )
+        unrouted = parse_dms(foreign_env, EVENTS_PAYLOAD_SCHEMA, keep_routing=True)
+        assert unrouted.agg(F.max("value")).first()[0] >= 1_000_000.0
+        # control records (event_id % 97 == 0) never parse out
+        own = parse_dms(
+            dms_envelopes(_events(spark, SF_DIR)), EVENTS_PAYLOAD_SCHEMA
+        )
+        assert own.filter(F.col("event_id") % 97 == 0).count() == 0
+        # the raw prefilter rejects unknown dialect strings instead of
+        # silently filtering a DMS stream to zero rows
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="unknown CDC dialect"):
+            raw_route_prefilter(foreign_env, "test_db", "events", dialect="dms")
+        # and for the real DMS dialect it drops the foreign table's rows
+        # before parsing (scan-reduction hint, exact routing still post-parse)
+        assert (
+            raw_route_prefilter(
+                foreign_env, "test_db", "events", dialect=DIALECT_DMS
+            ).count()
+            == 0
+        )
