@@ -1,8 +1,51 @@
-"""Skew-resistant salted top-k must agree with the direct window top-k."""
+"""Skew-resistant salted top-k must agree with the direct window top-k.
+
+Wall-clock margin assertions here are SELF-GUARDING (VERDICT r8 item 2):
+each timed leg first runs the fixed-work calibration probe (same design as
+bench.py); when the probe is out of band the timing leg is soft-skipped
+with a printed note and only the MECHANICAL facts are asserted (plan
+shape: map-side partial combine / WindowGroupLimit presence; per-join-key
+row spread under salting). The timing margins are real physics on an idle
+box but flake under ambient host load — the r8 full-suite run went red
+once purely from a documented host-contention episode."""
+
+import time
 
 from pyspark.sql import functions as F
 
 from kafka_cdc_hudi_spark.operators.dedup import topk_per_key, topk_per_key_salted
+
+#: fixed-work CPU probe reads ~0.19-0.29s warm-JVM on an idle box at the
+#: test config (SPARK_GRAFT_CPUS=4); beyond this band the box is loaded
+#: and wall-clock margins are not meaningful
+_CALIB_BAND_S = 0.6
+
+
+def _calib(spark) -> float:
+    t0 = time.perf_counter()
+    spark.range(100_000_000).selectExpr("sum(id * 3 + 1)").collect()
+    return time.perf_counter() - t0
+
+
+def _timing_ok(spark, label: str, when: str = "before") -> bool:
+    """True when the box is idle enough for wall-clock margins to mean
+    anything; prints the soft-skip note otherwise. Callers probe BEFORE
+    the timed region (skip it entirely when loaded) and AFTER it (discard
+    the margin when load arrived mid-region — the bench.py before/after
+    pattern; a single pre-probe can race a load spike that lands during
+    the measurement, reproduced under a deliberate 24-core burn)."""
+    c = _calib(spark)
+    if c <= _CALIB_BAND_S:
+        return True
+    print(
+        f"\n{label}: calib {c:.2f}s ({when}) > {_CALIB_BAND_S}s band — ambient "
+        "host load; wall-clock margin leg soft-skipped (mechanical asserts ran)"
+    )
+    return False
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
 
 
 def _skewed(spark):
@@ -81,25 +124,48 @@ def test_hot_key_merge_agg_skew_immunity(spark):
     key = "spark.sql.optimizer.windowGroupLimitThreshold"
     default = spark.conf.get(key)
     try:
-        w_on, a_on = best_of(window), best_of(agg)
+        # -- mechanical facts (always asserted, load-independent) --------
+        # agg strategy: partial max_by BELOW the exchange = map-side
+        # combine collapses the hot key per input partition BEFORE the
+        # shuffle, so no reducer ever sees the hot key's full row set
+        p_agg = _plan(agg())
+        pre_shuffle = p_agg.split("Exchange", 1)[-1]
+        assert "partial_max_by" in pre_shuffle, p_agg
+        # window strategy: skew survival depends on the optimizer rule —
+        # present with the rule on, gone with it off (the knob the agg
+        # plan is provably independent of)
+        assert "WindowGroupLimit" in _plan(window())
         spark.conf.set(key, "-1")
-        w_off, a_off = best_of(window), best_of(agg)
+        assert "WindowGroupLimit" not in _plan(window())
+        assert "partial_max_by" in _plan(agg()).split("Exchange", 1)[-1]
+        spark.conf.set(key, default)
+
+        # -- wall-clock margin leg (calibration-gated, VERDICT r8 item 2) --
+        if _timing_ok(spark, "hot-key merge"):
+            w_on, a_on = best_of(window), best_of(agg)
+            spark.conf.set(key, "-1")
+            w_off, a_off = best_of(window), best_of(agg)
+            spark.conf.set(key, default)
+            print(
+                f"\nhot-key merge: window {w_on:.2f}s/{w_off:.2f}s (limit on/off), "
+                f"agg {a_on:.2f}s/{a_off:.2f}s, degradation {w_off / a_off:.2f}x"
+            )
+            if _timing_ok(spark, "hot-key merge", when="after"):
+                # agg is skew-immune by construction: the knob must not matter
+                assert a_off <= a_on * 2 + 0.5, (
+                    f"agg became rule-dependent: {a_on:.2f}s -> {a_off:.2f}s"
+                )
+                # the un-pruned window pays the hot-partition sort; agg does not
+                assert w_off >= 2.0 * a_off, (
+                    f"expected >=2x window degradation, got {w_off / a_off:.2f}x"
+                )
+        # and the two strategies compute the same thing (always)
+        a_rows = {tuple(r) for r in agg().collect()}
+        w_rows = {tuple(r) for r in window().collect()}
+        assert a_rows == w_rows
     finally:
         spark.conf.set(key, default)
         df.unpersist()
-
-    print(
-        f"\nhot-key merge: window {w_on:.2f}s/{w_off:.2f}s (limit on/off), "
-        f"agg {a_on:.2f}s/{a_off:.2f}s, degradation {w_off / a_off:.2f}x"
-    )
-    # agg is skew-immune by construction: the optimizer knob must not matter
-    assert a_off <= a_on * 2 + 0.5, f"agg became rule-dependent: {a_on:.2f}s -> {a_off:.2f}s"
-    # the un-pruned window pays the hot-partition sort; agg does not
-    assert w_off >= 2.0 * a_off, f"expected >=2x window degradation, got {w_off / a_off:.2f}x"
-    # and the two strategies compute the same thing
-    a_rows = {tuple(r) for r in agg().collect()}
-    w_rows = {tuple(r) for r in window().collect()}
-    assert a_rows == w_rows
 
 
 def test_salt_spreads_constant_order_values(spark):
@@ -157,24 +223,53 @@ def test_hot_band_salted_pairs_match_and_spread(spark):
     default = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        t_plain, r_plain = best_of(1)
-        t_salt, r_salt = best_of(8)
+        # -- mechanical facts (always asserted, load-independent) --------
+        # (a) identical pairs regardless of salt
+        r_plain, r_salt = run(1), run(8)
+        assert r_plain["n"] == r_salt["n"] >= m * (m - 1) // 2
+        assert r_plain["chk"] == r_salt["chk"]
+        # (b) the salted join's shuffle keys INCLUDE the salt column —
+        # the hot band no longer hashes to one shuffle partition
+        from kafka_cdc_hudi_spark.operators.dedup import (
+            pairs_within_groups_salted,
+        )
+
+        p_salt = _plan(pairs_within_groups_salted(bands, ["bi", "bv"], "doc_id", n_salt=8))
+        assert "__salt" in p_salt.split("Exchange", 1)[-1], p_salt
+        # (c) per-join-key row spread: the probe side's deterministic salt
+        # (pmod(xxhash64(id), 8)) splits the hot band's m rows across >= 6
+        # of 8 buckets with no bucket holding more than m/4 (expected m/8)
+        # — the straggler's work is mechanically bounded at m/n_salt x m
+        salt = F.pmod(F.xxhash64("doc_id"), F.lit(8)).cast("int")
+        spread = (
+            bands.filter(F.col("bv") == "hot")
+            .select(salt.alias("s"))
+            .groupBy("s")
+            .count()
+            .collect()
+        )
+        assert len(spread) >= 6, spread
+        assert max(r["count"] for r in spread) <= m // 4, spread
+        assert sum(r["count"] for r in spread) == m
+
+        # -- wall-clock margin leg (calibration-gated, VERDICT r8 item 2) --
+        if _timing_ok(spark, "hot-band join"):
+            t_plain, r_plain = best_of(1)
+            t_salt, r_salt = best_of(8)
+            print(f"\nhot-band join: unsalted {t_plain:.2f}s, salted(8) {t_salt:.2f}s "
+                  f"({t_plain / t_salt:.1f}x) over {r_plain['n']} pairs")
+            if _timing_ok(spark, "hot-band join", when="after"):
+                # the straggler must measurably shrink (8 tasks vs 1 on the
+                # hot band). Measured 1.5x at 32M pairs on local[32]; the
+                # ratio is compressed by ~0.8s of fixed per-action cost
+                # (plan+3 stages) shared by both runs — at real scale it
+                # approaches n_salt. Bar at 1.25x for flake margin.
+                assert t_salt * 1.25 <= t_plain, (
+                    f"salting gave no spread: unsalted {t_plain:.2f}s vs salted {t_salt:.2f}s"
+                )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", default)
         bands.unpersist()
-
-    # identical pairs regardless of salt
-    assert r_plain["n"] == r_salt["n"] >= m * (m - 1) // 2
-    assert r_plain["chk"] == r_salt["chk"]
-    print(f"\nhot-band join: unsalted {t_plain:.2f}s, salted(8) {t_salt:.2f}s "
-          f"({t_plain / t_salt:.1f}x) over {r_plain['n']} pairs")
-    # the straggler must measurably shrink (8 tasks vs 1 on the hot band).
-    # Measured 1.5x at 32M pairs on local[32]; the ratio is compressed by
-    # ~0.8s of fixed per-action cost (plan+3 stages) shared by both runs —
-    # at real scale it approaches n_salt. Bar at 1.25x for flake margin.
-    assert t_salt * 1.25 <= t_plain, (
-        f"salting gave no spread: unsalted {t_plain:.2f}s vs salted {t_salt:.2f}s"
-    )
 
 
 def test_incremental_candidates_equal_full_lsh_delta_slice(spark):
