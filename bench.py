@@ -54,6 +54,35 @@ def _calibrate(spark) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+#: warm-JVM probe reading on an idle box at local[32] is ~0.3-0.4s; above
+#: this the run is ambient-contaminated and timings understate the engine
+_CALIB_BAND_S = float(os.environ.get("SPARK_GRAFT_CALIB_BAND", "0.45"))
+_CALIB_RETRIES = int(os.environ.get("SPARK_GRAFT_CALIB_RETRIES", "5"))
+_CALIB_RETRY_SLEEP_S = 20.0
+
+
+def _calibrate_gated(spark) -> tuple[float, bool, int]:
+    """VERDICT r8 item 3: the probe must REFUSE contamination, not just
+    stamp it — retry until the reading is in band, and only after
+    ``_CALIB_RETRIES`` exhausted proceed with an explicit
+    ``contaminated`` flag in the artifact (the driver needs an artifact
+    either way; a silent 19%-slow number is the failure mode this kills).
+    Returns (last_calib, contaminated, retries_used)."""
+    for attempt in range(_CALIB_RETRIES):
+        c = _calibrate(spark)
+        if c <= _CALIB_BAND_S:
+            return c, False, attempt
+        print(
+            f"# calib {c}s > {_CALIB_BAND_S}s band (attempt {attempt + 1}/"
+            f"{_CALIB_RETRIES}, loadavg {os.getloadavg()[0]:.2f}) — waiting "
+            f"{_CALIB_RETRY_SLEEP_S:.0f}s for ambient load to clear",
+            file=sys.stderr,
+        )
+        time.sleep(_CALIB_RETRY_SLEEP_S)
+    c = _calibrate(spark)
+    return c, c > _CALIB_BAND_S, _CALIB_RETRIES
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -81,7 +110,7 @@ def main() -> None:
     else:
         spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    calib_before = _calibrate(spark)
+    calib_before, contaminated, retries = _calibrate_gated(spark)
     timings: dict[str, float] = {}
     for name in names:
         fn = REGISTRY[name][0]
@@ -106,6 +135,13 @@ def main() -> None:
                 # run, not a regression
                 "calib_sec_before": calib_before,
                 "calib_sec_after": _calibrate(spark),
+                "calib_band_sec": _CALIB_BAND_S,
+                "calib_retries": retries,
+                # True only when _CALIB_RETRIES probes all read out of band:
+                # the run went ahead (the driver needs an artifact) but the
+                # numbers understate the engine and MUST NOT be read as a
+                # regression (VERDICT r8 item 3)
+                "contaminated": contaminated,
                 "loadavg_start": loadavg_start,
                 "loadavg_end": list(os.getloadavg()),
             }

@@ -50,7 +50,27 @@ def main() -> None:
     con = duckdb_con(sf_dir)
 
     load0 = list(os.getloadavg())
-    calib = _calibrate(spark)
+    calib = _calibrate(spark)  # cold-JVM reading (continuity with r1-r8
+    # artifacts: ~3.3-3.8s is the healthy cold band at local[32])
+
+    # warm-JVM gated probe (VERDICT r8 item 3): after JIT warmup the same
+    # probe reads ~0.3-0.4s idle, directly comparable to bench.py's band.
+    # Retry until in band; after retries exhaust, proceed with an explicit
+    # contamination stamp (the driver needs the artifact either way).
+    band = float(os.environ.get("SPARK_GRAFT_CALIB_BAND", "0.45"))
+    n_retries = int(os.environ.get("SPARK_GRAFT_CALIB_RETRIES", "5"))
+    contaminated, retries_used = False, 0
+    calib_warm = _calibrate(spark)
+    while calib_warm > band and retries_used < n_retries:
+        retries_used += 1
+        print(
+            f"# warm calib {calib_warm}s > {band}s band (retry "
+            f"{retries_used}/{n_retries}, loadavg {os.getloadavg()[0]:.2f})",
+            file=sys.stderr,
+        )
+        time.sleep(20.0)
+        calib_warm = _calibrate(spark)
+    contaminated = calib_warm > band
 
     # some oracles bake per-SF literals (trained artifacts); rebuild for
     # the swept SF when it differs from the registry's committed build
@@ -110,6 +130,10 @@ def main() -> None:
         "n_fail": n_fail,
         "n_unoracled": n_unoracled,
         "calib_sec": calib,
+        "calib_warm_sec": calib_warm,
+        "calib_band_sec": band,
+        "calib_retries": retries_used,
+        "contaminated": contaminated,
         "loadavg_start": load0,
         "loadavg_end": list(os.getloadavg()),
         "entries": entries,

@@ -22,29 +22,52 @@ THRESHOLD = 1.5
 MIN_SEC = 0.5
 
 
+def _calib_factor(old: dict, new: dict) -> float:
+    """Host-speed normalization (VERDICT r8 item 3): per-entry comparisons
+    divide the new reading by new_calib/old_calib before flagging, so a
+    wholesale ambient-load delta (every entry moving together with the
+    probe) does not read as per-entry regressions/optimizations. Prefers
+    the warm-JVM probe (both artifacts r9+), falls back to the cold one;
+    clamped to [0.5, 2.0] so a wild probe cannot overcorrect a real mover
+    into silence."""
+    for key in ("calib_warm_sec", "calib_sec"):
+        a, b = old.get(key), new.get(key)
+        if a and b and a > 0 and b > 0:
+            return min(2.0, max(0.5, b / a))
+    return 1.0
+
+
 def main() -> None:
     old_path, new_path = sys.argv[1], sys.argv[2]
     old = json.load(open(old_path))
     new = json.load(open(new_path))
     oe, ne = old["entries"], new["entries"]
+    cf = _calib_factor(old, new)
     print(
-        f"old: calib {old.get('calib_sec')}s loadavg {old.get('loadavg_start')} | "
-        f"new: calib {new.get('calib_sec')}s loadavg {new.get('loadavg_start')}"
+        f"old: calib {old.get('calib_sec')}s warm {old.get('calib_warm_sec')} "
+        f"loadavg {old.get('loadavg_start')} | "
+        f"new: calib {new.get('calib_sec')}s warm {new.get('calib_warm_sec')} "
+        f"loadavg {new.get('loadavg_start')} | calib factor {cf:.2f} "
+        f"(per-entry ratios are normalized by it)"
     )
+    for side, art in (("old", old), ("new", new)):
+        if art.get("contaminated"):
+            print(f"WARNING: {side} artifact is stamped contaminated — read movers accordingly")
     movers = []
     for name in sorted(set(oe) & set(ne)):
         a, b = oe[name]["spark_sec"], ne[name]["spark_sec"]
         if max(a, b) < MIN_SEC or a <= 0:
             continue
-        ratio = b / a
+        ratio = (b / cf) / a
         if ratio > THRESHOLD or ratio < 1 / THRESHOLD:
-            movers.append((name, a, b, ratio))
-    movers.sort(key=lambda m: -m[3])
-    print(f"\n{len(movers)} movers (> {THRESHOLD}x either way, slower side >= {MIN_SEC}s):")
-    print("| entry | old s | new s | ratio |")
-    print("|---|---|---|---|")
-    for name, a, b, r in movers:
-        print(f"| {name} | {a} | {b} | {r:.2f}x |")
+            movers.append((name, a, b, b / a, ratio))
+    movers.sort(key=lambda m: -m[4])
+    print(f"\n{len(movers)} movers (> {THRESHOLD}x either way after calib "
+          f"normalization, slower side >= {MIN_SEC}s):")
+    print("| entry | old s | new s | raw | normalized |")
+    print("|---|---|---|---|---|")
+    for name, a, b, raw, r in movers:
+        print(f"| {name} | {a} | {b} | {raw:.2f}x | {r:.2f}x |")
     born = sorted(set(ne) - set(oe))
     gone = sorted(set(oe) - set(ne))
     if born:
