@@ -174,6 +174,14 @@ class JobConfig:
     quarantine_dir: str | None = None
     trigger_interval: str = "30 seconds"
     max_workers: int = 4
+    #: ALSO maintain an SCD Type-2 history table per synced table
+    #: (streaming/scd2.py): every key version with its validity interval,
+    #: updated incrementally per micro-batch at change-set cost — the
+    #: warehouse history the reference's latest-row-only merge throws away
+    scd2_history: bool = False
+    #: deterministic orderers after the precombine field for the SCD2
+    #: version chain (e.g. an event id); empty = ties resolve arbitrarily
+    scd2_tiebreakers: tuple[str, ...] = ()
     #: register each synced table in the Spark catalog after every commit
     #: (reference hive_sync parity: hoodie.datasource.hive_sync.*,
     #: /root/reference/glue/cdc_hudi.py:190-194). Tables appear as

@@ -63,6 +63,22 @@ class CdcStreamDriver:
     transform_hooks: dict = field(default_factory=dict)
     _inferred: dict[str, StructType] = field(default_factory=dict, repr=False)
     _sinks: dict[str, KeyedParquetTable] = field(default_factory=dict, repr=False)
+    _scd2: dict = field(default_factory=dict, repr=False)
+
+    def scd2_for(self, spec: TableSpec):
+        """Per-table SCD2 history maintainer (config.scd2_history), rooted
+        next to the merge sink at ``<sink_root>/<db>/<table>__scd2``."""
+        from kafka_cdc_hudi_spark.streaming.scd2 import Scd2HistoryMaintainer
+
+        key = spec.qualified_name
+        if key not in self._scd2:
+            self._scd2[key] = Scd2HistoryMaintainer(
+                root=f"{self.config.sink_root}/{spec.db}/{spec.table}__scd2",
+                keys=list(spec.primary_keys),
+                ts_col=spec.precombine_field,
+                tiebreakers=tuple(self.config.scd2_tiebreakers),
+            )
+        return self._scd2[key]
 
     def sink_for(self, spec: TableSpec) -> KeyedParquetTable:
         key = spec.qualified_name
@@ -195,6 +211,11 @@ class CdcStreamDriver:
         # would pay a full extra shuffle per table per batch for nothing
         sink = self.sink_for(spec)
         committed = sink.merge_batch(self.spark, routed, batch_id=batch_id)
+        if self.config.scd2_history:
+            # history maintenance is replay-idempotent on its own pointer
+            # protocol, so it runs regardless of the merge sink's commit
+            # verdict (a crash between the two commits must not strand it)
+            self.scd2_for(spec).apply_batch(self.spark, routed, batch_id=batch_id)
         if committed and self.config.catalog_sync:
             # reference hive-syncs on every commit; metadata-only re-point
             sink.sync_catalog(self.spark, spec.qualified_name)

@@ -1,0 +1,212 @@
+"""Incremental SCD Type-2 maintenance (streaming/scd2.py, VERDICT r8 item 5):
+the maintained history table must equal the batch reconstruction
+(operators/temporal.py:scd2_history over the full log) after EVERY batch
+prefix — including out-of-order corrections and late tombstones — and be
+replay/restart idempotent under the real streaming engine."""
+
+import json
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from kafka_cdc_hudi_spark.operators.temporal import scd2_history
+from kafka_cdc_hudi_spark.streaming.scd2 import Scd2HistoryMaintainer
+
+SCHEMA = "id long, mtime long, val string, _deleted boolean"
+
+
+def _hist_set(df):
+    return {
+        (r["id"], r["mtime"], r["val"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in df.collect()
+    }
+
+
+def _batch_oracle(spark, rows):
+    log = spark.createDataFrame(rows, SCHEMA)
+    return scd2_history(log, ["id"], "mtime", tiebreakers=["val"]).drop("_deleted")
+
+
+class TestMaintainerEquivalence:
+    def test_prefix_equivalence_with_ooo_and_deletes(self, spark, tmp_path):
+        m = Scd2HistoryMaintainer(
+            root=str(tmp_path / "scd2"), keys=["id"], ts_col="mtime", tiebreakers=["val"]
+        )
+        batches = [
+            # b0: two keys open
+            [(1, 10, "a", False), (2, 10, "x", False)],
+            # b1: key 1 updates twice in one batch; key 2 deleted
+            [(1, 20, "b", False), (1, 30, "c", False), (2, 25, None, True)],
+            # b2: OUT-OF-ORDER late event for key 1 at ts=15 (splits the
+            # [10, 20) interval); key 2 re-inserts after its delete
+            [(1, 15, "late", False), (2, 40, "y", False)],
+            # b3: late tombstone INSIDE key 1's history at ts=25 (truncates
+            # [20, 30): version c's predecessor now closes at the delete)
+            [(1, 25, None, True)],
+        ]
+        seen = []
+        for i, rows in enumerate(batches):
+            assert m.apply_batch(spark, spark.createDataFrame(rows, SCHEMA), batch_id=i)
+            seen.extend(rows)
+            got = _hist_set(m.read(spark))
+            want = _hist_set(_batch_oracle(spark, seen))
+            assert got == want, f"divergence after batch {i}"
+        # non-vacuity of the hard cases: the late event really split an
+        # interval (valid_to of v(ts=10) is now 15), and the late tombstone
+        # left key 1 with closed versions only at ts>=20
+        final = {(r["id"], r["valid_from"]): r for r in m.read(spark).collect()}
+        assert final[(1, 10)]["valid_to"] == 15
+        assert final[(1, 15)]["valid_to"] == 20
+        assert final[(1, 20)]["valid_to"] == 25  # truncated by late tombstone
+        assert (1, 30) in final and final[(1, 30)]["is_current"]
+        assert final[(2, 40)]["is_current"]
+
+    def test_replay_is_noop(self, spark, tmp_path):
+        m = Scd2HistoryMaintainer(
+            root=str(tmp_path / "rp"), keys=["id"], ts_col="mtime", tiebreakers=["val"]
+        )
+        b0 = spark.createDataFrame([(1, 10, "a", False), (1, 20, "b", False)], SCHEMA)
+        assert m.apply_batch(spark, b0, batch_id=0)
+        before = _hist_set(m.read(spark))
+        # full replay: both tables skip on the batch-id pointer protocol
+        assert not m.apply_batch(spark, b0, batch_id=0)
+        assert _hist_set(m.read(spark)) == before
+        # empty batch is a no-op too
+        assert not m.apply_batch(spark, b0.limit(0), batch_id=1)
+        assert _hist_set(m.read(spark)) == before
+
+    def test_untouched_keys_not_recomputed(self, spark, tmp_path):
+        """Change-set cost: a batch touching key 2 must not rewrite key 1's
+        history rows (their __hseq stays at the batch that wrote them)."""
+        m = Scd2HistoryMaintainer(
+            root=str(tmp_path / "cs"), keys=["id"], ts_col="mtime", tiebreakers=["val"]
+        )
+        m.apply_batch(
+            spark,
+            spark.createDataFrame([(1, 10, "a", False), (2, 10, "x", False)], SCHEMA),
+            batch_id=0,
+        )
+        m.apply_batch(
+            spark, spark.createDataFrame([(2, 20, "y", False)], SCHEMA), batch_id=1
+        )
+        seq = {
+            (r["id"], r["valid_from"]): r["__hseq"]
+            for r in m.history.read(spark).collect()
+        }
+        assert seq[(1, 10)] == 0  # untouched key: row not rewritten
+        assert seq[(2, 10)] == 1 and seq[(2, 20)] == 1  # affected key rebuilt
+
+
+def _dbz(op, after=None, before=None, ts_ms=0, db="d1", table="t1"):
+    return json.dumps(
+        {"before": before, "after": after, "op": op, "ts_ms": ts_ms, "db": db, "table": table}
+    )
+
+
+def _write_lines(path, lines):
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+PAYLOAD = StructType(
+    [StructField("id", LongType(), True), StructField("val", StringType(), True)]
+)
+
+
+class TestStreamingEngine:
+    def test_driver_maintains_history_and_restart_idempotent(self, spark, tmp_path):
+        from kafka_cdc_hudi_spark.config import DIALECT_DEBEZIUM, JobConfig, TableSpec
+        from kafka_cdc_hudi_spark.sources.kafka import json_file_value_stream
+        from kafka_cdc_hudi_spark.streaming.driver import CdcStreamDriver
+
+        src = tmp_path / "src"
+        src.mkdir()
+        cfg = JobConfig(
+            dialect=DIALECT_DEBEZIUM,
+            tables=[TableSpec("d1", "t1", ("id",))],
+            sink_root=str(tmp_path / "sink"),
+            checkpoint_location=str(tmp_path / "ckpt"),
+            max_workers=1,
+            scd2_history=True,
+            scd2_tiebreakers=("val",),
+        )
+        driver = CdcStreamDriver(spark, cfg, payload_schemas={"t1": PAYLOAD})
+        _write_lines(
+            src / "b1.json",
+            [
+                _dbz("c", after={"id": 1, "val": "a"}, ts_ms=10),
+                _dbz("u", after={"id": 1, "val": "a2"}, ts_ms=30),
+                _dbz("c", after={"id": 2, "val": "b"}, ts_ms=10),
+            ],
+        )
+        q = driver.start(json_file_value_stream(spark, str(src)))
+        q.processAllAvailable()
+        _write_lines(
+            src / "b2.json",
+            [
+                _dbz("d", before={"id": 2, "val": "b"}, ts_ms=40),
+                _dbz("u", after={"id": 1, "val": "a3"}, ts_ms=50),
+            ],
+        )
+        q.processAllAvailable()
+        q.stop()
+
+        m = driver.scd2_for(cfg.tables[0])
+        hist = {
+            (r["id"], r["valid_from"], r["valid_to"], r["is_current"], r["val"])
+            for r in m.read(spark).collect()
+        }
+        assert hist == {
+            (1, 10, 30, False, "a"),
+            (1, 30, 50, False, "a2"),
+            (1, 50, None, True, "a3"),
+            (2, 10, 40, False, "b"),  # delete closed it; no current row for 2
+        }
+        # the merge sink still holds ONLY the latest rows (history is additive)
+        state = {(r["id"], r["val"]) for r in driver.sink_for(cfg.tables[0]).read(spark).collect()}
+        assert state == {(1, "a3")}
+
+        # fresh driver on the same checkpoint: replays must be no-ops
+        driver2 = CdcStreamDriver(spark, cfg, payload_schemas={"t1": PAYLOAD})
+        q2 = driver2.start(json_file_value_stream(spark, str(src)))
+        q2.processAllAvailable()
+        q2.stop()
+        hist2 = {
+            (r["id"], r["valid_from"], r["valid_to"], r["is_current"], r["val"])
+            for r in driver2.scd2_for(cfg.tables[0]).read(spark).collect()
+        }
+        assert hist2 == hist
+
+    def test_batch_entry_consistency(self, spark, tmp_path):
+        """The maintained history over the driver fixture equals the batch
+        scd2_history over the same parsed events (cross-check of the two
+        SCD2 surfaces on real Debezium envelopes)."""
+        from kafka_cdc_hudi_spark.operators.cdc import parse_debezium
+        from kafka_cdc_hudi_spark.plans.cdc_fixtures import debezium_envelopes
+        from kafka_cdc_hudi_spark.sources.tables import load_table
+
+        from .conftest import SF_DIR
+
+        ev = load_table(spark, SF_DIR, "events").filter(F.col("user_id") < 5)
+        parsed = parse_debezium(
+            debezium_envelopes(ev),
+            load_table(spark, SF_DIR, "events").select(
+                "event_id", "ts", "user_id", "event_type", "value", "props"
+            ).schema,
+        ).drop("operation")
+        m = Scd2HistoryMaintainer(
+            root=str(tmp_path / "x"),
+            keys=["user_id"],
+            ts_col="mtime",
+            tiebreakers=["event_id"],
+        )
+        # split into 2 batches by position (parity) — order stress included
+        m.apply_batch(spark, parsed.filter(F.col("event_id") % 2 == 0), batch_id=0)
+        m.apply_batch(spark, parsed.filter(F.col("event_id") % 2 == 1), batch_id=1)
+        want = scd2_history(
+            parsed, ["user_id"], "mtime", tiebreakers=["event_id"]
+        ).drop("_deleted")
+        cols = [c for c in want.columns]
+        got_set = {tuple(r[c] for c in cols) for r in m.read(spark).select(*cols).collect()}
+        want_set = {tuple(r[c] for c in cols) for r in want.collect()}
+        assert got_set == want_set and got_set
