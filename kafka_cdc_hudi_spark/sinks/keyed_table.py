@@ -738,22 +738,58 @@ class KeyedParquetTable:
             )
         return self._fold(spark, base, deltas)
 
-    def _fold(self, spark: SparkSession, base: int | None, deltas: list[int]) -> DataFrame:
+    def read_where_keys(self, spark: SparkSession, predicate) -> DataFrame | None:
+        """Current state restricted to keys satisfying ``predicate`` — a
+        Column expression over KEY columns only. Semantically identical to
+        ``read(spark).filter(predicate)``, but on a MOR table the predicate
+        is applied BELOW the delta fold (safe because the fold is strictly
+        per-key: dropping whole keys before folding cannot change any
+        surviving key's fold), so it reaches the parquet scans — row-group
+        skipping instead of shuffling the full log to answer a point or
+        changed-keys read. The per-batch incremental maintainers
+        (streaming/scd2.py) live on this: their read cost becomes
+        O(affected keys' rows), not O(log). COW/bucketed modes delegate to
+        ``read().filter`` (already scan-pruned by normal pushdown)."""
+        p = self._read_pointer()
+        if p is None:
+            return None
+        if self.mode != MODE_MOR:
+            return self.read(spark).filter(predicate)
+        base, deltas = self._resolve(p["version"], p)
+        if not deltas:
+            if base is None:
+                return None
+            return spark.read.parquet(self._version_dir(base)).filter(predicate)
+        return self._fold(spark, base, deltas, pre_filter=predicate)
+
+    def _fold(
+        self,
+        spark: SparkSession,
+        base: int | None,
+        deltas: list[int],
+        pre_filter=None,
+    ) -> DataFrame:
         """Merge-on-read: base ∪ delta commits → latest per key by
         ``(order_col, commit_seq)`` → drop tombstones. One shuffle on the
         key; deltas were already collapsed to ≤1 row per key at commit time,
-        so the commit sequence alone breaks cross-commit ties."""
+        so the commit sequence alone breaks cross-commit ties.
+
+        ``pre_filter`` (key-column predicate, see :meth:`read_where_keys`)
+        is applied to the base and delta scans BEFORE the fold."""
         delta_df = (
             spark.read.option("mergeSchema", "true")
             .parquet(*[self._delta_dir(d) for d in deltas])
         )
+        if pre_filter is not None:
+            delta_df = delta_df.filter(pre_filter)
         unioned = delta_df
         if base is not None:
-            base_df = (
-                spark.read.parquet(self._version_dir(base))
-                .withColumn(self.deleted_col, F.lit(False))
-                .withColumn(_SEQ_COL, F.lit(base))
-            )
+            base_df = spark.read.parquet(self._version_dir(base))
+            if pre_filter is not None:
+                base_df = base_df.filter(pre_filter)
+            base_df = base_df.withColumn(
+                self.deleted_col, F.lit(False)
+            ).withColumn(_SEQ_COL, F.lit(base))
             base_df, delta_df = align_by_name(base_df, delta_df)
             unioned = base_df.unionByName(delta_df)
         merged = latest_per_key_agg(

@@ -53,6 +53,27 @@ _OP_DELETED = "__op_deleted"
 #: replayed batches tie and resolve to the incoming copy (same content)
 _HSEQ = "__hseq"
 
+#: batches touching up to this many keys read the log/history through a
+#: key-literal predicate pushed BELOW the MOR fold (scan-level pruning,
+#: sinks/keyed_table.py:read_where_keys); larger batches fall back to the
+#: broadcast semi-join AFTER the fold
+_MAX_KEY_LITERALS = 4096
+
+
+def _key_predicate(affected_rows, keys, schema):
+    """Build ``(k1, ..) IN (literals)`` over the key columns, literals cast
+    to the batch's key dtypes (an int literal vs bigint column is a
+    struct-IN type mismatch, not a coercion)."""
+    fields = {f.name: f.dataType for f in schema.fields}
+    if len(keys) == 1:
+        k = keys[0]
+        return F.col(k).isin([r[k] for r in affected_rows])
+    lits = [
+        F.struct(*[F.lit(r[k]).cast(fields[k]).alias(k) for k in keys])
+        for r in affected_rows
+    ]
+    return F.struct(*[F.col(k).alias(k) for k in keys]).isin(lits)
+
 
 @dataclass
 class Scd2HistoryMaintainer:
@@ -113,11 +134,25 @@ class Scd2HistoryMaintainer:
         try:
             # 1. log append (no-op on replay: batch-id pointer protocol)
             self.log.merge_batch(spark, b, batch_id=batch_id)
-            # 2. rebuild ONLY the affected keys' chains from the log
+            # 2. rebuild ONLY the affected keys' chains from the log.
+            # Small batches (the churn steady state) push the affected-key
+            # set as a literal predicate BELOW the log's MOR fold — the
+            # read prunes at the parquet scan and costs O(affected keys'
+            # rows), not O(log); oversized batches fall back to the
+            # broadcast semi-join above the fold.
             affected = b.select(*keys).distinct()
-            log_aff = self.log.read(spark).join(
-                F.broadcast(affected), on=keys, how="left_semi"
+            aff_rows = affected.limit(_MAX_KEY_LITERALS + 1).collect()
+            pred = (
+                _key_predicate(aff_rows, keys, b.select(*keys).schema)
+                if len(aff_rows) <= _MAX_KEY_LITERALS
+                else None
             )
+            if pred is not None:
+                log_aff = self.log.read_where_keys(spark, pred)
+            else:
+                log_aff = self.log.read(spark).join(
+                    F.broadcast(affected), on=keys, how="left_semi"
+                )
             rec = scd2_history(
                 log_aff,
                 keys,
@@ -131,11 +166,19 @@ class Scd2HistoryMaintainer:
             #    op is a delete keeps its CLOSED versions only)
             hkeys = [*keys, "valid_from", *self.tiebreakers]
             delta = rec
-            old = self.history.read(spark)
+            old = (
+                self.history.read_where_keys(spark, pred)
+                if pred is not None
+                else self.history.read(spark)
+            )
             if old is not None:
+                old_aff = (
+                    old
+                    if pred is not None
+                    else old.join(F.broadcast(affected), on=keys, how="left_semi")
+                )
                 stale = (
-                    old.join(F.broadcast(affected), on=keys, how="left_semi")
-                    .join(rec.select(*hkeys), on=hkeys, how="left_anti")
+                    old_aff.join(rec.select(*hkeys), on=hkeys, how="left_anti")
                     .withColumn("_deleted", F.lit(True))
                     .withColumn(_HSEQ, F.lit(int(batch_id)).cast("long"))
                 )

@@ -414,3 +414,43 @@ class TestSizeBasedCompaction:
             _bases, deltas = mor._commit_dirs()
             assert len(deltas) < 2
         assert _state(mor.read(spark)) == {1: ("a2", 20), 3: ("c2", 40)}
+
+
+class TestReadWhereKeys:
+    def test_equivalent_to_read_filter_and_prunes_below_fold(self, spark, tmp_path):
+        """read_where_keys == read().filter for key predicates, with the
+        predicate applied BELOW the MOR fold (visible as a PushedFilters/
+        Filter on the scan side of the aggregate, and as pre-fold pruning
+        in the fold input)."""
+        from pyspark.sql import functions as F
+
+        t = _mor(tmp_path, "rwk", compact_every=None)
+        for i, b in enumerate(BATCHES):
+            t.merge_batch(spark, _df(spark, b), batch_id=i)
+        pred = F.col("id").isin([1, 3])
+        want = _state(t.read(spark).filter(pred))
+        got_df = t.read_where_keys(spark, pred)
+        assert _state(got_df) == want and want  # non-vacuous
+        # tombstoned key (4) and unselected key (2) absent either way
+        assert set(want) == {1, 3}
+        # pre-fold pruning: the fold's aggregate input must already be
+        # key-filtered — the optimized plan's scan side carries the IN
+        # filter below the aggregate (no full-log fold)
+        plan = got_df._jdf.queryExecution().optimizedPlan().toString()
+        agg_pos = plan.find("Aggregate")
+        filt_pos = max(plan.rfind("Filter"), plan.rfind("PushedFilters"))
+        assert agg_pos != -1 and filt_pos > agg_pos, plan
+        # empty table -> None
+        t2 = _mor(tmp_path, "rwk_empty")
+        assert t2.read_where_keys(spark, pred) is None
+
+    def test_base_plus_deltas_after_compaction(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        t = _mor(tmp_path, "rwk2", compact_every=2)
+        for i, b in enumerate(BATCHES):
+            t.merge_batch(spark, _df(spark, b), batch_id=i)
+        pred = F.col("id") >= 3
+        assert _state(t.read_where_keys(spark, pred)) == _state(
+            t.read(spark).filter(pred)
+        )
