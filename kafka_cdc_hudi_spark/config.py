@@ -182,6 +182,11 @@ class JobConfig:
     #: deterministic orderers after the precombine field for the SCD2
     #: version chain (e.g. an event id); empty = ties resolve arbitrarily
     scd2_tiebreakers: tuple[str, ...] = ()
+    #: history-table layout: "cow" (snapshot rewrite), "cow-bucketed"
+    #: (touched-bucket rewrites, buckets = sink_n_buckets) or "mor"
+    #: (O(batch) delta commits — the scale shape when churn is spread
+    #: across the key space; see streaming/scd2.py)
+    scd2_history_mode: str = "cow"
     #: register each synced table in the Spark catalog after every commit
     #: (reference hive_sync parity: hoodie.datasource.hive_sync.*,
     #: /root/reference/glue/cdc_hudi.py:190-194). Tables appear as
@@ -255,6 +260,14 @@ class JobConfig:
             # reference key is consumer_group (/root/reference/glue/cdc_hudi.py:74);
             # kafka_consumer_group kept for earlier configs of this package
             consumer_group=props.get("consumer_group", props.get("kafka_consumer_group")),
+            scd2_history=props.get("scd2_history", "false").strip().lower()
+            in ("true", "1", "yes"),
+            scd2_tiebreakers=tuple(
+                c.strip()
+                for c in props.get("scd2_tiebreakers", "").split(",")
+                if c.strip()
+            ),
+            scd2_history_mode=props.get("scd2_history_mode", "cow"),
         )
 
     @staticmethod

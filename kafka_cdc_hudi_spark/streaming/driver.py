@@ -77,6 +77,8 @@ class CdcStreamDriver:
                 keys=list(spec.primary_keys),
                 ts_col=spec.precombine_field,
                 tiebreakers=tuple(self.config.scd2_tiebreakers),
+                history_mode=self.config.scd2_history_mode,
+                n_buckets=self.config.sink_n_buckets,
             )
         return self._scd2[key]
 

@@ -81,12 +81,18 @@ class Scd2HistoryMaintainer:
     keys: Sequence[str]
     ts_col: str = "mtime"
     tiebreakers: Sequence[str] = ()
-    #: "cow" | "cow-bucketed" history layout; bucketed is the scale path
-    #: (touched-bucket rewrites)
+    #: history layout: "cow" (simple, snapshot rewrite per batch),
+    #: "cow-bucketed" (touched-bucket rewrites — right when churn is
+    #: key-localized), or "mor" (O(batch) delta commits + read-time fold —
+    #: the write-throughput scale shape when churn is spread across the
+    #: key space, where bucketed would touch every bucket anyway; the
+    #: affected-key reads in :meth:`apply_batch` stay scan-pruned because
+    #: ``read_where_keys`` pushes the key predicate BELOW the MOR fold)
     history_mode: str = "cow"
     n_buckets: int = 16
-    #: bound the log's MOR read fold (deltas folded into a base)
+    #: bound the read fold of MOR tables (deltas folded into a base)
     log_compact_every: int | None = 8
+    history_compact_every: int | None = 8
     _log: KeyedParquetTable | None = field(default=None, repr=False)
     _hist: KeyedParquetTable | None = field(default=None, repr=False)
 
@@ -105,7 +111,11 @@ class Scd2HistoryMaintainer:
     @property
     def history(self) -> KeyedParquetTable:
         if self._hist is None:
-            kw = {"n_buckets": self.n_buckets} if self.history_mode == "cow-bucketed" else {}
+            kw = {}
+            if self.history_mode == "cow-bucketed":
+                kw["n_buckets"] = self.n_buckets
+            elif self.history_mode == "mor":
+                kw["compact_every"] = self.history_compact_every
             self._hist = KeyedParquetTable(
                 root=f"{self.root}/history",
                 keys=[*self.keys, "valid_from", *self.tiebreakers],

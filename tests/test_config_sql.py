@@ -62,6 +62,44 @@ def test_job_config_from_properties_text():
     assert cfg.tables[1].primary_keys == ("id", "kind")
 
 
+def test_job_config_scd2_properties_and_driver_wiring(spark, tmp_path):
+    """The SCD2 keys map from properties text and reach the per-table
+    maintainer: history layout + tiebreakers + bucket count (buckets come
+    from sink_n_buckets, shared with the merge sink's bucketed mode)."""
+    cfg = JobConfig.from_properties_text(
+        "scd2_history = true\n"
+        "scd2_tiebreakers = event_id, val\n"
+        "scd2_history_mode = mor\n"
+        "sink_n_buckets = 8\n"
+        'sync_table_list = [{"db_name": "d1", "table_name": "t1", "primary_key": "id"}]\n'
+        f"sink_root = {tmp_path}/sink\n"
+        f"checkpoint_location = {tmp_path}/ckpt\n"
+    )
+    assert cfg.scd2_history is True
+    assert cfg.scd2_tiebreakers == ("event_id", "val")
+    assert cfg.scd2_history_mode == "mor"
+    m = CdcStreamDriver(spark, cfg).scd2_for(cfg.tables[0])
+    assert m.history_mode == "mor"
+    assert m.tiebreakers == ("event_id", "val")
+    assert m.history.mode == "mor"
+    # default stays the simple layout, and a typo fails loudly at table
+    # construction (the dialect-string lesson: never silently fall back)
+    assert JobConfig.from_properties_text("").scd2_history_mode == "cow"
+    bad = CdcStreamDriver(
+        spark,
+        JobConfig.from_properties_text(
+            "scd2_history_mode = morr\n"
+            'sync_table_list = [{"db_name": "d1", "table_name": "t1", "primary_key": "id"}]\n'
+        ),
+    ).scd2_for(cfg.tables[0])
+    try:
+        bad.history
+    except ValueError as e:
+        assert "mode" in str(e)
+    else:
+        raise AssertionError("unknown scd2_history_mode must raise")
+
+
 def test_job_config_reference_properties_format():
     """The reference's own job.properties: checkpoint_interval carries its
     unit ('30 seconds', passed verbatim to processingTime at

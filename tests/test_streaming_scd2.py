@@ -6,6 +6,7 @@ replay/restart idempotent under the real streaming engine."""
 
 import json
 
+import pytest
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
@@ -28,9 +29,17 @@ def _batch_oracle(spark, rows):
 
 
 class TestMaintainerEquivalence:
-    def test_prefix_equivalence_with_ooo_and_deletes(self, spark, tmp_path):
+    @pytest.mark.parametrize("history_mode", ["cow", "cow-bucketed", "mor"])
+    def test_prefix_equivalence_with_ooo_and_deletes(self, spark, tmp_path, history_mode):
         m = Scd2HistoryMaintainer(
-            root=str(tmp_path / "scd2"), keys=["id"], ts_col="mtime", tiebreakers=["val"]
+            root=str(tmp_path / "scd2"),
+            keys=["id"],
+            ts_col="mtime",
+            tiebreakers=["val"],
+            history_mode=history_mode,
+            n_buckets=4,
+            # small enough that the 4-batch script crosses a compaction
+            history_compact_every=2,
         )
         batches = [
             # b0: two keys open
