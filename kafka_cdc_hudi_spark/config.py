@@ -200,6 +200,18 @@ class JobConfig:
     max_offsets_per_trigger: int = 1_000_000
     consumer_group: str | None = None
 
+    #: valid history-table layouts (streaming/scd2.py); validated at
+    #: construction so a properties typo fails at config parse, not at the
+    #: first micro-batch mid-flight (ADVICE r9)
+    _SCD2_MODES = ("cow", "cow-bucketed", "mor")
+
+    def __post_init__(self) -> None:
+        if self.scd2_history_mode not in self._SCD2_MODES:
+            raise ValueError(
+                f"scd2_history_mode must be one of {self._SCD2_MODES}, "
+                f"got {self.scd2_history_mode!r}"
+            )
+
     @staticmethod
     def from_properties(props: dict[str, str]) -> "JobConfig":
         """Build from a java-properties-style dict (reference parity:

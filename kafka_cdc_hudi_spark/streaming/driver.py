@@ -212,12 +212,22 @@ class CdcStreamDriver:
         # in-batch duplicates map-side over the union — a separate pass here
         # would pay a full extra shuffle per table per batch for nothing
         sink = self.sink_for(spec)
-        committed = sink.merge_batch(self.spark, routed, batch_id=batch_id)
+        # with scd2 on, `routed` is consumed TWICE (merge sink + history
+        # maintainer) and its lineage is the full prefilter->parse->route
+        # chain — persist here so the second consumer re-reads instead of
+        # re-parsing the batch (ADVICE r9)
         if self.config.scd2_history:
-            # history maintenance is replay-idempotent on its own pointer
-            # protocol, so it runs regardless of the merge sink's commit
-            # verdict (a crash between the two commits must not strand it)
-            self.scd2_for(spec).apply_batch(self.spark, routed, batch_id=batch_id)
+            routed = routed.persist()
+        try:
+            committed = sink.merge_batch(self.spark, routed, batch_id=batch_id)
+            if self.config.scd2_history:
+                # history maintenance is replay-idempotent on its own pointer
+                # protocol, so it runs regardless of the merge sink's commit
+                # verdict (a crash between the two commits must not strand it)
+                self.scd2_for(spec).apply_batch(self.spark, routed, batch_id=batch_id)
+        finally:
+            if self.config.scd2_history:
+                routed.unpersist()
         if committed and self.config.catalog_sync:
             # reference hive-syncs on every commit; metadata-only re-point
             sink.sync_catalog(self.spark, spec.qualified_name)

@@ -141,6 +141,20 @@ class Scd2HistoryMaintainer:
         if b.isEmpty():
             return False
         b = b.persist()
+        # NULL-key rows would be appended to the log but never selected by
+        # the affected-key predicate (NULL IN (...) is NULL, and the
+        # semi-join fallback drops NULL keys too) — that key's chain would
+        # silently never materialize. Fail fast instead (ADVICE r9).
+        null_key = None
+        for k in keys:
+            c = F.col(k).isNull()
+            null_key = c if null_key is None else (null_key | c)
+        if not b.filter(null_key).isEmpty():
+            b.unpersist()
+            raise ValueError(
+                f"scd2 batch {batch_id} carries rows with NULL primary-key "
+                f"values in {keys}; filter or quarantine them upstream"
+            )
         try:
             # 1. log append (no-op on replay: batch-id pointer protocol)
             self.log.merge_batch(spark, b, batch_id=batch_id)
@@ -187,8 +201,18 @@ class Scd2HistoryMaintainer:
                     if pred is not None
                     else old.join(F.broadcast(affected), on=keys, how="left_semi")
                 )
+                # null-safe equality: a NULL tiebreaker value under plain
+                # `=` makes an unchanged row fail to match ITSELF, so it
+                # would be tombstoned and re-upserted with an identical
+                # _HSEQ — a nondeterministic precombine tie (ADVICE r9)
+                old_a = old_aff.alias("__h")
+                rec_a = rec.select(*hkeys).alias("__r")
+                same = None
+                for c in hkeys:
+                    eq = F.col(f"__h.{c}").eqNullSafe(F.col(f"__r.{c}"))
+                    same = eq if same is None else (same & eq)
                 stale = (
-                    old_aff.join(rec.select(*hkeys), on=hkeys, how="left_anti")
+                    old_a.join(rec_a, on=same, how="left_anti")
                     .withColumn("_deleted", F.lit(True))
                     .withColumn(_HSEQ, F.lit(int(batch_id)).cast("long"))
                 )

@@ -82,22 +82,19 @@ def test_job_config_scd2_properties_and_driver_wiring(spark, tmp_path):
     assert m.history_mode == "mor"
     assert m.tiebreakers == ("event_id", "val")
     assert m.history.mode == "mor"
-    # default stays the simple layout, and a typo fails loudly at table
-    # construction (the dialect-string lesson: never silently fall back)
+    # default stays the simple layout, and a typo fails loudly AT CONFIG
+    # PARSE (ADVICE r9 — not mid-flight at the first micro-batch; the
+    # dialect-string lesson: never silently fall back)
     assert JobConfig.from_properties_text("").scd2_history_mode == "cow"
-    bad = CdcStreamDriver(
-        spark,
+    try:
         JobConfig.from_properties_text(
             "scd2_history_mode = morr\n"
             'sync_table_list = [{"db_name": "d1", "table_name": "t1", "primary_key": "id"}]\n'
-        ),
-    ).scd2_for(cfg.tables[0])
-    try:
-        bad.history
+        )
     except ValueError as e:
-        assert "mode" in str(e)
+        assert "scd2_history_mode" in str(e)
     else:
-        raise AssertionError("unknown scd2_history_mode must raise")
+        raise AssertionError("unknown scd2_history_mode must raise at parse")
 
 
 def test_job_config_reference_properties_format():

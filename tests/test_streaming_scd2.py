@@ -219,3 +219,93 @@ class TestStreamingEngine:
         got_set = {tuple(r[c] for c in cols) for r in m.read(spark).select(*cols).collect()}
         want_set = {tuple(r[c] for c in cols) for r in want.collect()}
         assert got_set == want_set and got_set
+
+
+class TestAdviceR9:
+    """Pins for the r9 ADVICE items on this module (NULL keys, NULL
+    tiebreakers, config validation, routed persist)."""
+
+    def test_null_key_rows_rejected(self, spark, tmp_path):
+        """A NULL primary-key row would be logged but never selected by the
+        affected-key predicate (NULL IN (...) is NULL) — the chain would
+        silently never materialize. apply_batch must fail fast instead."""
+        m = Scd2HistoryMaintainer(
+            root=str(tmp_path / "nk"), keys=["id"], ts_col="mtime", tiebreakers=["val"]
+        )
+        bad = spark.createDataFrame(
+            [(None, 10, "a", False), (1, 10, "b", False)], SCHEMA
+        )
+        with pytest.raises(ValueError, match="NULL primary-key"):
+            m.apply_batch(spark, bad, batch_id=0)
+        # nothing committed: neither the log nor the history advanced
+        assert m.read(spark) is None
+
+    def test_null_tiebreaker_row_survives_rebuilds(self, spark, tmp_path):
+        """A NULL tiebreaker value under a plain-equality anti-join makes an
+        unchanged history row fail to match ITSELF — tombstoned and
+        re-upserted with an identical __hseq, a nondeterministic precombine
+        tie. The eqNullSafe anti-join keeps prefix equivalence exact."""
+        m = Scd2HistoryMaintainer(
+            root=str(tmp_path / "nt"), keys=["id"], ts_col="mtime", tiebreakers=["val"]
+        )
+        batches = [
+            [(1, 10, None, False), (2, 10, "x", False)],  # NULL-tiebreaker version
+            [(1, 20, "b", False)],  # key 1 re-touched: its chain is rebuilt
+            [(1, 30, "c", False), (2, 20, "y", False)],
+        ]
+        seen = []
+        for i, rows in enumerate(batches):
+            assert m.apply_batch(spark, spark.createDataFrame(rows, SCHEMA), batch_id=i)
+            seen.extend(rows)
+            got = _hist_set(m.read(spark))
+            want = _hist_set(_batch_oracle(spark, seen))
+            assert got == want, f"divergence after batch {i}"
+        final = {(r["id"], r["valid_from"]) for r in m.read(spark).collect()}
+        assert (1, 10) in final  # the NULL-tiebreaker version survived
+
+    def test_history_mode_validated_at_config_parse(self):
+        """A scd2_history_mode typo must fail at config parse, not as a
+        KeyedParquetTable ValueError at the first micro-batch."""
+        from kafka_cdc_hudi_spark.config import JobConfig
+
+        with pytest.raises(ValueError, match="scd2_history_mode"):
+            JobConfig.from_properties({"scd2_history_mode": "bucketed"})
+        with pytest.raises(ValueError, match="scd2_history_mode"):
+            JobConfig(scd2_history_mode="cow_bucketed")
+        # the three real layouts parse clean
+        for mode in ("cow", "cow-bucketed", "mor"):
+            assert JobConfig.from_properties({"scd2_history_mode": mode}).scd2_history_mode == mode
+
+    def test_routed_persisted_for_second_consumer(self, spark, tmp_path, monkeypatch):
+        """With scd2 on, `routed` feeds BOTH the merge sink and the history
+        maintainer; the driver must persist it so the maintainer re-reads
+        instead of re-running the prefilter->parse->route lineage."""
+        from kafka_cdc_hudi_spark.config import DIALECT_DEBEZIUM, JobConfig, TableSpec
+        from kafka_cdc_hudi_spark.streaming.driver import CdcStreamDriver
+
+        cfg = JobConfig(
+            dialect=DIALECT_DEBEZIUM,
+            tables=[TableSpec("d1", "t1", ("id",))],
+            sink_root=str(tmp_path / "sink"),
+            checkpoint_location=str(tmp_path / "ckpt"),
+            max_workers=1,
+            scd2_history=True,
+            scd2_tiebreakers=("val",),
+        )
+        driver = CdcStreamDriver(spark, cfg, payload_schemas={"t1": PAYLOAD})
+        seen_cached = {}
+        orig = Scd2HistoryMaintainer.apply_batch
+
+        def spy(self_m, spark_, batch, batch_id):
+            seen_cached["cached"] = batch.storageLevel.useMemory or batch.is_cached
+            return orig(self_m, spark_, batch, batch_id)
+
+        monkeypatch.setattr(Scd2HistoryMaintainer, "apply_batch", spy)
+        raw = spark.createDataFrame(
+            [(_dbz("c", after={"id": 1, "val": "a"}, ts_ms=10),)], "value string"
+        )
+        driver.process_batch(raw, 0)
+        assert seen_cached.get("cached") is True
+        # and the history actually landed
+        m = driver.scd2_for(cfg.tables[0])
+        assert {(r["id"], r["val"]) for r in m.read(spark).collect()} == {(1, "a")}
