@@ -35,39 +35,38 @@ FULL_REGISTRY.update(STREAMING_QUERIES)
 #: driver status, and the full-registry sf0.01 sweep artifact
 #: (SWEEP_r{N}.json, scripts/sweep.py) is committed each round.
 #:
-#: ROUND-9 ROTATION (this file's current state; executes the schedule
-#: pre-committed in r8 verbatim, VERDICT r8 item 1, plus the one entry
-#: born this round). IN (50 slots, in order):
-#:   1. cdc_merge_dms_e2e — born r9 (VERDICT r8 item 6: the DMS envelope
-#:      family value-checked through the full route->parse->dedup->merge
-#:      path, closing the Debezium-only merge asymmetry in the driver set).
-#:   2. ALL 23 entries born in r8 after the driver-set freeze — the
-#:      never-driver-tested backlog returns to zero in one round.
-#:   3. the 2 one-round slips: q12_priority_by_linestatus,
-#:      events_hll_mergeable_rollup.
-#:   4. 23 slots of the oldest-green rows: the full r2-r6 green block
-#:      (cdc parse/merge/time-travel/route set, q1 q3 q4 q5,
-#:      topk/asof/anti/cube/range/retention/funnel, dedup
-#:      exact/minhash/simhash/bruteforce).
-#:   5. 1 remaining slot from the r3-r6 block oldest-first:
-#:      events_sliding_windows. The other 12 due-back-r9 r3-r6/r5-r6
-#:      entries slip to r10 (slots consumed by the 24-entry born-r8/r9
-#:      block; each stays locally oracled + swept).
-#: OUT: the 50 green r8 driver entries and the 49 green r7 entries (due
-#: back r10 oldest-row-first). Never-driver-tested backlog after r9: 0
-#: (plus any entry born in r9 past the freeze, which rotates in r10).
-#:
-#: ROUND-10 ROTATION (committed in advance, the standing pattern):
-#: IN (50 slots, in order):
-#:   1. any entries born in r9 after this driver-set freeze.
+#: ROUND-10 ROTATION (this file's current state; executes the schedule
+#: pre-committed in r9 verbatim, VERDICT r9 item 3, plus the maintained-ANN
+#: driver surface mandated by VERDICT r9 item 2). IN (50 slots, in order):
+#:   1. ann_topk_maintained — the r9-born AnnIndexMaintainer
+#:      (streaming/ann_ivm.py) gets its driver-oracle surface: a
+#:      deterministic CDC script (cell-moving re-embeds + top-k-evicting
+#:      deletes) folded through the maintainer, final top-k oracled as a
+#:      static IVF rebuild over the live corpus in DuckDB.
 #:   2. the 12 slipped r3-r6/r5-r6 entries (text_repetition_stats,
 #:      text_pii_scrub, text_decontaminate, cdc_schema_drift_parse,
 #:      dataset_pack_sequences, ann_topk_srp, dedup_embedding_cosine,
 #:      multimodal_meta, multimodal_frame_sample, multimodal_resize,
-#:      events_session_windows, user_running_stats_batch) — these are the
-#:      oldest rows in the registry by then and must not slip twice.
-#:   3. the r7 green block oldest-row-first as slots allow (~37 slots).
-#:   4. r8/r9 greens rest and return r11 oldest-row-first.
+#:      events_session_windows, user_running_stats_batch) — the oldest
+#:      rows in the registry; due back r10, "must not slip twice".
+#:   3. 37 slots of the r7 green block in PRUNED listing order
+#:      (q10_returned_items .. cdc_incremental_agg_maintenance).
+#: OUT: the 50 green r9 driver entries (due back r11) and the 50 green r8
+#: entries (due back r11). The last 12 of the r7 block slip one round
+#: (slots consumed by the due-back-r10 block) and are named below — due
+#: back r11, must not slip twice.
+#:
+#: ROUND-11 ROTATION (committed in advance, the standing pattern):
+#: IN (50 slots, in order):
+#:   1. any entries born in r10 after this driver-set freeze.
+#:   2. the 12 slipped r7 entries (cdc_incremental_minmax_maintenance,
+#:      user_activity_reconciliation, events_anomaly_zscore,
+#:      events_daily_ohlc, events_data_profile, events_kmv_distinct_rollup,
+#:      events_markov_transitions, events_props_json_stats,
+#:      parts_cooccurrence, text_bpe_pretokenize, text_lm_score,
+#:      text_trigram_novelty) — oldest rows by then; must not slip twice.
+#:   3. the r8 green block oldest-row-first as slots allow (~37 slots).
+#:   4. r9/r10 greens rest and return r12 oldest-row-first.
 #: Structural near-duplicates (the 11 standing PRUNED entries) stay out
 #: with covered-by reasons.
 
@@ -88,184 +87,183 @@ PRUNED: dict[str, str] = {
     "events_tumbling_windows": "events_sliding_windows (same windowed-agg family) + test_streaming_windows builder tests",
     "embedding_norms": "ann_topk_bruteforce (computes the same norms)",
     "text_token_count": "text_bpe_pretokenize (driver r7; same tokenizer-count shape) + text_tfidf_topk (green r6)",
-    # ---- r3-r6/r5-r6 greens, slipped one round to r10 (r9 slots were
-    #      consumed by the 24-entry born-r8/r9 block; must not slip twice) ----
-    "text_repetition_stats": "green r5+r6; slipped r9, due back r10",
-    "text_pii_scrub": "green r5+r6; slipped r9, due back r10",
-    "text_decontaminate": "green r5+r6; slipped r9, due back r10",
-    "cdc_schema_drift_parse": "green r5+r6; slipped r9, due back r10",
-    "dataset_pack_sequences": "green r5+r6; slipped r9, due back r10 (packing family driver-covered r7 by dataset_pack_materialize)",
-    "ann_topk_srp": "green r3-r6; slipped r9, due back r10",
-    "dedup_embedding_cosine": "green r3-r6; slipped r9, due back r10",
-    "multimodal_meta": "green r3-r6; slipped r9, due back r10",
-    "multimodal_frame_sample": "green r3-r6; slipped r9, due back r10",
-    "multimodal_resize": "green r3-r6; slipped r9, due back r10 (resize driver-covered r7 by multimodal_resize_png_real)",
-    "events_session_windows": "green r3-r6; slipped r9, due back r10",
-    "user_running_stats_batch": "green r3-r6; slipped r9, due back r10",
-    # ---- r7 driver set, resting after green CORRECTNESS_r07 rows (due
-    #      back r10 by alternation; all locally oracled + swept) ----
-    "q10_returned_items": "green r7; due back r10",
-    "q14_promo_revenue": "green r7; due back r10",
-    "text_normalize": "green r7; due back r10",
-    "dataset_split_assign": "green r7; due back r10",
-    "dedup_clusters": "green r7; due back r10",
-    "q2_min_cost_supplier": "green r7; due back r10",
-    "q7_volume_shipping": "green r7; due back r10",
-    "q8_market_share": "green r7; due back r10",
-    "q9_product_profit": "green r7; due back r10",
-    "q11_important_parts": "green r7; due back r10",
-    "q13_customer_distribution": "green r7; due back r10",
-    "q15_top_supplier": "green r7; due back r10",
-    "q16_part_supplier_variety": "green r7; due back r10",
-    "q17_small_quantity_revenue": "green r7; due back r10",
-    "q18_large_volume_customers": "green r7; due back r10",
-    "q19_disjunctive_revenue": "green r7; due back r10",
-    "q20_excess_quantity_suppliers": "green r7; due back r10",
-    "q21_last_shipper_blame": "green r7; due back r10",
-    "q22_sales_opportunity": "green r7; due back r10",
-    "embedding_pq_encode": "green r7; due back r10",
-    "ann_topk_pq_adc": "green r7; due back r10",
-    "graph_pagerank_neardup": "green r7; due back r10",
-    "multimodal_decode_bmp": "green r7; due back r10",
-    "multimodal_decode_gif": "green r7; due back r10",
-    "multimodal_decode_tiff": "green r7; due back r10",
-    "multimodal_decode_wav": "green r7; due back r10",
-    "multimodal_resize_png_real": "green r7; due back r10",
-    "pipeline_pretraining_corpus": "green r7; due back r10",
-    "pipeline_multimodal_manifest": "green r7; due back r10",
-    "dataset_pack_materialize": "green r7; due back r10",
-    "dataset_quota_per_group": "green r7; due back r10",
-    "dataset_weighted_sample": "green r7; due back r10",
-    "dataset_mixture_weights": "green r7; due back r10",
-    "dedup_lines_reconstruct": "green r7; due back r10",
-    "dedup_corpus_final": "green r7; due back r10",
-    "cdc_merge_bucketed": "green r7; due back r10",
-    "cdc_incremental_agg_maintenance": "green r7; due back r10",
-    "cdc_incremental_minmax_maintenance": "green r7; due back r10",
-    "user_activity_reconciliation": "green r7; due back r10",
-    "events_anomaly_zscore": "green r7; due back r10",
-    "events_daily_ohlc": "green r7; due back r10",
-    "events_data_profile": "green r7; due back r10",
-    "events_kmv_distinct_rollup": "green r7; due back r10",
-    "events_markov_transitions": "green r7; due back r10",
-    "events_props_json_stats": "green r7; due back r10",
-    "parts_cooccurrence": "green r7; due back r10",
-    "text_bpe_pretokenize": "green r7; due back r10",
-    "text_lm_score": "green r7; due back r10",
-    "text_trigram_novelty": "green r7; due back r10",
-    # ---- r8 driver set, resting after green CORRECTNESS_r08 rows (due
-    #      back r10 by alternation; all locally oracled + swept) ----
-    "text_hash_embedding": "green r8; due back r10",
-    "dataset_interleave_order": "green r8; due back r10",
-    "dataset_length_buckets": "green r8; due back r10",
-    "embedding_mrl_energy": "green r8; due back r10",
-    "events_value_percentiles": "green r8; due back r10",
-    "events_user_gaps": "green r8; due back r10",
-    "events_active_users_rolling": "green r8; due back r10",
-    "text_rare_token_fraction": "green r8; due back r10",
-    "text_chunk_overlap": "green r8; due back r10",
-    "text_html_strip": "green r8; due back r10",
-    "orders_price_percentile_rank": "green r8; due back r10",
-    "events_type_cooccurrence": "green r8; due back r10",
-    "customers_rfm_segments": "green r8; due back r10",
-    "multimodal_decode_jpeg_color": "green r8; due back r10",
-    "multimodal_audio_segments": "green r8; due back r10",
-    "multimodal_video_cuts": "green r8; due back r10",
-    "events_histogram_quantile_rollup": "green r8; due back r10",
-    "text_bpe_pair_counts": "green r8; due back r10",
-    "text_bpe_train_merges": "green r8; due back r10",
-    "pipeline_audio_manifest": "green r8; due back r10",
-    "text_bloom_decontaminate": "green r8; due back r10",
-    "dedup_fuzzy_editdist": "green r8; due back r10",
-    "dedup_fuzzy_canonicalize": "green r8; due back r10",
-    "text_bpe_encode": "green r8; due back r10",
-    "cdc_incremental_enriched_agg_maintenance": "green r8; due back r10",
-    "dataset_negative_sample": "green r8; due back r10",
-    "text_duplicated_span_fraction": "green r8; due back r10",
-    "text_fingerprint": "green r8; due back r10",
-    "text_language_id": "green r8; due back r10",
-    "embedding_quantize_int8": "green r8; due back r10",
-    "events_pivot_user_counts": "green r8; due back r10",
-    "active_user_set_ops": "green r8; due back r10",
-    "text_quality_score": "green r8; due back r10",
-    "events_hourly_agg": "green r8; due back r10",
-    "text_token_topk": "green r8; due back r10",
-    "ann_topk_ivf": "green r8; due back r10",
-    "dedup_ngram_jaccard": "green r8; due back r10",
-    "dataset_sample_stratified": "green r8; due back r10",
-    "text_tfidf_topk": "green r8; due back r10",
-    "events_user_rate_window": "green r8; due back r10",
-    "multimodal_decode_png": "green r8; due back r10",
-    "ann_topk_ivf_trained": "green r8; due back r10",
-    "multimodal_decode_jpeg": "green r8; due back r10",
-    "multimodal_video_frames": "green r8; due back r10",
-    "cdc_merge_partial_updates": "green r8; due back r10",
-    "events_cms_heavy_hitters": "green r8; due back r10",
-    "ann_topk_ivfpq": "green r8; due back r10",
-    "dedup_clusters_star": "green r8; due back r10",
-    "events_sketches": "green r8; due back r10",
-    "multimodal_video_keyframes": "green r8; due back r10",
+    # ---- r7 greens slipped one round to r11 (slots consumed by the
+    #      due-back-r10 block; must not slip twice) ----
+    "cdc_incremental_minmax_maintenance": "green r7; slipped r10, due back r11",
+    "user_activity_reconciliation": "green r7; slipped r10, due back r11",
+    "events_anomaly_zscore": "green r7; slipped r10, due back r11",
+    "events_daily_ohlc": "green r7; slipped r10, due back r11",
+    "events_data_profile": "green r7; slipped r10, due back r11",
+    "events_kmv_distinct_rollup": "green r7; slipped r10, due back r11",
+    "events_markov_transitions": "green r7; slipped r10, due back r11",
+    "events_props_json_stats": "green r7; slipped r10, due back r11",
+    "parts_cooccurrence": "green r7; slipped r10, due back r11",
+    "text_bpe_pretokenize": "green r7; slipped r10, due back r11",
+    "text_lm_score": "green r7; slipped r10, due back r11",
+    "text_trigram_novelty": "green r7; slipped r10, due back r11",
+    # ---- r8 driver set, resting after green CORRECTNESS_r08 rows
+    #      (due back r11 oldest-row-first; all locally oracled + swept) ----
+    "text_hash_embedding": "green r8; due back r11",
+    "dataset_interleave_order": "green r8; due back r11",
+    "dataset_length_buckets": "green r8; due back r11",
+    "embedding_mrl_energy": "green r8; due back r11",
+    "events_value_percentiles": "green r8; due back r11",
+    "events_user_gaps": "green r8; due back r11",
+    "events_active_users_rolling": "green r8; due back r11",
+    "text_rare_token_fraction": "green r8; due back r11",
+    "text_chunk_overlap": "green r8; due back r11",
+    "text_html_strip": "green r8; due back r11",
+    "orders_price_percentile_rank": "green r8; due back r11",
+    "events_type_cooccurrence": "green r8; due back r11",
+    "customers_rfm_segments": "green r8; due back r11",
+    "multimodal_decode_jpeg_color": "green r8; due back r11",
+    "multimodal_audio_segments": "green r8; due back r11",
+    "multimodal_video_cuts": "green r8; due back r11",
+    "events_histogram_quantile_rollup": "green r8; due back r11",
+    "text_bpe_pair_counts": "green r8; due back r11",
+    "text_bpe_train_merges": "green r8; due back r11",
+    "pipeline_audio_manifest": "green r8; due back r11",
+    "text_bloom_decontaminate": "green r8; due back r11",
+    "dedup_fuzzy_editdist": "green r8; due back r11",
+    "dedup_fuzzy_canonicalize": "green r8; due back r11",
+    "text_bpe_encode": "green r8; due back r11",
+    "cdc_incremental_enriched_agg_maintenance": "green r8; due back r11",
+    "dataset_negative_sample": "green r8; due back r11",
+    "text_duplicated_span_fraction": "green r8; due back r11",
+    "text_fingerprint": "green r8; due back r11",
+    "text_language_id": "green r8; due back r11",
+    "embedding_quantize_int8": "green r8; due back r11",
+    "events_pivot_user_counts": "green r8; due back r11",
+    "active_user_set_ops": "green r8; due back r11",
+    "text_quality_score": "green r8; due back r11",
+    "events_hourly_agg": "green r8; due back r11",
+    "text_token_topk": "green r8; due back r11",
+    "ann_topk_ivf": "green r8; due back r11",
+    "dedup_ngram_jaccard": "green r8; due back r11",
+    "dataset_sample_stratified": "green r8; due back r11",
+    "text_tfidf_topk": "green r8; due back r11",
+    "events_user_rate_window": "green r8; due back r11",
+    "multimodal_decode_png": "green r8; due back r11",
+    "ann_topk_ivf_trained": "green r8; due back r11",
+    "multimodal_decode_jpeg": "green r8; due back r11",
+    "multimodal_video_frames": "green r8; due back r11",
+    "cdc_merge_partial_updates": "green r8; due back r11",
+    "events_cms_heavy_hitters": "green r8; due back r11",
+    "ann_topk_ivfpq": "green r8; due back r11",
+    "dedup_clusters_star": "green r8; due back r11",
+    "events_sketches": "green r8; due back r11",
+    "multimodal_video_keyframes": "green r8; due back r11",
+    # ---- r9 driver set, resting after green CORRECTNESS_r09 rows
+    #      (due back r11; all locally oracled + swept) ----
+    "cdc_merge_dms_e2e": "green r9; due back r11",
+    "dedup_incremental_candidates": "green r9; due back r11",
+    "graph_triangles_neardup": "green r9; due back r11",
+    "ann_recall_at_k": "green r9; due back r11",
+    "dedup_spans_remove": "green r9; due back r11",
+    "dedup_simhash_pairs": "green r9; due back r11",
+    "events_partitioned_day_slice": "green r9; due back r11",
+    "dedup_simhash_wide_pairs": "green r9; due back r11",
+    "ann_recall_trained_vs_static": "green r9; due back r11",
+    "events_ab_test": "green r9; due back r11",
+    "dedup_semantic_clusters": "green r9; due back r11",
+    "text_nb_classifier": "green r9; due back r11",
+    "dataset_dsir_weights": "green r9; due back r11",
+    "pipeline_rag_index": "green r9; due back r11",
+    "pipeline_quality_funnel": "green r9; due back r11",
+    "dedup_cdc_pair_ivm": "green r9; due back r11",
+    "ann_topk_ivfpq_rerank": "green r9; due back r11",
+    "dedup_cross_source_stats": "green r9; due back r11",
+    "dataset_epoch_order": "green r9; due back r11",
+    "text_containment_pairs": "green r9; due back r11",
+    "embedding_pca_whiten": "green r9; due back r11",
+    "pipeline_cdc_corpus_refresh": "green r9; due back r11",
+    "events_ewma_forecast": "green r9; due back r11",
+    "cdc_scd2_history": "green r9; due back r11",
+    "q12_priority_by_linestatus": "green r9; due back r11",
+    "events_hll_mergeable_rollup": "green r9; due back r11",
+    "cdc_parse_debezium": "green r9; due back r11",
+    "cdc_parse_dms": "green r9; due back r11",
+    "cdc_latest_per_composite_key": "green r9; due back r11",
+    "cdc_merge_two_batches": "green r9; due back r11",
+    "cdc_merge_mor": "green r9; due back r11",
+    "cdc_time_travel": "green r9; due back r11",
+    "cdc_incremental_diff": "green r9; due back r11",
+    "cdc_route_multitable": "green r9; due back r11",
+    "q1_pricing_summary": "green r9; due back r11",
+    "q3_shipping_priority": "green r9; due back r11",
+    "q4_order_priority": "green r9; due back r11",
+    "q5_local_supplier": "green r9; due back r11",
+    "topk_orders_per_customer": "green r9; due back r11",
+    "asof_join_last_click": "green r9; due back r11",
+    "customers_without_orders": "green r9; due back r11",
+    "events_cube": "green r9; due back r11",
+    "range_join_post_purchase": "green r9; due back r11",
+    "events_retention_cohorts": "green r9; due back r11",
+    "events_funnel_conversions": "green r9; due back r11",
+    "dedup_exact": "green r9; due back r11",
+    "dedup_minhash_lsh": "green r9; due back r11",
+    "dedup_simhash": "green r9; due back r11",
+    "ann_topk_bruteforce": "green r9; due back r11",
+    "events_sliding_windows": "green r9; due back r11",
 }
 
-#: driver evaluation order, round 9: the born-r9 DMS e2e merge first,
-#: then the full born-r8 block (backlog -> zero), the 2 slips, and the
-#: oldest-green rows (r2-r6 block + events_sliding_windows)
+#: driver evaluation order, round 10: the born-r10 maintained-ANN
+#: surface first, then the 12 due-back slips (oldest rows), then the
+#: r7 green block in PRUNED listing order
 _DRIVER_ORDER = [
-    # -- born r9 (VERDICT r8 item 6: DMS envelopes through the full merge) --
-    "cdc_merge_dms_e2e",
-    # -- the 23 entries born in r8 (oracled + swept from birth; backlog -> 0) --
-    "dedup_incremental_candidates",
-    "graph_triangles_neardup",
-    "ann_recall_at_k",
-    "dedup_spans_remove",
-    "dedup_simhash_pairs",
-    "events_partitioned_day_slice",
-    "dedup_simhash_wide_pairs",
-    "ann_recall_trained_vs_static",
-    "events_ab_test",
-    "dedup_semantic_clusters",
-    "text_nb_classifier",
-    "dataset_dsir_weights",
-    "pipeline_rag_index",
-    "pipeline_quality_funnel",
-    "dedup_cdc_pair_ivm",
-    "ann_topk_ivfpq_rerank",
-    "dedup_cross_source_stats",
-    "dataset_epoch_order",
-    "text_containment_pairs",
-    "embedding_pca_whiten",
-    "pipeline_cdc_corpus_refresh",
-    "events_ewma_forecast",
-    "cdc_scd2_history",
-    # -- the 2 one-round slips (green r6, due back) --
-    "q12_priority_by_linestatus",
-    "events_hll_mergeable_rollup",
-    # -- oldest greens: the r2-r6 block (due back r9 by alternation) --
-    "cdc_parse_debezium",
-    "cdc_parse_dms",
-    "cdc_latest_per_composite_key",
-    "cdc_merge_two_batches",
-    "cdc_merge_mor",
-    "cdc_time_travel",
-    "cdc_incremental_diff",
-    "cdc_route_multitable",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier",
-    "topk_orders_per_customer",
-    "asof_join_last_click",
-    "customers_without_orders",
-    "events_cube",
-    "range_join_post_purchase",
-    "events_retention_cohorts",
-    "events_funnel_conversions",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "ann_topk_bruteforce",
-    # -- r3-r6 block, oldest-first, as the one remaining slot allows --
-    "events_sliding_windows",
+    # -- born r10 (VERDICT r9 item 2: the maintained ANN index) --
+    "ann_topk_maintained",
+    # -- the 12 slipped r3-r6/r5-r6 entries (must not slip twice) --
+    "text_repetition_stats",
+    "text_pii_scrub",
+    "text_decontaminate",
+    "cdc_schema_drift_parse",
+    "dataset_pack_sequences",
+    "ann_topk_srp",
+    "dedup_embedding_cosine",
+    "multimodal_meta",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "events_session_windows",
+    "user_running_stats_batch",
+    # -- the r7 green block, 37 slots in PRUNED listing order --
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "text_normalize",
+    "dataset_split_assign",
+    "dedup_clusters",
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_part_supplier_variety",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q20_excess_quantity_suppliers",
+    "q21_last_shipper_blame",
+    "q22_sales_opportunity",
+    "embedding_pq_encode",
+    "ann_topk_pq_adc",
+    "graph_pagerank_neardup",
+    "multimodal_decode_bmp",
+    "multimodal_decode_gif",
+    "multimodal_decode_tiff",
+    "multimodal_decode_wav",
+    "multimodal_resize_png_real",
+    "pipeline_pretraining_corpus",
+    "pipeline_multimodal_manifest",
+    "dataset_pack_materialize",
+    "dataset_quota_per_group",
+    "dataset_weighted_sample",
+    "dataset_mixture_weights",
+    "dedup_lines_reconstruct",
+    "dedup_corpus_final",
+    "cdc_merge_bucketed",
+    "cdc_incremental_agg_maintenance",
 ]
 
 assert set(_DRIVER_ORDER) | set(PRUNED) == set(FULL_REGISTRY), (

@@ -477,13 +477,13 @@ def _cents_values(cents) -> str:
     )
 
 
-def _ivf_sql(cents_values: str) -> str:
+def _ivf_sql(cents_values: str, rel: str = "embeddings", extra_ctes: str = "") -> str:
     return f"""
-WITH cents(cell, c) AS (VALUES {cents_values}),
+WITH {extra_ctes}cents(cell, c) AS (VALUES {cents_values}),
 asg_d AS (
   SELECT e.vec_id, e.embedding, cents.cell,
          {_DOT.format(A='e.embedding', B='cents.c')} AS d
-  FROM embeddings e CROSS JOIN cents
+  FROM {rel} e CROSS JOIN cents
 ),
 asg AS (
   SELECT vec_id, embedding, cell FROM asg_d
@@ -511,6 +511,100 @@ FROM scored QUALIFY rank <= {_IVF_K}
 
 
 ANN_TOPK_IVF_SQL = _ivf_sql(_cents_values(ivf_static_codebook(EMBEDDING_DIM, _IVF_CELLS)))
+
+
+#: deterministic CDC script constants for the maintained-ANN entry:
+#: vectors with vec_id % 7 == 3 are RE-EMBEDDED to their successor's
+#: embedding (the vector moves, usually across cells); vectors with
+#: vec_id % 13 == 5 are DELETED (must stop appearing in results — some
+#: were former top-k neighbors). vec_id ≡ 31 (mod 91) hits BOTH: the
+#: delete's higher seq wins, the update-then-delete edge.
+_ANN_IVM_UPD_MOD, _ANN_IVM_UPD_RES = 7, 3
+_ANN_IVM_DEL_MOD, _ANN_IVM_DEL_RES = 13, 5
+
+#: session-scoped state roots, keyed by (application id, sf_dir): the CDC
+#: script runs once per session/SF; later calls query the maintained table
+#: (same lifecycle/lock rationale as catalog_text._PAIR_IVM_STATE)
+_ANN_IVM_STATE: dict = {}
+_ANN_IVM_LOCK = __import__("threading").Lock()
+
+
+def ann_topk_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-10 over a CDC-MAINTAINED index (streaming/ann_ivm.py,
+    VERDICT r9 item 2): a deterministic 3-batch script — bulk insert the
+    corpus, then re-embed vec_id % 7 == 3 to its successor's vector
+    (moving it across cells), then delete vec_id % 13 == 5 (evicting
+    former top-k neighbors; ids hit by both mods exercise
+    update-then-delete) — is folded through ``AnnIndexMaintainer``
+    (per-batch ``ivf_assign`` on the BATCH only + one MOR delta append,
+    O(churn) per batch, never a corpus re-scan). Queries are the live
+    corpus vectors with vec_id < 10 probed through the maintained table
+    via ``ivf_topk`` — so the returned top-k must equal a static IVF
+    rebuild over the final live corpus, which is exactly what the oracle
+    computes (same centroids as literals): the driver value-checks the
+    whole maintenance algebra (upsert, cell move, tombstone, precombine),
+    not a single-shot query. At 100 TB the maintained table is the
+    persisted index artifact; per-batch cost tracks churn and the query
+    path is the standing broadcast-probe + cell equi-join shape."""
+    import tempfile
+
+    from kafka_cdc_hudi_spark.streaming.ann_ivm import AnnIndexMaintainer
+
+    cents = ivf_static_codebook(EMBEDDING_DIM, _IVF_CELLS)
+    vid = F.col("vec_id")
+    key = (spark.sparkContext.applicationId, sf_dir)
+    with _ANN_IVM_LOCK:
+        root = _ANN_IVM_STATE.get(key)
+        if root is None:
+            root = tempfile.mkdtemp(prefix="ann_ivm_")
+            m = AnnIndexMaintainer(root=f"{root}/index", cents=cents)
+            e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+            b0 = e.select(F.lit("i").alias("op"), "vec_id", "embedding", vid.alias("seq"))
+            nxt = e.select(
+                (vid - 1).alias("vec_id"), F.col("embedding").alias("next_emb")
+            )
+            b1 = (
+                e.filter(vid % _ANN_IVM_UPD_MOD == _ANN_IVM_UPD_RES)
+                .join(nxt, "vec_id", "left")
+                .select(
+                    F.lit("u").alias("op"),
+                    "vec_id",
+                    F.coalesce("next_emb", "embedding").alias("embedding"),
+                    (vid + F.lit(10_000_000)).alias("seq"),
+                )
+            )
+            b2 = e.filter(vid % _ANN_IVM_DEL_MOD == _ANN_IVM_DEL_RES).select(
+                F.lit("d").alias("op"),
+                "vec_id",
+                F.lit(None).cast(e.schema["embedding"].dataType).alias("embedding"),
+                (vid + F.lit(20_000_000)).alias("seq"),
+            )
+            for bid, bdf in enumerate([b0, b1, b2]):
+                m.process(spark, bdf, bid)
+            _ANN_IVM_STATE[key] = root
+    m = AnnIndexMaintainer(root=f"{root}/index", cents=cents)
+    q = m.index(spark).filter(vid < 10).select("vec_id", "embedding")
+    return m.topk(spark, q, k=_IVF_K, n_probe=_IVF_PROBE)
+
+
+#: the oracle is a STATIC REBUILD over the live corpus: updates applied,
+#: deletes gone, then the identical IVF chain (assignment, probe order,
+#: cosine, rank) the static-codebook entry already hash-matches
+_ANN_IVM_CORPUS_CTE = f"""corpus AS (
+  SELECT e.vec_id,
+         CASE WHEN e.vec_id % {_ANN_IVM_UPD_MOD} = {_ANN_IVM_UPD_RES}
+                   AND n.embedding IS NOT NULL
+              THEN n.embedding ELSE e.embedding END AS embedding
+  FROM embeddings e LEFT JOIN embeddings n ON n.vec_id = e.vec_id + 1
+  WHERE e.vec_id % {_ANN_IVM_DEL_MOD} <> {_ANN_IVM_DEL_RES}
+),
+"""
+
+ANN_TOPK_MAINTAINED_SQL = _ivf_sql(
+    _cents_values(ivf_static_codebook(EMBEDDING_DIM, _IVF_CELLS)),
+    rel="corpus",
+    extra_ctes=_ANN_IVM_CORPUS_CTE,
+)
 
 
 def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1153,6 +1247,7 @@ STREAMING_QUERIES: dict[str, tuple] = {
     "events_user_gaps": (events_user_gaps, EVENTS_USER_GAPS_SQL),
     "events_ewma_forecast": (events_ewma_forecast, EVENTS_EWMA_FORECAST_SQL),
     "ann_topk_ivf": (ann_topk_ivf, ANN_TOPK_IVF_SQL),
+    "ann_topk_maintained": (ann_topk_maintained, ANN_TOPK_MAINTAINED_SQL),
     "ann_recall_at_k": (ann_recall_at_k, ANN_RECALL_AT_K_SQL),
     "ann_recall_trained_vs_static": (ann_recall_trained_vs_static, ANN_RECALL_TRAINED_VS_STATIC_SQL),
     "events_partitioned_day_slice": (events_partitioned_day_slice, EVENTS_PARTITIONED_DAY_SQL),

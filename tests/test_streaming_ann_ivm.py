@@ -178,3 +178,63 @@ def test_in_batch_duplicates_collapse_by_seq(spark, tmp_path):
         (r["vec_id"], r["cell"]) for r in m.index(spark).collect()
     }
     assert got == {(7, _cell_of(b)), (8, _cell_of(a))}
+
+
+def test_catalog_entry_cdc_script_non_vacuous(spark):
+    """The ann_topk_maintained driver entry's CDC script must actually
+    exercise the maintenance algebra: (a) at least one re-embedded vector
+    MOVED cells, (b) at least one deleted vector was a former top-k
+    neighbor of a query (eviction is observable in results), and (c) the
+    update-then-delete overlap (vec_id hit by both mods) is non-empty."""
+    from pyspark.sql import functions as F
+
+    from kafka_cdc_hudi_spark.operators.similarity import (
+        ivf_assign,
+        ivf_static_codebook,
+        ivf_topk,
+    )
+    from kafka_cdc_hudi_spark.plans.catalog_streaming import (
+        _ANN_IVM_DEL_MOD,
+        _ANN_IVM_DEL_RES,
+        _ANN_IVM_UPD_MOD,
+        _ANN_IVM_UPD_RES,
+        _IVF_CELLS,
+        _IVF_K,
+        _IVF_PROBE,
+        EMBEDDING_DIM,
+        ann_topk_maintained,
+    )
+    from kafka_cdc_hudi_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    cents = ivf_static_codebook(EMBEDDING_DIM, _IVF_CELLS)
+    e = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    vid = F.col("vec_id")
+
+    # (a) some updated vector changes cell under its successor's embedding
+    orig = ivf_assign(e, cents).select("vec_id", F.col("cell").alias("old_cell"))
+    nxt = e.select((vid - 1).alias("vec_id"), F.col("embedding").alias("next_emb"))
+    upd = (
+        e.filter(vid % _ANN_IVM_UPD_MOD == _ANN_IVM_UPD_RES)
+        .join(nxt, "vec_id", "left")
+        .select("vec_id", F.coalesce("next_emb", "embedding").alias("embedding"))
+    )
+    new = ivf_assign(upd, cents).select("vec_id", F.col("cell").alias("new_cell"))
+    moved = new.join(orig, "vec_id").filter(F.col("new_cell") != F.col("old_cell"))
+    assert moved.count() > 0, "no re-embedded vector moved cells"
+
+    # (b) some deleted vector sat in the PRE-CHURN top-k of a query
+    pre_q = e.filter(vid < 10)
+    pre_topk = ivf_topk(pre_q, ivf_assign(e, cents), cents, k=_IVF_K, n_probe=_IVF_PROBE)
+    evicted = pre_topk.filter(F.col("nid") % _ANN_IVM_DEL_MOD == _ANN_IVM_DEL_RES)
+    assert evicted.count() > 0, "no deleted vector was a former top-k neighbor"
+    # and eviction is observable: no deleted id appears in the final results
+    final = ann_topk_maintained(spark, sf)
+    assert final.filter(F.col("nid") % _ANN_IVM_DEL_MOD == _ANN_IVM_DEL_RES).count() == 0
+
+    # (c) update-then-delete overlap exists in the corpus id range
+    both = e.filter(
+        (vid % _ANN_IVM_UPD_MOD == _ANN_IVM_UPD_RES)
+        & (vid % _ANN_IVM_DEL_MOD == _ANN_IVM_DEL_RES)
+    )
+    assert both.count() > 0, "update-then-delete edge not exercised"
