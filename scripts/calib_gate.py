@@ -1,0 +1,80 @@
+"""Shared ambient-load calibration gate (VERDICT r9 item 5).
+
+bench.py and sweep.py already refuse/stamp ambient contamination; the soak
+scripts (soak_ann / soak_churn / soak_scd2) shipped r9 artifacts captured
+at loadavg 15 — numbers nobody can trust. This module centralizes the
+probe so every timed artifact carries the same evidence:
+
+- ``calibrate(spark)``: fixed-work CPU probe (constant sum over
+  spark.range) — wall time varies only with host load, so contaminated
+  runs are self-identifying.
+- ``gated_calib(spark)``: cold probe for JVM-warmup continuity, then a
+  warm probe retried until it lands inside the idle band (default 0.45s
+  at local[32], same band bench.py uses). If retries exhaust, the run
+  proceeds with an explicit ``contaminated`` stamp — artifacts are needed
+  either way, but a hot-box number must say so.
+- ``end_calib(spark, stamp)``: one more warm probe AFTER the timed
+  region. A single pre-probe RACES load arriving mid-measurement
+  (reproduced under a 24-core burn in tests/test_dedup_skew.py); the
+  artifact is only trustworthy when both ends are in band, so
+  ``contaminated`` is the OR of the two.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+
+def calibrate(spark) -> float:
+    """Fixed-work CPU probe; see module docstring."""
+    t0 = time.perf_counter()
+    spark.range(200_000_000).selectExpr("sum(id * 3 + 1)").collect()
+    return round(time.perf_counter() - t0, 3)
+
+
+def gated_calib(
+    spark,
+    band: float | None = None,
+    retries: int | None = None,
+    sleep_s: float = 20.0,
+) -> dict:
+    """Run the retry-gated warm probe; returns the stamp fields every
+    timed artifact embeds (calib_sec / calib_warm_sec / calib_band_sec /
+    calib_retries / contaminated / loadavg_start)."""
+    if band is None:
+        band = float(os.environ.get("SPARK_GRAFT_CALIB_BAND", "0.45"))
+    if retries is None:
+        retries = int(os.environ.get("SPARK_GRAFT_CALIB_RETRIES", "5"))
+    load0 = list(os.getloadavg())
+    cold = calibrate(spark)  # cold-JVM reading (~3.3-3.8s healthy at local[32])
+    warm = calibrate(spark)
+    used = 0
+    while warm > band and used < retries:
+        used += 1
+        print(
+            f"# warm calib {warm}s > {band}s band (retry {used}/{retries}, "
+            f"loadavg {os.getloadavg()[0]:.2f})",
+            file=sys.stderr,
+        )
+        time.sleep(sleep_s)
+        warm = calibrate(spark)
+    return {
+        "calib_sec": cold,
+        "calib_warm_sec": warm,
+        "calib_band_sec": band,
+        "calib_retries": used,
+        "contaminated": warm > band,
+        "loadavg_start": load0,
+    }
+
+
+def end_calib(spark, stamp: dict) -> dict:
+    """Post-measurement probe: updates ``stamp`` in place with
+    calib_end_sec / loadavg_end and ORs contamination from either end."""
+    end = calibrate(spark)
+    stamp["calib_end_sec"] = end
+    stamp["loadavg_end"] = list(os.getloadavg())
+    stamp["contaminated"] = bool(stamp["contaminated"] or end > stamp["calib_band_sec"])
+    return stamp

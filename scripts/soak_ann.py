@@ -34,6 +34,7 @@ from kafka_cdc_hudi_spark.operators.similarity import (  # noqa: E402
 from kafka_cdc_hudi_spark.session import get_spark  # noqa: E402
 from kafka_cdc_hudi_spark.sources.tables import load_table  # noqa: E402
 from kafka_cdc_hudi_spark.streaming.ann_ivm import AnnIndexMaintainer  # noqa: E402
+from calib_gate import end_calib, gated_calib  # noqa: E402
 
 N_BATCHES = int(os.environ.get("SOAK_ANN_BATCHES", "24"))
 CHURN_VECS = int(os.environ.get("SOAK_ANN_VECS", "100"))
@@ -54,6 +55,10 @@ def main() -> None:
 
     spark = get_spark(app_name="soak_ann")
     spark.sparkContext.setLogLevel("ERROR")
+    # ambient-load gate (VERDICT r9 item 5): the r9 sf0.1 artifact was
+    # captured at loadavg 15.4 - refuse-or-stamp like bench/sweep do
+    stamp = gated_calib(spark)
+
     rng = random.Random(SEED)
     cents = ivf_static_codebook(DIM, CELLS)
 
@@ -79,6 +84,19 @@ def main() -> None:
     m = AnnIndexMaintainer(
         root=tempfile.mkdtemp(prefix="soak_ann_"), cents=cents
     )
+    # count compactions so per-batch walls can be split by whether the
+    # keyed table compacted in that batch (the periodic spike is the
+    # compact_every amortization, not churn cost - report them apart)
+    compactions = {"n": 0}
+    _tbl = m.table
+    _orig_compact = _tbl._compact_locked
+
+    def _compact_spy(*a, **k):
+        compactions["n"] += 1
+        return _orig_compact(*a, **k)
+
+    _tbl._compact_locked = _compact_spy
+
     SCHEMA = "op STRING, vec_id BIGINT, embedding ARRAY<FLOAT>, seq BIGINT"
 
     def run_batch(bid, rows):
@@ -116,8 +134,12 @@ def main() -> None:
             rows.append(("i", next_id, v, seq)); seq += 1
             live[next_id] = v
             next_id += 1
+        n_compact_before = compactions["n"]
         wall = run_batch(bid, rows)
-        batches.append({"bid": bid, "n_changed": len(rows), "wall_s": wall})
+        compacted = compactions["n"] > n_compact_before
+        batches.append(
+            {"bid": bid, "n_changed": len(rows), "wall_s": wall, "compacted": compacted}
+        )
         print(f"# batch {bid}: {len(rows)} changed vectors, {wall}s", file=sys.stderr)
         if bid % CHECK_EVERY == 0 or bid == N_BATCHES:
             t0 = time.perf_counter()
@@ -137,6 +159,8 @@ def main() -> None:
             print(f"# checkpoint {bid}: {len(got)} results, match={ok}", file=sys.stderr)
 
     churn_walls = [b["wall_s"] for b in batches]
+    cw = [b["wall_s"] for b in batches if b["compacted"]]
+    ncw = [b["wall_s"] for b in batches if not b["compacted"]]
     result = {
         "sf_dir": sf_dir,
         "corpus_vectors": n0,
@@ -145,10 +169,16 @@ def main() -> None:
         "ingest_s": t_ingest,
         "churn_wall_mean_s": round(sum(churn_walls) / len(churn_walls), 2),
         "churn_wall_max_s": max(churn_walls),
+        # split: the compaction batches carry the amortized fold cost
+        "compaction_batches": len(cw),
+        "compact_wall_mean_s": round(sum(cw) / len(cw), 2) if cw else None,
+        "compact_wall_max_s": max(cw) if cw else None,
+        "noncompact_wall_mean_s": round(sum(ncw) / len(ncw), 2) if ncw else None,
+        "noncompact_wall_max_s": max(ncw) if ncw else None,
         "batches": batches,
         "checkpoints": checks,
         "all_checks_match": all(c["match"] for c in checks),
-        "loadavg": list(os.getloadavg()),
+        **end_calib(spark, stamp),
     }
     line = json.dumps(result)
     print(line)

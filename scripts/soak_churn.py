@@ -34,6 +34,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from kafka_cdc_hudi_spark.session import get_spark  # noqa: E402
 from kafka_cdc_hudi_spark.sources.tables import load_table  # noqa: E402
 from kafka_cdc_hudi_spark.streaming.dedup_ivm import DedupPairMaintainer  # noqa: E402
+from calib_gate import end_calib, gated_calib  # noqa: E402
 
 N_BATCHES = int(os.environ.get("SOAK_CHURN_BATCHES", "24"))
 CHURN_DOCS = int(os.environ.get("SOAK_CHURN_DOCS", "250"))
@@ -59,6 +60,9 @@ def main() -> None:
 
     spark = get_spark(app_name="soak_churn")
     spark.sparkContext.setLogLevel("ERROR")
+    # ambient-load gate (VERDICT r9 item 5), same stamp as bench/sweep
+    stamp = gated_calib(spark)
+
     rng = random.Random(SEED)
 
     live = {
@@ -143,7 +147,7 @@ def main() -> None:
         "batches": batches,
         "checkpoints": checks,
         "all_checks_match": all(c["match"] for c in checks),
-        "loadavg": list(os.getloadavg()),
+        **end_calib(spark, stamp),
     }
     line = json.dumps(result)
     print(line)

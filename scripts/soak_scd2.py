@@ -41,6 +41,7 @@ from kafka_cdc_hudi_spark.operators.temporal import scd2_history  # noqa: E402
 from kafka_cdc_hudi_spark.session import get_spark  # noqa: E402
 from kafka_cdc_hudi_spark.sources.tables import load_table  # noqa: E402
 from kafka_cdc_hudi_spark.streaming.scd2 import Scd2HistoryMaintainer  # noqa: E402
+from calib_gate import end_calib, gated_calib  # noqa: E402
 
 N_BATCHES = int(os.environ.get("SOAK_SCD2_BATCHES", "24"))
 CHURN_USERS = int(os.environ.get("SOAK_SCD2_USERS", "200"))
@@ -68,6 +69,9 @@ def main() -> None:
 
     spark = get_spark(app_name="soak_scd2")
     spark.sparkContext.setLogLevel("ERROR")
+    # ambient-load gate (VERDICT r9 item 5), same stamp as bench/sweep
+    stamp = gated_calib(spark)
+
     rng = random.Random(SEED)
 
     ev = (
@@ -173,7 +177,7 @@ def main() -> None:
         "batches": batches,
         "checkpoints": checks,
         "all_checks_match": all(c["match"] for c in checks),
-        "loadavg": list(os.getloadavg()),
+        **end_calib(spark, stamp),
     }
     line = json.dumps(result)
     print(line)
