@@ -182,6 +182,11 @@ class JobConfig:
     #: deterministic orderers after the precombine field for the SCD2
     #: version chain (e.g. an event id); empty = ties resolve arbitrarily
     scd2_tiebreakers: tuple[str, ...] = ()
+    #: restrict SCD2 maintenance to these tables (bare or db-qualified
+    #: names); empty = every synced table (the pre-r10 behavior). A
+    #: deployment rarely wants history on every table — fact streams dwarf
+    #: the dimensions whose history matters
+    scd2_tables: tuple[str, ...] = ()
     #: history-table layout: "cow" (snapshot rewrite), "cow-bucketed"
     #: (touched-bucket rewrites, buckets = sink_n_buckets) or "mor"
     #: (O(batch) delta commits — the scale shape when churn is spread
@@ -280,6 +285,11 @@ class JobConfig:
                 if c.strip()
             ),
             scd2_history_mode=props.get("scd2_history_mode", "cow"),
+            scd2_tables=tuple(
+                c.strip()
+                for c in props.get("scd2_tables", "").split(",")
+                if c.strip()
+            ),
         )
 
     @staticmethod

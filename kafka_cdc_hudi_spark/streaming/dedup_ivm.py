@@ -97,6 +97,11 @@ class DedupPairMaintainer:
         from kafka_cdc_hudi_spark.plans.catalog_text import minhash_signatures_for
 
         spark = self.spark
+        # empty-batch gate (the multi-table fan-out feeds every table's
+        # maintainer every micro-batch; a table with no rows this batch
+        # must not pay the full signature/banding chain)
+        if batch_df.isEmpty():
+            return
         # one op per doc per batch: the latest by seq wins (the CDC
         # precombine rule)
         w = Window.partitionBy("doc_id").orderBy(F.col("seq").desc())

@@ -61,6 +61,16 @@ class CdcStreamDriver:
     #: .DimLookup is the canonical hook: broadcast lookup join against a
     #: dimension snapshot reloaded on a batch cadence)
     transform_hooks: dict = field(default_factory=dict)
+    #: optional per-table SIDE PROCESSORS run after the merge sink commit:
+    #: {table or qualified name: fn(spark, routed_df, batch_id)}. This is
+    #: the attach point for incrementally-maintained side views (the SCD2
+    #: history maintainer is the built-in case; streaming.dedup_ivm /
+    #: streaming.ann_ivm maintainers plug in the same way). Processors are
+    #: expected to be replay-idempotent on their own commit protocol (the
+    #: keyed-table batch-id pointer), exactly like the merge sink — the
+    #: driver runs them regardless of the merge's commit verdict so a
+    #: crash between the two commits cannot strand them.
+    side_processors: dict = field(default_factory=dict)
     _inferred: dict[str, StructType] = field(default_factory=dict, repr=False)
     _sinks: dict[str, KeyedParquetTable] = field(default_factory=dict, repr=False)
     _scd2: dict = field(default_factory=dict, repr=False)
@@ -212,21 +222,32 @@ class CdcStreamDriver:
         # in-batch duplicates map-side over the union — a separate pass here
         # would pay a full extra shuffle per table per batch for nothing
         sink = self.sink_for(spec)
-        # with scd2 on, `routed` is consumed TWICE (merge sink + history
-        # maintainer) and its lineage is the full prefilter->parse->route
-        # chain — persist here so the second consumer re-reads instead of
-        # re-parsing the batch (ADVICE r9)
-        if self.config.scd2_history:
+        side = self.side_processors.get(
+            spec.qualified_name, self.side_processors.get(spec.table)
+        )
+        scd2_on = self.config.scd2_history and (
+            not self.config.scd2_tables
+            or spec.table in self.config.scd2_tables
+            or spec.qualified_name in self.config.scd2_tables
+        )
+        # with a second consumer (SCD2 history and/or a side processor),
+        # `routed` is consumed 2+ times and its lineage is the full
+        # prefilter->parse->route chain — persist here so later consumers
+        # re-read instead of re-parsing the batch (ADVICE r9)
+        multi_consumer = scd2_on or side is not None
+        if multi_consumer:
             routed = routed.persist()
         try:
             committed = sink.merge_batch(self.spark, routed, batch_id=batch_id)
-            if self.config.scd2_history:
+            if scd2_on:
                 # history maintenance is replay-idempotent on its own pointer
                 # protocol, so it runs regardless of the merge sink's commit
                 # verdict (a crash between the two commits must not strand it)
                 self.scd2_for(spec).apply_batch(self.spark, routed, batch_id=batch_id)
+            if side is not None:
+                side(self.spark, routed, batch_id)
         finally:
-            if self.config.scd2_history:
+            if multi_consumer:
                 routed.unpersist()
         if committed and self.config.catalog_sync:
             # reference hive-syncs on every commit; metadata-only re-point
