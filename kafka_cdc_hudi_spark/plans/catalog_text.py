@@ -5231,7 +5231,163 @@ UNION ALL SELECT 4, 'dedup_keep', n4 FROM g
 )
 
 
+
+
+# -- BM25 lexical retrieval (static build + CDC-maintained index) -----------
+
+#: BM25 top-k per query; queries are the first 5 documents' texts
+BM25_K = 10
+#: deterministic CDC script constants for the maintained-BM25 entry:
+#: docs with doc_id % 9 == 4 are REWRITTEN to their successor's text
+#: (their postings must be retracted and re-inserted); docs with
+#: doc_id % 12 == 7 are DELETED (must vanish from results). doc_id = 31
+#: mod 36 hits BOTH: the delete's higher seq wins (update-then-delete).
+_BM25_UPD_MOD, _BM25_UPD_RES = 9, 4
+_BM25_DEL_MOD, _BM25_DEL_RES = 12, 7
+
+_BM25_STATE: dict = {}
+_BM25_LOCK = __import__("threading").Lock()
+
+
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact BM25 top-10 over a statically-built inverted index
+    (streaming/bm25_ivm.py:bm25_topk): one tokenize pass builds postings
+    (term, doc_id, tf) and doc lengths; per-term document frequencies and
+    N/avgdl come from the index; idf is the BM25 RATIONAL form
+    (N - df + 0.5)/(df + 0.5) (same cross-engine determinism contract as
+    text_tfidf_topk), and per-doc scores sum by an ORDERED fold (sorted
+    by term) — the construction the vector entries' dot products already
+    hash-match with. Plan: broadcast query-term set into the postings
+    equi-join (only queried terms' lists are touched), 1-row stats
+    broadcast, WindowGroupLimit top-k."""
+    from kafka_cdc_hudi_spark.streaming.bm25_ivm import bm25_topk
+
+    d = load_table(spark, sf_dir, "documents")
+    posts = (
+        d.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = d.select("doc_id", F.size(tokens("text")).cast("long").alias("dl"))
+    q = d.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    return bm25_topk(q, posts, dl, k=BM25_K)
+
+
+def _bm25_sql(corpus_rel: str, extra_ctes: str = "") -> str:
+    """The full BM25 chain in DuckDB over ``corpus_rel``; queries are
+    always the ORIGINAL documents' first 5 texts (external query strings
+    — stable under corpus churn). Constant forms mirror the Spark
+    expression tree op-for-op (same IEEE operands and order)."""
+    K1 = "CAST('1.2' AS DOUBLE)"
+    B = "CAST('0.75' AS DOUBLE)"
+    ONE = "CAST('1.0' AS DOUBLE)"
+    osum = "(SELECT sum(a) FROM (SELECT unnest(l) a))"
+    return f"""
+WITH {extra_ctes}tok AS (SELECT doc_id, unnest({_DK_TOKS}) AS term FROM {corpus_rel}),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(len({_DK_TOKS}) AS BIGINT) AS dl FROM {corpus_rel}),
+stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(dl) AS avgdl FROM dl),
+q AS (SELECT doc_id AS query_id, text FROM documents WHERE doc_id < 5),
+qt AS (SELECT DISTINCT query_id, unnest({_DK_TOKS}) AS term FROM q),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT qt.query_id, tf.doc_id, qt.term,
+         ((n_docs - df + 0.5) / (df + 0.5))
+         * (tf * ({K1} + {ONE}))
+         / (tf + {K1} * ({ONE} - {B} + {B} * dl.dl / avgdl)) AS score
+  FROM qt JOIN tf USING (term) JOIN dfreq USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+),
+agg AS (
+  SELECT query_id, doc_id, list(score ORDER BY term) AS l,
+         CAST(COUNT(*) AS INT) AS n_terms_matched
+  FROM scored GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, {osum} AS score, n_terms_matched,
+       CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY {osum} DESC, doc_id) AS INT) AS rank
+FROM agg
+QUALIFY rank <= {BM25_K}
+"""
+
+
+TEXT_BM25_TOPK_SQL = _bm25_sql("documents")
+
+
+def text_bm25_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 over a CDC-MAINTAINED inverted index
+    (streaming/bm25_ivm.py:Bm25IndexMaintainer): a deterministic 3-batch
+    script — bulk insert the corpus, then rewrite doc_id % 9 == 4 to its
+    successor's text (postings retract + re-insert, tf/df/avgdl all
+    move), then delete doc_id % 12 == 7 (tombstones; update-then-delete
+    on the mod overlap) — folded through the maintainer (per-batch cost =
+    changed docs' terms: one tombstone+insert delta commit per table,
+    never a corpus re-tokenize). Queries are the ORIGINAL first-5
+    document texts, so the returned top-k must equal a full BM25
+    recompute over the live corpus — exactly what the oracle computes:
+    the driver value-checks the whole maintenance algebra (posting
+    retraction, precombine tombstone ordering, df/avgdl statistics over
+    the live corpus), not a single-shot query. At 100 TB the postings
+    table is the persisted index artifact; queries touch only their
+    terms' posting lists."""
+    import tempfile
+
+    from kafka_cdc_hudi_spark.streaming.bm25_ivm import Bm25IndexMaintainer
+
+    did = F.col("doc_id")
+    key = (spark.sparkContext.applicationId, sf_dir)
+    with _BM25_LOCK:
+        root = _BM25_STATE.get(key)
+        if root is None:
+            root = tempfile.mkdtemp(prefix="bm25_ivm_")
+            m = Bm25IndexMaintainer(root=f"{root}/index")
+            docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+            b0 = docs.select(F.lit("i").alias("op"), "doc_id", "text", did.alias("seq"))
+            nxt = docs.select((did - 1).alias("doc_id"), F.col("text").alias("next_text"))
+            b1 = (
+                docs.filter(did % _BM25_UPD_MOD == _BM25_UPD_RES)
+                .join(nxt, "doc_id", "left")
+                .select(
+                    F.lit("u").alias("op"),
+                    "doc_id",
+                    F.coalesce("next_text", "text").alias("text"),
+                    (did + F.lit(10_000_000)).alias("seq"),
+                )
+            )
+            b2 = docs.filter(did % _BM25_DEL_MOD == _BM25_DEL_RES).select(
+                F.lit("d").alias("op"),
+                "doc_id",
+                F.lit(None).cast("string").alias("text"),
+                (did + F.lit(20_000_000)).alias("seq"),
+            )
+            for bid, bdf in enumerate([b0, b1, b2]):
+                m.process(spark, bdf, bid)
+            _BM25_STATE[key] = root
+    m = Bm25IndexMaintainer(root=f"{root}/index")
+    q = load_table(spark, sf_dir, "documents").filter(did < 5).select(
+        did.alias("query_id"), "text"
+    )
+    return m.topk(spark, q, k=BM25_K)
+
+
+_BM25_CORPUS_CTE = f"""corpus AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % {_BM25_UPD_MOD} = {_BM25_UPD_RES}
+                   AND n.text IS NOT NULL
+              THEN n.text ELSE d.text END AS text
+  FROM documents d LEFT JOIN documents n ON n.doc_id = d.doc_id + 1
+  WHERE d.doc_id % {_BM25_DEL_MOD} <> {_BM25_DEL_RES}
+),
+"""
+
+TEXT_BM25_MAINTAINED_SQL = _bm25_sql("corpus", extra_ctes=_BM25_CORPUS_CTE)
+
+
 TEXT_QUERIES: dict[str, tuple] = {
+    "text_bm25_topk": (text_bm25_topk, TEXT_BM25_TOPK_SQL),
+    "text_bm25_maintained": (text_bm25_maintained, TEXT_BM25_MAINTAINED_SQL),
     "text_bpe_pretokenize": (text_bpe_pretokenize, TEXT_BPE_PRETOKENIZE_SQL),
     "text_bpe_pair_counts": (text_bpe_pair_counts, TEXT_BPE_PAIR_COUNTS_SQL),
     "text_bpe_train_merges": (text_bpe_train_merges, TEXT_BPE_TRAIN_MERGES_SQL),

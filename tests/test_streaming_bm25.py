@@ -1,0 +1,131 @@
+"""CDC-maintained BM25 inverted index (streaming/bm25_ivm.py).
+
+Invariant (same IVM contract as the pair-set and ANN maintainers): after
+ANY prefix of CDC batches, ``topk`` over the maintained tables EXACTLY
+equals ``bm25_topk`` over a from-scratch build of the live corpus —
+postings retraction on update, tombstones on delete, df/avgdl statistics
+always reflecting the live corpus. Plus: replay no-op, empty-batch gate,
+and catalog-entry non-vacuity (the CDC script's updates really move
+rankings and its deletes really evict docs)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_cdc_hudi_spark.functions.textfns import tokens
+from kafka_cdc_hudi_spark.streaming.bm25_ivm import Bm25IndexMaintainer, bm25_topk
+
+SCHEMA = "op STRING, doc_id BIGINT, text STRING, seq BIGINT"
+
+
+def _topk_set(df):
+    return {
+        (r["query_id"], r["doc_id"], r["rank"], round(r["score"], 9))
+        for r in df.collect()
+    }
+
+
+def _rebuild_topk(spark, live, queries, k=5):
+    docs = spark.createDataFrame(sorted(live.items()), "doc_id BIGINT, text STRING")
+    posts = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = docs.select("doc_id", F.size(tokens("text")).cast("long").alias("dl"))
+    return bm25_topk(queries, posts, dl, k=k)
+
+
+DOCS = {
+    1: "spark merge join window table",
+    2: "spark merge join window table",   # near-copy of 1
+    3: "duck filter scan scan scan",
+    4: "window filter spark group sort",
+    5: "unique pelican flamingo heron egret",
+    6: "merge table sort group batch",
+}
+
+
+@pytest.fixture()
+def queries(spark):
+    return spark.createDataFrame(
+        [(100, "spark merge window"), (101, "pelican flamingo scan")],
+        "query_id BIGINT, text STRING",
+    )
+
+
+def test_prefix_equivalence_under_churn(spark, tmp_path, queries):
+    m = Bm25IndexMaintainer(root=str(tmp_path / "bm25"), compact_every=2)
+    batches = [
+        # b0: bulk insert 4 docs
+        [("i", 1, DOCS[1], 0), ("i", 2, DOCS[2], 1), ("i", 3, DOCS[3], 2),
+         ("i", 4, DOCS[4], 3)],
+        # b1: insert the rest; doc 2 REWRITTEN away from doc 1 (its
+        # postings must retract; df of shared terms drops)
+        [("i", 5, DOCS[5], 4), ("i", 6, DOCS[6], 5),
+         ("u", 2, "duck pond reed marsh", 6)],
+        # b2: delete doc 5 (the only 'pelican' doc — query 101's top hit
+        # must change); in-batch dup op for doc 3 (latest seq wins)
+        [("d", 5, None, 7), ("u", 3, "wrong text", 8),
+         ("u", 3, "duck filter scan deep", 9)],
+        # b3: re-insert doc 5 after its delete
+        [("i", 5, "pelican pelican flamingo", 10)],
+    ]
+    live = {}
+    for bid, rows in enumerate(batches):
+        assert m.process(spark, spark.createDataFrame(rows, SCHEMA), batch_id=bid)
+        for op, did, text, _ in sorted(rows, key=lambda r: r[3]):
+            if op == "d":
+                live.pop(did, None)
+            else:
+                live[did] = text
+        got = _topk_set(m.topk(spark, queries, k=5))
+        want = _topk_set(_rebuild_topk(spark, live, queries, k=5))
+        assert got == want, f"divergence after batch {bid}"
+    # non-vacuity of the churn: doc 2's rewrite removed it from query
+    # 100's results' top matches, doc 5 is back for query 101
+    final = {(r["query_id"], r["doc_id"]) for r in m.topk(spark, queries, k=5).collect()}
+    assert (101, 5) in final
+
+
+def test_replay_and_empty_gate(spark, tmp_path, queries):
+    m = Bm25IndexMaintainer(root=str(tmp_path / "rp"))
+    b0 = spark.createDataFrame(
+        [("i", 1, DOCS[1], 0), ("i", 5, DOCS[5], 1)], SCHEMA
+    )
+    assert m.process(spark, b0, batch_id=0)
+    before = _topk_set(m.topk(spark, queries, k=5))
+    assert not m.process(spark, b0, batch_id=0)  # replay: pointer no-op
+    assert _topk_set(m.topk(spark, queries, k=5)) == before
+    assert not m.process(spark, b0.limit(0), batch_id=1)  # empty gate
+    assert _topk_set(m.topk(spark, queries, k=5)) == before
+
+
+def test_catalog_entry_cdc_script_non_vacuous(spark):
+    """The text_bm25_maintained driver entry's script must exercise the
+    algebra: updated docs exist and change tokenization, deleted docs
+    (including update-then-delete overlaps) vanish from results."""
+    from kafka_cdc_hudi_spark.plans.catalog_text import (
+        _BM25_DEL_MOD,
+        _BM25_DEL_RES,
+        _BM25_UPD_MOD,
+        _BM25_UPD_RES,
+        text_bm25_maintained,
+    )
+    from kafka_cdc_hudi_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    d = load_table(spark, sf, "documents")
+    did = F.col("doc_id")
+    upd = d.filter(did % _BM25_UPD_MOD == _BM25_UPD_RES)
+    assert upd.count() > 0
+    both = d.filter(
+        (did % _BM25_UPD_MOD == _BM25_UPD_RES) & (did % _BM25_DEL_MOD == _BM25_DEL_RES)
+    )
+    assert both.count() > 0, "update-then-delete edge not exercised"
+    final = text_bm25_maintained(spark, sf)
+    assert final.filter(F.col("doc_id") % _BM25_DEL_MOD == _BM25_DEL_RES).count() == 0
+    # deleted docs would otherwise appear: they do in the STATIC entry
+    from kafka_cdc_hudi_spark.plans.catalog_text import text_bm25_topk
+
+    static = text_bm25_topk(spark, sf)
+    assert static.filter(F.col("doc_id") % _BM25_DEL_MOD == _BM25_DEL_RES).count() > 0
