@@ -477,7 +477,7 @@ def _cents_values(cents) -> str:
     )
 
 
-def _ivf_sql(cents_values: str, rel: str = "embeddings", extra_ctes: str = "") -> str:
+def _ivf_sql(cents_values: str, rel: str = "embeddings", extra_ctes: str = "", k: int | None = None, probe: int | None = None, query_max: int = 10) -> str:
     return f"""
 WITH {extra_ctes}cents(cell, c) AS (VALUES {cents_values}),
 asg_d AS (
@@ -491,8 +491,8 @@ asg AS (
 ),
 probe AS (
   SELECT vec_id AS qid, embedding AS qe, cell FROM asg_d
-  WHERE vec_id < 10
-  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) <= {_IVF_PROBE}
+  WHERE vec_id < {query_max}
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) <= {probe if probe is not None else _IVF_PROBE}
 ),
 cand AS (
   SELECT p.qid, p.qe, a.vec_id AS nid, a.embedding AS ne
@@ -506,7 +506,7 @@ scored AS (
 )
 SELECT qid, nid, cosine,
        CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS INT) AS rank
-FROM scored QUALIFY rank <= {_IVF_K}
+FROM scored QUALIFY rank <= {k if k is not None else _IVF_K}
 """
 
 
@@ -1233,7 +1233,110 @@ FROM asg a LEFT JOIN dup d ON a.vec_id = d.vec_b
 DEDUP_SEMANTIC_CLUSTERS_SQL = semdedup_sql_for(_ORACLE_SF_DIR)
 
 
+
+
+# -- hybrid retrieval: BM25 + IVF fused by reciprocal-rank fusion -----------
+
+#: arm depth, fused top-k, query count, RRF damping constant (the standard
+#: k=60 from the RRF literature)
+_HY_ARM_K, _HY_K, _HY_NQ, _RRF_C = 20, 10, 5, 60
+
+
+def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search, the production RAG retrieval shape: a LEXICAL arm
+    (exact BM25 over the documents inverted index, streaming/bm25_ivm.py)
+    and a SEMANTIC arm (IVF cosine top-k over the embeddings, static
+    codebook) each produce a top-20 ranking for the same 5 query ids;
+    the two rankings fuse by reciprocal-rank fusion
+    ``score = sum(1 / (60 + rank))`` and the fused top-10 returns.
+
+    RRF fuses RANKS, not scores, so the fusion layer adds no new float
+    hazards (each 1/(60+rank) is one exact-int division; the two-arm sum
+    is a fixed-order expression) and the oracle composes the two proven
+    SQL chains verbatim as subqueries. Note the deliberate asymmetry the
+    fusion must handle: BM25 retrieves the query document itself (rank 1
+    self-hit) while ``ivf_topk`` excludes self — so every query has docs
+    ranked by only one arm, exercising the COALESCE path non-vacuously.
+
+    Scale shape: each arm is its own proven plan (query-term broadcast
+    into posting lists; centroid probe + cell equi-join); fusion is a
+    tiny (n_queries x arm_k) full-outer join + WindowGroupLimit."""
+    from kafka_cdc_hudi_spark.functions.textfns import tokens
+    from kafka_cdc_hudi_spark.streaming.bm25_ivm import bm25_topk
+
+    d = load_table(spark, sf_dir, "documents")
+    posts = (
+        d.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = d.select("doc_id", F.size(tokens("text")).cast("long").alias("dl"))
+    qd = d.filter(F.col("doc_id") < _HY_NQ).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    lex = bm25_topk(qd, posts, dl, k=_HY_ARM_K).select(
+        "query_id", "doc_id", F.col("rank").alias("lex_rank")
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_static_codebook(EMBEDDING_DIM, _IVF_CELLS)
+    sem = ivf_topk(
+        e.filter(F.col("vec_id") < _HY_NQ),
+        ivf_assign(e, cents),
+        cents,
+        k=_HY_ARM_K,
+        n_probe=_IVF_PROBE,
+    ).select(
+        F.col("qid").alias("query_id"),
+        F.col("nid").alias("doc_id"),
+        F.col("rank").alias("sem_rank"),
+    )
+    fused = lex.join(sem, ["query_id", "doc_id"], "full_outer")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_C) + F.col("lex_rank")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(_RRF_C) + F.col("sem_rank")), F.lit(0.0))
+    w = Window.partitionBy("query_id").orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
+    return (
+        fused.withColumn("rrf_score", rrf)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _HY_K)
+        .select("query_id", "doc_id", "rrf_score", "lex_rank", "sem_rank", "rank")
+    )
+
+
+def _hybrid_rrf_sql() -> str:
+    from kafka_cdc_hudi_spark.plans.catalog_text import _bm25_sql
+
+    lex_stmt = _bm25_sql("documents", k=_HY_ARM_K, query_max=_HY_NQ)
+    sem_stmt = _ivf_sql(
+        _cents_values(ivf_static_codebook(EMBEDDING_DIM, _IVF_CELLS)),
+        k=_HY_ARM_K,
+        query_max=_HY_NQ,
+    )
+    return f"""
+WITH lex AS (SELECT query_id, doc_id, rank AS lex_rank FROM ({lex_stmt})),
+sem AS (SELECT qid AS query_id, nid AS doc_id, rank AS sem_rank FROM ({sem_stmt})),
+fused AS (
+  SELECT COALESCE(lex.query_id, sem.query_id) AS query_id,
+         COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+         lex_rank, sem_rank,
+         COALESCE(CAST('1.0' AS DOUBLE) / ({_RRF_C} + lex_rank), CAST('0.0' AS DOUBLE))
+         + COALESCE(CAST('1.0' AS DOUBLE) / ({_RRF_C} + sem_rank), CAST('0.0' AS DOUBLE)) AS rrf_score
+  FROM lex FULL OUTER JOIN sem
+    ON lex.query_id = sem.query_id AND lex.doc_id = sem.doc_id
+)
+SELECT query_id, doc_id, rrf_score, lex_rank, sem_rank,
+       CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS INT) AS rank
+FROM fused
+QUALIFY rank <= {_HY_K}
+"""
+
+
+HYBRID_RETRIEVAL_RRF_SQL = _hybrid_rrf_sql()
+
+
 STREAMING_QUERIES: dict[str, tuple] = {
+    "hybrid_retrieval_rrf": (hybrid_retrieval_rrf, HYBRID_RETRIEVAL_RRF_SQL),
     "embedding_pq_encode": (embedding_pq_encode, EMBEDDING_PQ_ENCODE_SQL),
     "ann_topk_pq_adc": (ann_topk_pq_adc, ANN_TOPK_PQ_ADC_SQL),
     "ann_topk_ivfpq": (ann_topk_ivfpq, ANN_TOPK_IVFPQ_SQL),

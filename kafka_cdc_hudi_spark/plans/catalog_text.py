@@ -5275,7 +5275,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(q, posts, dl, k=BM25_K)
 
 
-def _bm25_sql(corpus_rel: str, extra_ctes: str = "") -> str:
+def _bm25_sql(corpus_rel: str, extra_ctes: str = "", k: int | None = None, query_max: int = 5) -> str:
     """The full BM25 chain in DuckDB over ``corpus_rel``; queries are
     always the ORIGINAL documents' first 5 texts (external query strings
     — stable under corpus churn). Constant forms mirror the Spark
@@ -5289,7 +5289,7 @@ WITH {extra_ctes}tok AS (SELECT doc_id, unnest({_DK_TOKS}) AS term FROM {corpus_
 tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, term),
 dl AS (SELECT doc_id, CAST(len({_DK_TOKS}) AS BIGINT) AS dl FROM {corpus_rel}),
 stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(dl) AS avgdl FROM dl),
-q AS (SELECT doc_id AS query_id, text FROM documents WHERE doc_id < 5),
+q AS (SELECT doc_id AS query_id, text FROM documents WHERE doc_id < {query_max}),
 qt AS (SELECT DISTINCT query_id, unnest({_DK_TOKS}) AS term FROM q),
 dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
 scored AS (
@@ -5309,7 +5309,7 @@ SELECT query_id, doc_id, {osum} AS score, n_terms_matched,
        CAST(row_number() OVER (
            PARTITION BY query_id ORDER BY {osum} DESC, doc_id) AS INT) AS rank
 FROM agg
-QUALIFY rank <= {BM25_K}
+QUALIFY rank <= {k if k is not None else BM25_K}
 """
 
 

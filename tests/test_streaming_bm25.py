@@ -129,3 +129,34 @@ def test_catalog_entry_cdc_script_non_vacuous(spark):
 
     static = text_bm25_topk(spark, sf)
     assert static.filter(F.col("doc_id") % _BM25_DEL_MOD == _BM25_DEL_RES).count() > 0
+
+
+def test_hybrid_rrf_fuses_both_arms_non_vacuously(spark):
+    """The RRF entry must really fuse: every query carries docs ranked by
+    only one arm (BM25 self-hit vs ivf_topk self-exclusion guarantees at
+    least the query doc itself), docs ranked by BOTH arms exist, and the
+    fused order differs from each arm's own order."""
+    from kafka_cdc_hudi_spark.plans.catalog_streaming import hybrid_retrieval_rrf
+
+    sf = "/root/testdata/sf0.001"
+    rows = hybrid_retrieval_rrf(spark, sf).collect()
+    assert rows
+    lex_only = [r for r in rows if r["sem_rank"] is None and r["lex_rank"] is not None]
+    sem_only = [r for r in rows if r["lex_rank"] is None and r["sem_rank"] is not None]
+    both = [r for r in rows if r["lex_rank"] is not None and r["sem_rank"] is not None]
+    assert lex_only and sem_only and both
+    # fused order != lexical order and != semantic order (on some query)
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    diff_lex = diff_sem = False
+    for q, rs in by_q.items():
+        rs = sorted(rs, key=lambda r: r["rank"])
+        fused = [r["doc_id"] for r in rs]
+        lexo = [r["doc_id"] for r in sorted(
+            (r for r in rs if r["lex_rank"] is not None), key=lambda r: r["lex_rank"])]
+        semo = [r["doc_id"] for r in sorted(
+            (r for r in rs if r["sem_rank"] is not None), key=lambda r: r["sem_rank"])]
+        diff_lex |= fused[: len(lexo)] != lexo
+        diff_sem |= fused[: len(semo)] != semo
+    assert diff_lex and diff_sem
