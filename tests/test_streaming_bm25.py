@@ -160,3 +160,85 @@ def test_hybrid_rrf_fuses_both_arms_non_vacuously(spark):
         diff_lex |= fused[: len(lexo)] != lexo
         diff_sem |= fused[: len(semo)] != semo
     assert diff_lex and diff_sem
+
+
+def test_bm25_maintainer_under_streaming_engine(spark, tmp_path):
+    """The maintainer runs under the REAL engine via the driver's
+    side_processors attach point, with a checkpointed restart: the
+    maintained index equals a from-scratch rebuild of the final live
+    corpus, and the restart replays as a no-op."""
+    import json
+
+    from kafka_cdc_hudi_spark.config import DIALECT_DEBEZIUM, JobConfig, TableSpec
+    from kafka_cdc_hudi_spark.sources.kafka import json_file_value_stream
+    from kafka_cdc_hudi_spark.streaming.driver import CdcStreamDriver
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    payload = StructType(
+        [StructField("doc_id", LongType(), True), StructField("text", StringType(), True)]
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    cfg = JobConfig(
+        dialect=DIALECT_DEBEZIUM,
+        tables=[TableSpec("d1", "docs", ("doc_id",))],
+        sink_root=str(tmp_path / "sink"),
+        checkpoint_location=str(tmp_path / "ckpt"),
+        trigger_interval="1 seconds",
+        max_workers=1,
+    )
+    m = Bm25IndexMaintainer(root=str(tmp_path / "bm25"))
+
+    def side(spark_, routed, batch_id):
+        m.process(
+            spark_,
+            routed.select(
+                F.when(F.col("_deleted"), F.lit("d")).otherwise(F.lit("u")).alias("op"),
+                "doc_id",
+                "text",
+                F.col("mtime").alias("seq"),
+            ),
+            batch_id,
+        )
+
+    def dbz(op, after=None, before=None, ts_ms=0):
+        return json.dumps(
+            {"before": before, "after": after, "op": op, "ts_ms": ts_ms,
+             "db": "d1", "table": "docs"}
+        )
+
+    mk = lambda: CdcStreamDriver(  # noqa: E731
+        spark, cfg, payload_schemas={"docs": payload}, side_processors={"docs": side}
+    )
+    batches = [
+        [dbz("c", after={"doc_id": k, "text": t}, ts_ms=k)
+         for k, t in list(DOCS.items())[:4]],
+        [dbz("c", after={"doc_id": 5, "text": DOCS[5]}, ts_ms=5),
+         dbz("u", after={"doc_id": 2, "text": "duck pond reed marsh"}, ts_ms=6)],
+        [dbz("d", before={"doc_id": 5, "text": ""}, ts_ms=7)],
+    ]
+    q = mk().start(json_file_value_stream(spark, str(src), max_files_per_trigger=1))
+    for i, lines in enumerate(batches[:2]):
+        with open(src / f"b{i}.json", "w") as f:
+            f.write("\n".join(lines) + "\n")
+        q.processAllAvailable()
+    q.stop()
+    # restart, last batch
+    q2 = mk().start(json_file_value_stream(spark, str(src), max_files_per_trigger=1))
+    with open(src / "b2.json", "w") as f:
+        f.write("\n".join(batches[2]) + "\n")
+    q2.processAllAvailable()
+    q2.stop()
+
+    live = {1: DOCS[1], 2: "duck pond reed marsh", 3: DOCS[3], 4: DOCS[4]}
+    queries = spark.createDataFrame(
+        [(100, "spark merge window"), (101, "duck pond scan")],
+        "query_id BIGINT, text STRING",
+    )
+    got = _topk_set(m.topk(spark, queries, k=5))
+    assert got == _topk_set(_rebuild_topk(spark, live, queries, k=5))
+    # third driver on the same checkpoint: replay is a no-op
+    q3 = mk().start(json_file_value_stream(spark, str(src)))
+    q3.processAllAvailable()
+    q3.stop()
+    assert _topk_set(m.topk(spark, queries, k=5)) == got
