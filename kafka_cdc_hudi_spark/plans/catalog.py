@@ -80,17 +80,20 @@ for _n in DEMOTED:
 #:
 #: ROUND-11 ROTATION (committed in advance, the standing pattern):
 #: IN (50 slots, in order):
-#:   1. any entries born in r10 after this driver-set freeze.
+#:   1. the 3 entries born in r10 after this driver-set freeze
+#:      (text_bm25_topk, text_bm25_maintained, hybrid_retrieval_rrf),
+#:      plus any later r10 births.
 #:   2. the 12 slipped r7 entries (cdc_incremental_minmax_maintenance,
 #:      user_activity_reconciliation, events_anomaly_zscore,
 #:      events_daily_ohlc, events_data_profile, events_kmv_distinct_rollup,
 #:      events_markov_transitions, events_props_json_stats,
 #:      parts_cooccurrence, text_bpe_pretokenize, text_lm_score,
 #:      text_trigram_novelty) — oldest rows by then; must not slip twice.
-#:   3. the r8 green block oldest-row-first as slots allow (~37 slots).
+#:   3. the r8 green block oldest-row-first as slots allow (~35 slots;
+#:      the last ~15 slip to r12 and must not slip twice).
 #:   4. r9/r10 greens rest and return r12 oldest-row-first.
-#: Structural near-duplicates (the 11 standing PRUNED entries) stay out
-#: with covered-by reasons.
+#: Structural near-duplicates stay DEMOTED (see ``DEMOTED``) with
+#: covered-by reasons and a smoke test.
 
 #: held out of the driver-facing registry (entry cap) — each is either a
 #: near-duplicate of a surviving entry's physical plan shape or a
