@@ -53,6 +53,13 @@ def main() -> None:
     for side, art in (("old", old), ("new", new)):
         if art.get("contaminated"):
             print(f"WARNING: {side} artifact is stamped contaminated — read movers accordingly")
+    if old.get("timing_tier") != new.get("timing_tier"):
+        print(
+            f"NOTE: timing tiers differ (old={old.get('timing_tier')!r}, "
+            f"new={new.get('timing_tier')!r}) — r1-r9 timed the cold first "
+            "run, r10+ times the warm second run; cross-tier ratios mostly "
+            "show cold-JIT disappearing, not code changes"
+        )
     movers = []
     for name in sorted(set(oe) & set(ne)):
         a, b = oe[name]["spark_sec"], ne[name]["spark_sec"]
