@@ -26,6 +26,7 @@ from kafka_cdc_hudi_spark.session import get_spark  # noqa: E402
 from kafka_cdc_hudi_spark.sources.kafka import json_file_value_stream  # noqa: E402
 from kafka_cdc_hudi_spark.sources.tables import load_table  # noqa: E402
 from kafka_cdc_hudi_spark.streaming.driver import CdcStreamDriver  # noqa: E402
+from calib_gate import end_calib, gated_calib  # noqa: E402
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 N_FILES = 5
@@ -80,6 +81,11 @@ def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "both"
     spark = get_spark(shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
+    # ambient-load gate (VERDICT r9 item 5; the one soak that lacked it):
+    # refuse-or-stamp like bench/sweep/the churn soaks
+    stamp = gated_calib(spark)
+    print(f"# calib: {stamp}", file=sys.stderr)
+
 
     src = tempfile.mkdtemp(prefix="soak_src_")
     env = debezium_envelopes(load_table(spark, SF, "events"))
@@ -99,6 +105,10 @@ def main() -> None:
 
     for m in ("mor", "cow") if which == "both" else (which,):
         run(spark, m, src, n_events)
+    end_calib(spark, stamp)
+    print(f"# calib end: {stamp}", file=sys.stderr)
+    if stamp["contaminated"]:
+        print("# WARNING: contaminated run — throughput numbers untrustworthy", file=sys.stderr)
     shutil.rmtree(src, ignore_errors=True)
     shutil.rmtree(warm_src, ignore_errors=True)
 
