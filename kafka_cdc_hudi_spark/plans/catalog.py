@@ -105,6 +105,7 @@ PRUNED: dict[str, str] = {
     "text_bm25_topk": "born r10 past the freeze; rotate r11",
     "text_bm25_maintained": "born r10 past the freeze; rotate r11",
     "hybrid_retrieval_rrf": "born r10 past the freeze; rotate r11",
+    "hybrid_retrieval_maintained": "born r10 past the freeze; rotate r11",
     # ---- structural near-duplicates (standing; each covered by survivor) ----
     "cdc_latest_per_key": "cdc_latest_per_composite_key (same dedup operator, composite keys; r2-r6 green)",
     "q6_forecast_revenue": "q1_pricing_summary/q14 (filter+agg; pushdown pinned in test_plan_invariants)",

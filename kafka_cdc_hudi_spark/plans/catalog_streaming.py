@@ -546,6 +546,16 @@ def ann_topk_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
     not a single-shot query. At 100 TB the maintained table is the
     persisted index artifact; per-batch cost tracks churn and the query
     path is the standing broadcast-probe + cell equi-join shape."""
+    m = ann_maintainer_for(spark, sf_dir)
+    vid = F.col("vec_id")
+    q = m.index(spark).filter(vid < 10).select("vec_id", "embedding")
+    return m.topk(spark, q, k=_IVF_K, n_probe=_IVF_PROBE)
+
+
+def ann_maintainer_for(spark: SparkSession, sf_dir: str):
+    """Session-cached maintained ANN index after the deterministic CDC
+    script (shared by ann_topk_maintained and the maintained hybrid
+    entry — the script runs once per session/SF)."""
     import tempfile
 
     from kafka_cdc_hudi_spark.streaming.ann_ivm import AnnIndexMaintainer
@@ -582,9 +592,7 @@ def ann_topk_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
             for bid, bdf in enumerate([b0, b1, b2]):
                 m.process(spark, bdf, bid)
             _ANN_IVM_STATE[key] = root
-    m = AnnIndexMaintainer(root=f"{root}/index", cents=cents)
-    q = m.index(spark).filter(vid < 10).select("vec_id", "embedding")
-    return m.topk(spark, q, k=_IVF_K, n_probe=_IVF_PROBE)
+    return AnnIndexMaintainer(root=f"{root}/index", cents=cents)
 
 
 #: the oracle is a STATIC REBUILD over the live corpus: updates applied,
@@ -1290,6 +1298,12 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nid").alias("doc_id"),
         F.col("rank").alias("sem_rank"),
     )
+    return _rrf_fuse(lex, sem)
+
+
+def _rrf_fuse(lex, sem):
+    """Spark-side RRF fusion of two (query_id, doc_id, *_rank) arms —
+    shared by the static and maintained hybrid entries."""
     fused = lex.join(sem, ["query_id", "doc_id"], "full_outer")
     rrf = F.coalesce(
         F.lit(1.0) / (F.lit(_RRF_C) + F.col("lex_rank")), F.lit(0.0)
@@ -1303,15 +1317,10 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hybrid_rrf_sql() -> str:
-    from kafka_cdc_hudi_spark.plans.catalog_text import _bm25_sql
-
-    lex_stmt = _bm25_sql("documents", k=_HY_ARM_K, query_max=_HY_NQ)
-    sem_stmt = _ivf_sql(
-        _cents_values(ivf_static_codebook(EMBEDDING_DIM, _IVF_CELLS)),
-        k=_HY_ARM_K,
-        query_max=_HY_NQ,
-    )
+def _rrf_fusion_sql(lex_stmt: str, sem_stmt: str) -> str:
+    """DuckDB-side fusion wrapper over two self-contained arm statements
+    (each arm's WITH names are scoped to its subquery, so the two corpus
+    CTEs cannot collide)."""
     return f"""
 WITH lex AS (SELECT query_id, doc_id, rank AS lex_rank FROM ({lex_stmt})),
 sem AS (SELECT qid AS query_id, nid AS doc_id, rank AS sem_rank FROM ({sem_stmt})),
@@ -1332,11 +1341,80 @@ QUALIFY rank <= {_HY_K}
 """
 
 
+def _hybrid_rrf_sql() -> str:
+    from kafka_cdc_hudi_spark.plans.catalog_text import _bm25_sql
+
+    return _rrf_fusion_sql(
+        _bm25_sql("documents", k=_HY_ARM_K, query_max=_HY_NQ),
+        _ivf_sql(
+            _cents_values(ivf_static_codebook(EMBEDDING_DIM, _IVF_CELLS)),
+            k=_HY_ARM_K,
+            query_max=_HY_NQ,
+        ),
+    )
+
+
 HYBRID_RETRIEVAL_RRF_SQL = _hybrid_rrf_sql()
+
+
+def hybrid_retrieval_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search over the MAINTAINED indexes — the full production
+    story in one entry: the corpus churns under CDC (the BM25 script
+    rewrites doc_id%9==4 and deletes doc_id%12==7; the vector script
+    re-embeds vec_id%7==3 across cells and deletes vec_id%13==5,
+    independently — a real pipeline's text and embedding refreshes are
+    not atomic), both maintained indexes absorb their deltas at
+    O(churn), and queries fuse the two LIVE rankings by RRF. The oracle
+    composes the two maintained entries' full-recompute chains (each
+    over its own post-CDC corpus CTE) under the same fusion wrapper, so
+    the driver value-checks maintenance AND fusion end-to-end. Deleted
+    docs/vectors must be absent from their arm — and a doc deleted from
+    ONE side only must still surface through the other arm's rank (the
+    COALESCE path), which the oracle enforces exactly."""
+    from kafka_cdc_hudi_spark.plans.catalog_text import bm25_maintainer_for
+
+    mb = bm25_maintainer_for(spark, sf_dir)
+    did = F.col("doc_id")
+    qd = load_table(spark, sf_dir, "documents").filter(did < _HY_NQ).select(
+        did.alias("query_id"), "text"
+    )
+    lex = mb.topk(spark, qd, k=_HY_ARM_K).select(
+        "query_id", "doc_id", F.col("rank").alias("lex_rank")
+    )
+    ma = ann_maintainer_for(spark, sf_dir)
+    qe = ma.index(spark).filter(F.col("vec_id") < _HY_NQ).select("vec_id", "embedding")
+    sem = ma.topk(spark, qe, k=_HY_ARM_K, n_probe=_IVF_PROBE).select(
+        F.col("qid").alias("query_id"),
+        F.col("nid").alias("doc_id"),
+        F.col("rank").alias("sem_rank"),
+    )
+    return _rrf_fuse(lex, sem)
+
+
+def _hybrid_maintained_sql() -> str:
+    from kafka_cdc_hudi_spark.plans.catalog_text import (
+        _BM25_CORPUS_CTE,
+        _bm25_sql,
+    )
+
+    return _rrf_fusion_sql(
+        _bm25_sql("corpus", extra_ctes=_BM25_CORPUS_CTE, k=_HY_ARM_K, query_max=_HY_NQ),
+        _ivf_sql(
+            _cents_values(ivf_static_codebook(EMBEDDING_DIM, _IVF_CELLS)),
+            rel="corpus",
+            extra_ctes=_ANN_IVM_CORPUS_CTE,
+            k=_HY_ARM_K,
+            query_max=_HY_NQ,
+        ),
+    )
+
+
+HYBRID_RETRIEVAL_MAINTAINED_SQL = _hybrid_maintained_sql()
 
 
 STREAMING_QUERIES: dict[str, tuple] = {
     "hybrid_retrieval_rrf": (hybrid_retrieval_rrf, HYBRID_RETRIEVAL_RRF_SQL),
+    "hybrid_retrieval_maintained": (hybrid_retrieval_maintained, HYBRID_RETRIEVAL_MAINTAINED_SQL),
     "embedding_pq_encode": (embedding_pq_encode, EMBEDDING_PQ_ENCODE_SQL),
     "ann_topk_pq_adc": (ann_topk_pq_adc, ANN_TOPK_PQ_ADC_SQL),
     "ann_topk_ivfpq": (ann_topk_ivfpq, ANN_TOPK_IVFPQ_SQL),

@@ -5332,6 +5332,18 @@ def text_bm25_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
     the live corpus), not a single-shot query. At 100 TB the postings
     table is the persisted index artifact; queries touch only their
     terms' posting lists."""
+    m = bm25_maintainer_for(spark, sf_dir)
+    did = F.col("doc_id")
+    q = load_table(spark, sf_dir, "documents").filter(did < 5).select(
+        did.alias("query_id"), "text"
+    )
+    return m.topk(spark, q, k=BM25_K)
+
+
+def bm25_maintainer_for(spark: SparkSession, sf_dir: str):
+    """Session-cached maintained BM25 index after the deterministic CDC
+    script (shared by text_bm25_maintained and the maintained hybrid
+    entry — the script runs once per session/SF)."""
     import tempfile
 
     from kafka_cdc_hudi_spark.streaming.bm25_ivm import Bm25IndexMaintainer
@@ -5365,11 +5377,7 @@ def text_bm25_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
             for bid, bdf in enumerate([b0, b1, b2]):
                 m.process(spark, bdf, bid)
             _BM25_STATE[key] = root
-    m = Bm25IndexMaintainer(root=f"{root}/index")
-    q = load_table(spark, sf_dir, "documents").filter(did < 5).select(
-        did.alias("query_id"), "text"
-    )
-    return m.topk(spark, q, k=BM25_K)
+    return Bm25IndexMaintainer(root=f"{root}/index")
 
 
 _BM25_CORPUS_CTE = f"""corpus AS (

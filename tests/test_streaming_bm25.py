@@ -242,3 +242,32 @@ def test_bm25_maintainer_under_streaming_engine(spark, tmp_path):
     q3.processAllAvailable()
     q3.stop()
     assert _topk_set(m.topk(spark, queries, k=5)) == got
+
+
+def test_hybrid_maintained_reflects_both_churns(spark):
+    """The maintained hybrid entry must reflect BOTH CDC scripts: docs
+    deleted from the BM25 corpus carry no lex_rank, vectors deleted from
+    the ANN corpus carry no sem_rank, and one-side-deleted docs still
+    surface through the surviving arm (the COALESCE path)."""
+    from kafka_cdc_hudi_spark.plans.catalog_streaming import (
+        _ANN_IVM_DEL_MOD,
+        _ANN_IVM_DEL_RES,
+        hybrid_retrieval_maintained,
+    )
+    from kafka_cdc_hudi_spark.plans.catalog_text import _BM25_DEL_MOD, _BM25_DEL_RES
+
+    rows = hybrid_retrieval_maintained(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        if r["doc_id"] % _BM25_DEL_MOD == _BM25_DEL_RES:
+            assert r["lex_rank"] is None, r  # deleted doc: lexical arm silent
+        if r["doc_id"] % _ANN_IVM_DEL_MOD == _ANN_IVM_DEL_RES:
+            assert r["sem_rank"] is None, r  # deleted vector: semantic arm silent
+    # one-side-deleted survivors actually appear (the fusion is load-bearing)
+    assert any(
+        r["doc_id"] % _BM25_DEL_MOD == _BM25_DEL_RES and r["sem_rank"] is not None
+        for r in rows
+    ) or any(
+        r["doc_id"] % _ANN_IVM_DEL_MOD == _ANN_IVM_DEL_RES and r["lex_rank"] is not None
+        for r in rows
+    )
