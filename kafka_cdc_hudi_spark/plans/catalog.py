@@ -57,41 +57,36 @@ for _n in DEMOTED:
 #: driver status, and the full-registry sf0.01 sweep artifact
 #: (SWEEP_r{N}.json, scripts/sweep.py) is committed each round.
 #:
-#: ROUND-10 ROTATION (this file's current state; executes the schedule
-#: pre-committed in r9 verbatim, VERDICT r9 item 3, plus the maintained-ANN
-#: driver surface mandated by VERDICT r9 item 2). IN (50 slots, in order):
-#:   1. ann_topk_maintained — the r9-born AnnIndexMaintainer
-#:      (streaming/ann_ivm.py) gets its driver-oracle surface: a
-#:      deterministic CDC script (cell-moving re-embeds + top-k-evicting
-#:      deletes) folded through the maintainer, final top-k oracled as a
-#:      static IVF rebuild over the live corpus in DuckDB.
-#:   2. the 12 slipped r3-r6/r5-r6 entries (text_repetition_stats,
-#:      text_pii_scrub, text_decontaminate, cdc_schema_drift_parse,
-#:      dataset_pack_sequences, ann_topk_srp, dedup_embedding_cosine,
-#:      multimodal_meta, multimodal_frame_sample, multimodal_resize,
-#:      events_session_windows, user_running_stats_batch) — the oldest
-#:      rows in the registry; due back r10, "must not slip twice".
-#:   3. 37 slots of the r7 green block in PRUNED listing order
-#:      (q10_returned_items .. cdc_incremental_agg_maintenance).
-#: OUT: the 50 green r9 driver entries (due back r11) and the 50 green r8
-#: entries (due back r11). The last 12 of the r7 block slip one round
-#: (slots consumed by the due-back-r10 block) and are named below — due
-#: back r11, must not slip twice.
+#: ROUND-11 ROTATION (this file's current state; executes the schedule
+#: pre-committed in r10 verbatim, VERDICT r10 item 2). IN (50 slots, in
+#: order):
+#:   1. the 4 entries born in r10 past that round's driver-set freeze
+#:      (text_bm25_topk, text_bm25_maintained, hybrid_retrieval_rrf,
+#:      hybrid_retrieval_maintained) — the entire never-driver-tested set.
+#:   2. the 12 slipped r7 entries (cdc_incremental_minmax_maintenance ..
+#:      text_trigram_novelty) — oldest rows in the registry; due back
+#:      r11, "must not slip twice".
+#:   3. 34 slots of the r8 green block in PRUNED listing order
+#:      (text_hash_embedding .. events_hourly_agg). The last 16
+#:      (text_token_topk .. multimodal_video_keyframes) slip to r12 and
+#:      must not slip twice.
+#: OUT: the 50 green r10 driver entries and the 50 green r9 entries
+#: (both due back r12+ oldest-row-first as slots allow).
 #:
-#: ROUND-11 ROTATION (committed in advance, the standing pattern):
+#: ROUND-12 ROTATION (committed in advance, the standing pattern):
 #: IN (50 slots, in order):
-#:   1. the 3 entries born in r10 after this driver-set freeze
-#:      (text_bm25_topk, text_bm25_maintained, hybrid_retrieval_rrf),
-#:      plus any later r10 births.
-#:   2. the 12 slipped r7 entries (cdc_incremental_minmax_maintenance,
-#:      user_activity_reconciliation, events_anomaly_zscore,
-#:      events_daily_ohlc, events_data_profile, events_kmv_distinct_rollup,
-#:      events_markov_transitions, events_props_json_stats,
-#:      parts_cooccurrence, text_bpe_pretokenize, text_lm_score,
-#:      text_trigram_novelty) — oldest rows by then; must not slip twice.
-#:   3. the r8 green block oldest-row-first as slots allow (~35 slots;
-#:      the last ~15 slip to r12 and must not slip twice).
-#:   4. r9/r10 greens rest and return r12 oldest-row-first.
+#:   1. any entries born in r11 past this driver-set freeze.
+#:   2. the 16 slipped r8 entries (text_token_topk, ann_topk_ivf,
+#:      dedup_ngram_jaccard, dataset_sample_stratified, text_tfidf_topk,
+#:      events_user_rate_window, multimodal_decode_png,
+#:      ann_topk_ivf_trained, multimodal_decode_jpeg,
+#:      multimodal_video_frames, cdc_merge_partial_updates,
+#:      events_cms_heavy_hitters, ann_topk_ivfpq, dedup_clusters_star,
+#:      events_sketches, multimodal_video_keyframes) — must not slip
+#:      twice.
+#:   3. the r9 green block oldest-row-first as slots allow (~30 slots;
+#:      the rest slip to r13 and must not slip twice).
+#:   4. r10/r11 greens rest and return r13 oldest-row-first.
 #: Structural near-duplicates stay DEMOTED (see ``DEMOTED``) with
 #: covered-by reasons and a smoke test.
 
@@ -100,194 +95,193 @@ for _n in DEMOTED:
 #: driver-green entry resting between rotations; the operator itself stays
 #: covered by the named survivor + local oracle tests + the committed sweep
 PRUNED: dict[str, str] = {
-    # ---- born r10 past the driver-set freeze (locally oracled + swept
-    #      from birth; rotate into the r11 driver set, slot 1) ----
-    "text_bm25_topk": "born r10 past the freeze; rotate r11",
-    "text_bm25_maintained": "born r10 past the freeze; rotate r11",
-    "hybrid_retrieval_rrf": "born r10 past the freeze; rotate r11",
-    "hybrid_retrieval_maintained": "born r10 past the freeze; rotate r11",
     # ---- structural near-duplicates (standing; each covered by survivor) ----
     "cdc_latest_per_key": "cdc_latest_per_composite_key (same dedup operator, composite keys; r2-r6 green)",
     "q6_forecast_revenue": "q1_pricing_summary/q14 (filter+agg; pushdown pinned in test_plan_invariants)",
     "big_orders_semi_join": "q4_order_priority (left-semi against aggregated/filtered build side)",
     "events_tumbling_windows": "events_sliding_windows (same windowed-agg family) + test_streaming_windows builder tests",
-    # ---- r7 greens slipped one round to r11 (slots consumed by the
-    #      due-back-r10 block; must not slip twice) ----
-    "cdc_incremental_minmax_maintenance": "green r7; slipped r10, due back r11",
-    "user_activity_reconciliation": "green r7; slipped r10, due back r11",
-    "events_anomaly_zscore": "green r7; slipped r10, due back r11",
-    "events_daily_ohlc": "green r7; slipped r10, due back r11",
-    "events_data_profile": "green r7; slipped r10, due back r11",
-    "events_kmv_distinct_rollup": "green r7; slipped r10, due back r11",
-    "events_markov_transitions": "green r7; slipped r10, due back r11",
-    "events_props_json_stats": "green r7; slipped r10, due back r11",
-    "parts_cooccurrence": "green r7; slipped r10, due back r11",
-    "text_bpe_pretokenize": "green r7; slipped r10, due back r11",
-    "text_lm_score": "green r7; slipped r10, due back r11",
-    "text_trigram_novelty": "green r7; slipped r10, due back r11",
-    # ---- r8 driver set, resting after green CORRECTNESS_r08 rows
-    #      (due back r11 oldest-row-first; all locally oracled + swept) ----
-    "text_hash_embedding": "green r8; due back r11",
-    "dataset_interleave_order": "green r8; due back r11",
-    "dataset_length_buckets": "green r8; due back r11",
-    "embedding_mrl_energy": "green r8; due back r11",
-    "events_value_percentiles": "green r8; due back r11",
-    "events_user_gaps": "green r8; due back r11",
-    "events_active_users_rolling": "green r8; due back r11",
-    "text_rare_token_fraction": "green r8; due back r11",
-    "text_chunk_overlap": "green r8; due back r11",
-    "text_html_strip": "green r8; due back r11",
-    "orders_price_percentile_rank": "green r8; due back r11",
-    "events_type_cooccurrence": "green r8; due back r11",
-    "customers_rfm_segments": "green r8; due back r11",
-    "multimodal_decode_jpeg_color": "green r8; due back r11",
-    "multimodal_audio_segments": "green r8; due back r11",
-    "multimodal_video_cuts": "green r8; due back r11",
-    "events_histogram_quantile_rollup": "green r8; due back r11",
-    "text_bpe_pair_counts": "green r8; due back r11",
-    "text_bpe_train_merges": "green r8; due back r11",
-    "pipeline_audio_manifest": "green r8; due back r11",
-    "text_bloom_decontaminate": "green r8; due back r11",
-    "dedup_fuzzy_editdist": "green r8; due back r11",
-    "dedup_fuzzy_canonicalize": "green r8; due back r11",
-    "text_bpe_encode": "green r8; due back r11",
-    "cdc_incremental_enriched_agg_maintenance": "green r8; due back r11",
-    "dataset_negative_sample": "green r8; due back r11",
-    "text_duplicated_span_fraction": "green r8; due back r11",
-    "text_fingerprint": "green r8; due back r11",
-    "text_language_id": "green r8; due back r11",
-    "embedding_quantize_int8": "green r8; due back r11",
-    "events_pivot_user_counts": "green r8; due back r11",
-    "active_user_set_ops": "green r8; due back r11",
-    "text_quality_score": "green r8; due back r11",
-    "events_hourly_agg": "green r8; due back r11",
-    "text_token_topk": "green r8; due back r11",
-    "ann_topk_ivf": "green r8; due back r11",
-    "dedup_ngram_jaccard": "green r8; due back r11",
-    "dataset_sample_stratified": "green r8; due back r11",
-    "text_tfidf_topk": "green r8; due back r11",
-    "events_user_rate_window": "green r8; due back r11",
-    "multimodal_decode_png": "green r8; due back r11",
-    "ann_topk_ivf_trained": "green r8; due back r11",
-    "multimodal_decode_jpeg": "green r8; due back r11",
-    "multimodal_video_frames": "green r8; due back r11",
-    "cdc_merge_partial_updates": "green r8; due back r11",
-    "events_cms_heavy_hitters": "green r8; due back r11",
-    "ann_topk_ivfpq": "green r8; due back r11",
-    "dedup_clusters_star": "green r8; due back r11",
-    "events_sketches": "green r8; due back r11",
-    "multimodal_video_keyframes": "green r8; due back r11",
+    # ---- r8 greens slipped one round to r12 (slots consumed by the
+    #      born-r10 + due-back-r7 blocks; must not slip twice) ----
+    "text_token_topk": "green r8; slipped r11, due back r12",
+    "ann_topk_ivf": "green r8; slipped r11, due back r12",
+    "dedup_ngram_jaccard": "green r8; slipped r11, due back r12",
+    "dataset_sample_stratified": "green r8; slipped r11, due back r12",
+    "text_tfidf_topk": "green r8; slipped r11, due back r12",
+    "events_user_rate_window": "green r8; slipped r11, due back r12",
+    "multimodal_decode_png": "green r8; slipped r11, due back r12",
+    "ann_topk_ivf_trained": "green r8; slipped r11, due back r12",
+    "multimodal_decode_jpeg": "green r8; slipped r11, due back r12",
+    "multimodal_video_frames": "green r8; slipped r11, due back r12",
+    "cdc_merge_partial_updates": "green r8; slipped r11, due back r12",
+    "events_cms_heavy_hitters": "green r8; slipped r11, due back r12",
+    "ann_topk_ivfpq": "green r8; slipped r11, due back r12",
+    "dedup_clusters_star": "green r8; slipped r11, due back r12",
+    "events_sketches": "green r8; slipped r11, due back r12",
+    "multimodal_video_keyframes": "green r8; slipped r11, due back r12",
     # ---- r9 driver set, resting after green CORRECTNESS_r09 rows
-    #      (due back r11; all locally oracled + swept) ----
-    "cdc_merge_dms_e2e": "green r9; due back r11",
-    "dedup_incremental_candidates": "green r9; due back r11",
-    "graph_triangles_neardup": "green r9; due back r11",
-    "ann_recall_at_k": "green r9; due back r11",
-    "dedup_spans_remove": "green r9; due back r11",
-    "dedup_simhash_pairs": "green r9; due back r11",
-    "events_partitioned_day_slice": "green r9; due back r11",
-    "dedup_simhash_wide_pairs": "green r9; due back r11",
-    "ann_recall_trained_vs_static": "green r9; due back r11",
-    "events_ab_test": "green r9; due back r11",
-    "dedup_semantic_clusters": "green r9; due back r11",
-    "text_nb_classifier": "green r9; due back r11",
-    "dataset_dsir_weights": "green r9; due back r11",
-    "pipeline_rag_index": "green r9; due back r11",
-    "pipeline_quality_funnel": "green r9; due back r11",
-    "dedup_cdc_pair_ivm": "green r9; due back r11",
-    "ann_topk_ivfpq_rerank": "green r9; due back r11",
-    "dedup_cross_source_stats": "green r9; due back r11",
-    "dataset_epoch_order": "green r9; due back r11",
-    "text_containment_pairs": "green r9; due back r11",
-    "embedding_pca_whiten": "green r9; due back r11",
-    "pipeline_cdc_corpus_refresh": "green r9; due back r11",
-    "events_ewma_forecast": "green r9; due back r11",
-    "cdc_scd2_history": "green r9; due back r11",
-    "q12_priority_by_linestatus": "green r9; due back r11",
-    "events_hll_mergeable_rollup": "green r9; due back r11",
-    "cdc_parse_debezium": "green r9; due back r11",
-    "cdc_parse_dms": "green r9; due back r11",
-    "cdc_latest_per_composite_key": "green r9; due back r11",
-    "cdc_merge_two_batches": "green r9; due back r11",
-    "cdc_merge_mor": "green r9; due back r11",
-    "cdc_time_travel": "green r9; due back r11",
-    "cdc_incremental_diff": "green r9; due back r11",
-    "cdc_route_multitable": "green r9; due back r11",
-    "q1_pricing_summary": "green r9; due back r11",
-    "q3_shipping_priority": "green r9; due back r11",
-    "q4_order_priority": "green r9; due back r11",
-    "q5_local_supplier": "green r9; due back r11",
-    "topk_orders_per_customer": "green r9; due back r11",
-    "asof_join_last_click": "green r9; due back r11",
-    "customers_without_orders": "green r9; due back r11",
-    "events_cube": "green r9; due back r11",
-    "range_join_post_purchase": "green r9; due back r11",
-    "events_retention_cohorts": "green r9; due back r11",
-    "events_funnel_conversions": "green r9; due back r11",
-    "dedup_exact": "green r9; due back r11",
-    "dedup_minhash_lsh": "green r9; due back r11",
-    "dedup_simhash": "green r9; due back r11",
-    "ann_topk_bruteforce": "green r9; due back r11",
-    "events_sliding_windows": "green r9; due back r11",
+    #      (due back r12 oldest-row-first; all locally oracled + swept) ----
+    "cdc_merge_dms_e2e": "green r9; due back r12",
+    "dedup_incremental_candidates": "green r9; due back r12",
+    "graph_triangles_neardup": "green r9; due back r12",
+    "ann_recall_at_k": "green r9; due back r12",
+    "dedup_spans_remove": "green r9; due back r12",
+    "dedup_simhash_pairs": "green r9; due back r12",
+    "events_partitioned_day_slice": "green r9; due back r12",
+    "dedup_simhash_wide_pairs": "green r9; due back r12",
+    "ann_recall_trained_vs_static": "green r9; due back r12",
+    "events_ab_test": "green r9; due back r12",
+    "dedup_semantic_clusters": "green r9; due back r12",
+    "text_nb_classifier": "green r9; due back r12",
+    "dataset_dsir_weights": "green r9; due back r12",
+    "pipeline_rag_index": "green r9; due back r12",
+    "pipeline_quality_funnel": "green r9; due back r12",
+    "dedup_cdc_pair_ivm": "green r9; due back r12",
+    "ann_topk_ivfpq_rerank": "green r9; due back r12",
+    "dedup_cross_source_stats": "green r9; due back r12",
+    "dataset_epoch_order": "green r9; due back r12",
+    "text_containment_pairs": "green r9; due back r12",
+    "embedding_pca_whiten": "green r9; due back r12",
+    "pipeline_cdc_corpus_refresh": "green r9; due back r12",
+    "events_ewma_forecast": "green r9; due back r12",
+    "cdc_scd2_history": "green r9; due back r12",
+    "q12_priority_by_linestatus": "green r9; due back r12",
+    "events_hll_mergeable_rollup": "green r9; due back r12",
+    "cdc_parse_debezium": "green r9; due back r12",
+    "cdc_parse_dms": "green r9; due back r12",
+    "cdc_latest_per_composite_key": "green r9; due back r12",
+    "cdc_merge_two_batches": "green r9; due back r12",
+    "cdc_merge_mor": "green r9; due back r12",
+    "cdc_time_travel": "green r9; due back r12",
+    "cdc_incremental_diff": "green r9; due back r12",
+    "cdc_route_multitable": "green r9; due back r12",
+    "q1_pricing_summary": "green r9; due back r12",
+    "q3_shipping_priority": "green r9; due back r12",
+    "q4_order_priority": "green r9; due back r12",
+    "q5_local_supplier": "green r9; due back r12",
+    "topk_orders_per_customer": "green r9; due back r12",
+    "asof_join_last_click": "green r9; due back r12",
+    "customers_without_orders": "green r9; due back r12",
+    "events_cube": "green r9; due back r12",
+    "range_join_post_purchase": "green r9; due back r12",
+    "events_retention_cohorts": "green r9; due back r12",
+    "events_funnel_conversions": "green r9; due back r12",
+    "dedup_exact": "green r9; due back r12",
+    "dedup_minhash_lsh": "green r9; due back r12",
+    "dedup_simhash": "green r9; due back r12",
+    "ann_topk_bruteforce": "green r9; due back r12",
+    "events_sliding_windows": "green r9; due back r12",
+    # ---- r10 driver set, resting after green CORRECTNESS_r10 rows
+    #      (due back r12+ as slots allow; all locally oracled + swept) ----
+    "ann_topk_maintained": "green r10; due back r12+",
+    "text_repetition_stats": "green r10; due back r12+",
+    "text_pii_scrub": "green r10; due back r12+",
+    "text_decontaminate": "green r10; due back r12+",
+    "cdc_schema_drift_parse": "green r10; due back r12+",
+    "dataset_pack_sequences": "green r10; due back r12+",
+    "ann_topk_srp": "green r10; due back r12+",
+    "dedup_embedding_cosine": "green r10; due back r12+",
+    "multimodal_meta": "green r10; due back r12+",
+    "multimodal_frame_sample": "green r10; due back r12+",
+    "multimodal_resize": "green r10; due back r12+",
+    "events_session_windows": "green r10; due back r12+",
+    "user_running_stats_batch": "green r10; due back r12+",
+    "q10_returned_items": "green r10; due back r12+",
+    "q14_promo_revenue": "green r10; due back r12+",
+    "text_normalize": "green r10; due back r12+",
+    "dataset_split_assign": "green r10; due back r12+",
+    "dedup_clusters": "green r10; due back r12+",
+    "q2_min_cost_supplier": "green r10; due back r12+",
+    "q7_volume_shipping": "green r10; due back r12+",
+    "q8_market_share": "green r10; due back r12+",
+    "q9_product_profit": "green r10; due back r12+",
+    "q11_important_parts": "green r10; due back r12+",
+    "q13_customer_distribution": "green r10; due back r12+",
+    "q15_top_supplier": "green r10; due back r12+",
+    "q16_part_supplier_variety": "green r10; due back r12+",
+    "q17_small_quantity_revenue": "green r10; due back r12+",
+    "q18_large_volume_customers": "green r10; due back r12+",
+    "q19_disjunctive_revenue": "green r10; due back r12+",
+    "q20_excess_quantity_suppliers": "green r10; due back r12+",
+    "q21_last_shipper_blame": "green r10; due back r12+",
+    "q22_sales_opportunity": "green r10; due back r12+",
+    "embedding_pq_encode": "green r10; due back r12+",
+    "ann_topk_pq_adc": "green r10; due back r12+",
+    "graph_pagerank_neardup": "green r10; due back r12+",
+    "multimodal_decode_bmp": "green r10; due back r12+",
+    "multimodal_decode_gif": "green r10; due back r12+",
+    "multimodal_decode_tiff": "green r10; due back r12+",
+    "multimodal_decode_wav": "green r10; due back r12+",
+    "multimodal_resize_png_real": "green r10; due back r12+",
+    "pipeline_pretraining_corpus": "green r10; due back r12+",
+    "pipeline_multimodal_manifest": "green r10; due back r12+",
+    "dataset_pack_materialize": "green r10; due back r12+",
+    "dataset_quota_per_group": "green r10; due back r12+",
+    "dataset_weighted_sample": "green r10; due back r12+",
+    "dataset_mixture_weights": "green r10; due back r12+",
+    "dedup_lines_reconstruct": "green r10; due back r12+",
+    "dedup_corpus_final": "green r10; due back r12+",
+    "cdc_merge_bucketed": "green r10; due back r12+",
+    "cdc_incremental_agg_maintenance": "green r10; due back r12+",
 }
 
-#: driver evaluation order, round 10: the born-r10 maintained-ANN
-#: surface first, then the 12 due-back slips (oldest rows), then the
-#: r7 green block in PRUNED listing order
+#: driver evaluation order, round 11: the 4 born-r10 entries first
+#: (the never-driver-tested set), then the 12 due-back-r7 slips
+#: (oldest rows), then 34 slots of the r8 green block in PRUNED
+#: listing order
 _DRIVER_ORDER = [
-    # -- born r10 (VERDICT r9 item 2: the maintained ANN index) --
-    "ann_topk_maintained",
-    # -- the 12 slipped r3-r6/r5-r6 entries (must not slip twice) --
-    "text_repetition_stats",
-    "text_pii_scrub",
-    "text_decontaminate",
-    "cdc_schema_drift_parse",
-    "dataset_pack_sequences",
-    "ann_topk_srp",
-    "dedup_embedding_cosine",
-    "multimodal_meta",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "events_session_windows",
-    "user_running_stats_batch",
-    # -- the r7 green block, 37 slots in PRUNED listing order --
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "text_normalize",
-    "dataset_split_assign",
-    "dedup_clusters",
-    "q2_min_cost_supplier",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_part_supplier_variety",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_disjunctive_revenue",
-    "q20_excess_quantity_suppliers",
-    "q21_last_shipper_blame",
-    "q22_sales_opportunity",
-    "embedding_pq_encode",
-    "ann_topk_pq_adc",
-    "graph_pagerank_neardup",
-    "multimodal_decode_bmp",
-    "multimodal_decode_gif",
-    "multimodal_decode_tiff",
-    "multimodal_decode_wav",
-    "multimodal_resize_png_real",
-    "pipeline_pretraining_corpus",
-    "pipeline_multimodal_manifest",
-    "dataset_pack_materialize",
-    "dataset_quota_per_group",
-    "dataset_weighted_sample",
-    "dataset_mixture_weights",
-    "dedup_lines_reconstruct",
-    "dedup_corpus_final",
-    "cdc_merge_bucketed",
-    "cdc_incremental_agg_maintenance",
+    # -- born r10 (rotate-in slot 1: BM25 + hybrid retrieval) --
+    "text_bm25_topk",
+    "text_bm25_maintained",
+    "hybrid_retrieval_rrf",
+    "hybrid_retrieval_maintained",
+    # -- the 12 slipped r7 entries (must not slip twice) --
+    "cdc_incremental_minmax_maintenance",
+    "user_activity_reconciliation",
+    "events_anomaly_zscore",
+    "events_daily_ohlc",
+    "events_data_profile",
+    "events_kmv_distinct_rollup",
+    "events_markov_transitions",
+    "events_props_json_stats",
+    "parts_cooccurrence",
+    "text_bpe_pretokenize",
+    "text_lm_score",
+    "text_trigram_novelty",
+    # -- the r8 green block, 34 slots in PRUNED listing order --
+    "text_hash_embedding",
+    "dataset_interleave_order",
+    "dataset_length_buckets",
+    "embedding_mrl_energy",
+    "events_value_percentiles",
+    "events_user_gaps",
+    "events_active_users_rolling",
+    "text_rare_token_fraction",
+    "text_chunk_overlap",
+    "text_html_strip",
+    "orders_price_percentile_rank",
+    "events_type_cooccurrence",
+    "customers_rfm_segments",
+    "multimodal_decode_jpeg_color",
+    "multimodal_audio_segments",
+    "multimodal_video_cuts",
+    "events_histogram_quantile_rollup",
+    "text_bpe_pair_counts",
+    "text_bpe_train_merges",
+    "pipeline_audio_manifest",
+    "text_bloom_decontaminate",
+    "dedup_fuzzy_editdist",
+    "dedup_fuzzy_canonicalize",
+    "text_bpe_encode",
+    "cdc_incremental_enriched_agg_maintenance",
+    "dataset_negative_sample",
+    "text_duplicated_span_fraction",
+    "text_fingerprint",
+    "text_language_id",
+    "embedding_quantize_int8",
+    "events_pivot_user_counts",
+    "active_user_set_ops",
+    "text_quality_score",
+    "events_hourly_agg",
 ]
 
 assert set(_DRIVER_ORDER) | set(PRUNED) == set(FULL_REGISTRY), (

@@ -15,10 +15,23 @@ composes out of the repo's standing pieces:
 - **postings** (``KeyedParquetTable`` MOR, keys ``(term, doc_id)``, value
   ``tf``): per batch, the changed docs' OLD postings are tombstoned and
   the new tokenizations appended — one delta commit, O(changed docs'
-  terms), never a corpus re-scan. The tombstone/insert pair for a term
-  surviving an update is ordered by a doubled sequence (tombstone
-  ``2*seq``, insert ``2*seq + 1``) so the sink's precombine resolves them
+  terms), never a corpus re-scan (the stale-posting read pushes the
+  churn-bounded changed-doc set BELOW the MOR fold as a key-literal
+  predicate via ``read_where_keys``, the same scan-pruning scheme
+  streaming/scd2.py uses; oversized batches fall back to a semi-join
+  over the fold). The tombstone/insert pair for a term surviving an
+  update is ordered by a doubled sequence (tombstone ``2*seq``, insert
+  ``2*seq + 1``) so the sink's precombine resolves them
   deterministically, replay included.
+
+Hard precondition — strictly monotonic ``seq`` per doc: the doubled-seq
+scheme requires each doc's ``seq`` to strictly INCREASE across batches.
+The underlying sink tolerates equal seqs (commit-sequence tiebreak), but
+here a delete replaying an earlier upsert's seq would lose the precombine
+(its tombstone ``2*s`` sorts below the earlier insert's ``2*s + 1``),
+resurrecting the doc. :meth:`Bm25IndexMaintainer.process` validates this
+against the pruned stale-posting read and raises on violation (skipped on
+batch replays, whose own rows are legitimately already stored).
 - **doclens** (``KeyedParquetTable`` MOR, keys ``(doc_id,)``, value
   ``dl``): document lengths for the BM25 normalization; deletes are
   tombstones.
@@ -56,6 +69,12 @@ from kafka_cdc_hudi_spark.sinks.keyed_table import KeyedParquetTable
 
 #: BM25 constants (Robertson defaults)
 K1, B = 1.2, 0.75
+
+#: batches touching up to this many docs read stale postings through a
+#: doc_id-literal predicate pushed BELOW the MOR fold (scan-level pruning,
+#: sinks/keyed_table.py:read_where_keys); larger batches fall back to the
+#: broadcast semi-join AFTER the fold (same scheme as streaming/scd2.py)
+_MAX_DOC_LITERALS = 4096
 
 
 def _ordered_sum(col_struct_list):
@@ -197,14 +216,47 @@ class Bm25IndexMaintainer:
         try:
             changed = latest.select("doc_id", "seq")
             # 1. tombstone every existing posting of a changed doc. The
-            #    read prunes to the changed docs (broadcast semi-join over
-            #    the MOR fold; doc_id is a key column, so a bucketed/
-            #    clustered layout scan-prunes this at scale). Tombstones
-            #    take 2*seq so the fresh tokenization at 2*seq + 1 wins
-            #    the precombine for terms surviving an update.
-            existing = self.postings.read(spark)
+            #    read pushes the churn-bounded changed-doc set BELOW the
+            #    MOR fold as a doc_id-literal predicate (scan-level
+            #    pruning: O(changed docs' terms), never a full postings
+            #    fold — ADVICE r10); oversized batches fall back to the
+            #    broadcast semi-join over the fold. Tombstones take 2*seq
+            #    so the fresh tokenization at 2*seq + 1 wins the
+            #    precombine for terms surviving an update.
+            changed_rows = changed.limit(_MAX_DOC_LITERALS + 1).collect()
+            if len(changed_rows) <= _MAX_DOC_LITERALS:
+                existing = self.postings.read_where_keys(
+                    spark, F.col("doc_id").isin([r["doc_id"] for r in changed_rows])
+                )
+            else:
+                existing = self.postings.read(spark)
             deltas = []
             if existing is not None:
+                # strict-monotonic seq per doc is a HARD precondition of
+                # the doubled-seq scheme (module docstring): a delete
+                # replaying an earlier upsert's seq would lose the
+                # precombine (2s < 2s' + 1 when s <= s') and resurrect
+                # the doc. Validate against the already-pruned read —
+                # one agg over the changed docs' postings. Skipped on
+                # full batch replays (this batch's own rows are stored).
+                lb = self.postings.last_batch_id()
+                if lb is None or batch_id > lb:
+                    bad = (
+                        existing.groupBy("doc_id")
+                        .agg(F.max("seq").alias("max_stored"))
+                        .join(F.broadcast(changed), "doc_id")
+                        .filter(F.col("seq") * 2 <= F.col("max_stored"))
+                        .limit(1)
+                        .collect()
+                    )
+                    if bad:
+                        r = bad[0]
+                        raise ValueError(
+                            "Bm25IndexMaintainer: non-monotonic seq for "
+                            f"doc_id={r['doc_id']!r} (incoming seq {r['seq']} "
+                            f"vs stored {r['max_stored']} after doubling) — "
+                            "per-doc seq must strictly increase across batches"
+                        )
                 stale = existing.select("term", "doc_id").join(
                     F.broadcast(changed), "doc_id"
                 )

@@ -34,6 +34,9 @@ import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# calib_gate lives next to this script; the repo-root insert above doesn't
+# cover `python -m scripts.foo`-style invocation (ADVICE r10)
+sys.path.insert(1, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F  # noqa: E402
 

@@ -26,6 +26,9 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# calib_gate lives next to this script; the repo-root insert above doesn't
+# cover `python -m scripts.foo`-style invocation (ADVICE r10)
+sys.path.insert(1, os.path.dirname(os.path.abspath(__file__)))
 
 from kafka_cdc_hudi_spark.plans.catalog import FULL_REGISTRY  # noqa: E402
 from kafka_cdc_hudi_spark.session import get_spark  # noqa: E402
@@ -60,6 +63,7 @@ def main() -> None:
         if name in builders:
             sql = builders[name](sf_dir) or sql
         oracled = sql is not None
+        cold_sec = spark_sec = None
         t0 = time.perf_counter()
         try:
             df = fn(spark, sf_dir)
@@ -97,7 +101,14 @@ def main() -> None:
                 ok, msg = compare(_Wrap(), con, sql)
             rows = len(pdf)
         except Exception as exc:  # noqa: BLE001 — sweep must finish
-            spark_sec = cold_sec = round(time.perf_counter() - t0, 3)
+            # only stamp elapsed-since-t0 when the FIRST execution itself
+            # failed; a late failure (oracle compare, warm rerun) must not
+            # overwrite already-measured timings with total elapsed
+            # including DuckDB time (ADVICE r10)
+            if cold_sec is None:
+                cold_sec = round(time.perf_counter() - t0, 3)
+            if spark_sec is None:
+                spark_sec = cold_sec
             ok, msg, rows = False, f"EXC: {exc}"[:300], -1
         entries[name] = {
             "ok": bool(ok),
