@@ -15,7 +15,14 @@ import json
 
 import pytest
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from kafka_cdc_hudi_spark.config import DIALECT_DEBEZIUM, JobConfig, TableSpec
 from kafka_cdc_hudi_spark.operators.temporal import scd2_history
@@ -297,3 +304,259 @@ def test_scd2_tables_selector(spark, tmp_path):
     # t2 selected: history exists; t1 not selected: no history table
     assert driver.scd2_for(cfg2.tables[1]).read(spark) is not None
     assert driver.scd2_for(cfg2.tables[0]).read(spark) is None
+
+
+VEC_PAYLOAD = StructType(
+    [
+        StructField("vec_id", LongType(), True),
+        StructField("embedding", ArrayType(DoubleType()), True),
+    ]
+)
+
+
+def _fused_set(df):
+    return {
+        (
+            r["query_id"],
+            r["doc_id"],
+            r["rank"],
+            round(r["rrf_score"], 9),
+            r["lex_rank"],
+            r["sem_rank"],
+        )
+        for r in df.collect()
+    }
+
+
+@pytest.mark.slow
+def test_maintained_hybrid_two_indexes_one_driver(spark, tmp_path):
+    """VERDICT r10 item 5: the full maintained-hybrid production shape
+    under the REAL engine — ONE ``CdcStreamDriver`` fans out to BOTH
+    retrieval maintainers (``Bm25IndexMaintainer`` on a docs table,
+    ``AnnIndexMaintainer`` on an independent vectors table) via
+    ``side_processors``, each absorbing its own churn script, with a
+    mid-run checkpointed restart. At three checkpoints the RRF fusion of
+    the two LIVE rankings must EXACTLY equal the fusion of from-scratch
+    rebuilds over the live corpora — the engine-drive analog of the
+    ``hybrid_retrieval_maintained`` catalog oracle."""
+    from kafka_cdc_hudi_spark.functions.textfns import tokens
+    from kafka_cdc_hudi_spark.operators.similarity import (
+        ivf_assign,
+        ivf_static_codebook,
+        ivf_topk,
+    )
+    from kafka_cdc_hudi_spark.plans.catalog_streaming import _rrf_fuse
+    from kafka_cdc_hudi_spark.sources.tables import load_table
+    from kafka_cdc_hudi_spark.streaming.ann_ivm import AnnIndexMaintainer
+    from kafka_cdc_hudi_spark.streaming.bm25_ivm import Bm25IndexMaintainer, bm25_topk
+
+    K, NPROBE, QIDS = 5, 3, [0, 1, 2, 3, 4]
+    corpus = {
+        int(r["doc_id"]): r["text"]
+        for r in load_table(spark, SF_DIR, "documents")
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id", "text")
+        .collect()
+    }
+    vectors = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in load_table(spark, SF_DIR, "embeddings")
+        .filter(F.col("vec_id") < 40)
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    dim = len(next(iter(vectors.values())))
+    cents = ivf_static_codebook(dim, 8)
+    doc_ids, vec_ids = sorted(corpus), sorted(vectors)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    cfg = JobConfig(
+        dialect=DIALECT_DEBEZIUM,
+        tables=[TableSpec("d1", "t_docs", ("doc_id",)), TableSpec("d1", "t_vecs", ("vec_id",))],
+        sink_root=str(tmp_path / "sink"),
+        checkpoint_location=str(tmp_path / "ckpt"),
+        trigger_interval="1 seconds",
+        max_workers=2,
+    )
+    mb = Bm25IndexMaintainer(root=str(tmp_path / "bm25"), compact_every=2)
+    ma = AnnIndexMaintainer(root=str(tmp_path / "ann"), cents=cents, compact_every=2)
+
+    def bm25_side(spark_, routed, batch_id):
+        mb.process(
+            spark_,
+            routed.select(
+                F.when(F.col("_deleted"), F.lit("d")).otherwise(F.lit("u")).alias("op"),
+                "doc_id",
+                "text",
+                F.col("mtime").alias("seq"),
+            ),
+            batch_id,
+        )
+
+    def ann_side(spark_, routed, batch_id):
+        ma.process(
+            spark_,
+            routed.select(
+                F.when(F.col("_deleted"), F.lit("d")).otherwise(F.lit("u")).alias("op"),
+                "vec_id",
+                "embedding",
+                F.col("mtime").alias("seq"),
+            ),
+            batch_id,
+        )
+
+    def make_driver():
+        return CdcStreamDriver(
+            spark,
+            cfg,
+            payload_schemas={"t_docs": DOC_PAYLOAD, "t_vecs": VEC_PAYLOAD},
+            side_processors={"t_docs": bm25_side, "t_vecs": ann_side},
+        )
+
+    # ---- independent 6-batch churn scripts (text refresh != embedding
+    # refresh, like a real pipeline's non-atomic re-embed). Query ids
+    # 0-4 stay unchurned so checkpoint queries are stable. Each batch
+    # carries its (lines, doc_effects, vec_effects) — the effects are
+    # applied to the live dicts ONLY as batches are driven, so checkpoint
+    # rebuilds see the batch-prefix corpus, not the final one.
+    live_docs: dict[int, str] = {}
+    live_vecs: dict[int, list] = {}
+    ts = 1000
+    batches = []
+    # b0/b1: bulk inserts, docs in two halves, vecs staggered DIFFERENTLY
+    # (two-thirds then the rest) so the two arms' batch contents diverge
+    doc_halves = [doc_ids[: len(doc_ids) // 2], doc_ids[len(doc_ids) // 2 :]]
+    vcut = 2 * len(vec_ids) // 3
+    vec_parts = [vec_ids[:vcut], vec_ids[vcut:]]
+    for b in range(2):
+        lines, deff, veff = [], [], []
+        for did in doc_halves[b]:
+            ts += 1
+            lines.append(_dbz("c", "t_docs", after={"doc_id": did, "text": corpus[did]}, ts_ms=ts))
+            deff.append((did, corpus[did]))
+        for vid in vec_parts[b]:
+            ts += 1
+            lines.append(_dbz("c", "t_vecs", after={"vec_id": vid, "embedding": vectors[vid]}, ts_ms=ts))
+            veff.append((vid, vectors[vid]))
+        batches.append((lines, deff, veff))
+    # b2: docs-only churn — two docs take other docs' text (rank moves)
+    lines, deff = [], []
+    for tgt, src_id in ((doc_ids[7], doc_ids[5]), (doc_ids[11], doc_ids[6])):
+        ts += 1
+        lines.append(_dbz("u", "t_docs", after={"doc_id": tgt, "text": corpus[src_id]}, ts_ms=ts))
+        deff.append((tgt, corpus[src_id]))
+    batches.append((lines, deff, []))
+    # b3 (post-restart): vecs-only churn — two vectors re-embedded to a
+    # neighbor's point (cell moves)
+    lines, veff = [], []
+    for tgt, src_id in ((vec_ids[9], vec_ids[6]), (vec_ids[13], vec_ids[8])):
+        ts += 1
+        lines.append(_dbz("u", "t_vecs", after={"vec_id": tgt, "embedding": vectors[src_id]}, ts_ms=ts))
+        veff.append((tgt, vectors[src_id]))
+    batches.append((lines, [], veff))
+    # b4: deletes on BOTH sides — including doc 7 deleted from the LEX
+    # side only (its vector survives: the one-arm-survivor COALESCE path)
+    ts += 1
+    l4 = [_dbz("d", "t_docs", before={"doc_id": doc_ids[7], "text": ""}, ts_ms=ts)]
+    ts += 1
+    l4.append(_dbz("d", "t_vecs", before={"vec_id": vec_ids[13], "embedding": []}, ts_ms=ts))
+    batches.append((l4, [(doc_ids[7], None)], [(vec_ids[13], None)]))
+    # b5: re-insert the deleted doc with fresh text after its delete
+    ts += 1
+    batches.append((
+        [_dbz("c", "t_docs", after={"doc_id": doc_ids[7], "text": corpus[doc_ids[9]]}, ts_ms=ts)],
+        [(doc_ids[7], corpus[doc_ids[9]])],
+        [],
+    ))
+
+    def write(i):
+        lines, deff, veff = batches[i]
+        with open(src / f"b{i}.json", "w") as f:
+            f.write("\n".join(lines) + "\n")
+        for k, v in deff:
+            if v is None:
+                live_docs.pop(k, None)
+            else:
+                live_docs[k] = v
+        for k, v in veff:
+            if v is None:
+                live_vecs.pop(k, None)
+            else:
+                live_vecs[k] = v
+
+    def fused_live():
+        qd = spark.createDataFrame(
+            [(q, live_docs[q]) for q in QIDS], "query_id BIGINT, text STRING"
+        )
+        lex = mb.topk(spark, qd, k=K).select(
+            "query_id", "doc_id", F.col("rank").alias("lex_rank")
+        )
+        qe = ma.index(spark).filter(F.col("vec_id").isin(QIDS)).select("vec_id", "embedding")
+        sem = ma.topk(spark, qe, k=K, n_probe=NPROBE).select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("doc_id"),
+            F.col("rank").alias("sem_rank"),
+        )
+        return _rrf_fuse(lex, sem)
+
+    def fused_rebuild():
+        docs = spark.createDataFrame(sorted(live_docs.items()), "doc_id BIGINT, text STRING")
+        posts = (
+            docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+            .groupBy("term", "doc_id")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        dl = docs.select("doc_id", F.size(tokens("text")).cast("long").alias("dl"))
+        qd = spark.createDataFrame(
+            [(q, live_docs[q]) for q in QIDS], "query_id BIGINT, text STRING"
+        )
+        lex = bm25_topk(qd, posts, dl, k=K).select(
+            "query_id", "doc_id", F.col("rank").alias("lex_rank")
+        )
+        vecs = spark.createDataFrame(
+            sorted(live_vecs.items()), "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+        )
+        sem = ivf_topk(
+            vecs.filter(F.col("vec_id").isin(QIDS)),
+            ivf_assign(vecs, cents),
+            cents,
+            k=K,
+            n_probe=NPROBE,
+        ).select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("doc_id"),
+            F.col("rank").alias("sem_rank"),
+        )
+        return _rrf_fuse(lex, sem)
+
+    # ---- drive batches 0-2, checkpoint 1, stop mid-run ----
+    q1 = make_driver().start(json_file_value_stream(spark, str(src), max_files_per_trigger=1))
+    for i in range(3):
+        write(i)
+        q1.processAllAvailable()
+    ck1_live, ck1_want = _fused_set(fused_live()), _fused_set(fused_rebuild())
+    q1.stop()
+    assert ck1_live == ck1_want and ck1_live, "checkpoint 1 (pre-restart) diverged"
+
+    # ---- restart on the same checkpoint; batches 3-4, checkpoint 2 ----
+    q2 = make_driver().start(json_file_value_stream(spark, str(src), max_files_per_trigger=1))
+    for i in range(3, 5):
+        write(i)
+        q2.processAllAvailable()
+    ck2_live, ck2_want = _fused_set(fused_live()), _fused_set(fused_rebuild())
+    assert ck2_live == ck2_want and ck2_live, "checkpoint 2 (post-restart) diverged"
+    # one-arm-survivor non-vacuity: doc 7 was deleted from the LEX arm
+    # only — if it still ranks, it must be sem-only (lex_rank null)
+    lex_side = {r[1] for r in ck2_live if r[4] is not None}
+    assert doc_ids[7] not in lex_side
+
+    # ---- batch 5, final checkpoint ----
+    write(5)
+    q2.processAllAvailable()
+    q2.stop()
+    ck3_live, ck3_want = _fused_set(fused_live()), _fused_set(fused_rebuild())
+    assert ck3_live == ck3_want and ck3_live, "checkpoint 3 (final) diverged"
+    # churn non-vacuity: the three checkpoints are pairwise distinct —
+    # the scripts really moved rankings on both arms
+    assert ck1_live != ck2_live and ck2_live != ck3_live
