@@ -1270,18 +1270,16 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     into posting lists; centroid probe + cell equi-join); fusion is a
     tiny (n_queries x arm_k) full-outer join + WindowGroupLimit."""
     from kafka_cdc_hudi_spark.functions.textfns import tokens
-    from kafka_cdc_hudi_spark.streaming.bm25_ivm import bm25_topk
+    from kafka_cdc_hudi_spark.streaming.bm25_ivm import bm25_topk, query_pruned_postings
 
     d = load_table(spark, sf_dir, "documents")
-    posts = (
-        d.select("doc_id", F.explode(tokens("text")).alias("term"))
-        .groupBy("term", "doc_id")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    dl = d.select("doc_id", F.size(tokens("text")).cast("long").alias("dl"))
     qd = d.filter(F.col("doc_id") < _HY_NQ).select(
         F.col("doc_id").alias("query_id"), "text"
     )
+    # one-shot lex arm: postings prune to the query-term set below the
+    # aggregation (r11 scale fix, same as text_bm25_topk)
+    posts = query_pruned_postings(d, qd)
+    dl = d.select("doc_id", F.size(tokens("text")).cast("long").alias("dl"))
     lex = bm25_topk(qd, posts, dl, k=_HY_ARM_K).select(
         "query_id", "doc_id", F.col("rank").alias("lex_rank")
     )

@@ -5260,18 +5260,18 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-match with. Plan: broadcast query-term set into the postings
     equi-join (only queried terms' lists are touched), 1-row stats
     broadcast, WindowGroupLimit top-k."""
-    from kafka_cdc_hudi_spark.streaming.bm25_ivm import bm25_topk
+    from kafka_cdc_hudi_spark.streaming.bm25_ivm import bm25_topk, query_pruned_postings
 
     d = load_table(spark, sf_dir, "documents")
-    posts = (
-        d.select("doc_id", F.explode(tokens("text")).alias("term"))
-        .groupBy("term", "doc_id")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    dl = d.select("doc_id", F.size(tokens("text")).cast("long").alias("dl"))
     q = d.filter(F.col("doc_id") < 5).select(
         F.col("doc_id").alias("query_id"), "text"
     )
+    # one-shot build: postings prune to the query-term set BELOW the
+    # (term, doc_id) aggregation — the corpus-wide shuffle only carries
+    # queried terms (r11 scale fix; scores identical, see
+    # query_pruned_postings)
+    posts = query_pruned_postings(d, q)
+    dl = d.select("doc_id", F.size(tokens("text")).cast("long").alias("dl"))
     return bm25_topk(q, posts, dl, k=BM25_K)
 
 

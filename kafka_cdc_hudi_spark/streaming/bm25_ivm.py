@@ -151,6 +151,26 @@ def bm25_topk(
     )
 
 
+def query_pruned_postings(docs: DataFrame, queries: DataFrame) -> DataFrame:
+    """Postings ``(term, doc_id, tf)`` restricted to the QUERY term set —
+    the one-shot/static BM25 scale shape (r11; sf10 evidence in
+    SCALE_SF10_r11.json): a top-k query only consumes its own terms'
+    posting lists, so the corpus-wide (term, doc_id) aggregation prunes
+    to the queried terms MAP-side (broadcast semi-join below the
+    groupBy) instead of shuffling every term in the corpus. tf and df of
+    the surviving terms are untouched, and N/avgdl come from doclens,
+    not postings — scores are bit-identical to a full postings build.
+    The MAINTAINED path keeps full postings (there the index itself is
+    the product and the build cost is amortized across queries)."""
+    qterms = queries.select(F.explode(tokens("text")).alias("term")).distinct()
+    return (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .join(F.broadcast(qterms), "term", "left_semi")
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
 def tokenize_postings(docs: DataFrame, seq_col: str = "seq") -> DataFrame:
     """``(doc_id, text, seq)`` -> ``(term, doc_id, tf, seq)`` with the
     package tokenizer (shared with every text entry and its DuckDB
