@@ -39,9 +39,18 @@ def test_query_matches_oracle(spark, con, name, fn, sql):
     assert ok, f"{name}: {msg}"
 
 
-def test_all_queries_return_rows(spark):
-    for name, (fn, _sql) in REGISTRY.items():
-        df = fn(spark, SF_DIR)
+@pytest.fixture(scope="module")
+def built_frames(spark):
+    """One plan-build pass shared by the registry-wide schema-walk tests
+    (r11 gate-time accounting): several entries do eager work at BUILD
+    time (maintainer CDC scripts, iterative localCheckpoint rounds,
+    codebook training) — ~86s per full pass even warm, so the two walks
+    below must not each pay their own."""
+    return {name: fn(spark, SF_DIR) for name, (fn, _sql) in REGISTRY.items()}
+
+
+def test_all_queries_return_rows(built_frames):
+    for name, df in built_frames.items():
         assert df.columns, f"{name}: no columns"
 
 
@@ -90,7 +99,7 @@ def test_normalize_rejects_collection_columns():
     assert ok["b"].tolist() == [b"aa", b"zz"]
 
 
-def test_no_collection_typed_output_columns(spark):
+def test_no_collection_typed_output_columns(built_frames):
     """Schema walk over EVERY registry entry (driver-facing or not): no
     result may expose a top-level array/map/struct column — the driver's
     canonicalizer crashes on them (CORRECTNESS_r07). Schema-only, no jobs
@@ -98,8 +107,8 @@ def test_no_collection_typed_output_columns(spark):
     from pyspark.sql import types as T
 
     offenders = []
-    for name, (fn, _sql) in REGISTRY.items():
-        for field in fn(spark, SF_DIR).schema.fields:
+    for name, df in built_frames.items():
+        for field in df.schema.fields:
             if isinstance(field.dataType, (T.ArrayType, T.MapType, T.StructType)):
                 offenders.append(f"{name}.{field.name}: {field.dataType.simpleString()}")
     assert not offenders, offenders
