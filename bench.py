@@ -2,13 +2,15 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
 
-Timing tier (r11+, VERDICT r10 item 1): each query runs TWICE; ``value``
-and ``queries`` report the WARM second execution (the round-over-round
-comparable number — first-run cold-JIT spikes of 3-13x land on different
-queries per run and made the per-query diff unusable below ~2x), and the
-cold first run is kept as ``value_cold`` / ``queries_cold``. r1-r10
-artifacts timed only the cold first execution. Timing = full query
-execution to a count action (result materialization).
+Timing tier (r11+, VERDICT r10 item 1): each query runs THREE times;
+``value`` and ``queries`` report the MIN of the two warm executions (the
+round-over-round comparable number — first-run cold-JIT spikes of 3-13x
+land on different queries per run and made the per-query diff unusable
+below ~2x, and even single warm runs of sub-2s queries bounce up to 3x
+between in-band runs on identical code), and the cold first run is kept
+as ``value_cold`` / ``queries_cold``. r1-r10 artifacts timed only the
+cold first execution. Timing = full query execution to a count action
+(result materialization).
 
 Contamination flag (r11+): ``contaminated`` is the OR of the before-gate
 failure AND the after-run probe exceeding the band — a single pre-probe
@@ -129,10 +131,16 @@ def main() -> None:
         df = fn(spark, sf_dir)
         n = df.count()  # materialize
         timings_cold[name] = round(time.perf_counter() - t0, 3)
-        # warm second execution = the reported tier (see module docstring)
-        t1 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t1, 3)
+        # min of two warm executions = the reported tier (see module
+        # docstring); single warm runs of sub-2s queries still bounce up
+        # to 3x between in-band runs on identical code (SWEEP r11 run1
+        # vs run2) — min-of-two bounds that scheduler/GC tail
+        warms = []
+        for _ in range(2):
+            t1 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            warms.append(round(time.perf_counter() - t1, 3))
+        timings[name] = min(warms)
         print(
             f"# {name}: warm {timings[name]}s / cold {timings_cold[name]}s"
             f" ({n} rows)",
@@ -155,7 +163,7 @@ def main() -> None:
                 "queries": timings,
                 "queries_cold": timings_cold,
                 "timing_tier": (
-                    "warm-second-run (r11+; r1-r10 artifacts timed the "
+                    "warm-min-of-2 (r11+; r1-r10 artifacts timed the "
                     "cold first run)"
                 ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

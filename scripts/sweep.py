@@ -69,17 +69,24 @@ def main() -> None:
             df = fn(spark, sf_dir)
             pdf = df.toPandas()
             cold_sec = round(time.perf_counter() - t0, 3)
-            # the timing tier reports the SECOND execution (VERDICT r9
-            # item 4): first-run cold-JIT spikes of 3-13x land on
-            # different entries per sweep and drown the round-over-round
-            # diff; the warm run is the comparable number. Correctness
-            # still compares the FIRST run's rows.
-            t1 = time.perf_counter()
+            # the timing tier reports the MIN of two warm executions
+            # (r11; r10 reported the single second execution): first-run
+            # cold-JIT spikes of 3-13x land on different entries per
+            # sweep, and even single warm runs of sub-1.5s entries bounce
+            # up to 3x between back-to-back in-band sweeps on identical
+            # code (r11: two consecutive sweeps totalled 165.2s vs 185.2s
+            # with disjoint mover sets) — min-of-two bounds that
+            # scheduler/GC tail. Correctness still compares the FIRST
+            # run's rows.
             try:
-                fn(spark, sf_dir).toPandas()
-                spark_sec = round(time.perf_counter() - t1, 3)
+                warms = []
+                for _ in range(2):
+                    t1 = time.perf_counter()
+                    fn(spark, sf_dir).toPandas()
+                    warms.append(round(time.perf_counter() - t1, 3))
+                spark_sec = min(warms)
             except Exception:  # noqa: BLE001 - fall back to the cold number
-                spark_sec = cold_sec
+                spark_sec = min(warms) if warms else cold_sec
             if sql is None:
                 # NOT a pass: counted separately so a degraded sweep (an
                 # sf-dependent oracle builder silently returning None) is
@@ -131,7 +138,10 @@ def main() -> None:
         "n_fail": n_fail,
         "n_unoracled": n_unoracled,
         # spark_sec = warm second execution; cold_sec = first execution
-        "timing_tier": "warm-second-run (r10+; r1-r9 artifacts timed the cold first run)",
+        "timing_tier": (
+            "warm-min-of-2 (r11+; r10 timed the single second run, "
+            "r1-r9 the cold first run)"
+        ),
         **stamp,
         "entries": entries,
     }
