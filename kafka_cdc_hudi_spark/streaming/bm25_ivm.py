@@ -30,8 +30,10 @@ The underlying sink tolerates equal seqs (commit-sequence tiebreak), but
 here a delete replaying an earlier upsert's seq would lose the precombine
 (its tombstone ``2*s`` sorts below the earlier insert's ``2*s + 1``),
 resurrecting the doc. :meth:`Bm25IndexMaintainer.process` validates this
-against the pruned stale-posting read and raises on violation (skipped on
-batch replays, whose own rows are legitimately already stored).
+with a ``raise_error`` guard inlined in the tombstone seq expression —
+evaluated during the merge job itself (no extra per-batch job), and never
+on replays, because the sink returns before executing the delta for an
+already-committed batch id.
 - **doclens** (``KeyedParquetTable`` MOR, keys ``(doc_id,)``, value
   ``dl``): document lengths for the BM25 normalization; deletes are
   tombstones.
@@ -252,40 +254,44 @@ class Bm25IndexMaintainer:
                 existing = self.postings.read(spark)
             deltas = []
             if existing is not None:
+                stale = existing.select(
+                    "term", "doc_id", F.col("seq").alias("stored_seq")
+                ).join(F.broadcast(changed), "doc_id")
                 # strict-monotonic seq per doc is a HARD precondition of
                 # the doubled-seq scheme (module docstring): a delete
                 # replaying an earlier upsert's seq would lose the
                 # precombine (2s < 2s' + 1 when s <= s') and resurrect
-                # the doc. Validate against the already-pruned read —
-                # one agg over the changed docs' postings. Skipped on
-                # full batch replays (this batch's own rows are stored).
-                lb = self.postings.last_batch_id()
-                if lb is None or batch_id > lb:
-                    bad = (
-                        existing.groupBy("doc_id")
-                        .agg(F.max("seq").alias("max_stored"))
-                        .join(F.broadcast(changed), "doc_id")
-                        .filter(F.col("seq") * 2 <= F.col("max_stored"))
-                        .limit(1)
-                        .collect()
-                    )
-                    if bad:
-                        r = bad[0]
-                        raise ValueError(
-                            "Bm25IndexMaintainer: non-monotonic seq for "
-                            f"doc_id={r['doc_id']!r} (incoming seq {r['seq']} "
-                            f"vs stored {r['max_stored']} after doubling) — "
-                            "per-doc seq must strictly increase across batches"
+                # the doc. The guard lives INSIDE the tombstone seq
+                # expression (raise_error) so it evaluates during the
+                # merge job itself — no extra per-batch job — and never
+                # fires on replays (merge_batch returns before executing
+                # the delta for an already-committed batch id).
+                tomb_seq = F.when(
+                    F.col("stored_seq") >= F.col("seq") * 2,
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "Bm25IndexMaintainer: non-monotonic seq for "
+                                "doc_id="
+                            ),
+                            F.col("doc_id").cast("string"),
+                            F.lit(" (incoming 2*seq "),
+                            (F.col("seq") * 2).cast("string"),
+                            F.lit(" <= stored "),
+                            F.col("stored_seq").cast("string"),
+                            F.lit(
+                                ") — per-doc seq must strictly increase "
+                                "across batches"
+                            ),
                         )
-                stale = existing.select("term", "doc_id").join(
-                    F.broadcast(changed), "doc_id"
-                )
+                    ).cast("long"),
+                ).otherwise(F.col("seq") * 2)
                 deltas.append(
                     stale.select(
                         "term",
                         "doc_id",
                         F.lit(None).cast("long").alias("tf"),
-                        (F.col("seq") * 2).alias("seq"),
+                        tomb_seq.alias("seq"),
                         F.lit(True).alias("_deleted"),
                     )
                 )

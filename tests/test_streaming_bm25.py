@@ -271,3 +271,25 @@ def test_hybrid_maintained_reflects_both_churns(spark):
         r["doc_id"] % _ANN_IVM_DEL_MOD == _ANN_IVM_DEL_RES and r["lex_rank"] is not None
         for r in rows
     )
+
+
+def test_non_monotonic_seq_raises_and_replay_does_not(spark, tmp_path, queries):
+    """The doubled-seq scheme's hard precondition (module docstring): a
+    batch presenting a seq <= a doc's stored seq must FAIL the merge (a
+    delete at that seq would silently lose the precombine and resurrect
+    the doc), while a full replay of an already-committed batch — whose
+    own rows are legitimately stored — must stay a no-op."""
+    m = Bm25IndexMaintainer(root=str(tmp_path / "mono"))
+    b0 = spark.createDataFrame([("i", 1, DOCS[1], 5), ("i", 3, DOCS[3], 6)], SCHEMA)
+    assert m.process(spark, b0, batch_id=0)
+    # replay of the SAME batch id: no-op, no validation misfire
+    assert not m.process(spark, b0, batch_id=0)
+    # a NEW batch reusing doc 1's seq: the tombstone guard must raise
+    bad = spark.createDataFrame([("d", 1, None, 5)], SCHEMA)
+    with pytest.raises(Exception, match="non-monotonic seq"):
+        m.process(spark, bad, batch_id=1)
+    # and a correctly-advanced seq still works
+    ok = spark.createDataFrame([("d", 1, None, 7)], SCHEMA)
+    assert m.process(spark, ok, batch_id=2)
+    final = {r["doc_id"] for r in m.topk(spark, queries, k=5).collect()}
+    assert 1 not in final
