@@ -29,7 +29,20 @@ def _calib_factor(old: dict, new: dict) -> float:
     probe) does not read as per-entry regressions/optimizations. Prefers
     the warm-JVM probe (both artifacts r9+), falls back to the cold one;
     clamped to [0.5, 2.0] so a wild probe cannot overcorrect a real mover
-    into silence."""
+    into silence.
+
+    When BOTH warm probes sit inside the idle band, normalization is
+    skipped (factor 1.0): two in-band readings differ only by probe noise
+    (0.26 vs 0.37s is a 1.4x "factor" on an idle box, r11), and dividing
+    by their ratio manufactures uniform pseudo-movers instead of removing
+    ambient load — the correction is only meaningful when a stamp shows
+    the host actually was loaded."""
+    band = max(
+        old.get("calib_band_sec") or 0.45, new.get("calib_band_sec") or 0.45
+    )
+    wa, wb = old.get("calib_warm_sec"), new.get("calib_warm_sec")
+    if wa and wb and wa <= band and wb <= band:
+        return 1.0
     for key in ("calib_warm_sec", "calib_sec"):
         a, b = old.get(key), new.get(key)
         if a and b and a > 0 and b > 0:
