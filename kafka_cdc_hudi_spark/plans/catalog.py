@@ -75,7 +75,8 @@ for _n in DEMOTED:
 #:
 #: ROUND-12 ROTATION (committed in advance, the standing pattern):
 #: IN (50 slots, in order):
-#:   1. any entries born in r11 past this driver-set freeze.
+#:   1. any entries born in r11 past this driver-set freeze
+#:      (dedup_simhash_band_scaled — the sf10 scale fix).
 #:   2. the 16 slipped r8 entries (text_token_topk, ann_topk_ivf,
 #:      dedup_ngram_jaccard, dataset_sample_stratified, text_tfidf_topk,
 #:      events_user_rate_window, multimodal_decode_png,
@@ -95,6 +96,8 @@ for _n in DEMOTED:
 #: driver-green entry resting between rotations; the operator itself stays
 #: covered by the named survivor + local oracle tests + the committed sweep
 PRUNED: dict[str, str] = {
+    # ---- born r11 AFTER the r11 driver-set freeze (rotate r12 slot 1) ----
+    "dedup_simhash_band_scaled": "born r11 (the sf10 OOM fix: 16-bit bands); rotate r12",
     # ---- structural near-duplicates (standing; each covered by survivor) ----
     "cdc_latest_per_key": "cdc_latest_per_composite_key (same dedup operator, composite keys; r2-r6 green)",
     "q6_forecast_revenue": "q1_pricing_summary/q14 (filter+agg; pushdown pinned in test_plan_invariants)",

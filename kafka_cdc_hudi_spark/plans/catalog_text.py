@@ -786,8 +786,14 @@ def dedup_simhash_wide_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     {B} bits and {NB} 10-bit bands (pigeonhole recall guarantee up to
     hamming {H}). The 32-bit entry's measured quadratic cross-family
     chance collisions (~2^-32 per pair) drop to ~2^-60 x C({B},{H}) here,
-    so pair output scales with TRUE near-dups — the width a 100-TB corpus
-    runs. All-integer -> full value oracle."""
+    so pair output scales with TRUE near-dups. All-integer -> full value
+    oracle.
+
+    Scale limit (measured r11): 10-bit bands have only 1024 values, so at
+    ~500k docs (sf10 scale data) E[bucket] ~ 488 and the candidate join
+    generates ~7e8 pairs before the hamming verify — OOM on local[32].
+    Fine to ~50k docs per blocking domain; past that use
+    :func:`dedup_simhash_band_scaled` (16-bit bands, same algebra)."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens("text")).alias("t")).withColumn(
         "h", F.md5(F.col("t"))
@@ -866,6 +872,150 @@ WHERE bit_count(xor(x.simhash, y.simhash)) <= {_SIMHASH_WIDE_HAMMING_MAX}
 
 
 DEDUP_SIMHASH_WIDE_PAIRS_SQL = _simhash_wide_pairs_sql()
+
+
+#: corpus-scalable banding (born r11). Measured this round: the wide
+#: entry's 10-bit bands (1024 values) OOM-killed the local[32] JVM at
+#: 500k docs — E[bucket] = N/1024 ~ 488 docs, so the band equi-join
+#: generates ~6 * 1024 * C(488,2) ~ 7e8 candidate pairs before the
+#: hamming verify can drop any (quadratic in N; SCALE notes in PLANS.md).
+#: The law: bits_per_band >= log2(N / target_bucket) keeps E[bucket] O(1)
+#: and candidate volume ~ N * bucket. 16-bit bands (65536 values) hold
+#: E[bucket] <= ~8 to N ~ 5e5 per blocking domain and degrade gracefully
+#: an order of magnitude past that; at 100-TB corpus sizes the same
+#: algebra runs 24-32-bit bands off a proportionally wider signature.
+_SIMHASH_SC_BITS = 128  # full md5 width, packed 48+48+32 bigint-safe
+_SIMHASH_SC_WORD = 48
+_SIMHASH_SC_BANDS = 8  # 16-bit bands
+_SIMHASH_SC_WIDTH = _SIMHASH_SC_BITS // _SIMHASH_SC_BANDS
+_SIMHASH_SC_HAMMING_MAX = _SIMHASH_SC_BANDS - 1  # pigeonhole guarantee
+
+
+def _sc_word_of(j: int) -> int:
+    return j // _SIMHASH_SC_WORD
+
+
+def dedup_simhash_band_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash pairing with CORPUS-SCALABLE banding: the full {B}-bit
+    md5-vote signature (packed into three bigint words, 48+48+32), {NB}
+    bands of {W} bits (band-value space 2^{W} = 65536, so expected bucket
+    occupancy stays O(1) into the 10^5-10^6-doc range where the 10-bit
+    wide entry's candidate join goes quadratic and OOMs — see the module
+    constant note), pigeonhole recall guarantee up to hamming {H}, exact
+    3-word ``bit_count(xor)`` verify on candidates only. Same salted
+    band-join plan shape as the other SimHash entries; all-integer ->
+    full value oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("t")).withColumn(
+        "h", F.md5(F.col("t"))
+    )
+    # project the 32 md5 nibbles to ints ONCE per token, then derive the
+    # 128 bit-votes with integer shifts — the _simhash_bit form the other
+    # entries use evaluates substr+instr per BIT per row (128 string ops
+    # vs 32 here), and separate aggregate expressions don't share
+    # subexpressions in codegen; at 500k docs this stage dominates
+    nibs = tok.select(
+        "doc_id",
+        *[
+            F.expr(f"instr('{HEX_DIGITS}', substr(h, {i + 1}, 1)) - 1").alias(f"n{i}")
+            for i in range(_SIMHASH_SC_BITS // 4)
+        ],
+    )
+    aggs = [
+        F.expr(
+            f"sum(CASE WHEN (shiftright(n{j // 4}, {j % 4}) & 1) = 1 THEN 1 ELSE -1 END)"
+        ).alias(f"s{j}")
+        for j in range(_SIMHASH_SC_BITS)
+    ]
+    votes = nibs.groupBy("doc_id").agg(*aggs)
+    words = []
+    for w in range(3):
+        acc = None
+        for j in range(w * _SIMHASH_SC_WORD, min((w + 1) * _SIMHASH_SC_WORD, _SIMHASH_SC_BITS)):
+            bit = F.when(
+                F.col(f"s{j}") > 0, F.lit(2 ** (j % _SIMHASH_SC_WORD)).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+            acc = bit if acc is None else acc + bit
+        words.append(acc.alias(f"w{w}"))
+    sig = votes.select("doc_id", *words)
+    mask = (1 << _SIMHASH_SC_WIDTH) - 1
+    per_word = _SIMHASH_SC_WORD // _SIMHASH_SC_WIDTH  # 3 bands per 48-bit word
+    band_cols = [
+        F.shiftright(F.col(f"w{b // per_word}"), _SIMHASH_SC_WIDTH * (b % per_word)).bitwiseAND(
+            F.lit(mask)
+        )
+        for b in range(_SIMHASH_SC_BANDS)
+    ]
+    bands = sig.select("doc_id", F.posexplode(F.array(*band_cols)).alias("bi", "bv"))
+    from kafka_cdc_hudi_spark.operators.dedup import pairs_within_groups_salted
+
+    cand = pairs_within_groups_salted(
+        bands, ["bi", "bv"], "doc_id", n_salt=LSH_BAND_SALT
+    ).distinct()
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"w{w}").alias(f"a{w}") for w in range(3)]
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"w{w}").alias(f"b{w}") for w in range(3)]
+    )
+    ham = " + ".join(f"bit_count(a{w} ^ b{w})" for w in range(3))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("hamming", F.expr(f"CAST({ham} AS INT)"))
+        .filter(F.col("hamming") <= _SIMHASH_SC_HAMMING_MAX)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+dedup_simhash_band_scaled.__doc__ = dedup_simhash_band_scaled.__doc__.format(
+    B=_SIMHASH_SC_BITS,
+    NB=_SIMHASH_SC_BANDS,
+    W=_SIMHASH_SC_WIDTH,
+    H=_SIMHASH_SC_HAMMING_MAX,
+)
+
+
+def _simhash_band_scaled_sql() -> str:
+    sums = ", ".join(
+        f"sum(CASE WHEN {_simhash_bit(j, 'duck')} = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(_SIMHASH_SC_BITS)
+    )
+    word_exprs = []
+    for w in range(3):
+        bits = " + ".join(
+            f"(CASE WHEN s{j} > 0 THEN CAST({2 ** (j % _SIMHASH_SC_WORD)} AS BIGINT) ELSE 0 END)"
+            for j in range(
+                w * _SIMHASH_SC_WORD, min((w + 1) * _SIMHASH_SC_WORD, _SIMHASH_SC_BITS)
+            )
+        )
+        word_exprs.append(f"{bits} AS w{w}")
+    mask = (1 << _SIMHASH_SC_WIDTH) - 1
+    per_word = _SIMHASH_SC_WORD // _SIMHASH_SC_WIDTH
+    ham = " + ".join(f"bit_count(xor(x.w{w}, y.w{w}))" for w in range(3))
+    return f"""
+WITH tok AS (SELECT doc_id, {_DK_TOKS} AS toks FROM documents),
+t AS (SELECT doc_id, md5(unnest(toks)) AS h FROM tok),
+votes AS (SELECT doc_id, {sums} FROM t GROUP BY doc_id),
+sig AS (SELECT doc_id, {", ".join(word_exprs)} FROM votes),
+bands AS (
+  SELECT doc_id, b.i AS bi,
+         (CASE WHEN b.i < {per_word} THEN w0
+               WHEN b.i < {2 * per_word} THEN w1 ELSE w2 END
+          >> ({_SIMHASH_SC_WIDTH} * (b.i % {per_word}))) & {mask} AS bv
+  FROM sig, LATERAL unnest(generate_series(0, {_SIMHASH_SC_BANDS - 1})) AS b(i)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST({ham} AS INT) AS hamming
+FROM cand JOIN sig x ON doc_a = x.doc_id JOIN sig y ON doc_b = y.doc_id
+WHERE {ham} <= {_SIMHASH_SC_HAMMING_MAX}
+"""
+
+
+DEDUP_SIMHASH_BAND_SCALED_SQL = _simhash_band_scaled_sql()
 
 
 def _simhash_pairs_sql() -> str:
@@ -5426,6 +5576,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "dedup_spans_remove": (dedup_spans_remove, DEDUP_SPANS_REMOVE_SQL),
     "dedup_simhash_pairs": (dedup_simhash_pairs, DEDUP_SIMHASH_PAIRS_SQL),
     "dedup_simhash_wide_pairs": (dedup_simhash_wide_pairs, DEDUP_SIMHASH_WIDE_PAIRS_SQL),
+    "dedup_simhash_band_scaled": (dedup_simhash_band_scaled, DEDUP_SIMHASH_BAND_SCALED_SQL),
     "text_hash_embedding": (text_hash_embedding, TEXT_HASH_EMBEDDING_SQL),
     "text_nb_classifier": (text_nb_classifier, TEXT_NB_CLASSIFIER_SQL),
     "dataset_dsir_weights": (dataset_dsir_weights, DATASET_DSIR_WEIGHTS_SQL),

@@ -156,3 +156,56 @@ def test_cdc_corpus_refresh_precombine_and_gates(spark):
     assert sum(r.n_kept for r in rows) > 0
     for r in rows:
         assert r.n_live == r.n_short + r.n_dup + r.n_kept, r
+
+
+def test_simhash_band_scaled_banding_is_lossless(spark):
+    """The scaled entry's 8x16-bit banding must lose NOTHING within its
+    pigeonhole guarantee: pairs from the banded plan == brute-force
+    all-pairs 128-bit hamming <= 7, computed in DuckDB from the oracle's
+    own signature chain (independent engine, no banding). Also pins the
+    3-word packing: a packing bug would move bits between words and break
+    the brute hamming equality."""
+    import duckdb
+
+    from kafka_cdc_hudi_spark.plans.catalog_text import (
+        _SIMHASH_SC_BITS,
+        _SIMHASH_SC_HAMMING_MAX,
+        _SIMHASH_SC_WORD,
+        _DK_TOKS,
+        _simhash_bit,
+        dedup_simhash_band_scaled,
+    )
+
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in dedup_simhash_band_scaled(spark, SF_DIR).collect()
+    }
+    sums = ", ".join(
+        f"sum(CASE WHEN {_simhash_bit(j, 'duck')} = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(_SIMHASH_SC_BITS)
+    )
+    words = []
+    for w in range(3):
+        bits = " + ".join(
+            f"(CASE WHEN s{j} > 0 THEN CAST({2 ** (j % _SIMHASH_SC_WORD)} AS BIGINT) ELSE 0 END)"
+            for j in range(w * _SIMHASH_SC_WORD, min((w + 1) * _SIMHASH_SC_WORD, _SIMHASH_SC_BITS))
+        )
+        words.append(f"{bits} AS w{w}")
+    ham = " + ".join(f"bit_count(xor(x.w{w}, y.w{w}))" for w in range(3))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    brute = con.execute(f"""
+WITH tok AS (SELECT doc_id, {_DK_TOKS} AS toks FROM documents),
+t AS (SELECT doc_id, md5(unnest(toks)) AS h FROM tok),
+votes AS (SELECT doc_id, {sums} FROM t GROUP BY doc_id),
+sig AS (SELECT doc_id, {", ".join(words)} FROM votes)
+SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, CAST({ham} AS INT) AS hamming
+FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+WHERE {ham} <= {_SIMHASH_SC_HAMMING_MAX}
+""").fetchall()
+    want = {tuple(r) for r in brute}
+    assert got == want
+    assert len(want) > 0  # non-vacuous at the test SF
+    assert any(h > 0 for (_, _, h) in want)  # not only exact-identical docs
