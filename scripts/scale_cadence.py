@@ -35,6 +35,24 @@ from calib_gate import end_calib, gated_calib  # noqa: E402
 
 WARM_RUNS = int(os.environ.get("SPARK_GRAFT_SCALE_WARM_RUNS", "3"))
 
+#: warm-run action. "topandas" (default) times execution + full driver
+#: transfer — right for entries a consumer collects. "noop" times a
+#: `.write.format("noop")` sink: complete execution of the plan with zero
+#: driver transfer — the engine-side number for entries whose OUTPUT
+#: grows with scale (a 2.5M-row toPandas otherwise dominates the ratio
+#: and reads as compute growth when it's transfer).
+WARM_ACTION = os.environ.get("SPARK_GRAFT_SCALE_ACTION", "topandas")
+
+
+def _warm_once(fn, spark, d) -> float:
+    t1 = time.perf_counter()
+    df = fn(spark, d)
+    if WARM_ACTION == "noop":
+        df.write.format("noop").mode("overwrite").save()
+    else:
+        df.toPandas()
+    return round(time.perf_counter() - t1, 3)
+
 
 def main() -> None:
     if len(sys.argv) < 5:
@@ -60,9 +78,7 @@ def main() -> None:
                 cold = round(time.perf_counter() - t0, 3)
                 warms = []
                 for _ in range(WARM_RUNS):
-                    t1 = time.perf_counter()
-                    fn(spark, d).toPandas()
-                    warms.append(round(time.perf_counter() - t1, 3))
+                    warms.append(_warm_once(fn, spark, d))
                 per_dir[label] = {
                     "rows": rows,
                     "cold_sec": cold,
@@ -86,6 +102,7 @@ def main() -> None:
     out = {
         "what": "warm-min-of-%d wall ratios across scale dirs (scripts/scale_cadence.py)" % WARM_RUNS,
         "timing_tier": "min of warm executions; cold kept",
+        "warm_action": WARM_ACTION,
         "dirs": dirs,
         "entries": entries,
         **stamp,
