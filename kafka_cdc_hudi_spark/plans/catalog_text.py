@@ -726,6 +726,29 @@ DEDUP_SIMHASH_SQL = _simhash_sql()
 #: recall for distance <= 3 (any 3 flipped bits leave one byte intact)
 _SIMHASH_HAMMING_MAX = 3
 
+#: corpus-size guard for the fixed-width (DEMOTED) SimHash pairing entries
+#: (VERDICT r11 item 1). The banding law: candidate volume stays linear only
+#: while bits_per_band >= log2(N / target_bucket), i.e. N <= E[bucket]_max *
+#: 2^bits_per_band. E[bucket]_max = 256 is the largest occupancy measured
+#: safe on local[32] (the 8-bit entry at sf1: N/256 ~ 195, green r9); the
+#: 10-bit wide entry OOM-killed the JVM at 500k docs (E[bucket] ~ 488,
+#: ~7e8 candidate pairs — SCALE notes r11). Past the bound the guard raises
+#: BEFORE the quadratic band join can materialize, naming the scale-safe
+#: successor.
+_SIMHASH_GUARD_MAX_EBUCKET = 256
+
+
+def _banding_law_guard(n_docs: int, band_bits: int, entry: str) -> None:
+    max_n = _SIMHASH_GUARD_MAX_EBUCKET << band_bits
+    if n_docs > max_n:
+        raise ValueError(
+            f"{entry}: corpus of {n_docs} docs exceeds the {band_bits}-bit-band "
+            f"safe bound of {max_n} (banding law: bits_per_band >= "
+            f"log2(N/target_bucket); E[bucket] would be {n_docs >> band_bits}, "
+            f"making the candidate join quadratic). Use "
+            f"dedup_simhash_band_scaled (16-bit bands) instead."
+        )
+
 
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Completes the SimHash family: CANDIDATE PAIRS within hamming
@@ -745,7 +768,14 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     token-multiset metric (within-copy growth, no cross-talk). Compute
     stays sub-linear (6.3x at 10x). Production corpora should use
     :func:`dedup_simhash_wide_pairs` — same plan shape, chance term
-    suppressed below one expected pair per 10^11 comparisons."""
+    suppressed below one expected pair per 10^11 comparisons.
+
+    DEMOTED r12 (covered by :func:`dedup_simhash_band_scaled`): guarded by
+    the banding law — raises past the 8-bit-band safe bound rather than go
+    quadratic."""
+    _banding_law_guard(
+        load_table(spark, sf_dir, "documents").count(), 8, "dedup_simhash_pairs"
+    )
     sim = dedup_simhash(spark, sf_dir)
     byte_cols = [
         F.shiftright(F.col("simhash"), 8 * i).bitwiseAND(F.lit(255))
@@ -793,8 +823,13 @@ def dedup_simhash_wide_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~500k docs (sf10 scale data) E[bucket] ~ 488 and the candidate join
     generates ~7e8 pairs before the hamming verify — OOM on local[32].
     Fine to ~50k docs per blocking domain; past that use
-    :func:`dedup_simhash_band_scaled` (16-bit bands, same algebra)."""
+    :func:`dedup_simhash_band_scaled` (16-bit bands, same algebra).
+
+    DEMOTED r12 (covered by :func:`dedup_simhash_band_scaled`): guarded by
+    the banding law — raises past the 10-bit-band safe bound rather than
+    OOM."""
     d = load_table(spark, sf_dir, "documents")
+    _banding_law_guard(d.count(), 10, "dedup_simhash_wide_pairs")
     tok = d.select("doc_id", F.explode(tokens("text")).alias("t")).withColumn(
         "h", F.md5(F.col("t"))
     )
@@ -895,6 +930,41 @@ def _sc_word_of(j: int) -> int:
     return j // _SIMHASH_SC_WORD
 
 
+#: packed-lane vote aggregation (r12, VERDICT r11 item 3): each md5 nibble
+#: carries 4 bit-votes; each nibble value v in [0,16) maps through a
+#: 16-long literal lookup to a bigint packing those 4 votes (as 0/1 bit
+#: COUNTS, not +-1 sums) into four 16-bit lanes. The groupBy then runs 32
+#: plain bigint sums + one count — a 33-field aggregation buffer instead
+#: of the 128 conditional-sum buffer that was the measured sf10 GC-tail
+#: source (warm 73-144s spread at 500k docs, SCALE_SIMHASH_SCALED_r11).
+#: Majority vote per bit j recovers as 2*lane_count > n_tokens, exactly
+#: the sign test the +-1 form computes. Lanes cannot carry while every
+#: doc has < 2^16 tokens; the word projection raise_error()s past that
+#: bound rather than return corrupt votes (100-TB corpora chunk longer
+#: docs upstream — text_chunk_overlap).
+_SC_LANE_BITS = 16
+_SC_LANE_MASK = (1 << _SC_LANE_BITS) - 1
+_SC_PACK = [
+    ((v >> 0) & 1)
+    | (((v >> 1) & 1) << _SC_LANE_BITS)
+    | (((v >> 2) & 1) << (2 * _SC_LANE_BITS))
+    | (((v >> 3) & 1) << (3 * _SC_LANE_BITS))
+    for v in range(16)
+]
+
+
+def _sc_nib_expr(i: int) -> str:
+    """Nibble i (hex char i+1 of the md5) extracted from the three
+    conv()-parsed integer groups g0/g1/g2 (chars 1-12 / 13-24 / 25-32):
+    within a group the FIRST char is the highest nibble of the parsed
+    value, so char position maps to a right-shift from the top."""
+    if i < 12:
+        return f"(shiftright(g0, {4 * (11 - i)}) & 15)"
+    if i < 24:
+        return f"(shiftright(g1, {4 * (23 - i)}) & 15)"
+    return f"(shiftright(g2, {4 * (31 - i)}) & 15)"
+
+
 def dedup_simhash_band_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash pairing with CORPUS-SCALABLE banding: the full {B}-bit
     md5-vote signature (packed into three bigint words, 48+48+32), {NB}
@@ -916,35 +986,49 @@ def dedup_simhash_band_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select("doc_id", F.explode(tokens("text")).alias("t")).withColumn(
         "h", F.md5(F.col("t"))
     )
-    # project the 32 md5 nibbles to ints ONCE per token, then derive the
-    # 128 bit-votes with integer shifts — the _simhash_bit form the other
-    # entries use evaluates substr+instr per BIT per row (128 string ops
-    # vs 32 here), and separate aggregate expressions don't share
-    # subexpressions in codegen; at 500k docs this stage dominates
-    nibs = tok.select(
+    # parse the 32 md5 hex chars with THREE conv() calls (48+48+32 bits of
+    # integer), then map each nibble through the 16-long _SC_PACK literal
+    # lookup — 3 string ops per token instead of the 32 substr+instr the
+    # r11 form ran (and 128 the _simhash_bit form would); the vote
+    # aggregation is 32 packed bigint sums + a count (see _SC_PACK note)
+    gx = tok.select(
+        "doc_id",
+        F.expr("CAST(conv(substr(h, 1, 12), 16, 10) AS BIGINT)").alias("g0"),
+        F.expr("CAST(conv(substr(h, 13, 12), 16, 10) AS BIGINT)").alias("g1"),
+        F.expr("CAST(conv(substr(h, 25, 8), 16, 10) AS BIGINT)").alias("g2"),
+    )
+    pack_lit = "array(" + ", ".join(f"{p}L" for p in _SC_PACK) + ")"
+    packed = gx.select(
         "doc_id",
         *[
-            F.expr(f"instr('{HEX_DIGITS}', substr(h, {i + 1}, 1)) - 1").alias(f"n{i}")
+            F.expr(f"element_at({pack_lit}, CAST({_sc_nib_expr(i)} + 1 AS INT))").alias(f"p{i}")
             for i in range(_SIMHASH_SC_BITS // 4)
         ],
     )
-    aggs = [
-        F.expr(
-            f"sum(CASE WHEN (shiftright(n{j // 4}, {j % 4}) & 1) = 1 THEN 1 ELSE -1 END)"
-        ).alias(f"s{j}")
-        for j in range(_SIMHASH_SC_BITS)
-    ]
-    votes = nibs.groupBy("doc_id").agg(*aggs)
+    votes = packed.groupBy("doc_id").agg(
+        *[F.sum(f"p{i}").alias(f"S{i}") for i in range(_SIMHASH_SC_BITS // 4)],
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    lane_guard = (
+        f"IF(cnt >= {1 << _SC_LANE_BITS}, CAST(raise_error('simhash packed-lane "
+        f"overflow: doc with >= {1 << _SC_LANE_BITS} tokens; chunk upstream "
+        f"(text_chunk_overlap) or widen lanes') AS BIGINT), {{w}})"
+    )
     words = []
     for w in range(3):
-        acc = None
+        terms = []
         for j in range(w * _SIMHASH_SC_WORD, min((w + 1) * _SIMHASH_SC_WORD, _SIMHASH_SC_BITS)):
-            bit = F.when(
-                F.col(f"s{j}") > 0, F.lit(2 ** (j % _SIMHASH_SC_WORD)).cast("long")
-            ).otherwise(F.lit(0).cast("long"))
-            acc = bit if acc is None else acc + bit
-        words.append(acc.alias(f"w{w}"))
-    sig = votes.select("doc_id", *words)
+            cj = f"(shiftright(S{j // 4}, {_SC_LANE_BITS * (j % 4)}) & {_SC_LANE_MASK})"
+            terms.append(
+                f"(CASE WHEN 2 * {cj} > cnt THEN CAST({2 ** (j % _SIMHASH_SC_WORD)} AS BIGINT)"
+                f" ELSE CAST(0 AS BIGINT) END)"
+            )
+        words.append(F.expr(lane_guard.format(w=" + ".join(terms))).alias(f"w{w}"))
+    # sig feeds FOUR consumers (both sides of the band self-join + the two
+    # verify joins); without truncation each re-runs the scan+tokenize+md5+
+    # vote pipeline — the dominant stage (ADVICE r11). localCheckpoint
+    # materializes the tiny 4-column signature table once (~32 B/doc).
+    sig = votes.select("doc_id", *words).localCheckpoint(eager=False)
     mask = (1 << _SIMHASH_SC_WIDTH) - 1
     per_word = _SIMHASH_SC_WORD // _SIMHASH_SC_WIDTH  # 3 bands per 48-bit word
     band_cols = [

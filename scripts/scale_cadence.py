@@ -72,23 +72,36 @@ def main() -> None:
         per_dir: dict[str, dict] = {}
         for d in dirs:
             label = os.path.basename(os.path.normpath(d))
+            # cold and warm runs fail independently (ADVICE r11): a warm
+            # throw (e.g. transient OOM) keeps the already-measured
+            # cold/rows data and any completed warm runs, with the error
+            # attached alongside instead of replacing the record
+            rec: dict = {}
             try:
                 t0 = time.perf_counter()
                 rows = len(fn(spark, d).toPandas())
-                cold = round(time.perf_counter() - t0, 3)
-                warms = []
+                rec["rows"] = rows
+                rec["cold_sec"] = round(time.perf_counter() - t0, 3)
+            except Exception as exc:  # noqa: BLE001 — record and continue
+                rec["error"] = f"{exc}"[:300]
+                per_dir[label] = rec
+                print(f"# {name} @ {label}: FAILED cold: {exc}", file=sys.stderr)
+                continue
+            warms: list[float] = []
+            try:
                 for _ in range(WARM_RUNS):
                     warms.append(_warm_once(fn, spark, d))
-                per_dir[label] = {
-                    "rows": rows,
-                    "cold_sec": cold,
-                    "warm_secs": warms,
-                    "warm_min_sec": min(warms),
-                }
-                print(f"# {name} @ {label}: rows={rows} cold={cold}s warm={warms}")
-            except Exception as exc:  # noqa: BLE001 — record and continue
-                per_dir[label] = {"error": f"{exc}"[:300]}
-                print(f"# {name} @ {label}: FAILED {exc}", file=sys.stderr)
+            except Exception as exc:  # noqa: BLE001 — keep partial warms
+                rec["warm_error"] = f"{exc}"[:300]
+                print(f"# {name} @ {label}: warm FAILED: {exc}", file=sys.stderr)
+            if warms:
+                rec["warm_secs"] = warms
+                rec["warm_min_sec"] = min(warms)
+            per_dir[label] = rec
+            print(
+                f"# {name} @ {label}: rows={rec['rows']} cold={rec['cold_sec']}s "
+                f"warm={warms}"
+            )
         ratios = {}
         labels = [os.path.basename(os.path.normpath(d)) for d in dirs]
         for a, b in zip(labels, labels[1:]):
@@ -103,6 +116,10 @@ def main() -> None:
         "what": "warm-min-of-%d wall ratios across scale dirs (scripts/scale_cadence.py)" % WARM_RUNS,
         "timing_tier": "min of warm executions; cold kept",
         "warm_action": WARM_ACTION,
+        # the cold run always collects via toPandas (rows come from it), so
+        # under warm_action=noop the cold number includes driver transfer
+        # while warm numbers do not — don't compare the two tiers (ADVICE r11)
+        "cold_action": "topandas",
         "dirs": dirs,
         "entries": entries,
         **stamp,

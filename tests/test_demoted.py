@@ -39,3 +39,24 @@ def test_demoted_entry_executes(spark, name):
     df = fn(spark, SF_DIR)
     assert df.columns
     assert df.limit(1).count() == 1, f"{name}: empty result"
+
+
+def test_simhash_banding_law_guard():
+    """The r12-demoted fixed-width SimHash entries raise past the banding-law
+    bound (bits_per_band >= log2(N/target_bucket)) instead of materializing a
+    quadratic candidate join (VERDICT r11 item 1)."""
+    from kafka_cdc_hudi_spark.plans.catalog_text import (
+        _SIMHASH_GUARD_MAX_EBUCKET,
+        _banding_law_guard,
+    )
+
+    # under the bound: no-op (the smoke above exercises the real entries)
+    _banding_law_guard(256 << 8, 8, "dedup_simhash_pairs")
+    _banding_law_guard(256 << 10, 10, "dedup_simhash_wide_pairs")
+    # past the bound: raises, names the scale-safe successor
+    with pytest.raises(ValueError, match="dedup_simhash_band_scaled"):
+        _banding_law_guard((256 << 8) + 1, 8, "dedup_simhash_pairs")
+    # the measured r11 OOM point (500k docs, 10-bit bands) is rejected
+    with pytest.raises(ValueError, match="banding law"):
+        _banding_law_guard(500_000, 10, "dedup_simhash_wide_pairs")
+    assert _SIMHASH_GUARD_MAX_EBUCKET << 10 < 500_000
