@@ -1,0 +1,231 @@
+"""Fault injection over the sink's crash-consistency claims (VERDICT r11
+item 5). The OCC lock, versioned pointer, and replay protocol are tested on
+clean paths elsewhere; here a writer is KILLED at each internal commit step
+— after data files land but before the pointer swap, mid-pointer-swap,
+mid-compaction (both sides of the pointer write), and mid-restore — and we
+assert the two invariants the design documents (`sinks/keyed_table.py`
+module docstring): a fresh reader sees exactly the pre-crash committed
+version, and replaying the interrupted batch converges to the same state an
+uncrashed table reaches. A stale lock left by a dead writer must also be
+breakable (`_LOCK_STALE_S`)."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+
+from kafka_cdc_hudi_spark.sinks import keyed_table as kt_mod
+from kafka_cdc_hudi_spark.sinks.keyed_table import KeyedParquetTable
+
+MODES = ["cow", "mor", "cow-bucketed"]
+
+
+class InjectedCrash(RuntimeError):
+    """Stands in for the writer process dying at a chosen instruction."""
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        rows, "id long, mtime long, _deleted boolean, val string"
+    )
+
+
+def _state(t, spark, **kw):
+    return {(r["id"], r["val"]) for r in t.read(spark, **kw).collect()}
+
+
+B0 = [(1, 10, False, "a"), (2, 10, False, "b"), (3, 10, False, "c")]
+B1 = [(1, 20, False, "a2"), (2, 20, True, "b"), (4, 20, False, "d")]
+S0 = {(1, "a"), (2, "b"), (3, "c")}
+S1 = {(1, "a2"), (3, "c"), (4, "d")}
+
+
+def _mk(tmp_path, mode, name="t", **kw):
+    return KeyedParquetTable(
+        str(tmp_path / f"{name}_{mode}"),
+        keys=["id"],
+        order_col="mtime",
+        mode=mode,
+        n_buckets=4,
+        **kw,
+    )
+
+
+def _pointer_method(mode: str) -> str:
+    return "_write_bucketed_pointer" if mode == "cow-bucketed" else "_write_pointer"
+
+
+def _crash(monkeypatch, name: str, when: str = "before"):
+    """Patch KeyedParquetTable.<name> to die `when` ('before'|'after') the
+    real call — 'before' models a crash with none of that step's effects on
+    disk, 'after' a crash the instant the step completed."""
+    real = getattr(KeyedParquetTable, name)
+
+    def wrapper(self, *a, **k):
+        if when == "before":
+            raise InjectedCrash(f"before {name}")
+        out = real(self, *a, **k)
+        raise InjectedCrash(f"after {name}")
+
+    monkeypatch.setattr(KeyedParquetTable, name, wrapper)
+    return real
+
+
+@pytest.mark.parametrize("mode", MODES)
+@pytest.mark.parametrize("step", ["after_data_files", "before_pointer"])
+def test_crash_between_data_write_and_pointer_swap(
+    spark, tmp_path, monkeypatch, mode, step
+):
+    """Kill the writer once its data files are durable but the pointer is
+    not: the commit must be invisible (snapshot isolation through the
+    atomic pointer), the orphan version dir must never be resurrected or
+    reused, and the replayed batch must converge."""
+    t = _mk(tmp_path, mode)
+    assert t.merge_batch(spark, _batch(spark, B0), batch_id=0)
+    v_committed = t.versions()[-1]
+
+    if step == "after_data_files":
+        _crash(monkeypatch, "_write_parquet", when="after")
+    else:
+        _crash(monkeypatch, _pointer_method(mode), when="before")
+    with pytest.raises(InjectedCrash):
+        t.merge_batch(spark, _batch(spark, B1), batch_id=1)
+    monkeypatch.undo()
+
+    # fresh reader: exactly the pre-crash committed version
+    fresh = _mk(tmp_path, mode)
+    assert _state(fresh, spark) == S0
+    assert fresh.last_batch_id() == 0
+    assert fresh.versions()[-1] == v_committed
+
+    # replay converges; the orphan dir from the crashed write is never
+    # reused as the new commit's version (allocation is past disk max)
+    assert fresh.merge_batch(spark, _batch(spark, B1), batch_id=1)
+    assert _state(fresh, spark) == S1
+
+    ref = _mk(tmp_path, mode, name="ref")
+    ref.merge_batch(spark, _batch(spark, B0), batch_id=0)
+    ref.merge_batch(spark, _batch(spark, B1), batch_id=1)
+    assert _state(ref, spark) == _state(fresh, spark)
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_crash_mid_pointer_swap(spark, tmp_path, monkeypatch, mode):
+    """Kill between writing the pointer's tmp file and the atomic
+    os.replace: the old pointer must still be the table, and the stranded
+    tmp file must not confuse later commits."""
+    t = _mk(tmp_path, mode)
+    assert t.merge_batch(spark, _batch(spark, B0), batch_id=0)
+
+    real_replace = kt_mod.os.replace
+
+    def dying_replace(src, dst, *a, **k):
+        if dst.endswith("_VERSION"):
+            raise InjectedCrash("mid pointer swap")
+        return real_replace(src, dst, *a, **k)
+
+    monkeypatch.setattr(kt_mod.os, "replace", dying_replace)
+    with pytest.raises(InjectedCrash):
+        t.merge_batch(spark, _batch(spark, B1), batch_id=1)
+    monkeypatch.undo()
+
+    fresh = _mk(tmp_path, mode)
+    assert _state(fresh, spark) == S0
+    assert fresh.last_batch_id() == 0
+    assert fresh.merge_batch(spark, _batch(spark, B1), batch_id=1)
+    assert _state(fresh, spark) == S1
+
+
+def test_crash_mid_compaction_before_pointer(spark, tmp_path, monkeypatch):
+    """MOR: kill after the compacted base is written but before it commits
+    — readers keep folding the delta chain; a later compaction succeeds."""
+    t = _mk(tmp_path, "mor")
+    t.merge_batch(spark, _batch(spark, B0), batch_id=0)
+    t.merge_batch(spark, _batch(spark, B1), batch_id=1)
+    assert _state(t, spark) == S1
+
+    _crash(monkeypatch, "_write_pointer", when="before")
+    with pytest.raises(InjectedCrash):
+        t.compact(spark)
+    monkeypatch.undo()
+
+    fresh = _mk(tmp_path, "mor")
+    assert _state(fresh, spark) == S1  # delta fold path intact
+    v = fresh.compact(spark)
+    assert v is not None
+    assert _state(fresh, spark) == S1
+
+
+def test_crash_mid_compaction_after_pointer_before_cleanup(
+    spark, tmp_path, monkeypatch
+):
+    """MOR: kill after the compaction pointer commits but before the folded
+    delta dirs are removed — the orphan deltas are outside the manifest, so
+    reads must NOT double-apply them, and later commits sweep/ignore them."""
+    t = _mk(tmp_path, "mor")
+    t.merge_batch(spark, _batch(spark, B0), batch_id=0)
+    t.merge_batch(spark, _batch(spark, B1), batch_id=1)
+
+    real_rmtree = kt_mod.shutil.rmtree
+
+    def dying_rmtree(path, *a, **k):
+        if os.path.basename(path).startswith("d_"):
+            raise InjectedCrash("mid compaction cleanup")
+        return real_rmtree(path, *a, **k)
+
+    monkeypatch.setattr(kt_mod.shutil, "rmtree", dying_rmtree)
+    with pytest.raises(InjectedCrash):
+        t.compact(spark)
+    monkeypatch.undo()
+
+    # the folded-away delta dirs are still on disk but unmanifested
+    leftover = [d for d in os.listdir(t.root) if d.startswith("d_")]
+    assert leftover, "injection did not leave orphan delta dirs"
+    fresh = _mk(tmp_path, "mor")
+    assert _state(fresh, spark) == S1  # compacted base only — no double fold
+    # next commit proceeds normally on top of the compacted base
+    assert fresh.merge_batch(spark, _batch(spark, [(5, 30, False, "e")]), batch_id=2)
+    assert _state(fresh, spark) == S1 | {(5, "e")}
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_crash_mid_restore(spark, tmp_path, monkeypatch, mode):
+    """Kill a restore before its pointer commits: the table must still read
+    as the latest pre-restore version, and re-issuing the restore must
+    succeed and land on the target snapshot."""
+    t = _mk(tmp_path, mode)
+    t.merge_batch(spark, _batch(spark, B0), batch_id=0)
+    v1 = t.versions()[-1]
+    t.merge_batch(spark, _batch(spark, B1), batch_id=1)
+    assert _state(t, spark) == S1
+
+    _crash(monkeypatch, _pointer_method(mode), when="before")
+    with pytest.raises(InjectedCrash):
+        t.restore(spark, v1)
+    monkeypatch.undo()
+
+    fresh = _mk(tmp_path, mode)
+    assert _state(fresh, spark) == S1  # restore never became visible
+    fresh.restore(spark, v1)
+    assert _state(fresh, spark) == S0
+    # replay protection survived the crashed restore
+    assert fresh.last_batch_id() == 1
+
+
+def test_stale_lock_from_dead_writer_is_broken(spark, tmp_path):
+    """A writer that dies INSIDE the lock (real crash — the context-manager
+    release never runs) leaves `.commit_lock` on disk; a new writer must
+    stale-break it after `_LOCK_STALE_S` and commit normally."""
+    t = _mk(tmp_path, "cow")
+    t.merge_batch(spark, _batch(spark, B0), batch_id=0)
+    lock = os.path.join(t.root, ".commit_lock")
+    with open(lock, "w") as f:
+        f.write("99999:deadbeef")  # token of the dead writer
+    past = time.time() - KeyedParquetTable._LOCK_STALE_S - 5
+    os.utime(lock, (past, past))
+
+    assert t.merge_batch(spark, _batch(spark, B1), batch_id=1)
+    assert _state(t, spark) == S1
+    assert not os.path.exists(lock)  # broken, then released by the new owner
