@@ -275,8 +275,8 @@ class KeyedParquetTable:
 
     def commit_meta(self) -> dict[int, dict]:
         """Operational metadata per retained commit: {version: {op, files,
-        bytes, wall_ms}} (empty for tables written before the field or via
-        the bucketed pointer)."""
+        bytes, wall_ms}} — all three pointer layouts record it (empty only
+        for tables written before the field existed)."""
         p = self._read_pointer()
         return {
             int(v): m for v, m in ((p or {}).get("commit_meta") or {}).items()
@@ -429,9 +429,20 @@ class KeyedParquetTable:
         commits: dict[int, str],
         maps: dict[int, dict[int, int]],
         savepoints: dict[str, int] | None = None,
+        commit_meta: dict[str, dict] | None = None,
     ) -> None:
+        prev = self._read_pointer()
         if savepoints is None:  # preserve existing savepoints on every commit
-            savepoints = self._savepoints(self._read_pointer())
+            savepoints = self._savepoints(prev)
+        # per-commit operational metadata (write-amplification auditing
+        # parity with the COW/MOR pointer): preserve prior entries, fold in
+        # the new commit's, trim to versions still holding data
+        live = {str(v) for v in commits} | {
+            str(hv) for m in maps.values() for hv in m.values()
+        }
+        meta = dict((prev or {}).get("commit_meta") or {})
+        meta.update(commit_meta or {})
+        meta = {v: m for v, m in meta.items() if v in live}
         tmp = self._pointer_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(
@@ -444,6 +455,7 @@ class KeyedParquetTable:
                         str(v): {str(b): hv for b, hv in sorted(m.items())}
                         for v, m in sorted(maps.items())
                     },
+                    "commit_meta": meta,
                 },
                 f,
             )
@@ -617,6 +629,7 @@ class KeyedParquetTable:
     def _merge_batch_bucketed(
         self, spark: SparkSession, batch: DataFrame, batch_id: int | None, p: dict | None
     ) -> bool:
+        t0 = time.monotonic()
         new_version = self._next_version(p)
         maps = self._bucket_maps(p)
         old_map = maps.get(p["version"], {}) if p is not None else {}
@@ -666,7 +679,15 @@ class KeyedParquetTable:
         commits = self._commits_map(p)
         commits[new_version] = "bucketed"
         commits = {v: k for v, k in commits.items() if v in maps or k != "bucketed"}
-        self._write_bucketed_pointer(new_version, batch_id, commits, maps)
+        self._write_bucketed_pointer(
+            new_version,
+            batch_id,
+            commits,
+            maps,
+            commit_meta={
+                str(new_version): self._commit_meta_entry(vdir, "bucketed", t0)
+            },
+        )
         self._prune_bucketed(new_version, maps)
         return True
 
@@ -1233,6 +1254,7 @@ class KeyedParquetTable:
         ``new_version``: full bucket map collapsed to one holder version, so
         older version dirs become prunable. Shared by ``compact`` (file-count
         hygiene) and ``restore`` (roll-forward revert)."""
+        t0 = time.monotonic()
         maps = self._bucket_maps(p)
         vdir = self._version_dir(new_version)
         out = state.withColumn(_BUCKET_COL, self._bucket_expr()).repartition(
@@ -1250,7 +1272,15 @@ class KeyedParquetTable:
         retained = sorted(set(sorted(maps)[-self.keep_versions :]) | protected)
         maps = {v: maps[v] for v in retained}
         commits = {v: "bucketed" for v in maps}
-        self._write_bucketed_pointer(new_version, p.get("last_batch_id"), commits, maps)
+        self._write_bucketed_pointer(
+            new_version,
+            p.get("last_batch_id"),
+            commits,
+            maps,
+            commit_meta={
+                str(new_version): self._commit_meta_entry(vdir, "snapshot", t0)
+            },
+        )
         self._prune_bucketed(new_version, maps)
         return new_version
 

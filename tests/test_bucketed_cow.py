@@ -246,3 +246,24 @@ def test_point_lookup_reads_only_key_buckets(spark, pair):
     assert cow.merge_batch(spark, rows_df(spark, base), batch_id=0)
     got_cow = {(r["id"], r["val"]) for r in cow.read_keys(spark, [(3,), (8,)]).collect()}
     assert got_cow == {(3, "a3"), (8, "a8")}
+
+
+def test_bucketed_commits_record_commit_meta(spark, tmp_path):
+    """Write-amplification auditing parity (r12): the bucketed pointer
+    records {op, files, bytes, wall_ms} per commit like COW/MOR, including
+    snapshot commits, and a partial commit's bytes are a fraction of a
+    full-map snapshot's."""
+    bkt = KeyedParquetTable(
+        str(tmp_path / "b"), keys=["id"], order_col="mtime",
+        mode=MODE_COW_BUCKETED, n_buckets=8,
+    )
+    base = [(i, 10, False, f"v{i}") for i in range(64)]
+    bkt.merge_batch(spark, rows_df(spark, base), batch_id=0)
+    bkt.merge_batch(spark, rows_df(spark, [(1, 20, False, "v1b")]), batch_id=1)
+    v_full, v_small = bkt.versions()[-2:]
+    meta = bkt.commit_meta()
+    assert meta[v_full]["op"] == "bucketed" and meta[v_full]["bytes"] > 0
+    assert meta[v_small]["files"] < meta[v_full]["files"]
+    assert meta[v_small]["bytes"] < meta[v_full]["bytes"]
+    v_snap = bkt.compact(spark)
+    assert bkt.commit_meta()[v_snap]["op"] == "snapshot"
