@@ -938,12 +938,18 @@ def _sc_word_of(j: int) -> int:
 #: of the 128 conditional-sum buffer that was the measured sf10 GC-tail
 #: source (warm 73-144s spread at 500k docs, SCALE_SIMHASH_SCALED_r11).
 #: Majority vote per bit j recovers as 2*lane_count > n_tokens, exactly
-#: the sign test the +-1 form computes. Lanes cannot carry while every
-#: doc has < 2^16 tokens; the word projection raise_error()s past that
-#: bound rather than return corrupt votes (100-TB corpora chunk longer
-#: docs upstream — text_chunk_overlap).
+#: the sign test the +-1 form computes. The projection raise_error()s
+#: past _SC_LANE_SAFE_MAX tokens/doc rather than return corrupt votes
+#: (100-TB corpora chunk longer docs upstream — text_chunk_overlap).
 _SC_LANE_BITS = 16
 _SC_LANE_MASK = (1 << _SC_LANE_BITS) - 1
+#: hard token-count bound for the packed aggregation: below it the SUM of
+#: packed bigints provably cannot overflow a signed 64-bit long even when
+#: every token votes 1 in every lane (max sum = bound * (1 + 2^16 + 2^32 +
+#: 2^48) < 2^63), so neither ANSI overflow errors nor silent non-ANSI
+#: wraparound are reachable; at/above it the word projection raise_error()s
+#: BEFORE any value is trusted. (2^63 - 1) // sum(lane weights) = 32767.
+_SC_LANE_SAFE_MAX = (2**63 - 1) // sum(1 << (k * _SC_LANE_BITS) for k in range(4))
 _SC_PACK = [
     ((v >> 0) & 1)
     | (((v >> 1) & 1) << _SC_LANE_BITS)
@@ -965,24 +971,12 @@ def _sc_nib_expr(i: int) -> str:
     return f"(shiftright(g2, {4 * (31 - i)}) & 15)"
 
 
-def dedup_simhash_band_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash pairing with CORPUS-SCALABLE banding: the full {B}-bit
-    md5-vote signature (packed into three bigint words, 48+48+32), {NB}
-    bands of {W} bits (band-value space 2^{W} = 65536, so expected bucket
-    occupancy stays O(1) into the 10^5-10^6-doc range where the 10-bit
-    wide entry's candidate join goes quadratic and OOMs — see the module
-    constant note), pigeonhole recall guarantee up to hamming {H}, exact
-    3-word ``bit_count(xor)`` verify on candidates only. Same salted
-    band-join plan shape as the other SimHash entries; all-integer ->
-    full value oracle."""
-    # the signature aggregation is the dominant CPU stage; parquet inputs
-    # with few row groups would otherwise cap its parallelism at the
-    # input-split count (measured at sf10: 16 splits on 32 cores, cold
-    # 85.6s -> 54.8s with the spread) — one cheap round-robin exchange of
-    # the doc rows buys full-width map-side work
-    d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+def _simhash_sc_signature(d: DataFrame) -> DataFrame:
+    """docs(doc_id, text) -> packed 128-bit signature (doc_id, w0, w1, w2).
+
+    Factored out of :func:`dedup_simhash_band_scaled` so the packed-lane
+    vote algebra is directly property-testable against a bit-by-bit
+    reference (tests/test_text_more.py)."""
     tok = d.select("doc_id", F.explode(tokens("text")).alias("t")).withColumn(
         "h", F.md5(F.col("t"))
     )
@@ -1010,8 +1004,8 @@ def dedup_simhash_band_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
     )
     lane_guard = (
-        f"IF(cnt >= {1 << _SC_LANE_BITS}, CAST(raise_error('simhash packed-lane "
-        f"overflow: doc with >= {1 << _SC_LANE_BITS} tokens; chunk upstream "
+        f"IF(cnt > {_SC_LANE_SAFE_MAX}, CAST(raise_error('simhash packed-lane "
+        f"overflow: doc with > {_SC_LANE_SAFE_MAX} tokens; chunk upstream "
         f"(text_chunk_overlap) or widen lanes') AS BIGINT), {{w}})"
     )
     words = []
@@ -1028,7 +1022,28 @@ def dedup_simhash_band_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     # verify joins); without truncation each re-runs the scan+tokenize+md5+
     # vote pipeline — the dominant stage (ADVICE r11). localCheckpoint
     # materializes the tiny 4-column signature table once (~32 B/doc).
-    sig = votes.select("doc_id", *words).localCheckpoint(eager=False)
+    return votes.select("doc_id", *words).localCheckpoint(eager=False)
+
+
+def dedup_simhash_band_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash pairing with CORPUS-SCALABLE banding: the full {B}-bit
+    md5-vote signature (packed into three bigint words, 48+48+32), {NB}
+    bands of {W} bits (band-value space 2^{W} = 65536, so expected bucket
+    occupancy stays O(1) into the 10^5-10^6-doc range where the 10-bit
+    wide entry's candidate join goes quadratic and OOMs — see the module
+    constant note), pigeonhole recall guarantee up to hamming {H}, exact
+    3-word ``bit_count(xor)`` verify on candidates only. Same salted
+    band-join plan shape as the other SimHash entries; all-integer ->
+    full value oracle."""
+    # the signature aggregation is the dominant CPU stage; parquet inputs
+    # with few row groups would otherwise cap its parallelism at the
+    # input-split count (measured at sf10: 16 splits on 32 cores, cold
+    # 85.6s -> 54.8s with the spread) — one cheap round-robin exchange of
+    # the doc rows buys full-width map-side work
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    sig = _simhash_sc_signature(d)
     mask = (1 << _SIMHASH_SC_WIDTH) - 1
     per_word = _SIMHASH_SC_WORD // _SIMHASH_SC_WIDTH  # 3 bands per 48-bit word
     band_cols = [

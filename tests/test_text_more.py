@@ -209,3 +209,90 @@ WHERE {ham} <= {_SIMHASH_SC_HAMMING_MAX}
     assert got == want
     assert len(want) > 0  # non-vacuous at the test SF
     assert any(h > 0 for (_, _, h) in want)  # not only exact-identical docs
+
+
+def test_simhash_packed_lane_votes_match_reference(spark):
+    """The r12 packed-lane vote algebra (`_simhash_sc_signature`: conv()
+    nibble parse -> 16-long lookup -> 32 bigint lane sums -> 2*count >
+    n_tokens majority) must equal a bit-by-bit Python reference of the
+    original +-1 vote definition on adversarial docs: single-token docs,
+    repeated tokens, EVEN token counts (exact vote ties, where the strict
+    majority boundary lives), and unicode-bearing text that the tokenizer
+    reduces."""
+    import hashlib
+    import random
+
+    from kafka_cdc_hudi_spark.plans.catalog_text import (
+        _SIMHASH_SC_BITS,
+        _SIMHASH_SC_WORD,
+        _simhash_sc_signature,
+    )
+
+    rng = random.Random(20260816)
+    vocab = [f"tok{i}" for i in range(40)] + ["alpha", "beta", "gamma", "x9y"]
+    docs = []
+    for did in range(64):
+        if did == 0:
+            toks = ["solo"]
+        elif did == 1:
+            toks = ["dup"] * 7
+        elif did == 2:
+            toks = ["a", "b"] * 3  # even count, guaranteed tied bits exist
+        else:
+            toks = [rng.choice(vocab) for _ in range(rng.randrange(1, 30))]
+        docs.append((did, " ".join(toks)))
+
+    def ref_sig(text):
+        # the tokenizer: lowercase, split on non-[a-z0-9]+, drop empties
+        import re
+
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        votes = [0] * _SIMHASH_SC_BITS
+        for t in toks:
+            h = hashlib.md5(t.encode()).hexdigest()
+            for j in range(_SIMHASH_SC_BITS):
+                nib = int(h[j // 4], 16)
+                votes[j] += 1 if (nib >> (j % 4)) & 1 else -1
+        words = [0, 0, 0]
+        for j in range(_SIMHASH_SC_BITS):
+            if votes[j] > 0:
+                words[j // _SIMHASH_SC_WORD] |= 1 << (j % _SIMHASH_SC_WORD)
+        return tuple(words)
+
+    df = spark.createDataFrame(docs, "doc_id BIGINT, text STRING")
+    got = {
+        r["doc_id"]: (r["w0"], r["w1"], r["w2"])
+        for r in _simhash_sc_signature(df).collect()
+    }
+    want = {did: ref_sig(text) for did, text in docs}
+    assert got == want
+
+
+def test_simhash_packed_lane_overflow_guard_raises(spark):
+    """A doc past _SC_LANE_SAFE_MAX tokens could overflow the packed lane
+    sums (ANSI: hard ARITHMETIC_OVERFLOW mid-agg; non-ANSI: silent wrap) —
+    the bound is set so no overflow is REACHABLE below it, and the word
+    projection raise_error()s at the first doc above it."""
+    import pytest as _pytest
+
+    from kafka_cdc_hudi_spark.plans.catalog_text import (
+        _SC_LANE_SAFE_MAX,
+        _simhash_sc_signature,
+    )
+
+    # the provable no-overflow bound: worst case (every token votes 1 in
+    # every lane) stays under 2^63 exactly up to the guard threshold
+    weights = sum(1 << (16 * k) for k in range(4))
+    assert _SC_LANE_SAFE_MAX * weights < 2**63 - 1
+    assert (_SC_LANE_SAFE_MAX + 1) * weights > 2**63 - 1
+
+    big = " ".join(f"t{i % 50}" for i in range(_SC_LANE_SAFE_MAX + 1))
+    df = spark.createDataFrame([(1, big)], "doc_id BIGINT, text STRING")
+    with _pytest.raises(Exception, match="packed-lane overflow"):
+        _simhash_sc_signature(df).collect()
+    # at the bound itself: no raise, a valid signature comes back
+    ok = " ".join(f"t{i % 50}" for i in range(_SC_LANE_SAFE_MAX))
+    row = _simhash_sc_signature(
+        spark.createDataFrame([(2, ok)], "doc_id BIGINT, text STRING")
+    ).collect()[0]
+    assert row["w0"] is not None
