@@ -309,3 +309,49 @@ class TestAdviceR9:
         # and the history actually landed
         m = driver.scd2_for(cfg.tables[0])
         assert {(r["id"], r["val"]) for r in m.read(spark).collect()} == {(1, "a")}
+
+
+class TestCrashConsistency:
+    def test_crash_between_log_and_history_commits(self, spark, tmp_path):
+        """apply_batch commits TWO tables in sequence (log, then history).
+        Kill the writer after the log committed batch 1 but before the
+        history did: a fresh maintainer must read the batch-0 history, and
+        replaying batch 1 must converge — the log skips via replay
+        protection while the history recomputes the affected chains from
+        the (already-landed) log rows. Final history == batch oracle."""
+
+        class InjectedCrash(RuntimeError):
+            pass
+
+        mk = lambda: Scd2HistoryMaintainer(  # noqa: E731
+            root=str(tmp_path / "scd2"), keys=["id"], ts_col="mtime",
+            tiebreakers=["val"],
+        )
+        m = mk()
+        b0 = [(1, 10, "a", False), (2, 10, "x", False)]
+        b1 = [(1, 20, "b", False), (2, 15, None, True), (3, 20, "z", False)]
+        m.apply_batch(spark, spark.createDataFrame(b0, SCHEMA), batch_id=0)
+        h0 = _hist_set(m.read(spark))
+
+        real = m.history.merge_batch
+
+        def dying(spark_, delta, batch_id=None):
+            if batch_id == 1:
+                raise InjectedCrash("history commit dies")
+            return real(spark_, delta, batch_id=batch_id)
+
+        m.history.merge_batch = dying
+        with pytest.raises(InjectedCrash):
+            m.apply_batch(spark, spark.createDataFrame(b1, SCHEMA), batch_id=1)
+        # the log committed batch 1; the history did not
+        assert m.log.last_batch_id() == 1
+        assert m.history.last_batch_id() == 0
+
+        # fresh maintainer: history still reads as the pre-crash state
+        m2 = mk()
+        assert _hist_set(m2.read(spark)) == h0
+        # replay batch 1: log no-ops, history applies from the landed log
+        m2.apply_batch(spark, spark.createDataFrame(b1, SCHEMA), batch_id=1)
+        assert m2.log.last_batch_id() == 1
+        assert m2.history.last_batch_id() == 1
+        assert _hist_set(m2.read(spark)) == _hist_set(_batch_oracle(spark, b0 + b1))
