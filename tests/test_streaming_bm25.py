@@ -293,3 +293,43 @@ def test_non_monotonic_seq_raises_and_replay_does_not(spark, tmp_path, queries):
     assert m.process(spark, ok, batch_id=2)
     final = {r["doc_id"] for r in m.topk(spark, queries, k=5).collect()}
     assert 1 not in final
+
+
+def test_crash_between_postings_and_doclens_commits(spark, tmp_path, queries):
+    """process() commits postings then doclens. Kill between the two: the
+    replay must heal the index — postings skip via replay protection (the
+    tombstone delta, whose raise_error guard would otherwise fire against
+    the already-landed rows, is never evaluated), doclens applies, and
+    top-k equals the from-scratch rebuild."""
+
+    class InjectedCrash(RuntimeError):
+        pass
+
+    m = Bm25IndexMaintainer(root=str(tmp_path / "bm25"))
+    live = dict(DOCS)
+    b0 = [("i", i, t, i) for i, t in sorted(live.items())]
+    m.process(spark, spark.createDataFrame(b0, SCHEMA), batch_id=0)
+
+    real = m.doclens.merge_batch
+
+    def dying(spark_, delta, batch_id=None):
+        if batch_id == 1:
+            raise InjectedCrash("doclens commit dies")
+        return real(spark_, delta, batch_id=batch_id)
+
+    m.doclens.merge_batch = dying
+    live[3] = "fresh scan text replaces duck filter"
+    b1 = [("u", 3, live[3], 100), ("d", 5, None, 101)]
+    with pytest.raises(InjectedCrash):
+        m.process(spark, spark.createDataFrame(b1, SCHEMA), batch_id=1)
+    assert m.postings.last_batch_id() == 1
+    assert m.doclens.last_batch_id() == 0
+
+    del live[5]
+    m2 = Bm25IndexMaintainer(root=str(tmp_path / "bm25"))
+    m2.process(spark, spark.createDataFrame(b1, SCHEMA), batch_id=1)
+    assert m2.postings.last_batch_id() == 1
+    assert m2.doclens.last_batch_id() == 1
+    assert _topk_set(m2.topk(spark, queries, k=5)) == _topk_set(
+        _rebuild_topk(spark, live, queries, k=5)
+    )

@@ -271,3 +271,68 @@ def test_pair_ivm_under_structured_streaming(spark, tmp_path):
     got = {(r.doc_a, r.doc_b) for r in m.live_pairs().collect()}
     assert got == set(_truth_pairs(spark, live))
     assert got, "streaming IVM found no pairs — vacuous"
+
+
+def test_crash_between_delta_and_sigops_writes_then_replay(spark, tmp_path):
+    """process() writes pair_deltas/bid=N then sig_ops/bid=N (each an
+    exactly-once per-bid partition overwrite). Kill between the two: the
+    replayed batch folds the signature index from sig_ops BELOW bid=N
+    (untouched by the crash), recomputes, and OVERWRITES both partitions —
+    the stores converge to the same state an uncrashed run reaches."""
+    from kafka_cdc_hudi_spark.sources.tables import load_table
+    from kafka_cdc_hudi_spark.streaming.dedup_ivm import DedupPairMaintainer
+
+    class InjectedCrash(RuntimeError):
+        pass
+
+    corpus = {
+        int(r.doc_id): r.text
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 40)
+        .collect()
+    }
+    ids = sorted(corpus)
+    m = DedupPairMaintainer(
+        spark, str(tmp_path / "sig_ops"), str(tmp_path / "pair_deltas")
+    )
+    b0 = [("i", i, corpus[i], i) for i in ids]
+    m.process(_batch_df(spark, b0), 0)
+
+    live = dict(corpus)
+    # batch 1: one update (takes a neighbor's text) + one delete
+    b1 = [("u", ids[3], corpus[ids[5]], 1000), ("d", ids[7], None, 1001)]
+    live[ids[3]] = corpus[ids[5]]
+    del live[ids[7]]
+
+    # crash AFTER the pair_deltas write, BEFORE the sig_ops write
+    import pyspark.sql.readwriter as rw
+
+    real_parquet = rw.DataFrameWriter.parquet
+    state = {"armed": True}
+
+    def parquet_spy(self, path, *a, **k):
+        if state["armed"] and "sig_ops" in path and path.endswith("bid=1"):
+            raise InjectedCrash("dies before sig_ops write")
+        return real_parquet(self, path, *a, **k)
+
+    rw.DataFrameWriter.parquet = parquet_spy
+    try:
+        with pytest.raises(InjectedCrash):
+            m.process(_batch_df(spark, b1), 1)
+    finally:
+        state["armed"] = False
+        rw.DataFrameWriter.parquet = real_parquet
+
+    # partial on-disk state: deltas for bid=1 landed, sig_ops did not
+    import os
+
+    assert os.path.isdir(f"{m.pair_deltas_store}/bid=1")
+    assert not os.path.isdir(f"{m.sig_ops_store}/bid=1")
+
+    # replay converges: both partitions overwritten, live pairs == truth
+    m.process(_batch_df(spark, b1), 1)
+    assert os.path.isdir(f"{m.sig_ops_store}/bid=1")
+    got = {(r.doc_a, r.doc_b) for r in m.live_pairs().collect()}
+    want = set(_truth_pairs(spark, live))
+    assert got == want
