@@ -773,6 +773,8 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     DEMOTED r12 (covered by :func:`dedup_simhash_band_scaled`): guarded by
     the banding law — raises past the 8-bit-band safe bound rather than go
     quadratic."""
+    # eager BY DESIGN: the guard must fail before the quadratic band join
+    # is even built; the count is a zero-column parquet scan
     _banding_law_guard(
         load_table(spark, sf_dir, "documents").count(), 8, "dedup_simhash_pairs"
     )

@@ -1249,7 +1249,9 @@ class KeyedParquetTable:
             return exprs
         return [int(self.cluster_range_files), *exprs]
 
-    def _commit_bucketed_snapshot(self, state: DataFrame, p: dict, new_version: int) -> int:
+    def _commit_bucketed_snapshot(
+        self, state: DataFrame, p: dict, new_version: int, op: str = "snapshot"
+    ) -> int:
         """Write ``state`` as a complete bucketed snapshot committed at
         ``new_version``: full bucket map collapsed to one holder version, so
         older version dirs become prunable. Shared by ``compact`` (file-count
@@ -1278,7 +1280,7 @@ class KeyedParquetTable:
             commits,
             maps,
             commit_meta={
-                str(new_version): self._commit_meta_entry(vdir, "snapshot", t0)
+                str(new_version): self._commit_meta_entry(vdir, op, t0)
             },
         )
         self._prune_bucketed(new_version, maps)
@@ -1411,7 +1413,7 @@ class KeyedParquetTable:
         state = self.read(spark, version=version)  # raises if not retained
         new_version = self._next_version(p)
         if self.mode == MODE_COW_BUCKETED:
-            return self._commit_bucketed_snapshot(state, p, new_version)
+            return self._commit_bucketed_snapshot(state, p, new_version, op="restore")
         self._write_parquet(
             self._cluster_sort(state, bucketed=False), self._version_dir(new_version)
         )

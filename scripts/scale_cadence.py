@@ -96,7 +96,11 @@ def main() -> None:
                 print(f"# {name} @ {label}: warm FAILED: {exc}", file=sys.stderr)
             if warms:
                 rec["warm_secs"] = warms
-                rec["warm_min_sec"] = min(warms)
+                # a degraded warm set (fewer than WARM_RUNS samples) keeps
+                # its raw timings but earns no warm_min_sec, so the
+                # min-of-N tier claim holds and ratios never mix tiers
+                if len(warms) == WARM_RUNS:
+                    rec["warm_min_sec"] = min(warms)
             per_dir[label] = rec
             print(
                 f"# {name} @ {label}: rows={rec['rows']} cold={rec['cold_sec']}s "

@@ -123,8 +123,8 @@ def main() -> None:
                     "wall_sec": wall,
                     "files_written": m.get("files"),
                     "bytes_written": m.get("bytes"),
-                    "rewrite_frac": round(m["bytes"] / state_bytes, 4)
-                    if m.get("bytes") and state_bytes
+                    "rewrite_frac": round(m["bytes"] / state_bytes, 6)
+                    if m.get("bytes") is not None and state_bytes
                     else None,
                 }
             )
@@ -136,8 +136,10 @@ def main() -> None:
             "state_bytes": state_bytes,
             "churn_batches": batches,
             "mean_rewrite_frac": round(
-                sum(x["rewrite_frac"] or 0 for x in batches) / len(batches), 4
-            ),
+                sum(x["rewrite_frac"] for x in fr) / len(fr), 6
+            )
+            if (fr := [b for b in batches if b["rewrite_frac"] is not None])
+            else None,
         }
 
     # cross-mode equivalence over all 10M rows: count + order-insensitive hash
