@@ -81,6 +81,7 @@ import contextlib
 import json
 import os
 import shutil
+import threading
 import time
 import uuid
 from collections.abc import Sequence
@@ -115,6 +116,15 @@ def _dir_bytes(path: str) -> int:
             if n.endswith(".parquet"):
                 total += os.path.getsize(os.path.join(root, n))
     return total
+
+
+class ConcurrentCommitError(RuntimeError):
+    """A writer that stalled past ``_LOCK_STALE_S`` lost the table lock to
+    a stale-break, and a newer writer committed underneath it. The stalled
+    writer's commit is REJECTED (optimistic-concurrency conflict, the
+    Hudi OCC resolution): its caller must re-read the pointer and retry -
+    completing the write would regress the pointer over the newer commit
+    or clobber its data files."""
 
 
 class KeyedParquetTable:
@@ -238,6 +248,8 @@ class KeyedParquetTable:
         meta = dict((prev or {}).get("commit_meta") or {})
         meta.update(commit_meta or {})
         meta = {v: m for v, m in meta.items() if v in live}
+        self._assert_lock_owned("pointer write")
+        self._assert_version_monotonic(version, "pointer write")
         tmp = self._pointer_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(
@@ -443,6 +455,8 @@ class KeyedParquetTable:
         meta = dict((prev or {}).get("commit_meta") or {})
         meta.update(commit_meta or {})
         meta = {v: m for v, m in meta.items() if v in live}
+        self._assert_lock_owned("bucketed pointer write")
+        self._assert_version_monotonic(version, "bucketed pointer write")
         tmp = self._pointer_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(
@@ -1005,6 +1019,54 @@ class KeyedParquetTable:
     _LOCK_TIMEOUT_S = 60.0
     _LOCK_STALE_S = 300.0
 
+    @property
+    def _held(self) -> threading.local:
+        """Per-thread record of the lock token the CURRENT thread holds
+        (concurrent writers on one table object each hold their own)."""
+        h = self.__dict__.get("_held_tokens")
+        if h is None:
+            h = self.__dict__["_held_tokens"] = threading.local()
+        return h
+
+    def _assert_lock_owned(self, where: str) -> None:
+        """Fencing check (zombie-writer protection): a writer stalled past
+        ``_LOCK_STALE_S`` whose lock was stale-broken by a newer writer
+        must NOT complete its data or pointer writes - re-verify, at each
+        write site inside the critical section, that the lock file still
+        holds this thread's token. Shrinks the stale-break exposure from
+        the whole commit duration to the instants before each write; the
+        pointer-monotonicity check in ``_write_pointer`` /
+        ``_write_bucketed_pointer`` independently rejects any regression
+        that slips through the residual window."""
+        token = getattr(self._held, "token", None)
+        if token is None:
+            return  # not inside _table_lock (single-writer callers)
+        try:
+            with open(os.path.join(self.root, ".commit_lock"), "rb") as f:
+                current = f.read().decode(errors="replace")
+        except OSError:
+            current = None
+        if current != token:
+            raise ConcurrentCommitError(
+                f"{where}: table lock lost (stalled past "
+                f"{self._LOCK_STALE_S}s and stale-broken by another "
+                f"writer); re-read the pointer and retry the commit"
+            )
+
+    def _assert_version_monotonic(self, version: int, where: str) -> None:
+        """Second fencing layer: a pointer write may never move the
+        committed version BACKWARD (a zombie writer's version was
+        allocated before the newer writer's and is strictly lower).
+        Metadata-only rewrites (savepoints) legitimately re-commit the
+        SAME version, so equality passes."""
+        prev = self._read_pointer()
+        if prev is not None and version < prev["version"]:
+            raise ConcurrentCommitError(
+                f"{where}: pointer regression rejected (attempted "
+                f"v{version} over committed v{prev['version']} - a newer "
+                f"writer committed while this one was stalled)"
+            )
+
     def _claim_and_remove(self, lock: str, my_token: str | None = None) -> bool:
         """Atomically claim the lock file via ``os.rename`` to a unique
         path, then decide on the CLAIMED file — only the renamer proceeds,
@@ -1089,6 +1151,7 @@ class KeyedParquetTable:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                 os.write(fd, token.encode())
                 os.close(fd)
+                self._held.token = token
                 break
             except FileExistsError:
                 try:
@@ -1105,6 +1168,7 @@ class KeyedParquetTable:
         try:
             yield
         finally:
+            self._held.token = None
             # remove only if the claimed file holds OUR token (ownership
             # may have moved if we stalled past _LOCK_STALE_S and were
             # broken); rename-claim closes the read-then-unlink window
@@ -1198,6 +1262,7 @@ class KeyedParquetTable:
     ) -> None:
         """All sink parquet writes funnel here so table-level write
         options (key bloom filters) apply uniformly to every layout."""
+        self._assert_lock_owned(f"data write {os.path.basename(path)}")
         w = df.write.mode("overwrite")
         if self.parquet_bloom_keys:
             for k in self.keys:

@@ -229,3 +229,70 @@ def test_stale_lock_from_dead_writer_is_broken(spark, tmp_path):
     assert t.merge_batch(spark, _batch(spark, B1), batch_id=1)
     assert _state(t, spark) == S1
     assert not os.path.exists(lock)  # broken, then released by the new owner
+
+
+def test_zombie_pointer_regression_rejected(spark, tmp_path):
+    """Fencing layer 2: a pointer write whose version is LOWER than the
+    committed one (a stalled writer's allocation from before a newer
+    writer's commit) is rejected outright."""
+    from kafka_cdc_hudi_spark.sinks.keyed_table import ConcurrentCommitError
+
+    t = _mk(tmp_path, "cow")
+    t.merge_batch(spark, _batch(spark, B0), batch_id=0)
+    t.merge_batch(spark, _batch(spark, B1), batch_id=1)
+    v_now = t.versions()[-1]
+    with pytest.raises(ConcurrentCommitError, match="regression"):
+        t._write_pointer(v_now - 1, 99, {v_now - 1: "base"})
+    fresh = _mk(tmp_path, "cow")
+    assert fresh.versions()[-1] == v_now
+    assert fresh.last_batch_id() == 1
+    assert _state(fresh, spark) == S1
+
+
+def test_stalled_writer_fenced_after_stale_break(spark, tmp_path, monkeypatch):
+    """The GC-pause zombie (fencing layer 1): writer A stalls INSIDE its
+    commit long enough to be stale-broken; writer B breaks the lock,
+    commits batch 1, and releases. When A resumes, its pointer write must
+    raise ConcurrentCommitError instead of regressing the pointer over
+    B's commit — and A's retry (re-read, re-merge) must succeed."""
+    from kafka_cdc_hudi_spark.sinks.keyed_table import (
+        ConcurrentCommitError,
+        KeyedParquetTable,
+    )
+
+    a = _mk(tmp_path, "cow")
+    a.merge_batch(spark, _batch(spark, B0), batch_id=0)
+
+    real_stats = KeyedParquetTable._collect_file_stats
+    fired = {"done": False}
+
+    def stall_and_let_b_commit(self, vdir):
+        # runs in A's commit, after its data files landed, before its
+        # pointer write — the zombie window
+        if not fired["done"]:
+            fired["done"] = True
+            lock = os.path.join(self.root, ".commit_lock")
+            past = time.time() - KeyedParquetTable._LOCK_STALE_S - 5
+            os.utime(lock, (past, past))  # simulate A's long stall
+            b = KeyedParquetTable(self.root, keys=["id"], order_col="mtime")
+            monkeypatch.setattr(KeyedParquetTable, "_collect_file_stats", real_stats)
+            assert b.merge_batch(
+                spark, _batch(spark, [(9, 30, False, "from_b")]), batch_id=1
+            )
+            monkeypatch.setattr(
+                KeyedParquetTable, "_collect_file_stats", stall_and_let_b_commit
+            )
+        return real_stats(self, vdir)
+
+    monkeypatch.setattr(KeyedParquetTable, "_collect_file_stats", stall_and_let_b_commit)
+    with pytest.raises(ConcurrentCommitError):
+        a.merge_batch(spark, _batch(spark, B1), batch_id=2)
+    monkeypatch.undo()
+
+    # B's commit is the table; A's aborted write changed nothing visible
+    fresh = _mk(tmp_path, "cow")
+    assert _state(fresh, spark) == S0 | {(9, "from_b")}
+    assert fresh.last_batch_id() == 1
+    # A's retry on the fresh pointer state applies cleanly
+    assert fresh.merge_batch(spark, _batch(spark, B1), batch_id=2)
+    assert _state(fresh, spark) == S1 | {(9, "from_b")}
