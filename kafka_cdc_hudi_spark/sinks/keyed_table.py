@@ -249,7 +249,7 @@ class KeyedParquetTable:
         meta.update(commit_meta or {})
         meta = {v: m for v, m in meta.items() if v in live}
         self._assert_lock_owned("pointer write")
-        self._assert_version_monotonic(version, "pointer write")
+        self._assert_version_monotonic(version, "pointer write", prev)
         tmp = self._pointer_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(
@@ -456,7 +456,7 @@ class KeyedParquetTable:
         meta.update(commit_meta or {})
         meta = {v: m for v, m in meta.items() if v in live}
         self._assert_lock_owned("bucketed pointer write")
-        self._assert_version_monotonic(version, "bucketed pointer write")
+        self._assert_version_monotonic(version, "bucketed pointer write", prev)
         tmp = self._pointer_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(
@@ -1053,13 +1053,15 @@ class KeyedParquetTable:
                 f"writer); re-read the pointer and retry the commit"
             )
 
-    def _assert_version_monotonic(self, version: int, where: str) -> None:
+    def _assert_version_monotonic(
+        self, version: int, where: str, prev: dict | None
+    ) -> None:
         """Second fencing layer: a pointer write may never move the
         committed version BACKWARD (a zombie writer's version was
         allocated before the newer writer's and is strictly lower).
         Metadata-only rewrites (savepoints) legitimately re-commit the
-        SAME version, so equality passes."""
-        prev = self._read_pointer()
+        SAME version, so equality passes. ``prev`` is the pointer the
+        caller already read — re-read here would race the check."""
         if prev is not None and version < prev["version"]:
             raise ConcurrentCommitError(
                 f"{where}: pointer regression rejected (attempted "
