@@ -1176,12 +1176,33 @@ class KeyedParquetTable:
             # broken); rename-claim closes the read-then-unlink window
             self._claim_and_remove(lock, my_token=token)
 
-    def merge_batch(self, spark: SparkSession, batch: DataFrame, batch_id: int | None = None) -> bool:
+    def merge_batch(
+        self,
+        spark: SparkSession,
+        batch: DataFrame,
+        batch_id: int | None = None,
+        retry_conflicts: int = 0,
+    ) -> bool:
         """Upsert one normalized CDC batch; returns False if skipped
         (already-committed batch id replay, or empty batch). Runs under
-        the table lock — see :meth:`_table_lock`."""
-        with self._table_lock():
-            return self._merge_batch_locked(spark, batch, batch_id)
+        the table lock — see :meth:`_table_lock`.
+
+        ``retry_conflicts`` is the OCC conflict-resolution loop for
+        writers that can be fenced off (``ConcurrentCommitError``: this
+        writer stalled past ``_LOCK_STALE_S`` and a newer writer committed
+        underneath it). Each retry re-enters the lock and recomputes the
+        merge from the FRESH pointer state, so the conflict resolution is
+        exactly a re-read + re-merge — correct because the merge algebra
+        is idempotent per batch id. The streaming driver leaves this at 0:
+        its at-least-once replay IS the retry."""
+        for attempt in range(retry_conflicts + 1):
+            try:
+                with self._table_lock():
+                    return self._merge_batch_locked(spark, batch, batch_id)
+            except ConcurrentCommitError:
+                if attempt == retry_conflicts:
+                    raise
+        raise AssertionError("unreachable")
 
     def _merge_batch_locked(
         self, spark: SparkSession, batch: DataFrame, batch_id: int | None = None

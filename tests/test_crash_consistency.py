@@ -296,3 +296,34 @@ def test_stalled_writer_fenced_after_stale_break(spark, tmp_path, monkeypatch):
     # A's retry on the fresh pointer state applies cleanly
     assert fresh.merge_batch(spark, _batch(spark, B1), batch_id=2)
     assert _state(fresh, spark) == S1 | {(9, "from_b")}
+
+
+def test_merge_retry_conflicts_recovers_from_fencing(spark, tmp_path, monkeypatch):
+    """merge_batch(retry_conflicts=N): a ConcurrentCommitError from the
+    fencing layers re-enters the lock and recomputes the merge from the
+    fresh pointer; with retries exhausted it propagates."""
+    from kafka_cdc_hudi_spark.sinks.keyed_table import ConcurrentCommitError
+
+    t = _mk(tmp_path, "cow")
+    t.merge_batch(spark, _batch(spark, B0), batch_id=0)
+
+    real = KeyedParquetTable._merge_batch_locked
+    fails = {"left": 2}
+
+    def flaky(self, spark_, batch, batch_id=None):
+        if fails["left"] > 0:
+            fails["left"] -= 1
+            raise ConcurrentCommitError("simulated fence")
+        return real(self, spark_, batch, batch_id)
+
+    monkeypatch.setattr(KeyedParquetTable, "_merge_batch_locked", flaky)
+    # one retry is not enough for two consecutive conflicts
+    with pytest.raises(ConcurrentCommitError):
+        t.merge_batch(spark, _batch(spark, B1), batch_id=1, retry_conflicts=1)
+    # two retries absorb them and the merge lands
+    fails["left"] = 2
+    assert t.merge_batch(spark, _batch(spark, B1), batch_id=1, retry_conflicts=2)
+    monkeypatch.undo()
+    assert _state(t, spark) == S1
+    # the lock was released on every failed attempt (no deadlock residue)
+    assert not os.path.exists(os.path.join(t.root, ".commit_lock"))
