@@ -17,11 +17,13 @@ pure-stdlib codecs (``functions/png.py`` inflate + unfilter, ``bmp.py``
 DIB, ``gif.py`` variable-width LZW, ``jpeg.py`` baseline DCT + Huffman,
 ``wav.py`` RIFF/PCM, ``avi.py`` RIFF container walk) run inside the same
 mapInPandas kernels, each exercised end-to-end by a synthesized-fixture
-catalog entry with a DuckDB value oracle. webp remains stubbed (VP8 needs
-an external codec not in this container): that path raises
-``NotImplementedError``; the deterministic fake kernels (``fake=True``)
-remain for its plumbing coverage, and ``decode_images(on_error="null")``
-gives the error-tolerant ingest mode real crawls need.
+catalog entry with a DuckDB value oracle. WebP-LOSSLESS (VP8L) is real
+too (``webp.py``: prefix codes, LZ77, color cache, all four transforms,
+r12); only lossy VP8 webp remains stubbed (it needs an external codec
+not in this container) — that path raises ``NotImplementedError``; the
+deterministic fake kernels (``fake=True``) remain for its plumbing
+coverage, and ``decode_images(on_error="null")`` gives the
+error-tolerant ingest mode real crawls need.
 """
 
 from __future__ import annotations
@@ -107,6 +109,46 @@ def documents_as_png(docs: DataFrame) -> DataFrame:
                     "media_id": pdf["media_id"].astype("int64"),
                     "content": blobs,
                     "format": ["png"] * len(pdf),
+                    "byte_len": pd.Series([len(b) for b in blobs], dtype="int64"),
+                }
+            )
+
+    return src.mapInPandas(encode_batches, MEDIA_SCHEMA)
+
+
+#: webp fixture dims: distinct from the PNG/BMP formulas; max w*h = 15*7 =
+#: 105 <= PNG_FIXTURE_MIN_BYTES so the payload is exactly text[:w*h]
+def _webp_fixture_dims(doc_id: int) -> tuple[int, int]:
+    return 5 + doc_id % 11, 3 + doc_id % 5
+
+
+def documents_as_webp(docs: DataFrame) -> DataFrame:
+    """Synthesize REAL VP8L lossless WebP blobs from document text (gray
+    samples = the first width*height text bytes). The encoder VARIANT
+    cycles by doc_id across all seven bitstream shapes (flat prefix
+    codes, LZ77 runs, color cache, subtract-green, predictor, color
+    transform, palette incl. bundling), so decoding a corpus exercises
+    every branch of the from-scratch decoder — same adapter contract as
+    ``documents_as_png``."""
+    from kafka_cdc_hudi_spark.functions.webp import _VARIANTS, encode_webp
+
+    src = docs.filter(
+        F.octet_length("text") >= PNG_FIXTURE_MIN_BYTES
+    ).select(F.col("doc_id").alias("media_id"), "text")
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for mid, text in zip(pdf["media_id"], pdf["text"]):
+                w, h = _webp_fixture_dims(int(mid))
+                pixels = text.encode("utf-8")[: w * h]
+                variant = _VARIANTS[int(mid) % len(_VARIANTS)]
+                blobs.append(encode_webp(pixels, w, h, channels=1, variant=variant))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "content": blobs,
+                    "format": ["webp"] * len(pdf),
                     "byte_len": pd.Series([len(b) for b in blobs], dtype="int64"),
                 }
             )
@@ -552,9 +594,13 @@ def decode_any_image(content: bytes) -> tuple[int, int, int, bytes]:
         decode_tiff_gray,
     )
 
+    from kafka_cdc_hudi_spark.functions.webp import decode_webp, is_webp
+
     content = content or b""
     if content.startswith(PNG_SIGNATURE):
         return decode_png(content)
+    if is_webp(content):
+        return decode_webp(content)
     if content.startswith(BMP_MAGIC):
         return decode_bmp(content)
     if content.startswith(GIF_MAGIC):
@@ -564,8 +610,9 @@ def decode_any_image(content: bytes) -> tuple[int, int, int, bytes]:
     if content.startswith((TIFF_MAGIC_LE, TIFF_MAGIC_BE)):
         return decode_tiff_gray(content)
     raise NotImplementedError(
-        "real decode implemented for PNG/BMP/GIF/JPEG/TIFF; webp needs "
-        "external codecs not present in this container (use fake=True)"
+        "real decode implemented for PNG/BMP/GIF/JPEG/TIFF/WebP-lossless; "
+        "lossy VP8 webp needs external codecs not in this container "
+        "(use fake=True)"
     )
 
 
@@ -573,10 +620,10 @@ def decode_images(df: DataFrame, fake: bool = False, on_error: str = "raise") ->
     """Decode stage: media frame -> IMAGE_FEATURES_SCHEMA frame.
 
     ``fake=False`` is the REAL-codec path: magic-byte dispatch over the
-    pure-stdlib PNG / BMP / GIF / JPEG (grayscale + 4:4:4 color) / TIFF
-    codecs (:func:`decode_any_image`), with ``feature_hash`` = md5 of the
-    reconstructed raw samples. webp raises ``NotImplementedError``
-    (libwebp is not in this container). ``fake=True`` runs the
+    pure-stdlib PNG / BMP / GIF / JPEG (grayscale + 4:4:4 color) / TIFF /
+    WebP-lossless codecs (:func:`decode_any_image`), with ``feature_hash``
+    = md5 of the reconstructed raw samples. Lossy VP8 webp raises
+    ``NotImplementedError``. ``fake=True`` runs the
     deterministic stub through the SAME mapInPandas machinery for the
     unsupported formats' plumbing coverage.
     """

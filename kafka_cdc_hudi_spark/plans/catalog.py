@@ -102,6 +102,8 @@ for _n in DEMOTED:
 #: driver-green entry resting between rotations; the operator itself stays
 #: covered by the named survivor + local oracle tests + the committed sweep
 PRUNED: dict[str, str] = {
+    # ---- born r12 AFTER the r12 driver-set freeze (rotate r13 slot 1) ----
+    "multimodal_decode_webp": "born r12 (from-scratch VP8L lossless codec); rotate r13",
     # ---- structural near-duplicates (standing; each covered by survivor) ----
     "cdc_latest_per_key": 'cdc_latest_per_composite_key (same dedup operator, composite keys; r2-r6 green)',
     "q6_forecast_revenue": 'q1_pricing_summary/q14 (filter+agg; pushdown pinned in test_plan_invariants)',

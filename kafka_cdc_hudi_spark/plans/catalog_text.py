@@ -3179,6 +3179,60 @@ FROM m
 """
 
 
+def multimodal_decode_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WebP-lossless decode, end-to-end: synthesize genuine VP8L
+    blobs from document bytes (gray samples = the first width*height text
+    bytes; the encoder VARIANT cycles by doc_id across all seven
+    bitstream shapes — flat prefix codes, LZ77 runs, color cache,
+    subtract-green, predictor, color transform, palette incl. pixel
+    bundling), then run the real-codec path of ``decode_images`` — the
+    pure-stdlib VP8L decoder (functions/webp.py: LSB-first bitstream,
+    canonical prefix codes in both simple and code-length-coded forms,
+    backward references, color cache, inverse transforms). No
+    ``fake=True`` anywhere in this entry.
+
+    FULL value oracle: the decoded gray samples are exactly text[:w*h],
+    so DuckDB predicts ``feature_hash`` as md5 of the substring — a
+    decoder bug in ANY variant branch (bit order, canonical code
+    construction, cache hashing, a transform inverse, palette deltas,
+    bundling) changes the recovered pixels of some doc_id class and turns
+    the hash red.
+
+    Scale shape: encode and decode are Arrow-batched mapInPandas stages
+    over media_repartition-bounded partitions; per-row work is O(pixels).
+    (Born r12 — enters the driver rotation r13 per the standing
+    born-after-freeze protocol.)"""
+    from kafka_cdc_hudi_spark.operators.multimodal import (
+        decode_images,
+        documents_as_webp,
+        media_repartition,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = media_repartition(documents_as_webp(docs), avg_row_bytes=512)
+    return decode_images(media)  # fake=False: the REAL codec
+
+
+MULTIMODAL_DECODE_WEBP_SQL = """
+WITH m AS (
+  -- dims mirror operators/multimodal.py::_webp_fixture_dims; the >= 128
+  -- filter guarantees the payload is exactly text[:w*h] (max w*h = 105)
+  SELECT doc_id,
+         5 + doc_id % 11 AS w,
+         3 + doc_id % 5 AS h,
+         text
+  FROM documents
+  WHERE octet_length(encode(text)) >= 128
+)
+SELECT doc_id AS media_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(1 AS INT) AS n_channels,
+       md5(substring(text, 1, w * h)) AS feature_hash
+FROM m
+"""
+
+
 #: real-resize entry target dims (small on purpose: the oracle enumerates
 #: the output grid in SQL)
 _RESIZE_W, _RESIZE_H = 8, 6
@@ -5725,6 +5779,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "multimodal_frame_sample": (multimodal_frame_sample, MULTIMODAL_FRAME_SAMPLE_SQL),
     "multimodal_resize": (multimodal_resize, MULTIMODAL_RESIZE_SQL),
     "multimodal_decode_png": (multimodal_decode_png, MULTIMODAL_DECODE_PNG_SQL),
+    "multimodal_decode_webp": (multimodal_decode_webp, MULTIMODAL_DECODE_WEBP_SQL),
     "multimodal_decode_wav": (multimodal_decode_wav, MULTIMODAL_DECODE_WAV_SQL),
     "multimodal_audio_segments": (
         multimodal_audio_segments,

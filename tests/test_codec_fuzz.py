@@ -28,6 +28,7 @@ from kafka_cdc_hudi_spark.functions.jpeg import (
 from kafka_cdc_hudi_spark.functions.png import decode_png, encode_png
 from kafka_cdc_hudi_spark.functions.tiff import decode_tiff_gray, encode_tiff_gray
 from kafka_cdc_hudi_spark.functions.wav import decode_wav, encode_wav
+from kafka_cdc_hudi_spark.functions.webp import decode_webp, encode_webp
 
 #: the clean-failure contract: decoders may raise these and nothing else
 _CLEAN = (ValueError, NotImplementedError, struct.error, IndexError, EOFError, zlib.error)
@@ -45,6 +46,9 @@ def _valid_samples():
         "avi": encode_avi_mjpeg([encode_jpeg_gray(_PIXELS, 8, 8)] * 2, 8, 8),
         "wav": encode_wav(list(range(-100, 100)), sample_rate=8000, channels=1),
         "tiff": encode_tiff_gray(_PIXELS, 8, 8),
+        "webp": encode_webp(_PIXELS, 8, 8, channels=1, variant="flat"),
+        "webp_lz77": encode_webp(bytes([7] * 64), 8, 8, channels=1, variant="lz77"),
+        "webp_palette": encode_webp(bytes(i % 3 for i in range(64)), 8, 8, channels=1, variant="palette"),
     }
 
 
@@ -57,6 +61,9 @@ _DECODERS = {
     "avi": decode_avi_mjpeg,
     "wav": decode_wav,
     "tiff": decode_tiff_gray,
+    "webp": decode_webp,
+    "webp_lz77": decode_webp,
+    "webp_palette": decode_webp,
 }
 
 

@@ -42,6 +42,7 @@ _PY_EXEMPT = {
     "multimodal_video_frames",
     "pipeline_multimodal_manifest",
     "multimodal_decode_tiff",
+    "multimodal_decode_webp",
     # dense linear algebra: SRP signatures are 32 plane dot-products per
     # row — a matmul. Both relational forms measured pathological (the
     # higher-order fold is interpreted PER ELEMENT; the unrolled

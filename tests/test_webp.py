@@ -1,0 +1,126 @@
+"""From-scratch WebP-lossless (VP8L) codec (functions/webp.py, born r12):
+every encoder variant must round-trip bit-exactly through the decoder
+across gray/RGB/RGBA inputs and degenerate shapes, palette bundling must
+cover all three packed widths, and the documented limits (lossy VP8,
+meta prefix images, short-distance codes) must raise loudly. The
+Spark-side plumbing is covered by the `multimodal_decode_webp` catalog
+entry's full value oracle (tests/test_oracle.py)."""
+
+from __future__ import annotations
+
+import random
+import struct
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from kafka_cdc_hudi_spark.functions.webp import (
+    _VARIANTS,
+    decode_webp,
+    encode_webp,
+    is_webp,
+)
+
+
+@pytest.mark.parametrize("variant", _VARIANTS)
+@settings(max_examples=25, deadline=4000, suppress_health_check=[HealthCheck.too_slow])
+@given(data=st.data())
+def test_gray_roundtrip_all_variants(variant, data):
+    w = data.draw(st.integers(1, 20))
+    h = data.draw(st.integers(1, 14))
+    if variant == "palette":
+        vals = data.draw(
+            st.lists(st.integers(0, 255), min_size=1, max_size=20, unique=True)
+        )
+        pix = bytes(data.draw(st.sampled_from(vals)) for _ in range(w * h))
+    elif variant == "lz77":
+        # runs guaranteed: few distinct values
+        pix = bytes(data.draw(st.sampled_from([3, 3, 3, 250])) for _ in range(w * h))
+    else:
+        pix = bytes(data.draw(st.integers(0, 255)) for _ in range(w * h))
+    blob = encode_webp(pix, w, h, channels=1, variant=variant)
+    assert is_webp(blob)
+    ww, hh, ch, out = decode_webp(blob)
+    assert (ww, hh, ch) == (w, h, 1)
+    assert out == pix
+
+
+@pytest.mark.parametrize("variant", ["flat", "cache", "subtract-green", "predictor", "color-transform"])
+def test_rgba_roundtrip(variant):
+    rng = random.Random(hash(variant) & 0xFFFF)
+    w, h = 11, 9
+    pix = bytes(rng.randrange(256) for _ in range(w * h * 4))
+    ww, hh, ch, out = decode_webp(encode_webp(pix, w, h, channels=4, variant=variant))
+    assert (ww, hh, ch) == (w, h, 4)
+    assert out == pix
+
+
+def test_rgb_input_gains_opaque_alpha():
+    rng = random.Random(5)
+    w, h = 6, 5
+    pix = bytes(rng.randrange(256) for _ in range(w * h * 3))
+    ww, hh, ch, out = decode_webp(encode_webp(pix, w, h, channels=3, variant="flat"))
+    assert (ww, hh, ch) == (w, h, 4)
+    want = b"".join(pix[3 * i : 3 * i + 3] + b"\xff" for i in range(w * h))
+    assert out == want
+
+
+@pytest.mark.parametrize("npal", [2, 3, 4, 9, 16, 17, 200])
+def test_palette_bundling_widths(npal):
+    """<=2 / <=4 / <=16 palettes bundle 8/4/2 indices per green byte; the
+    unbundled path covers the rest."""
+    rng = random.Random(npal)
+    w, h = 13, 7
+    vals = rng.sample(range(256), npal)
+    pix = bytes(rng.choice(vals) for _ in range(w * h))
+    ww, hh, ch, out = decode_webp(
+        encode_webp(pix, w, h, channels=1, variant="palette")
+    )
+    assert (ww, hh, ch) == (w, h, 1)
+    assert out == pix
+
+
+@pytest.mark.parametrize("shape", [(1, 1), (1, 12), (17, 1), (2, 2)])
+@pytest.mark.parametrize("variant", ["flat", "predictor", "cache", "lz77"])
+def test_degenerate_shapes(shape, variant):
+    w, h = shape
+    rng = random.Random(w * 100 + h)
+    pix = bytes(rng.randrange(256) for _ in range(w * h))
+    assert decode_webp(encode_webp(pix, w, h, channels=1, variant=variant))[3] == pix
+
+
+def test_gray_detection_boundary():
+    """One non-gray pixel flips the output to 4-channel RGBA."""
+    pix = bytes([7] * 16)
+    assert decode_webp(encode_webp(pix, 4, 4, channels=1))[2] == 1
+    rgba = bytearray(b"".join(bytes([b, b, b, 255]) for b in pix))
+    rgba[1] ^= 1  # green differs from red/blue in pixel 0
+    ww, hh, ch, out = decode_webp(encode_webp(bytes(rgba), 4, 4, channels=4))
+    assert ch == 4
+    assert out == bytes(rgba)
+
+
+def test_lossy_vp8_raises_not_implemented():
+    payload = b"\x00" * 10
+    chunk = b"VP8 " + struct.pack("<I", len(payload)) + payload
+    riff = b"WEBP" + chunk
+    blob = b"RIFF" + struct.pack("<I", len(riff)) + riff
+    with pytest.raises(NotImplementedError, match="lossless"):
+        decode_webp(blob)
+
+
+def test_non_webp_rejected():
+    with pytest.raises(ValueError):
+        decode_webp(b"RIFF\x00\x00\x00\x00AVI LIST")
+    with pytest.raises(ValueError):
+        decode_webp(b"")
+
+
+def test_decode_any_image_dispatches_webp():
+    from kafka_cdc_hudi_spark.operators.multimodal import decode_any_image
+
+    pix = bytes(range(48))
+    w, h, ch, out = decode_any_image(encode_webp(pix, 8, 6, channels=1, variant="cache"))
+    assert (w, h, ch) == (8, 6, 1)
+    assert out == pix
