@@ -680,10 +680,11 @@ RESIZED_SCHEMA = StructType(
 def resize_images(df: DataFrame, width: int, height: int, fake: bool = False) -> DataFrame:
     """Resize stage: media frame -> RESIZED_SCHEMA frame at (width, height).
 
-    Real path (``fake=False``): decode PNG -> nearest-neighbor resample
-    (one vectorized numpy gather per image) -> re-encode PNG, all through
-    the pure-stdlib codec. Non-PNG inputs raise ``NotImplementedError``
-    (no libjpeg/libwebp in the container). The fake kernel emits a
+    Real path (``fake=False``): decode PNG or WebP-lossless ->
+    nearest-neighbor resample (one vectorized numpy gather per image) ->
+    re-encode in the SAME format, all through the pure-stdlib codecs.
+    Other inputs raise ``NotImplementedError`` (no libjpeg in the
+    container). The fake kernel emits a
     deterministic payload derived from the input bytes and the target dims,
     sized min(byte_len, width*height) — it remains the fully-SQL-oracled
     plumbing check (catalog entry ``multimodal_resize``); the real path is
@@ -693,21 +694,27 @@ def resize_images(df: DataFrame, width: int, height: int, fake: bool = False) ->
     import numpy as np
 
     from kafka_cdc_hudi_spark.functions.png import PNG_SIGNATURE, decode_png, encode_png
+    from kafka_cdc_hudi_spark.functions.webp import decode_webp, encode_webp, is_webp
 
     def _real_resize(content: bytes) -> bytes:
         content = content or b""
-        if not content.startswith(PNG_SIGNATURE):
+        if content.startswith(PNG_SIGNATURE):
+            decode, encode = decode_png, encode_png
+        elif is_webp(content):
+            decode, encode = decode_webp, encode_webp
+        else:
             raise NotImplementedError(
-                "real resize implemented for PNG only; jpeg/webp need "
-                "external codecs not present in this container (use fake=True)"
+                "real resize implemented for PNG and WebP-lossless; jpeg "
+                "needs external codecs not present in this container "
+                "(use fake=True)"
             )
-        w0, h0, ch, pixels = decode_png(content)
+        w0, h0, ch, pixels = decode(content)
         img = np.frombuffer(pixels, dtype=np.uint8).reshape(h0, w0, ch)
         # nearest-neighbor: pixel (y, x) samples source (y*h0//height, x*w0//width)
         ys = (np.arange(height) * h0) // height
         xs = (np.arange(width) * w0) // width
         resized = img[ys][:, xs]
-        return encode_png(resized.tobytes(), width, height, channels=ch)
+        return encode(resized.tobytes(), width, height, channels=ch)
 
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -124,3 +124,28 @@ def test_decode_any_image_dispatches_webp():
     w, h, ch, out = decode_any_image(encode_webp(pix, 8, 6, channels=1, variant="cache"))
     assert (w, h, ch) == (8, 6, 1)
     assert out == pix
+
+
+def test_real_resize_roundtrip_webp(spark):
+    """resize_images real path on webp input: decode(resize(x)) equals the
+    numpy nearest-neighbor resample of decode(x), re-encoded as webp."""
+    import numpy as np
+    import pandas as pd  # noqa: F401
+
+    from kafka_cdc_hudi_spark.operators.multimodal import resize_images
+
+    rng = random.Random(12)
+    w0, h0, tw, th = 10, 8, 5, 4
+    pix = bytes(rng.randrange(256) for _ in range(w0 * h0))
+    blob = encode_webp(pix, w0, h0, channels=1, variant="cache")
+    df = spark.createDataFrame(
+        [(1, bytearray(blob), "webp", len(blob))],
+        "media_id long, content binary, format string, byte_len long",
+    )
+    out = resize_images(df, tw, th).collect()[0]
+    ww, hh, ch, got = decode_webp(bytes(out["content"]))
+    assert (ww, hh, ch) == (tw, th, 1)
+    img = np.frombuffer(pix, dtype=np.uint8).reshape(h0, w0)
+    ys = (np.arange(th) * h0) // th
+    xs = (np.arange(tw) * w0) // tw
+    assert got == img[ys][:, xs].tobytes()
