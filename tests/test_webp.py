@@ -149,3 +149,105 @@ def test_real_resize_roundtrip_webp(spark):
     ys = (np.arange(th) * h0) // th
     xs = (np.arange(tw) * w0) // tw
     assert got == img[ys][:, xs].tobytes()
+
+
+class _HandWriter:
+    """Independent LSB-first bit writer (deliberately NOT the module's
+    _BitWriter) so these tests pin the absolute bit layout."""
+
+    def __init__(self):
+        self.bits = []
+
+    def put(self, value, n):
+        for i in range(n):
+            self.bits.append((value >> i) & 1)
+
+    def blob(self):
+        out = bytearray((len(self.bits) + 7) // 8)
+        for i, b in enumerate(self.bits):
+            out[i >> 3] |= b << (i & 7)
+        payload = b"\x2f" + bytes(out)
+        chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+        if len(payload) & 1:
+            chunk += b"\x00"
+        riff = b"WEBP" + chunk
+        return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def _hand_header(w, h):
+    hw = _HandWriter()
+    hw.put(w - 1, 14)
+    hw.put(h - 1, 14)
+    hw.put(0, 1)  # alpha hint
+    hw.put(0, 3)  # version
+    return hw
+
+
+def _put_simple_1sym(hw, sym):
+    hw.put(1, 1)  # simple form
+    hw.put(0, 1)  # one symbol
+    if sym <= 1:
+        hw.put(0, 1)
+        hw.put(sym, 1)
+    else:
+        hw.put(1, 1)
+        hw.put(sym, 8)
+
+
+def test_handbuilt_minimal_stream_decodes():
+    """Bit-for-bit hand construction of a 1x1 gray pixel (value 9): 14+14
+    dim bits, transform/cache/meta flags, five simple single-symbol
+    prefix codes — the pixel itself costs ZERO stream bits. Pins header
+    layout, LSB-first packing, and the simple-code form against drift."""
+    hw = _hand_header(1, 1)
+    hw.put(0, 1)  # no transforms
+    hw.put(0, 1)  # no color cache
+    hw.put(0, 1)  # no meta prefix image
+    for sym in (9, 9, 9, 255, 0):  # green, red, blue, alpha, distance
+        _put_simple_1sym(hw, sym)
+    w, h, ch, out = decode_webp(hw.blob())
+    assert (w, h, ch, out) == (1, 1, 1, b"\x09")
+
+
+def test_handbuilt_meta_prefix_guard():
+    """The meta-prefix-image bit must raise the documented guard."""
+    hw = _hand_header(2, 2)
+    hw.put(0, 1)  # no transforms
+    hw.put(0, 1)  # no cache
+    hw.put(1, 1)  # meta prefix image present
+    with pytest.raises(NotImplementedError, match="meta prefix"):
+        decode_webp(hw.blob())
+
+
+def test_handbuilt_short_distance_code_guard():
+    """A backward reference whose distance code maps into the 120-entry
+    neighbor table must raise the documented guard. Green is a 2-symbol
+    simple code {literal 0, length-code 256}; distance code 0 (-> mapped
+    value 1 <= 120) triggers it."""
+    hw = _hand_header(4, 1)
+    hw.put(0, 1)  # no transforms
+    hw.put(0, 1)  # no cache
+    hw.put(0, 1)  # no meta
+    # green: simple, TWO symbols: 0 (literal) and 256 is not 8-bit-expressible,
+    # so use the normal form via the module writer for green only
+    from kafka_cdc_hudi_spark.functions.webp import _BitWriter, _write_prefix_code
+
+    bw = _BitWriter()
+    gcodes = _write_prefix_code(bw, [0, 256], 280)
+    # splice the module-written green-code bits into the hand stream
+    total_bits = bw.bitpos + (len(bw.out) - 1) * 8 if bw.bitpos else len(bw.out) * 8
+    for i in range(total_bits):
+        hw.put((bw.out[i >> 3] >> (i & 7)) & 1, 1)
+    for sym in (0, 0, 255, 0):  # red, blue, alpha, distance(code 0)
+        _put_simple_1sym(hw, sym)
+    # pixel 0: literal green=0 (red/blue/alpha cost 0 bits each)
+    c, ln = gcodes[0]
+    for i in range(ln - 1, -1, -1):
+        hw.put((c >> i) & 1, 1)
+    # then a copy: green symbol 256 = length code 0 (length 1, no extras),
+    # distance tree emits code 0 -> lz77 value 1 -> neighbor-table range
+    c, ln = gcodes[256]
+    for i in range(ln - 1, -1, -1):
+        hw.put((c >> i) & 1, 1)
+    with pytest.raises(NotImplementedError, match="short-distance"):
+        decode_webp(hw.blob())
