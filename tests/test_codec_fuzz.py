@@ -27,7 +27,7 @@ from kafka_cdc_hudi_spark.functions.jpeg import (
 )
 from kafka_cdc_hudi_spark.functions.png import decode_png, encode_png
 from kafka_cdc_hudi_spark.functions.tiff import decode_tiff_gray, encode_tiff_gray
-from kafka_cdc_hudi_spark.functions.wav import decode_wav, encode_wav
+from kafka_cdc_hudi_spark.functions.wav import decode_wav, encode_wav, encode_wav_adpcm
 from kafka_cdc_hudi_spark.functions.webp import decode_webp, encode_webp
 
 #: the clean-failure contract: decoders may raise these and nothing else
@@ -47,6 +47,7 @@ def _valid_samples():
         "wav": encode_wav(list(range(-100, 100)), sample_rate=8000, channels=1),
         "tiff": encode_tiff_gray(_PIXELS, 8, 8),
         "webp": encode_webp(_PIXELS, 8, 8, channels=1, variant="flat"),
+        "wav_adpcm": encode_wav_adpcm(list(range(-100, 100)), sample_rate=8000),
         "webp_lz77": encode_webp(bytes([7] * 64), 8, 8, channels=1, variant="lz77"),
         "webp_palette": encode_webp(bytes(i % 3 for i in range(64)), 8, 8, channels=1, variant="palette"),
     }
@@ -62,6 +63,7 @@ _DECODERS = {
     "wav": decode_wav,
     "tiff": decode_tiff_gray,
     "webp": decode_webp,
+    "wav_adpcm": decode_wav,
     "webp_lz77": decode_webp,
     "webp_palette": decode_webp,
 }
