@@ -100,15 +100,12 @@ def test_crash_between_data_write_and_pointer_swap(
     assert fresh.last_batch_id() == 0
     assert fresh.versions()[-1] == v_committed
 
-    # replay converges; the orphan dir from the crashed write is never
-    # reused as the new commit's version (allocation is past disk max)
+    # replay converges to the uncrashed outcome (S1 is exactly what an
+    # uncrashed B0+B1 run produces; pinned by the clean-path merge tests);
+    # the orphan dir from the crashed write is never reused (allocation is
+    # past disk max)
     assert fresh.merge_batch(spark, _batch(spark, B1), batch_id=1)
     assert _state(fresh, spark) == S1
-
-    ref = _mk(tmp_path, mode, name="ref")
-    ref.merge_batch(spark, _batch(spark, B0), batch_id=0)
-    ref.merge_batch(spark, _batch(spark, B1), batch_id=1)
-    assert _state(ref, spark) == _state(fresh, spark)
 
 
 @pytest.mark.parametrize("mode", MODES)
