@@ -64,36 +64,36 @@ for _n in DEMOTED:
 #: driver status, and the full-registry sf0.01 sweep artifact
 #: (SWEEP_r{N}.json, scripts/sweep.py) is committed each round.
 #:
-#: ROUND-12 ROTATION (this file's current state; executes the schedule
-#: pre-committed in r11 verbatim, VERDICT r11 item 2). IN (50 slots, in
+#: ROUND-13 ROTATION (this file's current state; executes the schedule
+#: pre-committed in r12 verbatim, VERDICT r12 item 1). IN (50 slots, in
 #: order):
-#:   1. dedup_simhash_band_scaled — born r11 past that round's driver-set
-#:      freeze; the only entry never driver-tested.
-#:   2. the 16 slipped r8 entries (text_token_topk ..
-#:      multimodal_video_keyframes) — due back r12, "must not slip twice".
-#:   3. 33 slots of the r9 green block in PRUNED listing order
-#:      (cdc_merge_dms_e2e .. q1_pricing_summary). The pre-committed list
-#:      had 31 such slots; dedup_simhash_pairs and dedup_simhash_wide_pairs
-#:      left the rotation entirely (DEMOTED this round per VERDICT r11
-#:      item 1, covered by dedup_simhash_band_scaled), freeing 2 slots that
-#:      go to the next-oldest r9 rows. The last 15 r9 entries
-#:      (q3_shipping_priority .. events_sliding_windows) slip to r13 and
-#:      must not slip twice.
-#: OUT: the 50 green r11 driver entries and the 50 green r10 entries
-#: (both due back r13+ oldest-row-first as slots allow).
+#:   1. multimodal_decode_webp — born r12 past that round's driver-set
+#:      freeze (from-scratch VP8L codec, sweep-green with a pixel-md5
+#:      oracle); the only entry never driver-tested.
+#:   2. the 15 slipped r9 entries (q3_shipping_priority ..
+#:      events_sliding_windows) — due back r13, "must not slip twice".
+#:   3. 34 slots of the r10 green block in PRUNED listing order
+#:      (ann_topk_maintained .. ann_topk_pq_adc). The last 16 r10 entries
+#:      (graph_pagerank_neardup .. cdc_incremental_agg_maintenance) slip
+#:      to r14 and must not slip twice.
+#: OUT: the 50 green r12 driver entries (due back r14+ oldest-row-first)
+#: and the 50 green r11 entries (due back r14+ as slots allow).
 #:
-#: ROUND-13 ROTATION (committed in advance, the standing pattern):
+#: ROUND-14 ROTATION (committed in advance, the standing pattern):
 #: IN (50 slots, in order):
-#:   1. any entries born in r12 past this driver-set freeze.
-#:   2. the 15 slipped r9 entries (q3_shipping_priority, q4_order_priority,
-#:      q5_local_supplier, topk_orders_per_customer, asof_join_last_click,
-#:      customers_without_orders, events_cube, range_join_post_purchase,
-#:      events_retention_cohorts, events_funnel_conversions, dedup_exact,
-#:      dedup_minhash_lsh, dedup_simhash, ann_topk_bruteforce,
-#:      events_sliding_windows) — must not slip twice.
-#:   3. the r10 green block oldest-row-first as slots allow (~35 slots;
-#:      the rest slip to r14 and must not slip twice).
-#:   4. r11/r12 greens rest and return r14 oldest-row-first.
+#:   1. any entries born in r13 past this driver-set freeze.
+#:   2. the 16 slipped r10 entries (graph_pagerank_neardup,
+#:      multimodal_decode_bmp, multimodal_decode_gif,
+#:      multimodal_decode_tiff, multimodal_decode_wav,
+#:      multimodal_resize_png_real, pipeline_pretraining_corpus,
+#:      pipeline_multimodal_manifest, dataset_pack_materialize,
+#:      dataset_quota_per_group, dataset_weighted_sample,
+#:      dataset_mixture_weights, dedup_lines_reconstruct,
+#:      dedup_corpus_final, cdc_merge_bucketed,
+#:      cdc_incremental_agg_maintenance) — must not slip twice.
+#:   3. the r11 green block oldest-row-first as slots allow (~34 slots;
+#:      the rest slip to r15 and must not slip twice).
+#:   4. r12/r13 greens rest and return r15 oldest-row-first.
 #: Structural near-duplicates stay DEMOTED (see ``DEMOTED``) with
 #: covered-by reasons and a smoke test.
 
@@ -102,193 +102,192 @@ for _n in DEMOTED:
 #: driver-green entry resting between rotations; the operator itself stays
 #: covered by the named survivor + local oracle tests + the committed sweep
 PRUNED: dict[str, str] = {
-    # ---- born r12 AFTER the r12 driver-set freeze (rotate r13 slot 1) ----
-    "multimodal_decode_webp": "born r12 (from-scratch VP8L lossless codec); rotate r13",
     # ---- structural near-duplicates (standing; each covered by survivor) ----
     "cdc_latest_per_key": 'cdc_latest_per_composite_key (same dedup operator, composite keys; r2-r6 green)',
     "q6_forecast_revenue": 'q1_pricing_summary/q14 (filter+agg; pushdown pinned in test_plan_invariants)',
     "big_orders_semi_join": 'q4_order_priority (left-semi against aggregated/filtered build side)',
     "events_tumbling_windows": 'events_sliding_windows (same windowed-agg family) + test_streaming_windows builder tests',
-    # ---- r9 greens slipped one round to r13 (slots consumed by the
-    #      born-r11 + due-back-r8 blocks; must not slip twice) ----
-    "q3_shipping_priority": "green r9; slipped r12, due back r13",
-    "q4_order_priority": "green r9; slipped r12, due back r13",
-    "q5_local_supplier": "green r9; slipped r12, due back r13",
-    "topk_orders_per_customer": "green r9; slipped r12, due back r13",
-    "asof_join_last_click": "green r9; slipped r12, due back r13",
-    "customers_without_orders": "green r9; slipped r12, due back r13",
-    "events_cube": "green r9; slipped r12, due back r13",
-    "range_join_post_purchase": "green r9; slipped r12, due back r13",
-    "events_retention_cohorts": "green r9; slipped r12, due back r13",
-    "events_funnel_conversions": "green r9; slipped r12, due back r13",
-    "dedup_exact": "green r9; slipped r12, due back r13",
-    "dedup_minhash_lsh": "green r9; slipped r12, due back r13",
-    "dedup_simhash": "green r9; slipped r12, due back r13",
-    "ann_topk_bruteforce": "green r9; slipped r12, due back r13",
-    "events_sliding_windows": "green r9; slipped r12, due back r13",
-    # ---- r10 driver set, resting after green CORRECTNESS_r10 rows
-    #      (due back r13 oldest-row-first as slots allow) ----
-    "ann_topk_maintained": "green r10; due back r13",
-    "text_repetition_stats": "green r10; due back r13",
-    "text_pii_scrub": "green r10; due back r13",
-    "text_decontaminate": "green r10; due back r13",
-    "cdc_schema_drift_parse": "green r10; due back r13",
-    "dataset_pack_sequences": "green r10; due back r13",
-    "ann_topk_srp": "green r10; due back r13",
-    "dedup_embedding_cosine": "green r10; due back r13",
-    "multimodal_meta": "green r10; due back r13",
-    "multimodal_frame_sample": "green r10; due back r13",
-    "multimodal_resize": "green r10; due back r13",
-    "events_session_windows": "green r10; due back r13",
-    "user_running_stats_batch": "green r10; due back r13",
-    "q10_returned_items": "green r10; due back r13",
-    "q14_promo_revenue": "green r10; due back r13",
-    "text_normalize": "green r10; due back r13",
-    "dataset_split_assign": "green r10; due back r13",
-    "dedup_clusters": "green r10; due back r13",
-    "q2_min_cost_supplier": "green r10; due back r13",
-    "q7_volume_shipping": "green r10; due back r13",
-    "q8_market_share": "green r10; due back r13",
-    "q9_product_profit": "green r10; due back r13",
-    "q11_important_parts": "green r10; due back r13",
-    "q13_customer_distribution": "green r10; due back r13",
-    "q15_top_supplier": "green r10; due back r13",
-    "q16_part_supplier_variety": "green r10; due back r13",
-    "q17_small_quantity_revenue": "green r10; due back r13",
-    "q18_large_volume_customers": "green r10; due back r13",
-    "q19_disjunctive_revenue": "green r10; due back r13",
-    "q20_excess_quantity_suppliers": "green r10; due back r13",
-    "q21_last_shipper_blame": "green r10; due back r13",
-    "q22_sales_opportunity": "green r10; due back r13",
-    "embedding_pq_encode": "green r10; due back r13",
-    "ann_topk_pq_adc": "green r10; due back r13",
-    "graph_pagerank_neardup": "green r10; due back r13",
-    "multimodal_decode_bmp": "green r10; due back r13",
-    "multimodal_decode_gif": "green r10; due back r13",
-    "multimodal_decode_tiff": "green r10; due back r13",
-    "multimodal_decode_wav": "green r10; due back r13",
-    "multimodal_resize_png_real": "green r10; due back r13",
-    "pipeline_pretraining_corpus": "green r10; due back r13",
-    "pipeline_multimodal_manifest": "green r10; due back r13",
-    "dataset_pack_materialize": "green r10; due back r13",
-    "dataset_quota_per_group": "green r10; due back r13",
-    "dataset_weighted_sample": "green r10; due back r13",
-    "dataset_mixture_weights": "green r10; due back r13",
-    "dedup_lines_reconstruct": "green r10; due back r13",
-    "dedup_corpus_final": "green r10; due back r13",
-    "cdc_merge_bucketed": "green r10; due back r13",
-    "cdc_incremental_agg_maintenance": "green r10; due back r13",
+    # ---- r10 greens slipped one round to r14 (slots consumed by the
+    #      born-r12 + due-back-r9 blocks; must not slip twice) ----
+    "graph_pagerank_neardup": "green r10; slipped r13, due back r14",
+    "multimodal_decode_bmp": "green r10; slipped r13, due back r14",
+    "multimodal_decode_gif": "green r10; slipped r13, due back r14",
+    "multimodal_decode_tiff": "green r10; slipped r13, due back r14",
+    "multimodal_decode_wav": "green r10; slipped r13, due back r14",
+    "multimodal_resize_png_real": "green r10; slipped r13, due back r14",
+    "pipeline_pretraining_corpus": "green r10; slipped r13, due back r14",
+    "pipeline_multimodal_manifest": "green r10; slipped r13, due back r14",
+    "dataset_pack_materialize": "green r10; slipped r13, due back r14",
+    "dataset_quota_per_group": "green r10; slipped r13, due back r14",
+    "dataset_weighted_sample": "green r10; slipped r13, due back r14",
+    "dataset_mixture_weights": "green r10; slipped r13, due back r14",
+    "dedup_lines_reconstruct": "green r10; slipped r13, due back r14",
+    "dedup_corpus_final": "green r10; slipped r13, due back r14",
+    "cdc_merge_bucketed": "green r10; slipped r13, due back r14",
+    "cdc_incremental_agg_maintenance": "green r10; slipped r13, due back r14",
     # ---- r11 driver set, resting after green CORRECTNESS_r11 rows
-    #      (due back r13+ as slots allow; all locally oracled + swept) ----
-    "text_bm25_topk": "green r11; due back r13+",
-    "text_bm25_maintained": "green r11; due back r13+",
-    "hybrid_retrieval_rrf": "green r11; due back r13+",
-    "hybrid_retrieval_maintained": "green r11; due back r13+",
-    "cdc_incremental_minmax_maintenance": "green r11; due back r13+",
-    "user_activity_reconciliation": "green r11; due back r13+",
-    "events_anomaly_zscore": "green r11; due back r13+",
-    "events_daily_ohlc": "green r11; due back r13+",
-    "events_data_profile": "green r11; due back r13+",
-    "events_kmv_distinct_rollup": "green r11; due back r13+",
-    "events_markov_transitions": "green r11; due back r13+",
-    "events_props_json_stats": "green r11; due back r13+",
-    "parts_cooccurrence": "green r11; due back r13+",
-    "text_bpe_pretokenize": "green r11; due back r13+",
-    "text_lm_score": "green r11; due back r13+",
-    "text_trigram_novelty": "green r11; due back r13+",
-    "text_hash_embedding": "green r11; due back r13+",
-    "dataset_interleave_order": "green r11; due back r13+",
-    "dataset_length_buckets": "green r11; due back r13+",
-    "embedding_mrl_energy": "green r11; due back r13+",
-    "events_value_percentiles": "green r11; due back r13+",
-    "events_user_gaps": "green r11; due back r13+",
-    "events_active_users_rolling": "green r11; due back r13+",
-    "text_rare_token_fraction": "green r11; due back r13+",
-    "text_chunk_overlap": "green r11; due back r13+",
-    "text_html_strip": "green r11; due back r13+",
-    "orders_price_percentile_rank": "green r11; due back r13+",
-    "events_type_cooccurrence": "green r11; due back r13+",
-    "customers_rfm_segments": "green r11; due back r13+",
-    "multimodal_decode_jpeg_color": "green r11; due back r13+",
-    "multimodal_audio_segments": "green r11; due back r13+",
-    "multimodal_video_cuts": "green r11; due back r13+",
-    "events_histogram_quantile_rollup": "green r11; due back r13+",
-    "text_bpe_pair_counts": "green r11; due back r13+",
-    "text_bpe_train_merges": "green r11; due back r13+",
-    "pipeline_audio_manifest": "green r11; due back r13+",
-    "text_bloom_decontaminate": "green r11; due back r13+",
-    "dedup_fuzzy_editdist": "green r11; due back r13+",
-    "dedup_fuzzy_canonicalize": "green r11; due back r13+",
-    "text_bpe_encode": "green r11; due back r13+",
-    "cdc_incremental_enriched_agg_maintenance": "green r11; due back r13+",
-    "dataset_negative_sample": "green r11; due back r13+",
-    "text_duplicated_span_fraction": "green r11; due back r13+",
-    "text_fingerprint": "green r11; due back r13+",
-    "text_language_id": "green r11; due back r13+",
-    "embedding_quantize_int8": "green r11; due back r13+",
-    "events_pivot_user_counts": "green r11; due back r13+",
-    "active_user_set_ops": "green r11; due back r13+",
-    "text_quality_score": "green r11; due back r13+",
-    "events_hourly_agg": "green r11; due back r13+",
+    #      (due back r14 oldest-row-first as slots allow) ----
+    "text_bm25_topk": "green r11; due back r14",
+    "text_bm25_maintained": "green r11; due back r14",
+    "hybrid_retrieval_rrf": "green r11; due back r14",
+    "hybrid_retrieval_maintained": "green r11; due back r14",
+    "cdc_incremental_minmax_maintenance": "green r11; due back r14",
+    "user_activity_reconciliation": "green r11; due back r14",
+    "events_anomaly_zscore": "green r11; due back r14",
+    "events_daily_ohlc": "green r11; due back r14",
+    "events_data_profile": "green r11; due back r14",
+    "events_kmv_distinct_rollup": "green r11; due back r14",
+    "events_markov_transitions": "green r11; due back r14",
+    "events_props_json_stats": "green r11; due back r14",
+    "parts_cooccurrence": "green r11; due back r14",
+    "text_bpe_pretokenize": "green r11; due back r14",
+    "text_lm_score": "green r11; due back r14",
+    "text_trigram_novelty": "green r11; due back r14",
+    "text_hash_embedding": "green r11; due back r14",
+    "dataset_interleave_order": "green r11; due back r14",
+    "dataset_length_buckets": "green r11; due back r14",
+    "embedding_mrl_energy": "green r11; due back r14",
+    "events_value_percentiles": "green r11; due back r14",
+    "events_user_gaps": "green r11; due back r14",
+    "events_active_users_rolling": "green r11; due back r14",
+    "text_rare_token_fraction": "green r11; due back r14",
+    "text_chunk_overlap": "green r11; due back r14",
+    "text_html_strip": "green r11; due back r14",
+    "orders_price_percentile_rank": "green r11; due back r14",
+    "events_type_cooccurrence": "green r11; due back r14",
+    "customers_rfm_segments": "green r11; due back r14",
+    "multimodal_decode_jpeg_color": "green r11; due back r14",
+    "multimodal_audio_segments": "green r11; due back r14",
+    "multimodal_video_cuts": "green r11; due back r14",
+    "events_histogram_quantile_rollup": "green r11; due back r14",
+    "text_bpe_pair_counts": "green r11; due back r14",
+    "text_bpe_train_merges": "green r11; due back r14",
+    "pipeline_audio_manifest": "green r11; due back r14",
+    "text_bloom_decontaminate": "green r11; due back r14",
+    "dedup_fuzzy_editdist": "green r11; due back r14",
+    "dedup_fuzzy_canonicalize": "green r11; due back r14",
+    "text_bpe_encode": "green r11; due back r14",
+    "cdc_incremental_enriched_agg_maintenance": "green r11; due back r14",
+    "dataset_negative_sample": "green r11; due back r14",
+    "text_duplicated_span_fraction": "green r11; due back r14",
+    "text_fingerprint": "green r11; due back r14",
+    "text_language_id": "green r11; due back r14",
+    "embedding_quantize_int8": "green r11; due back r14",
+    "events_pivot_user_counts": "green r11; due back r14",
+    "active_user_set_ops": "green r11; due back r14",
+    "text_quality_score": "green r11; due back r14",
+    "events_hourly_agg": "green r11; due back r14",
+    # ---- r12 driver set, resting after green CORRECTNESS_r12 rows
+    #      (due back r14+ as slots allow; all locally oracled + swept) ----
+    "dedup_simhash_band_scaled": "green r12; due back r14+",
+    "text_token_topk": "green r12; due back r14+",
+    "ann_topk_ivf": "green r12; due back r14+",
+    "dedup_ngram_jaccard": "green r12; due back r14+",
+    "dataset_sample_stratified": "green r12; due back r14+",
+    "text_tfidf_topk": "green r12; due back r14+",
+    "events_user_rate_window": "green r12; due back r14+",
+    "multimodal_decode_png": "green r12; due back r14+",
+    "ann_topk_ivf_trained": "green r12; due back r14+",
+    "multimodal_decode_jpeg": "green r12; due back r14+",
+    "multimodal_video_frames": "green r12; due back r14+",
+    "cdc_merge_partial_updates": "green r12; due back r14+",
+    "events_cms_heavy_hitters": "green r12; due back r14+",
+    "ann_topk_ivfpq": "green r12; due back r14+",
+    "dedup_clusters_star": "green r12; due back r14+",
+    "events_sketches": "green r12; due back r14+",
+    "multimodal_video_keyframes": "green r12; due back r14+",
+    "cdc_merge_dms_e2e": "green r12; due back r14+",
+    "dedup_incremental_candidates": "green r12; due back r14+",
+    "graph_triangles_neardup": "green r12; due back r14+",
+    "ann_recall_at_k": "green r12; due back r14+",
+    "dedup_spans_remove": "green r12; due back r14+",
+    "events_partitioned_day_slice": "green r12; due back r14+",
+    "ann_recall_trained_vs_static": "green r12; due back r14+",
+    "events_ab_test": "green r12; due back r14+",
+    "dedup_semantic_clusters": "green r12; due back r14+",
+    "text_nb_classifier": "green r12; due back r14+",
+    "dataset_dsir_weights": "green r12; due back r14+",
+    "pipeline_rag_index": "green r12; due back r14+",
+    "pipeline_quality_funnel": "green r12; due back r14+",
+    "dedup_cdc_pair_ivm": "green r12; due back r14+",
+    "ann_topk_ivfpq_rerank": "green r12; due back r14+",
+    "dedup_cross_source_stats": "green r12; due back r14+",
+    "dataset_epoch_order": "green r12; due back r14+",
+    "text_containment_pairs": "green r12; due back r14+",
+    "embedding_pca_whiten": "green r12; due back r14+",
+    "pipeline_cdc_corpus_refresh": "green r12; due back r14+",
+    "events_ewma_forecast": "green r12; due back r14+",
+    "cdc_scd2_history": "green r12; due back r14+",
+    "q12_priority_by_linestatus": "green r12; due back r14+",
+    "events_hll_mergeable_rollup": "green r12; due back r14+",
+    "cdc_parse_debezium": "green r12; due back r14+",
+    "cdc_parse_dms": "green r12; due back r14+",
+    "cdc_latest_per_composite_key": "green r12; due back r14+",
+    "cdc_merge_two_batches": "green r12; due back r14+",
+    "cdc_merge_mor": "green r12; due back r14+",
+    "cdc_time_travel": "green r12; due back r14+",
+    "cdc_incremental_diff": "green r12; due back r14+",
+    "cdc_route_multitable": "green r12; due back r14+",
+    "q1_pricing_summary": "green r12; due back r14+",
 }
 
-#: driver evaluation order, round 12: the born-r11 entry first (the
-#: never-driver-tested set), then the 16 due-back-r8 slips (oldest rows),
-#: then 33 slots of the r9 green block in PRUNED listing order
+#: driver evaluation order, round 13: the born-r12 entry first (the
+#: never-driver-tested set), then the 15 due-back-r9 slips (oldest rows),
+#: then 34 slots of the r10 green block in PRUNED listing order
 _DRIVER_ORDER = [
-    # -- born r11 (rotate-in slot 1: the sf10-scale SimHash fix) --
-    "dedup_simhash_band_scaled",
-    # -- the 16 slipped r8 entries (must not slip twice) --
-    "text_token_topk",
-    "ann_topk_ivf",
-    "dedup_ngram_jaccard",
-    "dataset_sample_stratified",
-    "text_tfidf_topk",
-    "events_user_rate_window",
-    "multimodal_decode_png",
-    "ann_topk_ivf_trained",
-    "multimodal_decode_jpeg",
-    "multimodal_video_frames",
-    "cdc_merge_partial_updates",
-    "events_cms_heavy_hitters",
-    "ann_topk_ivfpq",
-    "dedup_clusters_star",
-    "events_sketches",
-    "multimodal_video_keyframes",
-    # -- the r9 green block, 33 slots in PRUNED listing order --
-    "cdc_merge_dms_e2e",
-    "dedup_incremental_candidates",
-    "graph_triangles_neardup",
-    "ann_recall_at_k",
-    "dedup_spans_remove",
-    "events_partitioned_day_slice",
-    "ann_recall_trained_vs_static",
-    "events_ab_test",
-    "dedup_semantic_clusters",
-    "text_nb_classifier",
-    "dataset_dsir_weights",
-    "pipeline_rag_index",
-    "pipeline_quality_funnel",
-    "dedup_cdc_pair_ivm",
-    "ann_topk_ivfpq_rerank",
-    "dedup_cross_source_stats",
-    "dataset_epoch_order",
-    "text_containment_pairs",
-    "embedding_pca_whiten",
-    "pipeline_cdc_corpus_refresh",
-    "events_ewma_forecast",
-    "cdc_scd2_history",
-    "q12_priority_by_linestatus",
-    "events_hll_mergeable_rollup",
-    "cdc_parse_debezium",
-    "cdc_parse_dms",
-    "cdc_latest_per_composite_key",
-    "cdc_merge_two_batches",
-    "cdc_merge_mor",
-    "cdc_time_travel",
-    "cdc_incremental_diff",
-    "cdc_route_multitable",
-    "q1_pricing_summary",
+    # -- born r12 (rotate-in slot 1: the VP8L lossless codec) --
+    "multimodal_decode_webp",
+    # -- the 15 slipped r9 entries (must not slip twice) --
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier",
+    "topk_orders_per_customer",
+    "asof_join_last_click",
+    "customers_without_orders",
+    "events_cube",
+    "range_join_post_purchase",
+    "events_retention_cohorts",
+    "events_funnel_conversions",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_topk_bruteforce",
+    "events_sliding_windows",
+    # -- the r10 green block, 34 slots in PRUNED listing order --
+    "ann_topk_maintained",
+    "text_repetition_stats",
+    "text_pii_scrub",
+    "text_decontaminate",
+    "cdc_schema_drift_parse",
+    "dataset_pack_sequences",
+    "ann_topk_srp",
+    "dedup_embedding_cosine",
+    "multimodal_meta",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "events_session_windows",
+    "user_running_stats_batch",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "text_normalize",
+    "dataset_split_assign",
+    "dedup_clusters",
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_part_supplier_variety",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q20_excess_quantity_suppliers",
+    "q21_last_shipper_blame",
+    "q22_sales_opportunity",
+    "embedding_pq_encode",
+    "ann_topk_pq_adc",
 ]
 
 assert set(_DRIVER_ORDER) | set(PRUNED) == set(FULL_REGISTRY), (
