@@ -9,18 +9,24 @@ bundling for small palettes) — so no external codec library is needed.
 Spec: the public "WebP Lossless Bitstream Specification" (RFC 9649).
 
 Scope (and honest limits):
-- decoder: literals, LZ77 refs with ABSOLUTE distance codes, color cache,
-  all four transforms, palette pixel bundling, both prefix-code forms.
-  Meta prefix images (multiple code groups per image) and the 120
-  short-distance NEIGHBOR codes raise ``NotImplementedError`` — real
-  cwebp output for large/photographic images can use both; fixture-scale
-  images do not, and the guard is loud.
+- decoder: literals, LZ77 refs with both ABSOLUTE distance codes and the
+  120 short-distance NEIGHBOR codes, meta prefix images (multiple code
+  groups selected by a tiled sub-image), color cache, all four
+  transforms, palette pixel bundling, both prefix-code forms. The meta
+  prefix bit exists only at level 0 (the spatially-coded main image);
+  transform tiles and palettes are plain entropy-coded images without it.
 - encoder: fixture-grade but emits GENUINE VP8L streams; ``variant``
   selects which decoder machinery a stream exercises (flat prefix codes,
-  LZ77 runs, color cache, subtract-green, predictor, palette).
+  LZ77 runs, color cache, subtract-green, predictor, palette, neighbor
+  distance codes, meta prefix groups). Backward-reference distances are
+  mapped through the neighbor table exactly like libwebp's encoder.
 - cross-implementation compatibility is untestable in this container
   (no libwebp anywhere); round-trip tests pin encoder/decoder mutual
   consistency and hand-built streams pin the bit-level format details.
+  The neighbor table is generated from the spec's ordering rule (the 120
+  closest (dx, dy) offsets with dy in 0..7, dx in -7..8, dx >= 1 on row
+  0, sorted by squared distance then larger dy then positive dx first)
+  and its first entries are pinned against the spec listing in tests.
 
 Runs per Arrow batch inside mapInPandas workers; rows are small images,
 so pure-Python loops are bounded by pixel count per row — stage
@@ -39,6 +45,53 @@ _CLC_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
 _GREEN_LITERALS = 256
 _LENGTH_CODES = 24
 _DISTANCE_CODES = 40
+
+
+def _neighbor_table() -> list[tuple[int, int]]:
+    """The 120 short-distance (dx, dy) offsets, spec order: distance
+    prefix values 1..120 name a close neighbor of the current pixel
+    rather than an absolute distance. The table is the 120 offsets with
+    dy in 0..7 and dx in -7..8 (dx >= 1 when dy == 0), sorted by squared
+    Euclidean distance, ties broken by larger dy first, then positive dx
+    before negative — which reproduces the spec's explicit listing
+    ((0,1), (1,0), (1,1), (-1,1), (0,2), ...)."""
+    cands = [
+        (dx, dy)
+        for dy in range(8)
+        for dx in range(-7, 9)
+        if not (dy == 0 and dx < 1)
+    ]
+    return sorted(cands, key=lambda p: (p[0] * p[0] + p[1] * p[1], -p[1], -p[0]))
+
+
+#: distance prefix value (1-based) -> (dx, dy); values > 120 are absolute
+_NEIGHBORS = _neighbor_table()
+_NEIGHBOR_CODE = {p: i + 1 for i, p in enumerate(_NEIGHBORS)}
+
+
+def _distance_to_code(dist: int, xsize: int) -> int:
+    """Encoder-side inverse of the neighbor mapping (libwebp's
+    DistanceToPlaneCode): prefer a 1..120 neighbor code when the absolute
+    distance lands on one for this row width, else dist + 120."""
+    dy, dx = divmod(dist, xsize)
+    code = _NEIGHBOR_CODE.get((dx, dy))
+    if code is not None:
+        return code
+    # same distance expressed as a negative dx on the next row
+    code = _NEIGHBOR_CODE.get((dx - xsize, dy + 1))
+    if code is not None:
+        return code
+    return dist + 120
+
+
+def _code_to_distance(dcode: int, xsize: int) -> int:
+    """Decoder-side mapping: 1..120 -> neighbor offset (clamped to >= 1),
+    else absolute distance dcode - 120."""
+    if dcode > 120:
+        return dcode - 120
+    dx, dy = _NEIGHBORS[dcode - 1]
+    dist = dy * xsize + dx
+    return dist if dist >= 1 else 1
 
 
 def is_webp(content: bytes) -> bool:
@@ -349,8 +402,16 @@ def _predict(mode: int, l: tuple, t: tuple, tl: tuple, tr: tuple) -> tuple:  # n
     if mode == 12:
         return tuple(_clamp(lc + tc - tlc) for lc, tc, tlc in zip(l, t, tl))
     if mode == 13:
+        # ClampAddSubtractHalf: the spec's (a - c) / 2 is C integer
+        # division (truncation toward zero), not Python floor division —
+        # they differ when (ave - TL) is negative and odd.
         ave = _avg2(l, t)
-        return tuple(_clamp(a + (a - c) // 2) for a, c in zip(ave, tl))
+        out = []
+        for a, c in zip(ave, tl):
+            d = a - c
+            half = -((-d) >> 1) if d < 0 else d >> 1
+            out.append(_clamp(a + half))
+        return tuple(out)
     raise ValueError(f"predictor mode {mode} out of range")
 
 
@@ -366,22 +427,40 @@ def _ct_delta(t: int, c: int) -> int:
 # -- entropy-coded image ----------------------------------------------------------
 
 
-def _read_entropy_image(br: _BitReader, w: int, h: int) -> list[tuple]:
-    """Decode one entropy-coded ARGB image (pixels as (a, r, g, b))."""
+def _read_entropy_image(
+    br: _BitReader, w: int, h: int, is_level0: bool = False
+) -> list[tuple]:
+    """Decode one entropy-coded ARGB image (pixels as (a, r, g, b)).
+
+    ``is_level0`` is True only for the spatially-coded MAIN image: per
+    the spec (and libwebp's DecodeImageStream/ReadHuffmanCodes) only
+    level 0 carries the meta-prefix-image bit; transform tile sub-images
+    and palettes are plain entropy-coded images without it."""
     cache_bits = br.read(4) if br.read(1) else 0
     cache_size = (1 << cache_bits) if cache_bits else 0
-    cache = [ (0, 0, 0, 0) ] * cache_size
-    if br.read(1):
-        raise NotImplementedError(
-            "VP8L meta prefix images (multiple code groups) not supported; "
-            "fixture-scale images use a single group"
-        )
+    cache = [(0, 0, 0, 0)] * cache_size
+    meta = None  # (size_bits, tile_w, group_index_per_tile)
+    n_groups = 1
+    if is_level0 and br.read(1):
+        size_bits = br.read(3) + 2
+        tw = (w + (1 << size_bits) - 1) >> size_bits
+        th = (h + (1 << size_bits) - 1) >> size_bits
+        meta_px = _read_entropy_image(br, tw, th)
+        # group index = (red << 8) | green of the meta-image pixel
+        idx = [(p[1] << 8) | p[2] for p in meta_px]
+        n_groups = max(idx) + 1
+        meta = (size_bits, tw, idx)
     green_alpha = _GREEN_LITERALS + _LENGTH_CODES + cache_size
-    green = _read_prefix_code(br, green_alpha)
-    red = _read_prefix_code(br, 256)
-    blue = _read_prefix_code(br, 256)
-    alpha = _read_prefix_code(br, 256)
-    dist = _read_prefix_code(br, _DISTANCE_CODES)
+    groups = [
+        (
+            _read_prefix_code(br, green_alpha),
+            _read_prefix_code(br, 256),
+            _read_prefix_code(br, 256),
+            _read_prefix_code(br, 256),
+            _read_prefix_code(br, _DISTANCE_CODES),
+        )
+        for _ in range(n_groups)
+    ]
 
     n = w * h
     px: list[tuple] = []
@@ -393,6 +472,14 @@ def _read_entropy_image(br: _BitReader, w: int, h: int) -> list[tuple]:
             cache[(0x1E35A7BD * argb & 0xFFFFFFFF) >> (32 - cache_bits)] = p
 
     while len(px) < n:
+        if meta is None:
+            green, red, blue, alpha, dist = groups[0]
+        else:
+            size_bits, tw, idx = meta
+            x, y = len(px) % w, len(px) // w
+            green, red, blue, alpha, dist = groups[
+                idx[(y >> size_bits) * tw + (x >> size_bits)]
+            ]
         s = green.read(br)
         if s < 256:
             r = red.read(br)
@@ -401,13 +488,7 @@ def _read_entropy_image(br: _BitReader, w: int, h: int) -> list[tuple]:
             emit((a, r, s, b))
         elif s < 256 + _LENGTH_CODES:
             length = _read_lz77_value(br, s - 256)
-            dcode = _read_lz77_value(br, dist.read(br))
-            if dcode <= 120:
-                raise NotImplementedError(
-                    "VP8L short-distance neighbor codes (<=120) not "
-                    "supported; this encoder emits absolute distances"
-                )
-            distance = dcode - 120
+            distance = _code_to_distance(_read_lz77_value(br, dist.read(br)), w)
             for _ in range(length):
                 emit(px[-distance])
         else:
@@ -483,7 +564,7 @@ def decode_webp(data: bytes) -> tuple[int, int, int, bytes]:
             transforms.append((3, (pal, width_bits)))
             img_w = (img_w + (1 << width_bits) - 1) >> width_bits
 
-    px = _read_entropy_image(br, img_w, h)
+    px = _read_entropy_image(br, img_w, h, is_level0=True)
 
     for ttype, tdata in reversed(transforms):
         if ttype == 3:
@@ -526,7 +607,10 @@ def decode_webp(data: bytes) -> tuple[int, int, int, bytes]:
                         l = out[y * w + x - 1]  # noqa: E741
                         t = out[(y - 1) * w + x]
                         tl = out[(y - 1) * w + x - 1]
-                        tr = out[(y - 1) * w + x + 1] if x + 1 < w else l
+                        # row-major wraparound: TR at x == w-1 is the
+                        # FIRST pixel of the current row ((y-1)*w + w =
+                        # y*w), already reconstructed — not the left pixel
+                        tr = out[(y - 1) * w + x + 1]
                         pred = _predict(mode, l, t, tl, tr)
                     d = px[y * w + x]
                     out.append(tuple((dc + pc) & 255 for dc, pc in zip(d, pred)))
@@ -563,6 +647,8 @@ _VARIANTS = (
     "predictor",
     "color-transform",
     "palette",
+    "neighbor",
+    "meta",
 )
 
 
@@ -595,10 +681,14 @@ def _cache_slot(p: tuple, cache_bits: int) -> int:
     return (0x1E35A7BD * argb & 0xFFFFFFFF) >> (32 - cache_bits)
 
 
-def _tokenize(px: list[tuple], cache_bits: int, lz77: bool) -> list[tuple]:
+def _tokenize(
+    px: list[tuple], cache_bits: int, lz77: bool, vertical_xsize: int = 0
+) -> list[tuple]:
     """Pixels -> ops, mirroring the decoder's cache semantics exactly
     (copied pixels are inserted too). ops: ("lit", p) / ("copy", length,
-    dist) / ("cache", idx)."""
+    dist) / ("cache", idx). With ``vertical_xsize`` set, runs matching
+    the row directly above are preferred (distance = xsize — the (0, 1)
+    neighbor code on the wire)."""
     cache_size = (1 << cache_bits) if cache_bits else 0
     cache = [(0, 0, 0, 0)] * cache_size
     ops: list[tuple] = []
@@ -609,15 +699,22 @@ def _tokenize(px: list[tuple], cache_bits: int, lz77: bool) -> list[tuple]:
         if cache_size:
             cache[_cache_slot(p, cache_bits)] = p
 
+    def take_run(dist: int) -> None:
+        nonlocal i
+        run = 1
+        while i + run < n and px[i + run] == px[i + run - dist] and run < 4096:
+            run += 1
+        ops.append(("copy", run, dist))
+        for k in range(run):
+            insert(px[i + k])
+        i += run
+
     while i < n:
+        if vertical_xsize and i >= vertical_xsize and px[i] == px[i - vertical_xsize]:
+            take_run(vertical_xsize)
+            continue
         if lz77 and i > 0 and px[i] == px[i - 1]:
-            run = 1
-            while i + run < n and px[i + run] == px[i - 1 + run] and run < 4096:
-                run += 1
-            ops.append(("copy", run, 1))
-            for k in range(run):
-                insert(px[i + k])
-            i += run
+            take_run(1)
             continue
         p = px[i]
         if cache_size and cache[_cache_slot(p, cache_bits)] == p:
@@ -630,16 +727,31 @@ def _tokenize(px: list[tuple], cache_bits: int, lz77: bool) -> list[tuple]:
 
 
 def _write_entropy_image(
-    bw: _BitWriter, px: list[tuple], cache_bits: int = 0, lz77: bool = False
+    bw: _BitWriter,
+    px: list[tuple],
+    cache_bits: int = 0,
+    lz77: bool = False,
+    toplevel: bool = False,
+    xsize: int = 0,
+    vertical: bool = False,
 ) -> None:
+    """Emit one entropy-coded image. ``toplevel`` marks the spatially-
+    coded MAIN image — the only level that carries the meta-prefix bit
+    (transform tiles and palettes must not, per spec). With ``xsize``
+    set, copy distances are mapped through the 120-entry neighbor table
+    like libwebp's encoder; otherwise absolute codes are emitted."""
     if cache_bits:
         bw.write(1, 1)
         bw.write(cache_bits, 4)
     else:
         bw.write(0, 1)
-    bw.write(0, 1)  # no meta prefix image
+    if toplevel:
+        bw.write(0, 1)  # single code group (the meta variant writes its own)
     cache_size = (1 << cache_bits) if cache_bits else 0
-    ops = _tokenize(px, cache_bits, lz77)
+    ops = _tokenize(px, cache_bits, lz77, vertical_xsize=xsize if vertical else 0)
+
+    def dmap(dist: int) -> int:
+        return _distance_to_code(dist, xsize) if xsize else dist + 120
 
     greens, reds, blues, alphas, dists = set(), set(), set(), set(), set()
     for op in ops:
@@ -651,7 +763,7 @@ def _write_entropy_image(
             alphas.add(a)
         elif op[0] == "copy":
             greens.add(256 + _lz77_code_for(op[1])[0])
-            dists.add(_lz77_code_for(op[2] + 120)[0])
+            dists.add(_lz77_code_for(dmap(op[2]))[0])
         else:
             greens.add(256 + _LENGTH_CODES + op[1])
     green_alpha = _GREEN_LITERALS + _LENGTH_CODES + cache_size
@@ -672,11 +784,63 @@ def _write_entropy_image(
             code, extra, ev = _lz77_code_for(op[1])
             bw.write_code(*gc[256 + code])
             bw.write(ev, extra)
-            code, extra, ev = _lz77_code_for(op[2] + 120)
+            code, extra, ev = _lz77_code_for(dmap(op[2]))
             bw.write_code(*dc[code])
             bw.write(ev, extra)
         else:
             bw.write_code(*gc[256 + _LENGTH_CODES + op[1]])
+
+
+def _write_meta_entropy_image(
+    bw: _BitWriter, px: list[tuple], w: int, h: int, size_bits: int
+) -> None:
+    """Emit the main image with a META PREFIX IMAGE: tiles of
+    2^size_bits px alternate between two code groups (checkerboard), the
+    group index rides in the meta sub-image as (red << 8) | green, and
+    each group gets its own five prefix codes. All pixels are literals
+    (no cache / LZ77) so group selection per pixel is exact."""
+    bw.write(0, 1)  # no color cache
+    bw.write(1, 1)  # meta prefix image present
+    bw.write(size_bits - 2, 3)
+    tw = (w + (1 << size_bits) - 1) >> size_bits
+    th = (h + (1 << size_bits) - 1) >> size_bits
+
+    def group_of(x: int, y: int) -> int:
+        return ((y >> size_bits) * tw + (x >> size_bits)) & 1
+
+    meta_px = [(255, 0, ((ty * tw + tx) & 1), 0) for ty in range(th) for tx in range(tw)]
+    _write_entropy_image(bw, meta_px)
+
+    # the decoder reads max(group index) + 1 code groups — a single-tile
+    # image has only group 0, so only one code group may be written
+    n_groups = max(p[2] for p in meta_px) + 1
+    group_codes = []
+    for g in range(n_groups):
+        pix = [
+            px[y * w + x]
+            for y in range(h)
+            for x in range(w)
+            if group_of(x, y) == g
+        ] or [(255, 0, 0, 0)]
+        greens = sorted({p[2] for p in pix})
+        reds = sorted({p[1] for p in pix})
+        blues = sorted({p[3] for p in pix})
+        alphas = sorted({p[0] for p in pix})
+        gc = _write_prefix_code(bw, greens, _GREEN_LITERALS + _LENGTH_CODES)
+        rc = _write_prefix_code(bw, reds, 256)
+        bc = _write_prefix_code(bw, blues, 256)
+        ac = _write_prefix_code(bw, alphas, 256)
+        dc_ = _write_prefix_code(bw, [0], _DISTANCE_CODES)  # unused
+        group_codes.append((gc, rc, bc, ac, dc_))
+
+    for y in range(h):
+        for x in range(w):
+            gc, rc, bc, ac, _dc = group_codes[group_of(x, y)]
+            a, r, g, b = px[y * w + x]
+            bw.write_code(*gc[g])
+            bw.write_code(*rc[r])
+            bw.write_code(*bc[b])
+            bw.write_code(*ac[a])
 
 
 def encode_webp(
@@ -725,7 +889,10 @@ def encode_webp(
                         l = px[y * width + x - 1]  # noqa: E741
                         t = px[(y - 1) * width + x]
                         tl = px[(y - 1) * width + x - 1]
-                        tr = px[(y - 1) * width + x + 1] if x + 1 < width else l
+                        # row-major wraparound: at x == w-1 the index
+                        # lands on y*w, the first pixel of this row —
+                        # the spec's TR, mirrored by the decoder
+                        tr = px[(y - 1) * width + x + 1]
                         pred = _predict(mode, l, t, tl, tr)
                     p = px[y * width + x]
                     out.append(tuple((pc - qc) & 255 for pc, qc in zip(p, pred)))
@@ -780,12 +947,19 @@ def encode_webp(
         px = packed
 
     bw.write(0, 1)  # no more transforms
-    _write_entropy_image(
-        bw,
-        px,
-        cache_bits=4 if variant == "cache" else 0,
-        lz77=(variant == "lz77"),
-    )
+    img_w = width if variant != "palette" else (len(px) // height)
+    if variant == "meta":
+        _write_meta_entropy_image(bw, px, img_w, height, size_bits=2)
+    else:
+        _write_entropy_image(
+            bw,
+            px,
+            cache_bits=4 if variant == "cache" else 0,
+            lz77=(variant in ("lz77", "neighbor")),
+            toplevel=True,
+            xsize=img_w,
+            vertical=(variant == "neighbor"),
+        )
 
     payload = b"\x2f" + bw.bytes()
     chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload

@@ -125,9 +125,10 @@ def _webp_fixture_dims(doc_id: int) -> tuple[int, int]:
 def documents_as_webp(docs: DataFrame) -> DataFrame:
     """Synthesize REAL VP8L lossless WebP blobs from document text (gray
     samples = the first width*height text bytes). The encoder VARIANT
-    cycles by doc_id across all seven bitstream shapes (flat prefix
+    cycles by doc_id across all nine bitstream shapes (flat prefix
     codes, LZ77 runs, color cache, subtract-green, predictor, color
-    transform, palette incl. bundling), so decoding a corpus exercises
+    transform, palette incl. bundling, neighbor distance codes, meta
+    prefix code groups), so decoding a corpus exercises
     every branch of the from-scratch decoder — same adapter contract as
     ``documents_as_png``."""
     from kafka_cdc_hudi_spark.functions.webp import _VARIANTS, encode_webp

@@ -3182,10 +3182,10 @@ FROM m
 def multimodal_decode_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL WebP-lossless decode, end-to-end: synthesize genuine VP8L
     blobs from document bytes (gray samples = the first width*height text
-    bytes; the encoder VARIANT cycles by doc_id across all seven
+    bytes; the encoder VARIANT cycles by doc_id across all nine
     bitstream shapes — flat prefix codes, LZ77 runs, color cache,
     subtract-green, predictor, color transform, palette incl. pixel
-    bundling), then run the real-codec path of ``decode_images`` — the
+    bundling, neighbor distance codes, meta prefix code groups), then run the real-codec path of ``decode_images`` — the
     pure-stdlib VP8L decoder (functions/webp.py: LSB-first bitstream,
     canonical prefix codes in both simple and code-length-coded forms,
     backward references, color cache, inverse transforms). No

@@ -209,45 +209,171 @@ def test_handbuilt_minimal_stream_decodes():
     assert (w, h, ch, out) == (1, 1, 1, b"\x09")
 
 
-def test_handbuilt_meta_prefix_guard():
-    """The meta-prefix-image bit must raise the documented guard."""
-    hw = _hand_header(2, 2)
+def test_handbuilt_meta_prefix_two_groups():
+    """Bit-for-bit hand construction of an 8x1 image using a META PREFIX
+    IMAGE: size_bits=2 gives two 4px tiles, the meta sub-image names
+    groups 0 and 1 via (red<<8)|green, and each group carries its own
+    five prefix codes (single-symbol greens 5 and 9). Pins: the meta bit
+    position (after cache-info, level 0 only), the 3-bit size field, the
+    sub-image having NO meta bit of its own, group-count = max index + 1,
+    and per-pixel group selection by tile."""
+    hw = _hand_header(8, 1)
     hw.put(0, 1)  # no transforms
+    hw.put(0, 1)  # no color cache
+    hw.put(1, 1)  # meta prefix image PRESENT
+    hw.put(0, 3)  # size_bits = 2 -> tiles of 4px, tw=2, th=1
+    # meta sub-image (2x1): cache bit only — NO meta bit at level > 0
     hw.put(0, 1)  # no cache
-    hw.put(1, 1)  # meta prefix image present
-    with pytest.raises(NotImplementedError, match="meta prefix"):
-        decode_webp(hw.blob())
+    # green: simple TWO-symbol code {0, 1}
+    hw.put(1, 1)  # simple form
+    hw.put(1, 1)  # two symbols
+    hw.put(0, 1)  # first fits 1 bit
+    hw.put(0, 1)  # first = 0
+    hw.put(1, 8)  # second = 1
+    for sym in (0, 0, 255, 0):  # red, blue, alpha, distance
+        _put_simple_1sym(hw, sym)
+    hw.put(0, 1)  # meta pixel 0: green code 0 -> group 0
+    hw.put(1, 1)  # meta pixel 1: green code 1 -> group 1
+    # group 0 codes: gray 5; group 1 codes: gray 9
+    for g in (5, 9):
+        for sym in (g, g, g, 255, 0):
+            _put_simple_1sym(hw, sym)
+    # 8 literal pixels cost ZERO data bits (all single-symbol codes)
+    w, h, ch, out = decode_webp(hw.blob())
+    assert (w, h, ch) == (8, 1, 1)
+    assert out == bytes([5] * 4 + [9] * 4)
 
 
-def test_handbuilt_short_distance_code_guard():
-    """A backward reference whose distance code maps into the 120-entry
-    neighbor table must raise the documented guard. Green is a 2-symbol
-    simple code {literal 0, length-code 256}; distance code 0 (-> mapped
-    value 1 <= 120) triggers it."""
-    hw = _hand_header(4, 1)
-    hw.put(0, 1)  # no transforms
-    hw.put(0, 1)  # no cache
-    hw.put(0, 1)  # no meta
-    # green: simple, TWO symbols: 0 (literal) and 256 is not 8-bit-expressible,
-    # so use the normal form via the module writer for green only
-    from kafka_cdc_hudi_spark.functions.webp import _BitWriter, _write_prefix_code
-
-    bw = _BitWriter()
-    gcodes = _write_prefix_code(bw, [0, 256], 280)
-    # splice the module-written green-code bits into the hand stream
+def _splice_module_bits(hw, bw):
+    """Append a module _BitWriter's bits into the hand stream."""
     total_bits = bw.bitpos + (len(bw.out) - 1) * 8 if bw.bitpos else len(bw.out) * 8
     for i in range(total_bits):
         hw.put((bw.out[i >> 3] >> (i & 7)) & 1, 1)
+
+
+def _put_code(hw, code, length):
+    for i in range(length - 1, -1, -1):
+        hw.put((code >> i) & 1, 1)
+
+
+def test_handbuilt_short_distance_vertical_copy():
+    """A backward reference whose distance prefix VALUE is 1 maps through
+    the 120-entry neighbor table to offset (0, 1) — the pixel directly
+    above, distance = row width. Hand stream: 4x2, row 0 = green
+    literals 1..4, then one copy (length 4, neighbor value 1) producing
+    row 1 identical to row 0. Pins the neighbor mapping at the bit
+    level against an expectation computed by hand."""
+    from kafka_cdc_hudi_spark.functions.webp import _BitWriter, _write_prefix_code
+
+    hw = _hand_header(4, 2)
+    hw.put(0, 1)  # no transforms
+    hw.put(0, 1)  # no cache
+    hw.put(0, 1)  # no meta
+    bw = _BitWriter()
+    # greens: literals 1..4 plus length-code 3 (LZ77 length value 4)
+    gcodes = _write_prefix_code(bw, [1, 2, 3, 4, 259], 280)
+    _splice_module_bits(hw, bw)
     for sym in (0, 0, 255, 0):  # red, blue, alpha, distance(code 0)
         _put_simple_1sym(hw, sym)
-    # pixel 0: literal green=0 (red/blue/alpha cost 0 bits each)
-    c, ln = gcodes[0]
-    for i in range(ln - 1, -1, -1):
-        hw.put((c >> i) & 1, 1)
-    # then a copy: green symbol 256 = length code 0 (length 1, no extras),
-    # distance tree emits code 0 -> lz77 value 1 -> neighbor-table range
-    c, ln = gcodes[256]
-    for i in range(ln - 1, -1, -1):
-        hw.put((c >> i) & 1, 1)
-    with pytest.raises(NotImplementedError, match="short-distance"):
-        decode_webp(hw.blob())
+    for g in (1, 2, 3, 4):  # row 0 literals (r/b/a cost 0 bits)
+        _put_code(hw, *gcodes[g])
+    # copy: green symbol 259 = length code 3 -> value 4, no extra bits;
+    # distance tree emits code 0 -> LZ77 value 1 -> neighbor (0,1)
+    _put_code(hw, *gcodes[259])
+    w, h, ch, out = decode_webp(hw.blob())
+    assert (w, h, ch) == (4, 2, 4)  # r=0 != g -> RGBA output
+    want = b"".join(bytes((0, g, 0, 255)) for g in (1, 2, 3, 4)) * 2
+    assert out == want
+
+
+def test_handbuilt_predictor_tile_no_meta_bit_and_tr_wraparound():
+    """A predictor-transform stream built by hand: the tile sub-image has
+    NO meta-prefix bit (level > 0), and predictor mode 3 (TOP-RIGHT) at
+    the right edge uses the row-major wraparound pixel — the FIRST pixel
+    of the current row — not the left neighbor. 3x2 image, mode 3
+    everywhere; expected grays computed by hand: 10,11,12,12,15,17 (the
+    final pixel is 12+5 via TR=out[3]; a left-substitution bug would
+    give 15+5=20)."""
+    from kafka_cdc_hudi_spark.functions.webp import _BitWriter, _write_prefix_code
+
+    hw = _hand_header(3, 2)
+    hw.put(1, 1)  # a transform follows
+    hw.put(0, 2)  # type 0: predictor
+    hw.put(0, 3)  # size_bits = 2 -> one 4px tile covers 3x2
+    # tile sub-image (1x1, mode 3): cache bit, then straight to codes —
+    # no meta bit here
+    hw.put(0, 1)  # no cache
+    for sym in (3, 0, 0, 255, 0):  # green=mode, red, blue, alpha, dist
+        _put_simple_1sym(hw, sym)
+    hw.put(0, 1)  # no more transforms
+    hw.put(0, 1)  # no cache (main image)
+    hw.put(0, 1)  # no meta
+    bw = _BitWriter()
+    gcodes = _write_prefix_code(bw, [1, 2, 3, 5, 10], 280)
+    _splice_module_bits(hw, bw)
+    bw = _BitWriter()
+    rcodes = _write_prefix_code(bw, [1, 2, 3, 5, 10], 256)
+    _splice_module_bits(hw, bw)
+    bw = _BitWriter()
+    bcodes = _write_prefix_code(bw, [1, 2, 3, 5, 10], 256)
+    _splice_module_bits(hw, bw)
+    for sym in (0, 0):  # alpha residual, distance
+        _put_simple_1sym(hw, sym)
+    for d in (10, 1, 1, 2, 3, 5):  # gray residuals in scan order
+        _put_code(hw, *gcodes[d])
+        _put_code(hw, *rcodes[d])
+        _put_code(hw, *bcodes[d])
+    w, h, ch, out = decode_webp(hw.blob())
+    assert (w, h, ch) == (3, 2, 1)
+    assert out == bytes([10, 11, 12, 12, 15, 17])
+
+
+def test_predict_mode13_truncates_toward_zero():
+    """ClampAddSubtractHalf divides like C (toward zero): ave=5, TL=8
+    gives half = trunc(-3/2) = -1 -> 4; floor division would yield 3."""
+    from kafka_cdc_hudi_spark.functions.webp import _predict
+
+    l = (255, 4, 4, 4)
+    t = (255, 6, 6, 6)
+    tl = (255, 8, 8, 8)
+    assert _predict(13, l, t, tl, (0, 0, 0, 0)) == (255, 4, 4, 4)
+
+
+def test_neighbor_table_spec_pins():
+    """The generated 120-entry table must match the spec's explicit
+    listing at both ends, and the encoder mapping must invert the
+    decoder mapping for every (distance, width) pair."""
+    import random as _random
+
+    from kafka_cdc_hudi_spark.functions.webp import (
+        _NEIGHBORS,
+        _code_to_distance,
+        _distance_to_code,
+    )
+
+    assert len(_NEIGHBORS) == 120
+    assert _NEIGHBORS[:10] == [
+        (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2),
+        (2, 0), (1, 2), (-1, 2), (2, 1), (-2, 1),
+    ]
+    assert _NEIGHBORS[-5:] == [(8, 5), (7, 7), (-7, 7), (8, 6), (8, 7)]
+    rng = _random.Random(99)
+    for _ in range(3000):
+        xs = rng.randrange(1, 64)
+        d = rng.randrange(1, 600)
+        assert _code_to_distance(_distance_to_code(d, xs), xs) == d
+
+
+def test_neighbor_variant_emits_vertical_copies():
+    """The neighbor encoder variant prefers distance = row-width copies;
+    a vertically-striped image round-trips and actually exercises the
+    (0, 1) neighbor code path (asserted via the tokenizer)."""
+    from kafka_cdc_hudi_spark.functions.webp import _to_argb, _tokenize
+
+    w, h = 9, 6
+    pix = bytes((x * 29) & 255 for _y in range(h) for x in range(w))
+    px = _to_argb(pix, w, h, 1)
+    ops = _tokenize(px, 0, True, vertical_xsize=w)
+    assert any(op[0] == "copy" and op[2] == w for op in ops)
+    ww, hh, ch, out = decode_webp(encode_webp(pix, w, h, channels=1, variant="neighbor"))
+    assert (ww, hh, ch, out) == (w, h, 1, pix)
