@@ -42,7 +42,7 @@ def decode_wav(data: bytes) -> tuple[int, int, list[int]]:
     (riff_size,) = struct.unpack_from("<I", data, 4)
     if riff_size + 8 > len(data):
         raise ValueError("truncated RIFF payload")
-    pos, fmt, pcm = 12, None, None
+    pos, fmt, pcm, fact_frames = 12, None, None, None
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
         (ln,) = struct.unpack_from("<I", data, pos + 4)
@@ -53,12 +53,14 @@ def decode_wav(data: bytes) -> tuple[int, int, list[int]]:
             fmt = body
         elif cid == b"data":
             pcm = body
+        elif cid == b"fact" and ln >= 4:
+            (fact_frames,) = struct.unpack_from("<I", body, 0)
         pos += 8 + ln + (ln & 1)  # chunks are word-aligned
     if fmt is None or pcm is None:
         raise ValueError("missing fmt/data chunk")
     tag, channels, rate, _byte_rate, _block, bits = struct.unpack_from("<HHIIHH", fmt, 0)
     if tag == 17:
-        return _decode_ima_adpcm(fmt, pcm)
+        return _decode_ima_adpcm(fmt, pcm, fact_frames)
     if tag != 1:
         raise NotImplementedError(f"non-PCM format tag {tag} (PCM=1 and IMA ADPCM=17 are real)")
     if bits != 16:
@@ -177,6 +179,10 @@ def encode_wav_adpcm(
         + b"fmt "
         + struct.pack("<I", len(fmt))
         + fmt
+        # fact chunk: true per-channel frame count — spec-required for
+        # compressed formats; lets the decoder trim final-block padding
+        + b"fact"
+        + struct.pack("<II", 4, n_frames)
         + b"data"
         + struct.pack("<I", len(out))
         + bytes(out)
@@ -184,7 +190,9 @@ def encode_wav_adpcm(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def _decode_ima_adpcm(fmt: bytes, pcm: bytes) -> tuple[int, int, list[int]]:
+def _decode_ima_adpcm(
+    fmt: bytes, pcm: bytes, fact_frames: int | None = None
+) -> tuple[int, int, list[int]]:
     tag, channels, rate, _br, block_align, bits = struct.unpack_from("<HHIIHH", fmt, 0)
     if bits != 4:
         raise NotImplementedError(f"{bits}-bit IMA ADPCM (only 4-bit)")
@@ -195,7 +203,12 @@ def _decode_ima_adpcm(fmt: bytes, pcm: bytes) -> tuple[int, int, list[int]]:
     data_words = (block_align - 4 * channels) // (4 * channels)
     per_ch: list[list[int]] = [[] for _ in range(channels)]
     pos = 0
-    while pos + block_align <= len(pcm):
+    while pos + 4 * channels <= len(pcm):
+        # a final block may be TRUNCATED to the samples that remain (real
+        # IMA ADPCM writers do this): decode the per-channel headers plus
+        # as many whole 4-byte word groups as the remaining bytes carry
+        remaining_words = (len(pcm) - pos - 4 * channels) // (4 * channels)
+        block_words = min(data_words, remaining_words)
         pred = [0] * channels
         index = [0] * channels
         for c in range(channels):
@@ -204,7 +217,7 @@ def _decode_ima_adpcm(fmt: bytes, pcm: bytes) -> tuple[int, int, list[int]]:
                 raise ValueError("IMA ADPCM step index out of range")
             pos += 4
             per_ch[c].append(pred[c])
-        for _w in range(data_words):
+        for _w in range(block_words):
             for c in range(channels):
                 (word,) = struct.unpack_from("<I", pcm, pos)
                 pos += 4
@@ -213,10 +226,11 @@ def _decode_ima_adpcm(fmt: bytes, pcm: bytes) -> tuple[int, int, list[int]]:
                         pred[c], index[c], (word >> (4 * k)) & 0xF
                     )
                     per_ch[c].append(pred[c])
-        if pos == len(pcm):
-            break
-    if pos < len(pcm) and len(pcm) - pos >= 4 * channels:
-        raise ValueError("trailing partial IMA ADPCM block")
+    if fact_frames is not None:
+        # the fact chunk records the true frame count: a padded final
+        # block inflates the decode, so trim (never extend) to it
+        if fact_frames < len(per_ch[0]):
+            per_ch = [ch[:fact_frames] for ch in per_ch]
     out: list[int] = []
     for i in range(len(per_ch[0])):
         for c in range(channels):

@@ -152,6 +152,11 @@ class KeyedParquetTable:
             )
         self.root = root
         self.keys = list(keys)
+        #: per-thread record of the held lock token — created EAGERLY so
+        #: two threads racing the first _table_lock on one table object
+        #: can't each build their own threading.local (the loser's token
+        #: would vanish and silently disable _assert_lock_owned fencing)
+        self._held_tokens = threading.local()
         self.order_col = order_col
         self.deleted_col = deleted_col
         self.tiebreakers = list(tiebreakers)
@@ -1022,11 +1027,10 @@ class KeyedParquetTable:
     @property
     def _held(self) -> threading.local:
         """Per-thread record of the lock token the CURRENT thread holds
-        (concurrent writers on one table object each hold their own)."""
-        h = self.__dict__.get("_held_tokens")
-        if h is None:
-            h = self.__dict__["_held_tokens"] = threading.local()
-        return h
+        (concurrent writers on one table object each hold their own).
+        The underlying threading.local is created eagerly in __init__ —
+        lazy creation here could race and drop a thread's token."""
+        return self._held_tokens
 
     def _assert_lock_owned(self, where: str) -> None:
         """Fencing check (zombie-writer protection): a writer stalled past

@@ -796,7 +796,7 @@ class TestImaAdpcm:
             sig.extend(frame)
         rate, ch, out = decode_wav(encode_wav_adpcm(sig, 16000, channels=channels))
         assert (rate, ch) == (16000, channels)
-        assert len(out) >= len(sig)
+        assert len(out) == len(sig)  # fact chunk trims final-block padding
         # skip the step-index warm-in; thereafter the reconstruction must
         # track within a generous local-step bound
         errs = [abs(a - b) for a, b in zip(sig[60 * channels:], out[60 * channels:])]
@@ -831,7 +831,45 @@ class TestImaAdpcm:
                     pred, idx = wav_mod._ima_step(pred, idx, n)
                     recon.append(pred)
             f += frames_per_block
-        assert got == recon
+        # the encoder's fact chunk trims final-block padding to len(sig)
+        assert got == recon[: len(sig)]
+
+    def test_truncated_final_block_decodes(self):
+        """Real IMA ADPCM writers may truncate the last block to the
+        remaining samples: header + fewer word groups than block_align
+        implies must decode, not raise (ADVICE r12)."""
+        import struct
+
+        from kafka_cdc_hudi_spark.functions.wav import decode_wav
+
+        # block_align says 2 data words, but the final (only) block
+        # carries just ONE: header (4) + one word (4) = 8 bytes
+        block = struct.pack("<hBB", 50, 0, 0) + struct.pack("<I", 0x00000000)
+        fmt = struct.pack("<HHIIHHHH", 17, 1, 8000, 8000, 12, 4, 2, 17)
+        body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(block)) + block)
+        blob = b"RIFF" + struct.pack("<I", len(body)) + body
+        rate, ch, out = decode_wav(blob)
+        assert (rate, ch) == (8000, 1)
+        assert len(out) == 1 + 8  # header frame + one word (8 nibbles)
+        assert out[0] == 50
+
+    def test_fact_chunk_trims_padding(self):
+        """A fact chunk with a smaller frame count than the padded block
+        decodes must trim the output to the true count."""
+        import struct
+
+        from kafka_cdc_hudi_spark.functions.wav import decode_wav
+
+        block = struct.pack("<hBB", 10, 0, 0) + struct.pack("<I", 0)
+        fmt = struct.pack("<HHIIHHHH", 17, 1, 8000, 8000, 8, 4, 2, 9)
+        body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"fact" + struct.pack("<II", 4, 5)
+                + b"data" + struct.pack("<I", len(block)) + block)
+        blob = b"RIFF" + struct.pack("<I", len(body)) + body
+        rate, ch, out = decode_wav(blob)
+        assert len(out) == 5
+        assert out[0] == 10
 
     def test_corrupt_index_rejected(self):
         import struct
