@@ -84,6 +84,7 @@ import shutil
 import threading
 import time
 import uuid
+import warnings
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -278,15 +279,25 @@ class KeyedParquetTable:
         round-over-round operational auditing (write amplification,
         commit latency) without scanning data."""
         n_files = total = 0
+        rows: int | None = 0
         for root, _dirs, names in os.walk(path):
             for n in names:
                 if n.endswith(".parquet"):
+                    fp = os.path.join(root, n)
                     n_files += 1
-                    total += os.path.getsize(os.path.join(root, n))
+                    total += os.path.getsize(fp)
+                    if rows is not None:
+                        try:
+                            import pyarrow.parquet as pq
+
+                            rows += pq.ParquetFile(fp).metadata.num_rows
+                        except Exception:
+                            rows = None  # footer unreadable: no row count
         return {
             "op": op,
             "files": n_files,
             "bytes": total,
+            "rows": rows,
             "wall_ms": int((time.monotonic() - t0) * 1000),
         }
 
@@ -1180,6 +1191,46 @@ class KeyedParquetTable:
             # broken); rename-claim closes the read-then-unlink window
             self._claim_and_remove(lock, my_token=token)
 
+    #: COW write-amplification advisory (sizing heuristic, VERDICT r12
+    #: item 3). Measured at 10M keys / 142 MB state / 200-key commits
+    #: (SOAK_BUCKETED_r12): plain COW rewrites ~100% of state per commit,
+    #: cow-bucketed 3.1%, MOR ~0. When the previous base holds at least
+    #: ``_WRITE_AMP_MIN_BYTES`` and its row count exceeds the incoming
+    #: batch's by ``_WRITE_AMP_WARN_RATIO`` or more, the COW merge emits a
+    #: RuntimeWarning (once per table object) steering at bucketed/MOR.
+    #: The check costs one count of the (persisted) micro-batch and only
+    #: runs past the byte floor — small tables never pay it.
+    _WRITE_AMP_WARN_RATIO = 100
+    _WRITE_AMP_MIN_BYTES = 64 * 1024 * 1024
+
+    def _check_write_amplification(self, p: dict | None, batch: DataFrame) -> None:
+        """Warn before a COW rewrite whose state/churn ratio sits on the
+        measured write-amplification cliff. Uses the PREVIOUS commit's
+        footer-derived row count (free pointer metadata) against the raw
+        batch row count — an upper bound on churn keys, so the estimated
+        amplification UNDERSTATES the true one and never false-positives."""
+        if getattr(self, "_write_amp_warned", False) or p is None:
+            return
+        pm = ((p.get("commit_meta") or {}).get(str(p["version"]))) or {}
+        state_rows, state_bytes = pm.get("rows"), pm.get("bytes", 0)
+        if not state_rows or state_bytes < self._WRITE_AMP_MIN_BYTES:
+            return
+        batch_rows = batch.count()
+        if batch_rows <= 0 or state_rows / batch_rows < self._WRITE_AMP_WARN_RATIO:
+            return
+        self._write_amp_warned = True
+        warnings.warn(
+            f"COW table at {self.root}: this commit rewrites the full "
+            f"{state_bytes / 1e6:.0f} MB / {state_rows}-row state for a "
+            f"{batch_rows}-row batch (~{state_rows / batch_rows:.0f}x "
+            "write amplification). Measured at 10M keys (SOAK_BUCKETED_"
+            "r12): plain COW rewrites ~100% of state per commit, "
+            "mode='cow-bucketed' 3.1%, mode='mor' ~0 — switch modes for "
+            "high-frequency small-churn streams.",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+
     def merge_batch(
         self,
         spark: SparkSession,
@@ -1256,6 +1307,7 @@ class KeyedParquetTable:
             ):
                 self._compact_locked(spark)  # merge already holds the lock
             return True
+        self._check_write_amplification(p, batch)
         existing = self.read(spark)
         merged = merge_upsert(
             existing,

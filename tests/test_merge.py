@@ -338,3 +338,59 @@ def test_release_with_foreign_lock_never_renames(tmp_path, monkeypatch):
     with open(lock) as f:
         assert f.read() == "writer-B-token"
     os.unlink(lock)
+
+
+class TestWriteAmplificationAdvisory:
+    """COW write-amp steering (VERDICT r12 item 3): past the byte floor, a
+    state/churn ratio over the threshold warns ONCE per table object and
+    points at cow-bucketed/MOR; MOR itself and small tables never warn."""
+
+    def _table(self, tmp_path, monkeypatch, mode="cow"):
+        t = KeyedParquetTable(str(tmp_path / f"amp_{mode}"), ["id"], mode=mode)
+        monkeypatch.setattr(KeyedParquetTable, "_WRITE_AMP_MIN_BYTES", 0)
+        monkeypatch.setattr(KeyedParquetTable, "_WRITE_AMP_WARN_RATIO", 10)
+        return t
+
+    def test_cow_warns_once_past_threshold(self, spark, tmp_path, monkeypatch):
+        import warnings as w
+
+        t = self._table(tmp_path, monkeypatch)
+        big = _df(spark, [(i, "v", 10, False) for i in range(200)])
+        t.merge_batch(spark, big, batch_id=1)
+        small = _df(spark, [(1, "v2", 20, False)])
+        with w.catch_warnings(record=True) as rec:
+            w.simplefilter("always")
+            t.merge_batch(spark, small, batch_id=2)
+        msgs = [r for r in rec if issubclass(r.category, RuntimeWarning)]
+        assert len(msgs) == 1
+        assert "cow-bucketed" in str(msgs[0].message)
+        assert "write amplification" in str(msgs[0].message)
+        # once per table object: the next tiny commit stays silent
+        with w.catch_warnings(record=True) as rec2:
+            w.simplefilter("always")
+            t.merge_batch(spark, _df(spark, [(2, "v3", 30, False)]), batch_id=3)
+        assert not [r for r in rec2 if issubclass(r.category, RuntimeWarning)]
+
+    def test_no_warning_below_ratio_or_on_mor(self, spark, tmp_path, monkeypatch):
+        import warnings as w
+
+        t = self._table(tmp_path, monkeypatch)
+        t.merge_batch(spark, _df(spark, [(i, "v", 10, False) for i in range(20)]), batch_id=1)
+        with w.catch_warnings(record=True) as rec:
+            w.simplefilter("always")
+            # 20/5 = 4x < 10x threshold
+            t.merge_batch(spark, _df(spark, [(i, "u", 20, False) for i in range(5)]), batch_id=2)
+        assert not [r for r in rec if issubclass(r.category, RuntimeWarning)]
+
+        m = self._table(tmp_path, monkeypatch, mode="mor")
+        m.merge_batch(spark, _df(spark, [(i, "v", 10, False) for i in range(200)]), batch_id=1)
+        with w.catch_warnings(record=True) as rec3:
+            w.simplefilter("always")
+            m.merge_batch(spark, _df(spark, [(1, "v2", 20, False)]), batch_id=2)
+        assert not [r for r in rec3 if issubclass(r.category, RuntimeWarning)]
+
+    def test_commit_meta_records_rows(self, spark, tmp_path):
+        t = KeyedParquetTable(str(tmp_path / "meta_rows"), ["id"])
+        t.merge_batch(spark, _df(spark, [(i, "v", 10, False) for i in range(7)]), batch_id=1)
+        meta = t.commit_meta()
+        assert [m["rows"] for m in meta.values()] == [7]
