@@ -106,6 +106,48 @@ def debezium_envelopes(events: DataFrame, db: str = "test_db", table: str = "eve
     return events.select(F.to_json(env).alias("value"))
 
 
+def drift_segmented_debezium_envelopes(
+    events: DataFrame,
+    ts_cut: str,
+    db: str = "test_db",
+    table: str = "events",
+) -> DataFrame:
+    """Mid-stream drift fixture for the SCALE soak (scripts/soak_drift.py):
+    rows with ``ts < ts_cut`` serialize the ORIGINAL payload; rows at or
+    past the cut serialize a payload that ADDS ``score`` (= user_id +
+    1000, integral for exact oracle math) and DROPS ``props`` — a
+    producer that changed shape at a deploy boundary. Time-ordered batch
+    splits then put the drift at a batch boundary, so the driver's
+    bounded drift probe + union-by-name schema merge run at production
+    batch sizes. Deletes still carry the row in ``before`` only."""
+    events = _spread(events)
+    p_old = _payload_struct()
+    p_new = F.struct(
+        F.col("event_id"),
+        F.date_format("ts", TS_FMT).alias("ts"),
+        F.col("user_id"),
+        F.col("event_type"),
+        F.col("value"),
+        (F.col("user_id") + 1000).alias("score"),
+    )
+    op = _debezium_op()
+
+    def env(pay):
+        return F.struct(
+            F.when(op == "d", pay).alias("before"),
+            F.when(op != "d", pay).alias("after"),
+            op.alias("op"),
+            epoch_millis("ts").alias("ts_ms"),
+            F.lit(db).alias("db"),
+            F.lit(table).alias("table"),
+        )
+
+    cut = F.col("ts") < F.lit(ts_cut).cast("timestamp")
+    legacy = events.filter(cut).select(F.to_json(env(p_old)).alias("value"), "ts")
+    drifted = events.filter(~cut).select(F.to_json(env(p_new)).alias("value"), "ts")
+    return legacy.unionByName(drifted)
+
+
 def drifted_debezium_envelopes(events: DataFrame, db: str = "test_db", table: str = "events") -> DataFrame:
     """Schema-drift fixture: odd ``event_id`` rows carry an EXTRA payload
     column ``score`` (= user_id + 1000, integral for exact oracle math);
