@@ -499,6 +499,20 @@ def _read_entropy_image(
 # -- decoder --------------------------------------------------------------------
 
 
+def _walk_chunks(data: bytes, start: int, end: int):
+    """Yield (fourcc, payload) over a RIFF chunk run (word-aligned)."""
+    off = start
+    while off + 8 <= end:
+        tag = data[off : off + 4]
+        (size,) = struct.unpack("<I", data[off + 4 : off + 8])
+        yield tag, data[off + 8 : off + 8 + size]
+        off += 8 + size + (size & 1)
+
+
+#: VP8X flag byte (container spec): Rsv(2) ICC Alpha EXIF XMP Anim Rsv
+_VP8X_ANIM = 0x02
+
+
 def decode_webp(data: bytes) -> tuple[int, int, int, bytes]:
     """VP8L decode -> (width, height, n_channels, raw samples).
 
@@ -507,18 +521,18 @@ def decode_webp(data: bytes) -> tuple[int, int, int, bytes]:
     returns 4-channel interleaved RGBA."""
     if not is_webp(data):
         raise ValueError("not a RIFF/WEBP container")
-    off = 12
     payload = None
-    while off + 8 <= len(data):
-        tag = data[off : off + 4]
-        size = struct.unpack("<I", data[off + 4 : off + 8])[0]
+    for tag, body in _walk_chunks(data, 12, len(data)):
+        if tag == b"VP8X" and len(body) >= 1 and body[0] & _VP8X_ANIM:
+            raise ValueError(
+                "animated WebP: use decode_webp_frames for per-frame access"
+            )
         if tag == b"VP8L":
-            payload = data[off + 8 : off + 8 + size]
+            payload = body
             break
-        off += 8 + size + (size & 1)
     if payload is None:
         raise NotImplementedError(
-            "no VP8L chunk: lossy VP8 / extended VP8X WebP is not supported "
+            "no VP8L chunk: lossy VP8 WebP is not supported "
             "(the lossless bitstream is the implemented scope)"
         )
     if payload[0] != 0x2F:
@@ -635,6 +649,134 @@ def decode_webp(data: bytes) -> tuple[int, int, int, bytes]:
     for a, r, g, b in px:
         raw += bytes((r, g, b, a))
     return w, h, 4, bytes(raw)
+
+
+# -- extended container: VP8X / ANIM / ANMF (animated WebP) ----------------------
+#
+# Layout per the public WebP container spec: VP8X = 1 flag byte + 3
+# reserved + 24-bit canvas width-1 + 24-bit canvas height-1; ANIM =
+# 32-bit background color + 16-bit loop count; ANMF = 24-bit x/2 +
+# 24-bit y/2 + 24-bit width-1 + 24-bit height-1 + 24-bit duration(ms) +
+# 1 flag byte (blend/dispose), then the frame's image subchunks. All
+# multi-byte fields little-endian; chunks word-aligned.
+
+
+def _u24(v: int) -> bytes:
+    return struct.pack("<I", v)[:3]
+
+
+def _rd24(b: bytes, off: int) -> int:
+    return b[off] | (b[off + 1] << 8) | (b[off + 2] << 16)
+
+
+def _riff_chunk(tag: bytes, payload: bytes) -> bytes:
+    out = tag + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        out += b"\x00"
+    return out
+
+
+def decode_webp_frames(
+    data: bytes,
+) -> tuple[int, int, int, list[tuple[int, int, int, int, int, int, bytes]]]:
+    """Animated (or still) WebP -> (canvas_w, canvas_h, loop_count,
+    frames) with one tuple (x, y, duration_ms, width, height, n_channels,
+    pixels) per frame. Lossless (VP8L) frames only — a lossy (VP8) frame
+    raises the documented guard. A still file returns a single frame at
+    (0, 0) with duration 0."""
+    if not is_webp(data):
+        raise ValueError("not a RIFF/WEBP container")
+    canvas_w = canvas_h = None
+    loop_count = 0
+    animated = False
+    frames: list[tuple] = []
+    for tag, body in _walk_chunks(data, 12, len(data)):
+        if tag == b"VP8X":
+            if len(body) < 10:
+                raise ValueError("short VP8X chunk")
+            animated = bool(body[0] & _VP8X_ANIM)
+            canvas_w = _rd24(body, 4) + 1
+            canvas_h = _rd24(body, 7) + 1
+        elif tag == b"ANIM":
+            if len(body) < 6:
+                raise ValueError("short ANIM chunk")
+            (loop_count,) = struct.unpack_from("<H", body, 4)
+        elif tag == b"ANMF":
+            if len(body) < 16:
+                raise ValueError("short ANMF chunk")
+            fx = _rd24(body, 0) * 2
+            fy = _rd24(body, 3) * 2
+            fw = _rd24(body, 6) + 1
+            fh = _rd24(body, 9) + 1
+            dur = _rd24(body, 12)
+            sub = None
+            for stag, sbody in _walk_chunks(body, 16, len(body)):
+                if stag == b"VP8L":
+                    sub = sbody
+                    break
+                if stag == b"VP8 ":
+                    raise NotImplementedError(
+                        "lossy VP8 animation frame (lossless VP8L frames "
+                        "are the implemented scope)"
+                    )
+            if sub is None:
+                raise ValueError("ANMF frame without image data")
+            riff = b"WEBP" + _riff_chunk(b"VP8L", sub)
+            w, h, ch, px = decode_webp(b"RIFF" + struct.pack("<I", len(riff)) + riff)
+            if (w, h) != (fw, fh):
+                raise ValueError(
+                    f"ANMF header says {fw}x{fh} but frame decodes {w}x{h}"
+                )
+            frames.append((fx, fy, dur, w, h, ch, px))
+    if not animated:
+        w, h, ch, px = decode_webp(data)
+        return w, h, 0, [(0, 0, 0, w, h, ch, px)]
+    if not frames:
+        raise ValueError("animated WebP without ANMF frames")
+    return canvas_w, canvas_h, loop_count, frames
+
+
+def encode_webp_anim(
+    frames: list[bytes],
+    width: int,
+    height: int,
+    channels: int = 1,
+    durations: list[int] | None = None,
+    loop_count: int = 0,
+    variant: str = "flat",
+) -> bytes:
+    """Encode raw same-sized frames as a GENUINE animated lossless WebP
+    (VP8X + ANIM + one ANMF-wrapped VP8L per frame). ``durations`` in ms
+    (default 40 each)."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    durations = durations or [40] * len(frames)
+    if len(durations) != len(frames):
+        raise ValueError("durations must match frames")
+    vp8x = bytes([_VP8X_ANIM]) + b"\x00\x00\x00" + _u24(width - 1) + _u24(height - 1)
+    body = _riff_chunk(b"VP8X", vp8x)
+    body += _riff_chunk(b"ANIM", struct.pack("<IH", 0xFFFFFFFF, loop_count))
+    for pix, dur in zip(frames, durations):
+        still = encode_webp(pix, width, height, channels=channels, variant=variant)
+        # lift the VP8L chunk out of the still's RIFF wrapper
+        vp8l = None
+        for tag, chunk_body in _walk_chunks(still, 12, len(still)):
+            if tag == b"VP8L":
+                vp8l = chunk_body
+                break
+        assert vp8l is not None
+        anmf = (
+            _u24(0)  # x/2
+            + _u24(0)  # y/2
+            + _u24(width - 1)
+            + _u24(height - 1)
+            + _u24(dur)
+            + b"\x00"  # dispose-to-background off, no blending flags set
+            + _riff_chunk(b"VP8L", vp8l)
+        )
+        body += _riff_chunk(b"ANMF", anmf)
+    riff = b"WEBP" + body
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
 
 
 # -- encoder (fixture-grade, genuine streams) -------------------------------------

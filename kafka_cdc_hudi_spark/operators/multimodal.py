@@ -514,6 +514,103 @@ def decode_video_frames(df: DataFrame) -> DataFrame:
     return df.mapInPandas(frame_batches, VIDEO_FRAMES_SCHEMA)
 
 
+WEBP_ANIM_FRAMES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), True),
+        StructField("n_frames", IntegerType(), True),
+        StructField("duration_ms", IntegerType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("frame_hash", StringType(), True),
+    ]
+)
+
+
+#: animated-webp fixture dims: max n_frames*w*h = 4*6*5 = 120 <= the
+#: 128-byte filter so every frame is exactly a text-byte slice
+def _webp_anim_fixture_dims(doc_id: int) -> tuple[int, int, int]:
+    return 3 + doc_id % 4, 3 + doc_id % 3, 2 + doc_id % 3  # (w, h, n_frames)
+
+
+def documents_as_webp_anim(docs: DataFrame) -> DataFrame:
+    """Synthesize REAL animated lossless WebP containers (VP8X + ANIM +
+    ANMF-wrapped VP8L frames) from document text: frame f carries gray
+    samples text[f*w*h : (f+1)*w*h] with duration 40 + 10*f ms; the
+    per-frame VP8L variant cycles by doc_id across every bitstream shape.
+    Same adapter contract as ``documents_as_webp``."""
+    from kafka_cdc_hudi_spark.functions.webp import _VARIANTS, encode_webp_anim
+
+    src = docs.filter(
+        F.octet_length("text") >= PNG_FIXTURE_MIN_BYTES
+    ).select(F.col("doc_id").alias("media_id"), "text")
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for mid, text in zip(pdf["media_id"], pdf["text"]):
+                w, h, nf = _webp_anim_fixture_dims(int(mid))
+                raw = text.encode("utf-8")
+                frames = [raw[f * w * h : (f + 1) * w * h] for f in range(nf)]
+                blobs.append(
+                    encode_webp_anim(
+                        frames,
+                        w,
+                        h,
+                        channels=1,
+                        durations=[40 + 10 * f for f in range(nf)],
+                        variant=_VARIANTS[int(mid) % len(_VARIANTS)],
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "content": blobs,
+                    "format": ["webp"] * len(pdf),
+                    "byte_len": pd.Series([len(b) for b in blobs], dtype="int64"),
+                }
+            )
+
+    return src.mapInPandas(encode_batches, MEDIA_SCHEMA)
+
+
+def decode_webp_anim_frames(df: DataFrame) -> DataFrame:
+    """Animated-WebP decode stage: VP8X/ANIM/ANMF container walk -> per
+    frame VP8L decode -> one row per frame with the decoded-pixel hash.
+    Arrow-batched mapInPandas like every other media kernel."""
+    from kafka_cdc_hudi_spark.functions.webp import decode_webp_frames
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "frame_idx", "n_frames", "duration_ms",
+                "width", "height", "frame_hash",
+            )}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                _cw, _ch, _loop, frames = decode_webp_frames(bytes(content))
+                for i, (_x, _y, dur, fw, fh, _c, pixels) in enumerate(frames):
+                    rows["media_id"].append(int(mid))
+                    rows["frame_idx"].append(i)
+                    rows["n_frames"].append(len(frames))
+                    rows["duration_ms"].append(dur)
+                    rows["width"].append(fw)
+                    rows["height"].append(fh)
+                    rows["frame_hash"].append(hashlib.md5(pixels).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(rows["media_id"], dtype="int64"),
+                    "frame_idx": pd.Series(rows["frame_idx"], dtype="int32"),
+                    "n_frames": pd.Series(rows["n_frames"], dtype="int32"),
+                    "duration_ms": pd.Series(rows["duration_ms"], dtype="int32"),
+                    "width": pd.Series(rows["width"], dtype="int32"),
+                    "height": pd.Series(rows["height"], dtype="int32"),
+                    "frame_hash": rows["frame_hash"],
+                }
+            )
+
+    return df.mapInPandas(frame_batches, WEBP_ANIM_FRAMES_SCHEMA)
+
+
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Adapter: treat document text bytes as a stand-in media blob (the
     container has no real image fixtures)."""

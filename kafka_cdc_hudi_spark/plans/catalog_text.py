@@ -3233,6 +3233,64 @@ FROM m
 """
 
 
+def multimodal_webp_anim_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL animated-WebP decode, end-to-end: synthesize genuine VP8X +
+    ANIM + ANMF containers whose frames are lossless VP8L bitstreams
+    (gray samples = consecutive text-byte slices, per-frame variant
+    cycling by doc_id), then walk the container and decode every frame —
+    one row per frame with its pixel hash. This is the animated half of
+    web-crawl WebP (the dominant animated format after GIF); the
+    container layer (functions/webp.py::decode_webp_frames) is pinned at
+    the byte level in tests/test_webp.py.
+
+    FULL value oracle: frame f of doc d is exactly
+    text[f*w*h : (f+1)*w*h], so DuckDB predicts every frame_hash as md5
+    of the substring, plus the duration/dims formulas — a container-walk
+    bug (offsets, 24-bit fields, subchunk alignment) or any VP8L decoder
+    regression turns rows red.
+
+    Scale shape: identical to the image/video kernels — Arrow-batched
+    mapInPandas over media_repartition-bounded partitions; rows fan out
+    n_frames per input."""
+    from kafka_cdc_hudi_spark.operators.multimodal import (
+        decode_webp_anim_frames,
+        documents_as_webp_anim,
+        media_repartition,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = media_repartition(documents_as_webp_anim(docs), avg_row_bytes=768)
+    return decode_webp_anim_frames(media)
+
+
+MULTIMODAL_WEBP_ANIM_FRAMES_SQL = """
+WITH m AS (
+  -- dims/frames mirror operators/multimodal.py::_webp_anim_fixture_dims;
+  -- max n_frames*w*h = 120 <= the 128-byte filter
+  SELECT doc_id,
+         3 + doc_id % 4 AS w,
+         3 + doc_id % 3 AS h,
+         2 + doc_id % 3 AS nf,
+         text
+  FROM documents
+  WHERE octet_length(encode(text)) >= 128
+),
+f AS (
+  SELECT doc_id, w, h, nf, text,
+         CAST(unnest(range(0, nf)) AS INT) AS frame_idx
+  FROM m
+)
+SELECT doc_id AS media_id,
+       frame_idx,
+       CAST(nf AS INT) AS n_frames,
+       CAST(40 + 10 * frame_idx AS INT) AS duration_ms,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       md5(substring(text, 1 + frame_idx * w * h, w * h)) AS frame_hash
+FROM f
+"""
+
+
 #: real-resize entry target dims (small on purpose: the oracle enumerates
 #: the output grid in SQL)
 _RESIZE_W, _RESIZE_H = 8, 6
@@ -5780,6 +5838,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "multimodal_resize": (multimodal_resize, MULTIMODAL_RESIZE_SQL),
     "multimodal_decode_png": (multimodal_decode_png, MULTIMODAL_DECODE_PNG_SQL),
     "multimodal_decode_webp": (multimodal_decode_webp, MULTIMODAL_DECODE_WEBP_SQL),
+    "multimodal_webp_anim_frames": (multimodal_webp_anim_frames, MULTIMODAL_WEBP_ANIM_FRAMES_SQL),
     "multimodal_decode_wav": (multimodal_decode_wav, MULTIMODAL_DECODE_WAV_SQL),
     "multimodal_audio_segments": (
         multimodal_audio_segments,

@@ -1,10 +1,14 @@
-"""From-scratch WebP-lossless (VP8L) codec (functions/webp.py, born r12):
-every encoder variant must round-trip bit-exactly through the decoder
-across gray/RGB/RGBA inputs and degenerate shapes, palette bundling must
-cover all three packed widths, and the documented limits (lossy VP8,
-meta prefix images, short-distance codes) must raise loudly. The
-Spark-side plumbing is covered by the `multimodal_decode_webp` catalog
-entry's full value oracle (tests/test_oracle.py)."""
+"""From-scratch WebP-lossless (VP8L) codec (functions/webp.py, born r12;
+meta prefix images + short-distance neighbor codes + the animated
+VP8X/ANIM/ANMF container added r13): every encoder variant must
+round-trip bit-exactly through the decoder across gray/RGB/RGBA inputs
+and degenerate shapes, palette bundling must cover all three packed
+widths, hand-built streams with hand-computed expected pixels pin the
+bit layout (round-trips alone cannot catch shared encoder/decoder
+bugs), and the remaining documented limit (lossy VP8) must raise
+loudly. The Spark-side plumbing is covered by the
+`multimodal_decode_webp` / `multimodal_webp_anim_frames` catalog
+entries' full value oracles (tests/test_oracle.py)."""
 
 from __future__ import annotations
 
@@ -377,3 +381,129 @@ def test_neighbor_variant_emits_vertical_copies():
     assert any(op[0] == "copy" and op[2] == w for op in ops)
     ww, hh, ch, out = decode_webp(encode_webp(pix, w, h, channels=1, variant="neighbor"))
     assert (ww, hh, ch, out) == (w, h, 1, pix)
+
+
+class TestAnimatedWebp:
+    """Extended-container support (VP8X / ANIM / ANMF, r13): animated
+    lossless WebP round-trips frame-exactly, VP8X stills decode through
+    the plain path, the container byte layout is pinned by hand, and the
+    lossy-frame guard stays loud."""
+
+    def test_anim_roundtrip_frames_durations_loop(self):
+        from kafka_cdc_hudi_spark.functions.webp import (
+            decode_webp_frames,
+            encode_webp_anim,
+        )
+
+        rng = random.Random(3)
+        w, h = 7, 5
+        frames = [bytes(rng.randrange(256) for _ in range(w * h)) for _ in range(4)]
+        blob = encode_webp_anim(
+            frames, w, h, durations=[40, 50, 60, 70], loop_count=3, variant="cache"
+        )
+        cw, ch, loop, out = decode_webp_frames(blob)
+        assert (cw, ch, loop, len(out)) == (w, h, 3, 4)
+        for i, (fx, fy, dur, fw, fh, nch, px) in enumerate(out):
+            assert (fx, fy, dur, fw, fh, nch) == (0, 0, 40 + 10 * i, w, h, 1)
+            assert px == frames[i]
+
+    def test_still_through_frames_api(self):
+        from kafka_cdc_hudi_spark.functions.webp import decode_webp_frames
+
+        pix = bytes(range(24))
+        cw, ch, loop, out = decode_webp_frames(encode_webp(pix, 6, 4))
+        assert (cw, ch, loop) == (6, 4, 0)
+        assert out == [(0, 0, 0, 6, 4, 1, pix)]
+
+    def test_decode_webp_rejects_animation(self):
+        from kafka_cdc_hudi_spark.functions.webp import encode_webp_anim
+
+        blob = encode_webp_anim([bytes(12)], 4, 3)
+        with pytest.raises(ValueError, match="decode_webp_frames"):
+            decode_webp(blob)
+
+    def test_vp8x_still_with_metadata_decodes(self):
+        """A VP8X still (metadata chunks, anim flag OFF) must decode its
+        top-level VP8L chunk through the plain path."""
+        pix = bytes((i * 7) & 255 for i in range(20))
+        still = encode_webp(pix, 5, 4)
+        off, inner = 12, None
+        while off + 8 <= len(still):
+            tag = still[off : off + 4]
+            (sz,) = struct.unpack("<I", still[off + 4 : off + 8])
+            if tag == b"VP8L":
+                inner = still[off + 8 : off + 8 + sz]
+                break
+            off += 8 + sz + (sz & 1)
+
+        def chunk(tag, payload):
+            out = tag + struct.pack("<I", len(payload)) + payload
+            return out + (b"\x00" if len(payload) & 1 else b"")
+
+        vp8x = bytes([0x00, 0, 0, 0]) + struct.pack("<I", 4)[:3] + struct.pack("<I", 3)[:3]
+        riff = b"WEBP" + chunk(b"VP8X", vp8x) + chunk(b"XMP ", b"<x/>") + chunk(b"VP8L", inner)
+        blob = b"RIFF" + struct.pack("<I", len(riff)) + riff
+        assert decode_webp(blob) == (5, 4, 1, pix)
+
+    def test_handbuilt_container_layout(self):
+        """Byte-level pin of the container spec fields: VP8X flag byte +
+        24-bit canvas dims, ANIM background+loop, ANMF 16-byte header
+        (24-bit x/2, y/2, w-1, h-1, duration + flag byte)."""
+        from kafka_cdc_hudi_spark.functions.webp import encode_webp_anim
+
+        blob = encode_webp_anim(
+            [bytes(6)], 3, 2, durations=[250], loop_count=7
+        )
+        # walk: RIFF(12) -> VP8X
+        assert blob[12:16] == b"VP8X"
+        vp8x = blob[20:30]
+        assert vp8x[0] == 0x02  # animation flag only
+        assert vp8x[4:7] == bytes([2, 0, 0])  # canvas w-1 = 2, LE24
+        assert vp8x[7:10] == bytes([1, 0, 0])  # canvas h-1 = 1
+        off = 20 + 10  # VP8X payload is even: no pad
+        assert blob[off : off + 4] == b"ANIM"
+        anim = blob[off + 8 : off + 14]
+        assert struct.unpack("<H", anim[4:6])[0] == 7  # loop count
+        off += 8 + 6
+        assert blob[off : off + 4] == b"ANMF"
+        anmf = blob[off + 8 :]
+        assert anmf[0:3] == bytes(3) and anmf[3:6] == bytes(3)  # x/2, y/2
+        assert anmf[6:9] == bytes([2, 0, 0])  # w-1
+        assert anmf[9:12] == bytes([1, 0, 0])  # h-1
+        assert anmf[12:15] == bytes([250, 0, 0])  # duration ms LE24
+        assert anmf[16:20] == b"VP8L"
+
+    def test_lossy_frame_guard(self):
+        from kafka_cdc_hudi_spark.functions.webp import decode_webp_frames
+
+        def chunk(tag, payload):
+            out = tag + struct.pack("<I", len(payload)) + payload
+            return out + (b"\x00" if len(payload) & 1 else b"")
+
+        vp8x = bytes([0x02, 0, 0, 0]) + bytes([3, 0, 0]) + bytes([2, 0, 0])
+        anmf = bytes(3) * 2 + bytes([3, 0, 0]) + bytes([2, 0, 0]) + bytes([40, 0, 0]) + b"\x00"
+        anmf += chunk(b"VP8 ", b"\x00" * 12)
+        riff = b"WEBP" + chunk(b"VP8X", vp8x) + chunk(b"ANIM", struct.pack("<IH", 0, 0)) + chunk(b"ANMF", anmf)
+        blob = b"RIFF" + struct.pack("<I", len(riff)) + riff
+        with pytest.raises(NotImplementedError, match="lossy"):
+            decode_webp_frames(blob)
+
+    def test_decode_anim_frames_operator(self, spark):
+        from kafka_cdc_hudi_spark.functions.webp import encode_webp_anim
+        from kafka_cdc_hudi_spark.operators.multimodal import decode_webp_anim_frames
+
+        w, h = 4, 3
+        frames = [bytes([i] * (w * h)) for i in (9, 77)]
+        blob = encode_webp_anim(frames, w, h, durations=[40, 50])
+        df = spark.createDataFrame(
+            [(1, bytearray(blob), "webp", len(blob))],
+            "media_id long, content binary, format string, byte_len long",
+        )
+        rows = sorted(decode_webp_anim_frames(df).collect(), key=lambda r: r["frame_idx"])
+        assert [r["duration_ms"] for r in rows] == [40, 50]
+        assert [r["n_frames"] for r in rows] == [2, 2]
+        import hashlib
+
+        assert [r["frame_hash"] for r in rows] == [
+            hashlib.md5(f).hexdigest() for f in frames
+        ]
