@@ -611,6 +611,125 @@ def decode_webp_anim_frames(df: DataFrame) -> DataFrame:
     return df.mapInPandas(frame_batches, WEBP_ANIM_FRAMES_SCHEMA)
 
 
+WARC_RECORDS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("record_idx", IntegerType(), True),
+        StructField("n_records", IntegerType(), True),
+        StructField("warc_type", StringType(), True),
+        StructField("target_uri", StringType(), True),
+        StructField("content_length", IntegerType(), True),
+        StructField("body_hash", StringType(), True),
+    ]
+)
+
+#: fixed HTTP wrapper for fixture 'response' records (length 45 — baked
+#: into the oracle's content_length formula)
+_WARC_HTTP_WRAPPER = b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
+#: bytes of document text per fixture record; 4 records * 32 = 128 <= the
+#: fixture filter so every body is exactly a text-byte slice
+_WARC_SLICE = 32
+
+
+def _warc_fixture_n_records(doc_id: int) -> int:
+    return 2 + doc_id % 3
+
+
+def documents_as_warc(docs: DataFrame) -> DataFrame:
+    """Synthesize REAL WARC/1.0 web-crawl containers from document text:
+    doc d carries 2 + d%3 records whose blocks are consecutive 32-byte
+    text slices — even records as HTTP 'response' messages (block =
+    fixed HTTP wrapper + slice), odd as raw 'resource' blocks; even
+    doc_ids use the Common Crawl one-gzip-member-per-record layout, odd
+    stay plain, so both reader paths run over every corpus. Emits the
+    standard media frame (format='warc')."""
+    from kafka_cdc_hudi_spark.functions.warc import encode_warc
+
+    src = docs.filter(
+        F.octet_length("text") >= PNG_FIXTURE_MIN_BYTES
+    ).select(F.col("doc_id").alias("media_id"), "text")
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for mid, text in zip(pdf["media_id"], pdf["text"]):
+                mid = int(mid)
+                raw = text.encode("utf-8")
+                recs = []
+                for r in range(_warc_fixture_n_records(mid)):
+                    payload = raw[r * _WARC_SLICE : (r + 1) * _WARC_SLICE]
+                    if r % 2 == 0:
+                        wtype, block = "response", _WARC_HTTP_WRAPPER + payload
+                        ctype = "application/http; msgtype=response"
+                    else:
+                        wtype, block = "resource", payload
+                        ctype = "text/plain"
+                    recs.append(
+                        (
+                            {
+                                "WARC-Type": wtype,
+                                "WARC-Record-ID": f"<urn:doc:{mid}:{r}>",
+                                "WARC-Date": "2024-01-01T00:00:00Z",
+                                "WARC-Target-URI": f"http://corpus.example/{mid}/{r}",
+                                "Content-Type": ctype,
+                            },
+                            block,
+                        )
+                    )
+                blobs.append(encode_warc(recs, gzip_members=(mid % 2 == 0)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "content": blobs,
+                    "format": ["warc"] * len(pdf),
+                    "byte_len": pd.Series([len(b) for b in blobs], dtype="int64"),
+                }
+            )
+
+    return src.mapInPandas(encode_batches, MEDIA_SCHEMA)
+
+
+def extract_warc_records(df: DataFrame) -> DataFrame:
+    """WARC ingestion stage: container walk (plain or multi-member gzip)
+    -> one row per record with its headers and the md5 of the HTTP body
+    (HTTP wrapper stripped; raw blocks hash whole). Arrow-batched
+    mapInPandas like every other media kernel — the text-modality
+    counterpart of the image/video decode stages."""
+    from kafka_cdc_hudi_spark.functions.warc import decode_warc, http_body
+
+    def record_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "record_idx", "n_records", "warc_type",
+                "target_uri", "content_length", "body_hash",
+            )}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                recs = decode_warc(bytes(content))
+                for i, (headers, block) in enumerate(recs):
+                    rows["media_id"].append(int(mid))
+                    rows["record_idx"].append(i)
+                    rows["n_records"].append(len(recs))
+                    rows["warc_type"].append(headers.get("WARC-Type"))
+                    rows["target_uri"].append(headers.get("WARC-Target-URI"))
+                    rows["content_length"].append(len(block))
+                    rows["body_hash"].append(
+                        hashlib.md5(http_body(block)).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(rows["media_id"], dtype="int64"),
+                    "record_idx": pd.Series(rows["record_idx"], dtype="int32"),
+                    "n_records": pd.Series(rows["n_records"], dtype="int32"),
+                    "warc_type": rows["warc_type"],
+                    "target_uri": rows["target_uri"],
+                    "content_length": pd.Series(rows["content_length"], dtype="int32"),
+                    "body_hash": rows["body_hash"],
+                }
+            )
+
+    return df.mapInPandas(record_batches, WARC_RECORDS_SCHEMA)
+
+
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Adapter: treat document text bytes as a stand-in media blob (the
     container has no real image fixtures)."""

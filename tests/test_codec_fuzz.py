@@ -28,6 +28,8 @@ from kafka_cdc_hudi_spark.functions.jpeg import (
 from kafka_cdc_hudi_spark.functions.png import decode_png, encode_png
 from kafka_cdc_hudi_spark.functions.tiff import decode_tiff_gray, encode_tiff_gray
 from kafka_cdc_hudi_spark.functions.wav import decode_wav, encode_wav, encode_wav_adpcm
+from kafka_cdc_hudi_spark.functions.warc import decode_warc, encode_warc
+from kafka_cdc_hudi_spark.functions.webp import decode_webp_frames, encode_webp_anim
 from kafka_cdc_hudi_spark.functions.webp import decode_webp, encode_webp
 
 #: the clean-failure contract: decoders may raise these and nothing else
@@ -50,6 +52,10 @@ def _valid_samples():
         "wav_adpcm": encode_wav_adpcm(list(range(-100, 100)), sample_rate=8000),
         "webp_lz77": encode_webp(bytes([7] * 64), 8, 8, channels=1, variant="lz77"),
         "webp_palette": encode_webp(bytes(i % 3 for i in range(64)), 8, 8, channels=1, variant="palette"),
+        "webp_meta": encode_webp(_PIXELS, 8, 8, channels=1, variant="meta"),
+        "webp_neighbor": encode_webp(bytes([7] * 64), 8, 8, channels=1, variant="neighbor"),
+        "webp_anim": encode_webp_anim([_PIXELS[:32]] * 2, 8, 4),
+        "warc": encode_warc([({"WARC-Type": "resource", "WARC-Record-ID": "<u:1>", "WARC-Date": "2024-01-01T00:00:00Z"}, bytes(_PIXELS))]),
     }
 
 
@@ -66,6 +72,10 @@ _DECODERS = {
     "wav_adpcm": decode_wav,
     "webp_lz77": decode_webp,
     "webp_palette": decode_webp,
+    "webp_meta": decode_webp,
+    "webp_neighbor": decode_webp,
+    "webp_anim": lambda b: decode_webp_frames(b),
+    "warc": decode_warc,
 }
 
 
