@@ -730,6 +730,46 @@ def extract_warc_records(df: DataFrame) -> DataFrame:
     return df.mapInPandas(record_batches, WARC_RECORDS_SCHEMA)
 
 
+WARC_TEXT_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("record_idx", IntegerType(), True),
+        StructField("warc_type", StringType(), True),
+        StructField("body", StringType(), True),
+    ]
+)
+
+
+def extract_warc_text(df: DataFrame) -> DataFrame:
+    """WARC -> text stage: container walk + HTTP-body extraction, body
+    DECODED to text (UTF-8, replacement on binary) — the raw-corpus feed
+    a crawl-to-training-set pipeline starts from. Everything downstream
+    (normalize, quality, dedup) stays relational."""
+    from kafka_cdc_hudi_spark.functions.warc import decode_warc, http_body
+
+    def text_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "record_idx", "warc_type", "body")}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                for i, (headers, block) in enumerate(decode_warc(bytes(content))):
+                    rows["media_id"].append(int(mid))
+                    rows["record_idx"].append(i)
+                    rows["warc_type"].append(headers.get("WARC-Type"))
+                    rows["body"].append(
+                        http_body(block).decode("utf-8", errors="replace")
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(rows["media_id"], dtype="int64"),
+                    "record_idx": pd.Series(rows["record_idx"], dtype="int32"),
+                    "warc_type": rows["warc_type"],
+                    "body": rows["body"],
+                }
+            )
+
+    return df.mapInPandas(text_batches, WARC_TEXT_SCHEMA)
+
+
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Adapter: treat document text bytes as a stand-in media blob (the
     container has no real image fixtures)."""

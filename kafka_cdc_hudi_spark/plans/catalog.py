@@ -105,6 +105,7 @@ PRUNED: dict[str, str] = {
     # ---- born r13 AFTER the r13 driver-set freeze (rotate r14 slot 1) ----
     "multimodal_webp_anim_frames": "born r13 (animated WebP: VP8X/ANIM/ANMF container walk over VP8L frames); rotate r14",
     "corpus_warc_extract": "born r13 (WARC/1.0 web-crawl container: gzip-member split + record grammar + HTTP body); rotate r14",
+    "pipeline_warc_corpus": "born r13 (flagship crawl-to-corpus: WARC text extraction -> normalize -> exact dedup, one Arrow stage + one shuffle); rotate r14",
     # ---- structural near-duplicates (standing; each covered by survivor) ----
     "cdc_latest_per_key": 'cdc_latest_per_composite_key (same dedup operator, composite keys; r2-r6 green)',
     "q6_forecast_revenue": 'q1_pricing_summary/q14 (filter+agg; pushdown pinned in test_plan_invariants)',

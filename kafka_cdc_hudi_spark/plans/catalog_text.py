@@ -3345,6 +3345,85 @@ FROM r
 """
 
 
+def pipeline_warc_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship crawl-to-corpus ingestion pipeline, composed end-to-end:
+    WARC containers -> record walk + HTTP-body text extraction (the ONE
+    Arrow stage) -> relational cleanup (whitespace normalize, lowercase)
+    -> quality gate (non-empty after normalization) -> EXACT dedup on the
+    normalized body (keep the first (media_id, record_idx) occurrence,
+    count copies) -> per-survivor stats. This is the shape a 100-TB
+    Common Crawl ingest takes: one decode pass, then pure codegen'd
+    column work and a single hash-aggregate shuffle on the dedup key.
+
+    FULL composed oracle: bodies are text-byte slices, so DuckDB rebuilds
+    the identical corpus relationally and applies the same normalize +
+    dedup algebra."""
+    from pyspark.sql import Window
+
+    from kafka_cdc_hudi_spark.operators.multimodal import (
+        documents_as_warc,
+        extract_warc_text,
+        media_repartition,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = media_repartition(documents_as_warc(docs), avg_row_bytes=1024)
+    recs = extract_warc_text(media)
+    norm = recs.select(
+        "media_id",
+        "record_idx",
+        F.lower(F.trim(F.regexp_replace("body", r"\s+", " "))).alias("norm"),
+    ).filter(F.length("norm") > 0)
+    w = Window.partitionBy("norm").orderBy("media_id", "record_idx")
+    return (
+        norm.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_copies", F.count(F.lit(1)).over(Window.partitionBy("norm")))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.md5(F.col("norm")).alias("norm_hash"),
+            F.col("n_copies").cast("long").alias("n_copies"),
+            F.col("media_id").alias("first_media_id"),
+            F.col("record_idx").alias("first_record_idx"),
+            F.length("norm").cast("long").alias("norm_len"),
+        )
+    )
+
+
+PIPELINE_WARC_CORPUS_SQL = """
+WITH m AS (
+  SELECT doc_id, 2 + doc_id % 3 AS nr, text
+  FROM documents
+  WHERE octet_length(encode(text)) >= 128
+),
+r AS (
+  SELECT doc_id AS media_id,
+         CAST(unnest(range(0, nr)) AS INT) AS record_idx,
+         text
+  FROM m
+),
+bodies AS (
+  SELECT media_id, record_idx,
+         lower(trim(regexp_replace(
+           substring(text, 1 + record_idx * 32, 32), '\s+', ' ', 'g'
+         ))) AS norm
+  FROM r
+),
+nonempty AS (SELECT * FROM bodies WHERE length(norm) > 0),
+ranked AS (
+  SELECT media_id, record_idx, norm,
+         row_number() OVER (PARTITION BY norm ORDER BY media_id, record_idx) AS rn,
+         count(*) OVER (PARTITION BY norm) AS n_copies
+  FROM nonempty
+)
+SELECT md5(norm) AS norm_hash,
+       CAST(n_copies AS BIGINT) AS n_copies,
+       media_id AS first_media_id,
+       record_idx AS first_record_idx,
+       CAST(length(norm) AS BIGINT) AS norm_len
+FROM ranked WHERE rn = 1
+"""
+
+
 #: real-resize entry target dims (small on purpose: the oracle enumerates
 #: the output grid in SQL)
 _RESIZE_W, _RESIZE_H = 8, 6
@@ -5894,6 +5973,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "multimodal_decode_webp": (multimodal_decode_webp, MULTIMODAL_DECODE_WEBP_SQL),
     "multimodal_webp_anim_frames": (multimodal_webp_anim_frames, MULTIMODAL_WEBP_ANIM_FRAMES_SQL),
     "corpus_warc_extract": (corpus_warc_extract, CORPUS_WARC_EXTRACT_SQL),
+    "pipeline_warc_corpus": (pipeline_warc_corpus, PIPELINE_WARC_CORPUS_SQL),
     "multimodal_decode_wav": (multimodal_decode_wav, MULTIMODAL_DECODE_WAV_SQL),
     "multimodal_audio_segments": (
         multimodal_audio_segments,

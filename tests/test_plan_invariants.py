@@ -45,6 +45,7 @@ _PY_EXEMPT = {
     "multimodal_decode_webp",
     "multimodal_webp_anim_frames",
     "corpus_warc_extract",
+    "pipeline_warc_corpus",
     # dense linear algebra: SRP signatures are 32 plane dot-products per
     # row — a matmul. Both relational forms measured pathological (the
     # higher-order fold is interpreted PER ELEMENT; the unrolled
