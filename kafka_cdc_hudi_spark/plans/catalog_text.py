@@ -3389,7 +3389,7 @@ def pipeline_warc_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-PIPELINE_WARC_CORPUS_SQL = """
+PIPELINE_WARC_CORPUS_SQL = r"""
 WITH m AS (
   SELECT doc_id, 2 + doc_id % 3 AS nr, text
   FROM documents
