@@ -1197,9 +1197,9 @@ class KeyedParquetTable:
     #: cow-bucketed 3.1%, MOR ~0. When the previous base holds at least
     #: ``_WRITE_AMP_MIN_BYTES`` and its row count exceeds the incoming
     #: batch's by ``_WRITE_AMP_WARN_RATIO`` or more, the COW merge emits a
-    #: RuntimeWarning (once per table object) steering at bucketed/MOR.
-    #: The check costs one count of the (persisted) micro-batch and only
-    #: runs past the byte floor — small tables never pay it.
+    #: RuntimeWarning steering at bucketed/MOR. The probe is SAMPLED:
+    #: one micro-batch count on the first commit past the byte floor,
+    #: per table object — small tables never pay it, large ones pay once.
     _WRITE_AMP_WARN_RATIO = 100
     _WRITE_AMP_MIN_BYTES = 64 * 1024 * 1024
 
@@ -1208,17 +1208,21 @@ class KeyedParquetTable:
         measured write-amplification cliff. Uses the PREVIOUS commit's
         footer-derived row count (free pointer metadata) against the raw
         batch row count — an upper bound on churn keys, so the estimated
-        amplification UNDERSTATES the true one and never false-positives."""
-        if getattr(self, "_write_amp_warned", False) or p is None:
+        amplification UNDERSTATES the true one and never false-positives.
+        The batch count is a SAMPLED probe: it runs on the FIRST commit
+        past the byte floor only (counting an uncached micro-batch
+        lineage re-runs its transform — a per-commit count would tax
+        every large COW table forever, warning or not)."""
+        if getattr(self, "_write_amp_checked", False) or p is None:
             return
         pm = ((p.get("commit_meta") or {}).get(str(p["version"]))) or {}
         state_rows, state_bytes = pm.get("rows"), pm.get("bytes", 0)
         if not state_rows or state_bytes < self._WRITE_AMP_MIN_BYTES:
             return
+        self._write_amp_checked = True
         batch_rows = batch.count()
         if batch_rows <= 0 or state_rows / batch_rows < self._WRITE_AMP_WARN_RATIO:
             return
-        self._write_amp_warned = True
         warnings.warn(
             f"COW table at {self.root}: this commit rewrites the full "
             f"{state_bytes / 1e6:.0f} MB / {state_rows}-row state for a "
