@@ -153,6 +153,7 @@ def test_streaming_driver_with_bucketed_sink(spark, tmp_path):
         sink_mode=MODE_COW_BUCKETED,
         checkpoint_location=str(tmp_path / "ckpt"),
         max_workers=1,
+        trigger_interval="1 seconds",
     )
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 

@@ -41,6 +41,7 @@ def test_streaming_run_syncs_catalog_cow(spark, tmp_path):
         checkpoint_location=str(tmp_path / "ckpt"),
         max_workers=1,
         catalog_sync=True,
+        trigger_interval="1 seconds",
     )
     driver = CdcStreamDriver(spark, cfg, payload_schemas={"t1": PAYLOAD})
     _write_lines(

@@ -54,6 +54,7 @@ def test_streaming_enrichment_with_dim_refresh(spark, tmp_path):
         sink_root=str(tmp_path / "sink"),
         checkpoint_location=str(tmp_path / "ckpt"),
         max_workers=1,
+        trigger_interval="1 seconds",
     )
     driver = CdcStreamDriver(
         spark,

@@ -108,6 +108,7 @@ def test_dynamic_schema_inference_stream(spark, tmp_path):
         sink_root=str(tmp_path / "sink"),
         checkpoint_location=str(tmp_path / "ckpt"),
         max_workers=1,
+        trigger_interval="1 seconds",
     )
     driver = CdcStreamDriver(spark, cfg)  # no payload_schemas
     _write_lines(
@@ -138,6 +139,7 @@ def test_metrics_listener_records_batches(spark, tmp_path):
         sink_root=str(tmp_path / "sink"),
         checkpoint_location=str(tmp_path / "ckpt"),
         max_workers=1,
+        trigger_interval="1 seconds",
     )
     driver = CdcStreamDriver(spark, cfg, payload_schemas={"t1": PAYLOAD})
     _write_lines(src / "b1.json", [dbz("c", after={"id": 1, "val": "a"}, ts_ms=10)])
@@ -175,6 +177,7 @@ def test_quarantine_captures_malformed_records(spark, tmp_path):
         checkpoint_location=str(tmp_path / "ckpt"),
         quarantine_dir=str(qdir),
         max_workers=1,
+        trigger_interval="1 seconds",
     )
     driver = CdcStreamDriver(spark, cfg, payload_schemas={"t1": PAYLOAD})
     _write_lines(
@@ -212,6 +215,7 @@ def test_dynamic_inference_ignores_foreign_table_columns(spark, tmp_path):
         sink_root=str(tmp_path / "sink"),
         checkpoint_location=str(tmp_path / "ckpt"),
         max_workers=1,
+        trigger_interval="1 seconds",
     )
     driver = CdcStreamDriver(spark, cfg)  # dynamic inference
     # the foreign row mentions "t1"/"d1" as payload VALUES, so the raw
@@ -266,6 +270,7 @@ def test_dms_dialect_end_to_end(spark, tmp_path):
         sink_root=str(tmp_path / "sink"),
         checkpoint_location=str(tmp_path / "ckpt"),
         max_workers=1,
+        trigger_interval="1 seconds",
     )
     driver = CdcStreamDriver(spark, cfg, payload_schemas={"t1": PAYLOAD})
     _write_lines(
@@ -303,6 +308,7 @@ def test_declared_schemas_qualified_per_db(spark, tmp_path):
         tables=[TableSpec("d1", "users", ("id",)), TableSpec("d2", "users", ("id",))],
         sink_root=str(tmp_path / "sink"),
         checkpoint_location=str(tmp_path / "ckpt"),
+        trigger_interval="1 seconds",
     )
     driver = CdcStreamDriver(spark, cfg, payload_schemas={"d1.users": s1, "d2.users": s2})
     assert driver._declared_schema(cfg.tables[0]) is s1
@@ -324,6 +330,7 @@ def test_schema_drift_mid_stream(spark, tmp_path):
         sink_root=str(tmp_path / "sink"),
         checkpoint_location=str(tmp_path / "ckpt"),
         max_workers=1,
+        trigger_interval="1 seconds",
     )
     driver = CdcStreamDriver(spark, cfg)  # no payload_schemas
     _write_lines(src / "b1.json", [dbz("c", after={"id": 1, "val": "a"}, ts_ms=10)])

@@ -240,6 +240,7 @@ def test_fanout_fail_stop(spark, tmp_path):
         sink_root=str(tmp_path / "sink"),
         checkpoint_location=str(tmp_path / "ckpt"),
         max_workers=2,
+        trigger_interval="1 seconds",
     )
 
     def boom(df, batch_id):
@@ -287,6 +288,7 @@ def test_scd2_tables_selector(spark, tmp_path):
         max_workers=1,
         scd2_history=True,
         scd2_tables=("t2",),
+        trigger_interval="1 seconds",
     )
     driver = CdcStreamDriver(
         spark, cfg2, payload_schemas={"t1": KV_PAYLOAD, "t2": KV_PAYLOAD}

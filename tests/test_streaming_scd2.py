@@ -138,6 +138,7 @@ class TestStreamingEngine:
             max_workers=1,
             scd2_history=True,
             scd2_tiebreakers=("val",),
+            trigger_interval="1 seconds",
         )
         driver = CdcStreamDriver(spark, cfg, payload_schemas={"t1": PAYLOAD})
         _write_lines(
@@ -291,6 +292,7 @@ class TestAdviceR9:
             max_workers=1,
             scd2_history=True,
             scd2_tiebreakers=("val",),
+            trigger_interval="1 seconds",
         )
         driver = CdcStreamDriver(spark, cfg, payload_schemas={"t1": PAYLOAD})
         seen_cached = {}
