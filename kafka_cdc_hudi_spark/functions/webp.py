@@ -106,23 +106,44 @@ def is_webp(content: bytes) -> bool:
 
 
 class _BitReader:
+    __slots__ = ("data", "pos", "nbits")
+
     def __init__(self, data: bytes):
         self.data = data
         self.pos = 0  # bit position
+        self.nbits = len(data) * 8
 
     def read(self, n: int) -> int:
-        v = 0
-        for i in range(n):
-            byte = self.data[self.pos >> 3]
-            v |= ((byte >> (self.pos & 7)) & 1) << i
-            self.pos += 1
-        return v
+        pos = self.pos
+        if pos + n > self.nbits:
+            raise ValueError("truncated VP8L stream")
+        self.pos = pos + n
+        i = pos >> 3
+        off = pos & 7
+        chunk = int.from_bytes(
+            self.data[i : i + ((n + off + 7) >> 3)], "little"
+        )
+        return (chunk >> off) & ((1 << n) - 1)
+
+    def peek(self, n: int) -> int:
+        """Next ``n`` stream bits LSB-first WITHOUT advancing; bits past
+        the end read as 0 (the LUT consumer re-checks bounds on
+        advance, so truncation still raises)."""
+        pos = self.pos
+        i = pos >> 3
+        off = pos & 7
+        chunk = int.from_bytes(
+            self.data[i : i + ((n + off + 7) >> 3)], "little"
+        )
+        return (chunk >> off) & ((1 << n) - 1)
 
     def read_code_bit(self) -> int:
-        byte = self.data[self.pos >> 3]
-        bit = (byte >> (self.pos & 7)) & 1
-        self.pos += 1
-        return bit
+        pos = self.pos
+        if pos >= self.nbits:
+            raise ValueError("truncated VP8L stream")
+        byte = self.data[pos >> 3]
+        self.pos = pos + 1
+        return (byte >> (pos & 7)) & 1
 
 
 class _BitWriter:
@@ -166,25 +187,81 @@ def _canonical_codes(lengths: dict[int, int]) -> dict[int, tuple[int, int]]:
 
 
 class _PrefixCode:
-    """Decoder side: walk stream bits through the canonical code."""
+    """Decoder side: canonical-code reader with two strategies.
+
+    The default is the bit-by-bit (length, accumulated-code) dict walk —
+    cheapest when an image is small, because it needs no table build.
+    ``ensure_lut()`` upgrades to a one-shot lookup table indexed by the
+    next ``max_len`` STREAM bits LSB-first (prefix-code bits are emitted
+    MSB-first into the LSB-first stream, so a symbol's index pattern is
+    its code bit-reversed, with every longer extension mapping to the
+    same symbol; the fill is a C-speed strided slice assignment). The
+    entropy-image decoder calls ensure_lut() only when the pixel count
+    amortizes the build — real web images do, 100-pixel fixtures don't.
+    Spec caps code lengths at 15, so a LUT is at most 32k entries."""
+
+    __slots__ = ("single", "codes", "table", "lut", "max_len")
 
     def __init__(self, lengths: dict[int, int]):
         used = {s: ln for s, ln in lengths.items() if ln > 0}
         if not used:
             raise ValueError("empty prefix code")
+        if max(used.values()) > 15:
+            raise ValueError("VP8L code length > 15")
         if len(used) == 1:
             self.single = next(iter(used))
+            self.codes = None
             self.table = None
+            self.lut = None
+            self.max_len = 0
             return
+        self._init_codes(_canonical_codes(used))
+
+    @classmethod
+    def from_codes(cls, codes: dict[int, tuple[int, int]]) -> "_PrefixCode":
+        """Construct from explicit {symbol: (code, length)} (the simple
+        two-symbol form maps code 0 to the FIRST symbol in read order,
+        which canonical ordering would not preserve)."""
+        pc = cls.__new__(cls)
+        pc.single = None
+        pc._init_codes(codes)
+        return pc
+
+    def _init_codes(self, codes: dict[int, tuple[int, int]]) -> None:
         self.single = None
-        self.table = {
-            (ln, code): sym for sym, (code, ln) in _canonical_codes(used).items()
-        }
-        self.max_len = max(ln for ln in used.values())
+        self.codes = codes
+        self.table = {(ln, code): sym for sym, (code, ln) in codes.items()}
+        self.lut = None
+        self.max_len = max(ln for _c, ln in codes.values())
+
+    def ensure_lut(self) -> None:
+        if self.lut is not None or self.single is not None:
+            return
+        L = self.max_len
+        size = 1 << L
+        lut: list = [None] * size
+        for sym, (code, ln) in self.codes.items():
+            # bit-reverse the MSB-first code into stream (LSB-first) order
+            v = 0
+            for i in range(ln):
+                v |= ((code >> i) & 1) << (ln - 1 - i)
+            step = 1 << ln
+            n_slots = (size - v + step - 1) >> ln
+            lut[v::step] = [(sym, ln)] * n_slots
+        self.lut = lut
 
     def read(self, br: _BitReader) -> int:
         if self.single is not None:
             return self.single
+        if self.lut is not None:
+            entry = self.lut[br.peek(self.max_len)]
+            if entry is None:
+                raise ValueError("invalid prefix code in VP8L stream")
+            sym, ln = entry
+            br.pos += ln
+            if br.pos > br.nbits:
+                raise ValueError("truncated VP8L stream")
+            return sym
         acc = 0
         for ln in range(1, self.max_len + 1):
             acc = (acc << 1) | br.read_code_bit()
@@ -220,11 +297,7 @@ def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _PrefixCode:
         second = br.read(8)
         # code 0 -> FIRST symbol as written (read order, NOT canonical
         # symbol order — they differ when first > second)
-        pc = _PrefixCode.__new__(_PrefixCode)
-        pc.single = None
-        pc.table = {(1, 0): first, (1, 1): second}
-        pc.max_len = 1
-        return pc
+        return _PrefixCode.from_codes({first: (0, 1), second: (1, 1)})
     # normal form: code-length code first
     num_clc = 4 + br.read(4)
     clc_lengths: dict[int, int] = {}
@@ -463,6 +536,10 @@ def _read_entropy_image(
     ]
 
     n = w * h
+    if n >= 1024:  # LUT build amortizes past ~1k pixels (see _PrefixCode)
+        for g in groups:
+            for code in g:
+                code.ensure_lut()
     px: list[tuple] = []
 
     def emit(p: tuple) -> None:
