@@ -507,3 +507,26 @@ class TestAnimatedWebp:
         assert [r["frame_hash"] for r in rows] == [
             hashlib.md5(f).hexdigest() for f in frames
         ]
+
+
+@settings(max_examples=10, deadline=10000, suppress_health_check=[HealthCheck.too_slow])
+@given(data=st.data())
+def test_lut_and_walk_decoders_agree(data):
+    """The adaptive LUT path (>=1k pixels) and the bit-walk path must
+    decode identical pixels for the same stream — pin the equivalence on
+    images straddling the threshold."""
+    import kafka_cdc_hudi_spark.functions.webp as W
+
+    w = data.draw(st.integers(30, 40))
+    h = data.draw(st.integers(30, 40))  # 900..1600 px straddles 1024
+    variant = data.draw(st.sampled_from(["flat", "cache", "lz77", "neighbor"]))
+    pix = bytes(data.draw(st.integers(0, 255)) for _ in range(w * h))
+    blob = encode_webp(pix, w, h, channels=1, variant=variant)
+    lut_out = decode_webp(blob)
+    orig = W._PrefixCode.ensure_lut
+    W._PrefixCode.ensure_lut = lambda self: None
+    try:
+        walk_out = decode_webp(blob)
+    finally:
+        W._PrefixCode.ensure_lut = orig
+    assert lut_out == walk_out == (w, h, 1, pix)
