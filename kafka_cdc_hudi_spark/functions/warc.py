@@ -77,7 +77,13 @@ def _parse_records(raw: bytes) -> list[tuple[dict[str, str], bytes]]:
             if not line:
                 break  # blank line ends the header block
             k, _, v = line.decode("utf-8", errors="replace").partition(":")
-            headers[k.strip()] = v.strip()
+            k, v = k.strip(), v.strip()
+            if k in headers:
+                # ISO 28500 permits repeated headers (WARC-Concurrent-To);
+                # combine RFC-7230-style so no value is silently dropped
+                headers[k] = f"{headers[k]}, {v}"
+            else:
+                headers[k] = v
         try:
             length = int(headers["Content-Length"])
         except (KeyError, ValueError):
@@ -104,9 +110,18 @@ def decode_warc(data: bytes) -> list[tuple[dict[str, str], bytes]]:
     return _parse_records(data)
 
 
+def is_http_record(headers: dict[str, str]) -> bool:
+    """True when the record block is an HTTP message (the ISO 28500
+    convention: Content-Type application/http). Gates body stripping —
+    a raw resource block may legitimately CONTAIN a CRLF CRLF sequence
+    and must be hashed/returned whole."""
+    return headers.get("Content-Type", "").lower().startswith("application/http")
+
+
 def http_body(block: bytes) -> bytes:
     """The body of an HTTP-message record block (everything past the
-    first blank line); a block without HTTP headers is returned whole."""
+    first blank line); a block without HTTP headers is returned whole.
+    Callers should gate on :func:`is_http_record` — see its docstring."""
     i = block.find(b"\r\n\r\n")
     return block[i + 4 :] if i >= 0 else block
 

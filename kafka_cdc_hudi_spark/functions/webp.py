@@ -218,21 +218,26 @@ class _PrefixCode:
         self._init_codes(_canonical_codes(used))
 
     @classmethod
-    def from_codes(cls, codes: dict[int, tuple[int, int]]) -> "_PrefixCode":
-        """Construct from explicit {symbol: (code, length)} (the simple
-        two-symbol form maps code 0 to the FIRST symbol in read order,
-        which canonical ordering would not preserve)."""
+    def from_code_list(cls, entries: list[tuple[int, int, int]]) -> "_PrefixCode":
+        """Construct from explicit (symbol, code, length) entries. The
+        simple two-symbol form maps code 0 to the FIRST symbol in read
+        order (not canonical order), and spec-legal degenerate streams
+        may map BOTH codes to the SAME symbol — so entries are keyed by
+        code, never by symbol."""
         pc = cls.__new__(cls)
         pc.single = None
-        pc._init_codes(codes)
+        pc._init_codes(entries)
         return pc
 
-    def _init_codes(self, codes: dict[int, tuple[int, int]]) -> None:
+    def _init_codes(self, codes) -> None:
+        """``codes``: {symbol: (code, len)} or [(symbol, code, len)]."""
+        if isinstance(codes, dict):
+            codes = [(s, c, ln) for s, (c, ln) in codes.items()]
         self.single = None
         self.codes = codes
-        self.table = {(ln, code): sym for sym, (code, ln) in codes.items()}
+        self.table = {(ln, code): sym for sym, code, ln in codes}
         self.lut = None
-        self.max_len = max(ln for _c, ln in codes.values())
+        self.max_len = max(ln for _s, _c, ln in codes)
 
     def ensure_lut(self) -> None:
         if self.lut is not None or self.single is not None:
@@ -240,7 +245,7 @@ class _PrefixCode:
         L = self.max_len
         size = 1 << L
         lut: list = [None] * size
-        for sym, (code, ln) in self.codes.items():
+        for sym, code, ln in self.codes:
             # bit-reverse the MSB-first code into stream (LSB-first) order
             v = 0
             for i in range(ln):
@@ -297,7 +302,7 @@ def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _PrefixCode:
         second = br.read(8)
         # code 0 -> FIRST symbol as written (read order, NOT canonical
         # symbol order — they differ when first > second)
-        return _PrefixCode.from_codes({first: (0, 1), second: (1, 1)})
+        return _PrefixCode.from_code_list([(first, 0, 1), (second, 1, 1)])
     # normal form: code-length code first
     num_clc = 4 + br.read(4)
     clc_lengths: dict[int, int] = {}

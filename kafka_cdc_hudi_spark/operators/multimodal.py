@@ -695,7 +695,11 @@ def extract_warc_records(df: DataFrame) -> DataFrame:
     (HTTP wrapper stripped; raw blocks hash whole). Arrow-batched
     mapInPandas like every other media kernel — the text-modality
     counterpart of the image/video decode stages."""
-    from kafka_cdc_hudi_spark.functions.warc import decode_warc, http_body
+    from kafka_cdc_hudi_spark.functions.warc import (
+        decode_warc,
+        http_body,
+        is_http_record,
+    )
 
     def record_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -712,9 +716,8 @@ def extract_warc_records(df: DataFrame) -> DataFrame:
                     rows["warc_type"].append(headers.get("WARC-Type"))
                     rows["target_uri"].append(headers.get("WARC-Target-URI"))
                     rows["content_length"].append(len(block))
-                    rows["body_hash"].append(
-                        hashlib.md5(http_body(block)).hexdigest()
-                    )
+                    body = http_body(block) if is_http_record(headers) else block
+                    rows["body_hash"].append(hashlib.md5(body).hexdigest())
             yield pd.DataFrame(
                 {
                     "media_id": pd.Series(rows["media_id"], dtype="int64"),
@@ -745,7 +748,11 @@ def extract_warc_text(df: DataFrame) -> DataFrame:
     DECODED to text (UTF-8, replacement on binary) — the raw-corpus feed
     a crawl-to-training-set pipeline starts from. Everything downstream
     (normalize, quality, dedup) stays relational."""
-    from kafka_cdc_hudi_spark.functions.warc import decode_warc, http_body
+    from kafka_cdc_hudi_spark.functions.warc import (
+        decode_warc,
+        http_body,
+        is_http_record,
+    )
 
     def text_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -755,9 +762,8 @@ def extract_warc_text(df: DataFrame) -> DataFrame:
                     rows["media_id"].append(int(mid))
                     rows["record_idx"].append(i)
                     rows["warc_type"].append(headers.get("WARC-Type"))
-                    rows["body"].append(
-                        http_body(block).decode("utf-8", errors="replace")
-                    )
+                    body = http_body(block) if is_http_record(headers) else block
+                    rows["body"].append(body.decode("utf-8", errors="replace"))
             yield pd.DataFrame(
                 {
                     "media_id": pd.Series(rows["media_id"], dtype="int64"),

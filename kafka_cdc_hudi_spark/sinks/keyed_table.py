@@ -1232,7 +1232,8 @@ class KeyedParquetTable:
             "mode='cow-bucketed' 3.1%, mode='mor' ~0 — switch modes for "
             "high-frequency small-churn streams.",
             RuntimeWarning,
-            stacklevel=3,
+            # warn->_check->_merge_batch_locked->merge_batch->caller
+            stacklevel=4,
         )
 
     def merge_batch(

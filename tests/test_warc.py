@@ -140,3 +140,42 @@ def test_extract_warc_records_operator(spark):
     assert rows[0]["body_hash"] == hashlib.md5(b"<html>hi</html>").hexdigest()
     assert rows[1]["body_hash"] == hashlib.md5(b"raw block \x00\xff bytes").hexdigest()
     assert [r["n_records"] for r in rows] == [2, 2]
+
+
+def test_repeated_headers_are_combined():
+    """ISO 28500 permits repeated headers (WARC-Concurrent-To); decode
+    must not silently drop values — they combine RFC-7230-style."""
+    raw = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: metadata\r\n"
+        b"WARC-Concurrent-To: <urn:uuid:a>\r\n"
+        b"WARC-Concurrent-To: <urn:uuid:b>\r\n"
+        b"Content-Length: 2\r\n"
+        b"\r\nhi\r\n\r\n"
+    )
+    headers, block = decode_warc(raw)[0]
+    assert headers["WARC-Concurrent-To"] == "<urn:uuid:a>, <urn:uuid:b>"
+    assert block == b"hi"
+
+
+def test_non_http_block_with_crlfcrlf_hashes_whole(spark):
+    """A raw resource block CONTAINING the CRLF CRLF sequence must be
+    hashed whole — http_body stripping is gated on the record's
+    Content-Type, not on byte content."""
+    from kafka_cdc_hudi_spark.functions.warc import is_http_record
+    from kafka_cdc_hudi_spark.operators.multimodal import extract_warc_records
+
+    tricky = b"head\r\n\r\ntail"
+    recs = [
+        ({"WARC-Type": "resource", "WARC-Record-ID": "<u:1>",
+          "WARC-Date": "2024-01-01T00:00:00Z", "Content-Type": "text/plain"},
+         tricky),
+    ]
+    assert not is_http_record(recs[0][0])
+    blob = encode_warc(recs)
+    df = spark.createDataFrame(
+        [(1, bytearray(blob), "warc", len(blob))],
+        "media_id long, content binary, format string, byte_len long",
+    )
+    row = extract_warc_records(df).collect()[0]
+    assert row["body_hash"] == hashlib.md5(tricky).hexdigest()

@@ -530,3 +530,23 @@ def test_lut_and_walk_decoders_agree(data):
     finally:
         W._PrefixCode.ensure_lut = orig
     assert lut_out == walk_out == (w, h, 1, pix)
+
+
+def test_simple_form_two_equal_symbols_decodes():
+    """Spec-legal degenerate streams may write the SAME symbol as both
+    entries of the two-symbol simple form; both 1-bit codes must decode
+    to it (a symbol-keyed table would collapse and reject the stream)."""
+    from kafka_cdc_hudi_spark.functions.webp import _BitReader, _BitWriter, _read_prefix_code
+
+    bw = _BitWriter()
+    bw.write(1, 1)  # simple form
+    bw.write(1, 1)  # two symbols
+    bw.write(1, 1)  # first is 8-bit
+    bw.write(42, 8)
+    bw.write(42, 8)  # second == first
+    bw.write(0, 1)
+    bw.write(1, 1)
+    br = _BitReader(bw.bytes())
+    pc = _read_prefix_code(br, 256)
+    assert pc.read(br) == 42 and pc.read(br) == 42
+    pc.ensure_lut()  # the LUT build must also key by code, not symbol
