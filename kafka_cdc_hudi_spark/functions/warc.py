@@ -64,14 +64,18 @@ def _parse_records(raw: bytes) -> list[tuple[dict[str, str], bytes]]:
             pos += 2
         if pos >= n:
             break
-        eol = raw.index(b"\r\n", pos)
+        eol = raw.find(b"\r\n", pos)
+        if eol < 0:
+            raise ValueError("truncated WARC header block (no CRLF after version line)")
         version = raw[pos:eol].decode("ascii", errors="replace")
         if not version.startswith("WARC/"):
             raise ValueError(f"bad WARC version line: {version!r}")
         pos = eol + 2
         headers: dict[str, str] = {}
         while True:
-            eol = raw.index(b"\r\n", pos)
+            eol = raw.find(b"\r\n", pos)
+            if eol < 0:
+                raise ValueError("truncated WARC header block (unterminated header line)")
             line = raw[pos:eol]
             pos = eol + 2
             if not line:
@@ -118,12 +122,104 @@ def is_http_record(headers: dict[str, str]) -> bool:
     return headers.get("Content-Type", "").lower().startswith("application/http")
 
 
-def http_body(block: bytes) -> bytes:
-    """The body of an HTTP-message record block (everything past the
-    first blank line); a block without HTTP headers is returned whole.
-    Callers should gate on :func:`is_http_record` — see its docstring."""
+def split_http(block: bytes) -> tuple[dict[str, str], bytes]:
+    """HTTP-message block -> (headers, raw body). Header keys are
+    lowercased; repeated headers combine RFC-7230-style. The start line
+    (request/status) is not a header and is skipped. A block without a
+    blank line has no header section: ``({}, block)``."""
     i = block.find(b"\r\n\r\n")
-    return block[i + 4 :] if i >= 0 else block
+    if i < 0:
+        return {}, block
+    headers: dict[str, str] = {}
+    for line in block[:i].split(_CRLF)[1:]:  # [0] is the start line
+        k, sep, v = line.decode("latin-1").partition(":")
+        if not sep:
+            continue  # tolerate stray non-header lines (obs-fold tails)
+        k, v = k.strip().lower(), v.strip()
+        headers[k] = f"{headers[k]}, {v}" if k in headers else v
+    return headers, block[i + 4 :]
+
+
+def dechunk(body: bytes) -> bytes:
+    """Decode a ``Transfer-Encoding: chunked`` message body (RFC 9112
+    §7.1): ``<hex size>[;ext] CRLF <data> CRLF`` repeated, a ``0``-size
+    last chunk, then optional trailer fields. Chunk extensions and
+    trailers are discarded. WARC records are commonly TRUNCATED at a
+    byte budget (WARC-Truncated), so a chunk whose declared size runs
+    past the available bytes yields the partial data instead of
+    raising; malformed chunk-size framing raises ValueError."""
+    out = bytearray()
+    pos = 0
+    n = len(body)
+    while pos < n:
+        eol = body.find(_CRLF, pos)
+        if eol < 0:
+            raise ValueError("malformed chunked body: unterminated chunk-size line")
+        size_tok = body[pos:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            raise ValueError(
+                f"malformed chunked body: bad chunk size {size_tok[:16]!r}"
+            ) from None
+        pos = eol + 2
+        if size == 0:
+            break  # last-chunk; trailers (if any) are discarded
+        out += body[pos : pos + size]
+        pos += size + 2  # chunk data + its CRLF
+    return bytes(out)
+
+
+def decode_http_body(headers: dict[str, str], raw_body: bytes) -> bytes:
+    """Apply the message framing/encoding the parsed headers declare:
+    de-chunk when Transfer-Encoding's final token is ``chunked``, then
+    undo ``Content-Encoding: gzip|x-gzip|deflate``. Decompression is
+    best-effort on truncated records (returns the bytes recovered before
+    the truncation point); unknown content-encodings pass through raw —
+    the caller still sees the exact on-wire payload."""
+    te = headers.get("transfer-encoding", "")
+    if te and te.split(",")[-1].strip().lower() == "chunked":
+        raw_body = dechunk(raw_body)
+    ce = headers.get("content-encoding", "").split(",")[-1].strip().lower()
+    if ce in ("gzip", "x-gzip", "deflate"):
+        # wbits=47: auto-detect zlib or gzip wrapper; raw deflate (the
+        # historical IE-ism) retried with -15
+        for wbits in (47, -15):
+            d = zlib.decompressobj(wbits=wbits)
+            try:
+                plain = d.decompress(raw_body) + d.flush()
+            except zlib.error:
+                continue
+            return plain
+    return raw_body
+
+
+def http_body(block: bytes) -> bytes:
+    """The DECODED body of an HTTP-message record block: header strip +
+    chunked transfer decoding + content-encoding decompression (see
+    :func:`decode_http_body`); a block without HTTP headers is returned
+    whole. Callers should gate on :func:`is_http_record`."""
+    headers, raw = split_http(block)
+    return decode_http_body(headers, raw)
+
+
+def http_charset(headers: dict[str, str], default: str = "utf-8") -> str:
+    """Charset declared by the HTTP Content-Type header (lowercase-keyed
+    dict from :func:`split_http`), validated against Python's codec
+    registry; unknown/absent -> ``default``."""
+    import codecs
+
+    ctype = headers.get("content-type", "")
+    for part in ctype.split(";")[1:]:
+        k, _, v = part.partition("=")
+        if k.strip().lower() == "charset":
+            cs = v.strip().strip('"').strip("'")
+            try:
+                codecs.lookup(cs)
+            except LookupError:
+                return default
+            return cs
+    return default
 
 
 def encode_warc(

@@ -749,9 +749,11 @@ def extract_warc_text(df: DataFrame) -> DataFrame:
     a crawl-to-training-set pipeline starts from. Everything downstream
     (normalize, quality, dedup) stays relational."""
     from kafka_cdc_hudi_spark.functions.warc import (
+        decode_http_body,
         decode_warc,
-        http_body,
+        http_charset,
         is_http_record,
+        split_http,
     )
 
     def text_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -762,8 +764,13 @@ def extract_warc_text(df: DataFrame) -> DataFrame:
                     rows["media_id"].append(int(mid))
                     rows["record_idx"].append(i)
                     rows["warc_type"].append(headers.get("WARC-Type"))
-                    body = http_body(block) if is_http_record(headers) else block
-                    rows["body"].append(body.decode("utf-8", errors="replace"))
+                    if is_http_record(headers):
+                        hh, raw = split_http(block)
+                        body = decode_http_body(hh, raw)
+                        charset = http_charset(hh)
+                    else:
+                        body, charset = block, "utf-8"
+                    rows["body"].append(body.decode(charset, errors="replace"))
             yield pd.DataFrame(
                 {
                     "media_id": pd.Series(rows["media_id"], dtype="int64"),

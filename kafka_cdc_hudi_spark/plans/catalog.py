@@ -64,36 +64,39 @@ for _n in DEMOTED:
 #: driver status, and the full-registry sf0.01 sweep artifact
 #: (SWEEP_r{N}.json, scripts/sweep.py) is committed each round.
 #:
-#: ROUND-13 ROTATION (this file's current state; executes the schedule
-#: pre-committed in r12 verbatim, VERDICT r12 item 1). IN (50 slots, in
+#: ROUND-14 ROTATION (this file's current state; executes the schedule
+#: pre-committed in r13 verbatim, VERDICT r13 item 1). IN (50 slots, in
 #: order):
-#:   1. multimodal_decode_webp — born r12 past that round's driver-set
-#:      freeze (from-scratch VP8L codec, sweep-green with a pixel-md5
-#:      oracle); the only entry never driver-tested.
-#:   2. the 15 slipped r9 entries (q3_shipping_priority ..
-#:      events_sliding_windows) — due back r13, "must not slip twice".
-#:   3. 34 slots of the r10 green block in PRUNED listing order
-#:      (ann_topk_maintained .. ann_topk_pq_adc). The last 16 r10 entries
-#:      (graph_pagerank_neardup .. cdc_incremental_agg_maintenance) slip
-#:      to r14 and must not slip twice.
-#: OUT: the 50 green r12 driver entries (due back r14+ oldest-row-first)
-#: and the 50 green r11 entries (due back r14+ as slots allow).
+#:   1. the 3 entries born r13 past that round's driver-set freeze
+#:      (multimodal_webp_anim_frames, corpus_warc_extract,
+#:      pipeline_warc_corpus) — the only entries never driver-tested,
+#:      all sweep-green r13 with full DuckDB oracles.
+#:   2. the 16 slipped r10 entries (graph_pagerank_neardup ..
+#:      cdc_incremental_agg_maintenance) — due back r14, "must not slip
+#:      twice".
+#:   3. 31 slots of the r11 green block in CORRECTNESS_r11 row order
+#:      (text_bm25_topk .. multimodal_audio_segments). The last 19 r11
+#:      entries (multimodal_video_cuts .. events_hourly_agg) slip to r15
+#:      and must not slip twice.
+#: OUT: the 50 green r13 driver entries (due back r15+ oldest-row-first)
+#: and the 50 green r12 entries (due back r15 as slots allow).
 #:
-#: ROUND-14 ROTATION (committed in advance, the standing pattern):
+#: ROUND-15 ROTATION (committed in advance, the standing pattern):
 #: IN (50 slots, in order):
-#:   1. any entries born in r13 past this driver-set freeze.
-#:   2. the 16 slipped r10 entries (graph_pagerank_neardup,
-#:      multimodal_decode_bmp, multimodal_decode_gif,
-#:      multimodal_decode_tiff, multimodal_decode_wav,
-#:      multimodal_resize_png_real, pipeline_pretraining_corpus,
-#:      pipeline_multimodal_manifest, dataset_pack_materialize,
-#:      dataset_quota_per_group, dataset_weighted_sample,
-#:      dataset_mixture_weights, dedup_lines_reconstruct,
-#:      dedup_corpus_final, cdc_merge_bucketed,
-#:      cdc_incremental_agg_maintenance) — must not slip twice.
-#:   3. the r11 green block oldest-row-first as slots allow (~34 slots;
-#:      the rest slip to r15 and must not slip twice).
-#:   4. r12/r13 greens rest and return r15 oldest-row-first.
+#:   1. any entries born in r14 past this driver-set freeze.
+#:   2. the 19 slipped r11 entries (multimodal_video_cuts,
+#:      events_histogram_quantile_rollup, text_bpe_pair_counts,
+#:      text_bpe_train_merges, pipeline_audio_manifest,
+#:      text_bloom_decontaminate, dedup_fuzzy_editdist,
+#:      dedup_fuzzy_canonicalize, text_bpe_encode,
+#:      cdc_incremental_enriched_agg_maintenance, dataset_negative_sample,
+#:      text_duplicated_span_fraction, text_fingerprint, text_language_id,
+#:      embedding_quantize_int8, events_pivot_user_counts,
+#:      active_user_set_ops, text_quality_score, events_hourly_agg) —
+#:      must not slip twice.
+#:   3. the r12 green block in CORRECTNESS_r12 row order as slots allow
+#:      (~31 slots; the rest slip to r16 and must not slip twice).
+#:   4. r13/r14 greens rest and return r16 oldest-row-first.
 #: Structural near-duplicates stay DEMOTED (see ``DEMOTED``) with
 #: covered-by reasons and a smoke test.
 
@@ -102,196 +105,195 @@ for _n in DEMOTED:
 #: driver-green entry resting between rotations; the operator itself stays
 #: covered by the named survivor + local oracle tests + the committed sweep
 PRUNED: dict[str, str] = {
-    # ---- born r13 AFTER the r13 driver-set freeze (rotate r14 slot 1) ----
-    "multimodal_webp_anim_frames": "born r13 (animated WebP: VP8X/ANIM/ANMF container walk over VP8L frames); rotate r14",
-    "corpus_warc_extract": "born r13 (WARC/1.0 web-crawl container: gzip-member split + record grammar + HTTP body); rotate r14",
-    "pipeline_warc_corpus": "born r13 (flagship crawl-to-corpus: WARC text extraction -> normalize -> exact dedup, one Arrow stage + one shuffle); rotate r14",
     # ---- structural near-duplicates (standing; each covered by survivor) ----
     "cdc_latest_per_key": 'cdc_latest_per_composite_key (same dedup operator, composite keys; r2-r6 green)',
     "q6_forecast_revenue": 'q1_pricing_summary/q14 (filter+agg; pushdown pinned in test_plan_invariants)',
     "big_orders_semi_join": 'q4_order_priority (left-semi against aggregated/filtered build side)',
     "events_tumbling_windows": 'events_sliding_windows (same windowed-agg family) + test_streaming_windows builder tests',
-    # ---- r10 greens slipped one round to r14 (slots consumed by the
-    #      born-r12 + due-back-r9 blocks; must not slip twice) ----
-    "graph_pagerank_neardup": "green r10; slipped r13, due back r14",
-    "multimodal_decode_bmp": "green r10; slipped r13, due back r14",
-    "multimodal_decode_gif": "green r10; slipped r13, due back r14",
-    "multimodal_decode_tiff": "green r10; slipped r13, due back r14",
-    "multimodal_decode_wav": "green r10; slipped r13, due back r14",
-    "multimodal_resize_png_real": "green r10; slipped r13, due back r14",
-    "pipeline_pretraining_corpus": "green r10; slipped r13, due back r14",
-    "pipeline_multimodal_manifest": "green r10; slipped r13, due back r14",
-    "dataset_pack_materialize": "green r10; slipped r13, due back r14",
-    "dataset_quota_per_group": "green r10; slipped r13, due back r14",
-    "dataset_weighted_sample": "green r10; slipped r13, due back r14",
-    "dataset_mixture_weights": "green r10; slipped r13, due back r14",
-    "dedup_lines_reconstruct": "green r10; slipped r13, due back r14",
-    "dedup_corpus_final": "green r10; slipped r13, due back r14",
-    "cdc_merge_bucketed": "green r10; slipped r13, due back r14",
-    "cdc_incremental_agg_maintenance": "green r10; slipped r13, due back r14",
-    # ---- r11 driver set, resting after green CORRECTNESS_r11 rows
-    #      (due back r14 oldest-row-first as slots allow) ----
-    "text_bm25_topk": "green r11; due back r14",
-    "text_bm25_maintained": "green r11; due back r14",
-    "hybrid_retrieval_rrf": "green r11; due back r14",
-    "hybrid_retrieval_maintained": "green r11; due back r14",
-    "cdc_incremental_minmax_maintenance": "green r11; due back r14",
-    "user_activity_reconciliation": "green r11; due back r14",
-    "events_anomaly_zscore": "green r11; due back r14",
-    "events_daily_ohlc": "green r11; due back r14",
-    "events_data_profile": "green r11; due back r14",
-    "events_kmv_distinct_rollup": "green r11; due back r14",
-    "events_markov_transitions": "green r11; due back r14",
-    "events_props_json_stats": "green r11; due back r14",
-    "parts_cooccurrence": "green r11; due back r14",
-    "text_bpe_pretokenize": "green r11; due back r14",
-    "text_lm_score": "green r11; due back r14",
-    "text_trigram_novelty": "green r11; due back r14",
-    "text_hash_embedding": "green r11; due back r14",
-    "dataset_interleave_order": "green r11; due back r14",
-    "dataset_length_buckets": "green r11; due back r14",
-    "embedding_mrl_energy": "green r11; due back r14",
-    "events_value_percentiles": "green r11; due back r14",
-    "events_user_gaps": "green r11; due back r14",
-    "events_active_users_rolling": "green r11; due back r14",
-    "text_rare_token_fraction": "green r11; due back r14",
-    "text_chunk_overlap": "green r11; due back r14",
-    "text_html_strip": "green r11; due back r14",
-    "orders_price_percentile_rank": "green r11; due back r14",
-    "events_type_cooccurrence": "green r11; due back r14",
-    "customers_rfm_segments": "green r11; due back r14",
-    "multimodal_decode_jpeg_color": "green r11; due back r14",
-    "multimodal_audio_segments": "green r11; due back r14",
-    "multimodal_video_cuts": "green r11; due back r14",
-    "events_histogram_quantile_rollup": "green r11; due back r14",
-    "text_bpe_pair_counts": "green r11; due back r14",
-    "text_bpe_train_merges": "green r11; due back r14",
-    "pipeline_audio_manifest": "green r11; due back r14",
-    "text_bloom_decontaminate": "green r11; due back r14",
-    "dedup_fuzzy_editdist": "green r11; due back r14",
-    "dedup_fuzzy_canonicalize": "green r11; due back r14",
-    "text_bpe_encode": "green r11; due back r14",
-    "cdc_incremental_enriched_agg_maintenance": "green r11; due back r14",
-    "dataset_negative_sample": "green r11; due back r14",
-    "text_duplicated_span_fraction": "green r11; due back r14",
-    "text_fingerprint": "green r11; due back r14",
-    "text_language_id": "green r11; due back r14",
-    "embedding_quantize_int8": "green r11; due back r14",
-    "events_pivot_user_counts": "green r11; due back r14",
-    "active_user_set_ops": "green r11; due back r14",
-    "text_quality_score": "green r11; due back r14",
-    "events_hourly_agg": "green r11; due back r14",
+    # ---- r11 greens slipped one round to r15 (slots consumed by the
+    #      born-r13 + must-not-slip-twice r10 blocks; must not slip twice) ----
+    "multimodal_video_cuts": "green r11; slipped r14, due back r15",
+    "events_histogram_quantile_rollup": "green r11; slipped r14, due back r15",
+    "text_bpe_pair_counts": "green r11; slipped r14, due back r15",
+    "text_bpe_train_merges": "green r11; slipped r14, due back r15",
+    "pipeline_audio_manifest": "green r11; slipped r14, due back r15",
+    "text_bloom_decontaminate": "green r11; slipped r14, due back r15",
+    "dedup_fuzzy_editdist": "green r11; slipped r14, due back r15",
+    "dedup_fuzzy_canonicalize": "green r11; slipped r14, due back r15",
+    "text_bpe_encode": "green r11; slipped r14, due back r15",
+    "cdc_incremental_enriched_agg_maintenance": "green r11; slipped r14, due back r15",
+    "dataset_negative_sample": "green r11; slipped r14, due back r15",
+    "text_duplicated_span_fraction": "green r11; slipped r14, due back r15",
+    "text_fingerprint": "green r11; slipped r14, due back r15",
+    "text_language_id": "green r11; slipped r14, due back r15",
+    "embedding_quantize_int8": "green r11; slipped r14, due back r15",
+    "events_pivot_user_counts": "green r11; slipped r14, due back r15",
+    "active_user_set_ops": "green r11; slipped r14, due back r15",
+    "text_quality_score": "green r11; slipped r14, due back r15",
+    "events_hourly_agg": "green r11; slipped r14, due back r15",
     # ---- r12 driver set, resting after green CORRECTNESS_r12 rows
-    #      (due back r14+ as slots allow; all locally oracled + swept) ----
-    "dedup_simhash_band_scaled": "green r12; due back r14+",
-    "text_token_topk": "green r12; due back r14+",
-    "ann_topk_ivf": "green r12; due back r14+",
-    "dedup_ngram_jaccard": "green r12; due back r14+",
-    "dataset_sample_stratified": "green r12; due back r14+",
-    "text_tfidf_topk": "green r12; due back r14+",
-    "events_user_rate_window": "green r12; due back r14+",
-    "multimodal_decode_png": "green r12; due back r14+",
-    "ann_topk_ivf_trained": "green r12; due back r14+",
-    "multimodal_decode_jpeg": "green r12; due back r14+",
-    "multimodal_video_frames": "green r12; due back r14+",
-    "cdc_merge_partial_updates": "green r12; due back r14+",
-    "events_cms_heavy_hitters": "green r12; due back r14+",
-    "ann_topk_ivfpq": "green r12; due back r14+",
-    "dedup_clusters_star": "green r12; due back r14+",
-    "events_sketches": "green r12; due back r14+",
-    "multimodal_video_keyframes": "green r12; due back r14+",
-    "cdc_merge_dms_e2e": "green r12; due back r14+",
-    "dedup_incremental_candidates": "green r12; due back r14+",
-    "graph_triangles_neardup": "green r12; due back r14+",
-    "ann_recall_at_k": "green r12; due back r14+",
-    "dedup_spans_remove": "green r12; due back r14+",
-    "events_partitioned_day_slice": "green r12; due back r14+",
-    "ann_recall_trained_vs_static": "green r12; due back r14+",
-    "events_ab_test": "green r12; due back r14+",
-    "dedup_semantic_clusters": "green r12; due back r14+",
-    "text_nb_classifier": "green r12; due back r14+",
-    "dataset_dsir_weights": "green r12; due back r14+",
-    "pipeline_rag_index": "green r12; due back r14+",
-    "pipeline_quality_funnel": "green r12; due back r14+",
-    "dedup_cdc_pair_ivm": "green r12; due back r14+",
-    "ann_topk_ivfpq_rerank": "green r12; due back r14+",
-    "dedup_cross_source_stats": "green r12; due back r14+",
-    "dataset_epoch_order": "green r12; due back r14+",
-    "text_containment_pairs": "green r12; due back r14+",
-    "embedding_pca_whiten": "green r12; due back r14+",
-    "pipeline_cdc_corpus_refresh": "green r12; due back r14+",
-    "events_ewma_forecast": "green r12; due back r14+",
-    "cdc_scd2_history": "green r12; due back r14+",
-    "q12_priority_by_linestatus": "green r12; due back r14+",
-    "events_hll_mergeable_rollup": "green r12; due back r14+",
-    "cdc_parse_debezium": "green r12; due back r14+",
-    "cdc_parse_dms": "green r12; due back r14+",
-    "cdc_latest_per_composite_key": "green r12; due back r14+",
-    "cdc_merge_two_batches": "green r12; due back r14+",
-    "cdc_merge_mor": "green r12; due back r14+",
-    "cdc_time_travel": "green r12; due back r14+",
-    "cdc_incremental_diff": "green r12; due back r14+",
-    "cdc_route_multitable": "green r12; due back r14+",
-    "q1_pricing_summary": "green r12; due back r14+",
+    #      (due back r15 oldest-row-first as slots allow) ----
+    "dedup_simhash_band_scaled": "green r12; due back r15",
+    "text_token_topk": "green r12; due back r15",
+    "ann_topk_ivf": "green r12; due back r15",
+    "dedup_ngram_jaccard": "green r12; due back r15",
+    "dataset_sample_stratified": "green r12; due back r15",
+    "text_tfidf_topk": "green r12; due back r15",
+    "events_user_rate_window": "green r12; due back r15",
+    "multimodal_decode_png": "green r12; due back r15",
+    "ann_topk_ivf_trained": "green r12; due back r15",
+    "multimodal_decode_jpeg": "green r12; due back r15",
+    "multimodal_video_frames": "green r12; due back r15",
+    "cdc_merge_partial_updates": "green r12; due back r15",
+    "events_cms_heavy_hitters": "green r12; due back r15",
+    "ann_topk_ivfpq": "green r12; due back r15",
+    "dedup_clusters_star": "green r12; due back r15",
+    "events_sketches": "green r12; due back r15",
+    "multimodal_video_keyframes": "green r12; due back r15",
+    "cdc_merge_dms_e2e": "green r12; due back r15",
+    "dedup_incremental_candidates": "green r12; due back r15",
+    "graph_triangles_neardup": "green r12; due back r15",
+    "ann_recall_at_k": "green r12; due back r15",
+    "dedup_spans_remove": "green r12; due back r15",
+    "events_partitioned_day_slice": "green r12; due back r15",
+    "ann_recall_trained_vs_static": "green r12; due back r15",
+    "events_ab_test": "green r12; due back r15",
+    "dedup_semantic_clusters": "green r12; due back r15",
+    "text_nb_classifier": "green r12; due back r15",
+    "dataset_dsir_weights": "green r12; due back r15",
+    "pipeline_rag_index": "green r12; due back r15",
+    "pipeline_quality_funnel": "green r12; due back r15",
+    "dedup_cdc_pair_ivm": "green r12; due back r15",
+    "ann_topk_ivfpq_rerank": "green r12; due back r15",
+    "dedup_cross_source_stats": "green r12; due back r15",
+    "dataset_epoch_order": "green r12; due back r15",
+    "text_containment_pairs": "green r12; due back r15",
+    "embedding_pca_whiten": "green r12; due back r15",
+    "pipeline_cdc_corpus_refresh": "green r12; due back r15",
+    "events_ewma_forecast": "green r12; due back r15",
+    "cdc_scd2_history": "green r12; due back r15",
+    "q12_priority_by_linestatus": "green r12; due back r15",
+    "events_hll_mergeable_rollup": "green r12; due back r15",
+    "cdc_parse_debezium": "green r12; due back r15",
+    "cdc_parse_dms": "green r12; due back r15",
+    "cdc_latest_per_composite_key": "green r12; due back r15",
+    "cdc_merge_two_batches": "green r12; due back r15",
+    "cdc_merge_mor": "green r12; due back r15",
+    "cdc_time_travel": "green r12; due back r15",
+    "cdc_incremental_diff": "green r12; due back r15",
+    "cdc_route_multitable": "green r12; due back r15",
+    "q1_pricing_summary": "green r12; due back r15",
+    # ---- r13 driver set, resting after green CORRECTNESS_r13 rows (50/50)
+    #      (due back r15+ as slots allow; all locally oracled + swept) ----
+    "multimodal_decode_webp": "green r13; due back r15+",
+    "q3_shipping_priority": "green r13; due back r15+",
+    "q4_order_priority": "green r13; due back r15+",
+    "q5_local_supplier": "green r13; due back r15+",
+    "topk_orders_per_customer": "green r13; due back r15+",
+    "asof_join_last_click": "green r13; due back r15+",
+    "customers_without_orders": "green r13; due back r15+",
+    "events_cube": "green r13; due back r15+",
+    "range_join_post_purchase": "green r13; due back r15+",
+    "events_retention_cohorts": "green r13; due back r15+",
+    "events_funnel_conversions": "green r13; due back r15+",
+    "dedup_exact": "green r13; due back r15+",
+    "dedup_minhash_lsh": "green r13; due back r15+",
+    "dedup_simhash": "green r13; due back r15+",
+    "ann_topk_bruteforce": "green r13; due back r15+",
+    "events_sliding_windows": "green r13; due back r15+",
+    "ann_topk_maintained": "green r13; due back r15+",
+    "text_repetition_stats": "green r13; due back r15+",
+    "text_pii_scrub": "green r13; due back r15+",
+    "text_decontaminate": "green r13; due back r15+",
+    "cdc_schema_drift_parse": "green r13; due back r15+",
+    "dataset_pack_sequences": "green r13; due back r15+",
+    "ann_topk_srp": "green r13; due back r15+",
+    "dedup_embedding_cosine": "green r13; due back r15+",
+    "multimodal_meta": "green r13; due back r15+",
+    "multimodal_frame_sample": "green r13; due back r15+",
+    "multimodal_resize": "green r13; due back r15+",
+    "events_session_windows": "green r13; due back r15+",
+    "user_running_stats_batch": "green r13; due back r15+",
+    "q10_returned_items": "green r13; due back r15+",
+    "q14_promo_revenue": "green r13; due back r15+",
+    "text_normalize": "green r13; due back r15+",
+    "dataset_split_assign": "green r13; due back r15+",
+    "dedup_clusters": "green r13; due back r15+",
+    "q2_min_cost_supplier": "green r13; due back r15+",
+    "q7_volume_shipping": "green r13; due back r15+",
+    "q8_market_share": "green r13; due back r15+",
+    "q9_product_profit": "green r13; due back r15+",
+    "q11_important_parts": "green r13; due back r15+",
+    "q13_customer_distribution": "green r13; due back r15+",
+    "q15_top_supplier": "green r13; due back r15+",
+    "q16_part_supplier_variety": "green r13; due back r15+",
+    "q17_small_quantity_revenue": "green r13; due back r15+",
+    "q18_large_volume_customers": "green r13; due back r15+",
+    "q19_disjunctive_revenue": "green r13; due back r15+",
+    "q20_excess_quantity_suppliers": "green r13; due back r15+",
+    "q21_last_shipper_blame": "green r13; due back r15+",
+    "q22_sales_opportunity": "green r13; due back r15+",
+    "embedding_pq_encode": "green r13; due back r15+",
+    "ann_topk_pq_adc": "green r13; due back r15+",
 }
 
-#: driver evaluation order, round 13: the born-r12 entry first (the
-#: never-driver-tested set), then the 15 due-back-r9 slips (oldest rows),
-#: then 34 slots of the r10 green block in PRUNED listing order
+#: driver evaluation order, round 14: the 3 born-r13 entries first (the
+#: never-driver-tested set), then the 16 due-back-r10 slips (oldest rows),
+#: then 31 slots of the r11 green block in CORRECTNESS_r11 row order
 _DRIVER_ORDER = [
-    # -- born r12 (rotate-in slot 1: the VP8L lossless codec) --
-    "multimodal_decode_webp",
-    # -- the 15 slipped r9 entries (must not slip twice) --
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier",
-    "topk_orders_per_customer",
-    "asof_join_last_click",
-    "customers_without_orders",
-    "events_cube",
-    "range_join_post_purchase",
-    "events_retention_cohorts",
-    "events_funnel_conversions",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "ann_topk_bruteforce",
-    "events_sliding_windows",
-    # -- the r10 green block, 34 slots in PRUNED listing order --
-    "ann_topk_maintained",
-    "text_repetition_stats",
-    "text_pii_scrub",
-    "text_decontaminate",
-    "cdc_schema_drift_parse",
-    "dataset_pack_sequences",
-    "ann_topk_srp",
-    "dedup_embedding_cosine",
-    "multimodal_meta",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "events_session_windows",
-    "user_running_stats_batch",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "text_normalize",
-    "dataset_split_assign",
-    "dedup_clusters",
-    "q2_min_cost_supplier",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_part_supplier_variety",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_disjunctive_revenue",
-    "q20_excess_quantity_suppliers",
-    "q21_last_shipper_blame",
-    "q22_sales_opportunity",
-    "embedding_pq_encode",
-    "ann_topk_pq_adc",
+    # -- born r13 (never driver-tested; full oracles, sweep-green r13) --
+    "multimodal_webp_anim_frames",
+    "corpus_warc_extract",
+    "pipeline_warc_corpus",
+    # -- the 16 slipped r10 entries (must not slip twice) --
+    "graph_pagerank_neardup",
+    "multimodal_decode_bmp",
+    "multimodal_decode_gif",
+    "multimodal_decode_tiff",
+    "multimodal_decode_wav",
+    "multimodal_resize_png_real",
+    "pipeline_pretraining_corpus",
+    "pipeline_multimodal_manifest",
+    "dataset_pack_materialize",
+    "dataset_quota_per_group",
+    "dataset_weighted_sample",
+    "dataset_mixture_weights",
+    "dedup_lines_reconstruct",
+    "dedup_corpus_final",
+    "cdc_merge_bucketed",
+    "cdc_incremental_agg_maintenance",
+    # -- the r11 green block, 31 slots in CORRECTNESS_r11 row order --
+    "text_bm25_topk",
+    "text_bm25_maintained",
+    "hybrid_retrieval_rrf",
+    "hybrid_retrieval_maintained",
+    "cdc_incremental_minmax_maintenance",
+    "user_activity_reconciliation",
+    "events_anomaly_zscore",
+    "events_daily_ohlc",
+    "events_data_profile",
+    "events_kmv_distinct_rollup",
+    "events_markov_transitions",
+    "events_props_json_stats",
+    "parts_cooccurrence",
+    "text_bpe_pretokenize",
+    "text_lm_score",
+    "text_trigram_novelty",
+    "text_hash_embedding",
+    "dataset_interleave_order",
+    "dataset_length_buckets",
+    "embedding_mrl_energy",
+    "events_value_percentiles",
+    "events_user_gaps",
+    "events_active_users_rolling",
+    "text_rare_token_fraction",
+    "text_chunk_overlap",
+    "text_html_strip",
+    "orders_price_percentile_rank",
+    "events_type_cooccurrence",
+    "customers_rfm_segments",
+    "multimodal_decode_jpeg_color",
+    "multimodal_audio_segments",
 ]
 
 assert set(_DRIVER_ORDER) | set(PRUNED) == set(FULL_REGISTRY), (

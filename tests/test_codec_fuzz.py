@@ -28,7 +28,7 @@ from kafka_cdc_hudi_spark.functions.jpeg import (
 from kafka_cdc_hudi_spark.functions.png import decode_png, encode_png
 from kafka_cdc_hudi_spark.functions.tiff import decode_tiff_gray, encode_tiff_gray
 from kafka_cdc_hudi_spark.functions.wav import decode_wav, encode_wav, encode_wav_adpcm
-from kafka_cdc_hudi_spark.functions.warc import decode_warc, encode_warc
+from kafka_cdc_hudi_spark.functions.warc import decode_warc, encode_warc, http_body
 from kafka_cdc_hudi_spark.functions.webp import decode_webp_frames, encode_webp_anim
 from kafka_cdc_hudi_spark.functions.webp import decode_webp, encode_webp
 
@@ -56,6 +56,7 @@ def _valid_samples():
         "webp_neighbor": encode_webp(bytes([7] * 64), 8, 8, channels=1, variant="neighbor"),
         "webp_anim": encode_webp_anim([_PIXELS[:32]] * 2, 8, 4),
         "warc": encode_warc([({"WARC-Type": "resource", "WARC-Record-ID": "<u:1>", "WARC-Date": "2024-01-01T00:00:00Z"}, bytes(_PIXELS))]),
+        "warc_http": b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n8\r\n01234567\r\n0\r\n\r\n",
     }
 
 
@@ -76,6 +77,7 @@ _DECODERS = {
     "webp_neighbor": decode_webp,
     "webp_anim": lambda b: decode_webp_frames(b),
     "warc": decode_warc,
+    "warc_http": http_body,
 }
 
 

@@ -185,6 +185,20 @@ def test_dedup_lines_two_exchanges_only(spark):
     assert n <= 2, f"dedup_lines_reconstruct: {n} exchanges\n{plan}"
 
 
+def test_warc_corpus_dedup_shuffles_hash_not_text(spark):
+    """The crawl-corpus dedup key on the wire must be md5(norm) — one
+    partial-aggregable aggregate keyed by the 16-byte hash — never a
+    Window partitioned by the full normalized document text (which would
+    shuffle the corpus bytes as keys at 100 TB; VERDICT r13 item 5)."""
+    plan = _plan(spark, "pipeline_warc_corpus")
+    assert "Window" not in plan, f"full-text window crept back:\n{plan}"
+    assert "partial_count" in plan, "map-side combine missing"
+    import re
+
+    for m in re.finditer(r"Aggregate\(key=\[([^\]]*)\]", plan):
+        assert "norm_hash" in m.group(1), f"aggregate not keyed by hash: {m.group(0)}"
+
+
 def test_ann_ivf_no_cartesian(spark):
     """IVF candidate pairing must be the cell equi-join, never a cross
     product (the all-pairs anti-pattern the bucketing exists to avoid)."""

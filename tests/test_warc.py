@@ -14,11 +14,14 @@ import zlib
 import pytest
 
 from kafka_cdc_hudi_spark.functions.warc import (
+    dechunk,
     decode_warc,
     encode_warc,
     http_body,
+    http_charset,
     is_warc,
     split_gzip_members,
+    split_http,
 )
 
 
@@ -77,6 +80,138 @@ def test_gzip_member_split_ignores_embedded_magic():
 def test_http_body():
     assert http_body(b"HTTP/1.1 200 OK\r\nX: y\r\n\r\nbody") == b"body"
     assert http_body(b"no http wrapper") == b"no http wrapper"
+
+
+def test_http_chunked_body_dechunked():
+    """Hand-built ``Transfer-Encoding: chunked`` response (RFC 9112 §7.1):
+    two data chunks (one with a chunk extension), the 0-size last chunk,
+    and a trailer field — http_body must yield exactly the payload with
+    all framing and the trailer gone. Real Common Crawl response records
+    use chunked framing ubiquitously (VERDICT r13 item 3)."""
+    msg = (
+        b"HTTP/1.1 200 OK\r\n"
+        b"Content-Type: text/html\r\n"
+        b"Transfer-Encoding: chunked\r\n"
+        b"\r\n"
+        b"b\r\n"            # 11 bytes
+        b"<html>hello\r\n"
+        b"7;ext=1\r\n"      # chunk extension must be ignored
+        b"</html>\r\n"
+        b"0\r\n"
+        b"X-Trailer: t\r\n"
+        b"\r\n"
+    )
+    assert http_body(msg) == b"<html>hello</html>"
+
+
+def test_http_chunked_truncated_yields_partial():
+    """A WARC-Truncated record can cut a chunk short; the reader yields
+    the bytes present instead of raising (the WARC byte-budget case)."""
+    msg = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+        b"ff\r\npartial data only"
+    )
+    assert http_body(msg) == b"partial data only"
+
+
+def test_http_chunked_malformed_size_raises():
+    msg = b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nzz\r\nx\r\n0\r\n\r\n"
+    with pytest.raises(ValueError, match="chunk size"):
+        http_body(msg)
+    with pytest.raises(ValueError, match="unterminated chunk-size"):
+        dechunk(b"no crlf anywhere")
+
+
+def test_http_content_encoding_gzip_and_deflate():
+    payload = b"compressed body " * 8
+    for ce, wbits in (("gzip", 31), ("deflate", 15), ("deflate", -15)):
+        c = zlib.compressobj(9, zlib.DEFLATED, wbits)
+        enc = c.compress(payload) + c.flush()
+        msg = (
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: " + ce.encode() + b"\r\n\r\n" + enc
+        )
+        assert http_body(msg) == payload, (ce, wbits)
+
+
+def test_http_chunked_then_gzip_stack():
+    """Transfer-Encoding applies outside Content-Encoding: de-chunk
+    first, then decompress."""
+    payload = b"stacked encodings"
+    c = zlib.compressobj(9, zlib.DEFLATED, 31)
+    enc = c.compress(payload) + c.flush()
+    chunked = (
+        f"{len(enc):x}\r\n".encode() + enc + b"\r\n0\r\n\r\n"
+    )
+    msg = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n" + chunked
+    )
+    assert http_body(msg) == payload
+
+
+def test_split_http_and_charset():
+    msg = (
+        b"HTTP/1.1 200 OK\r\n"
+        b"Content-Type: text/html; charset=ISO-8859-1\r\n"
+        b"Set-Cookie: a=1\r\n"
+        b"Set-Cookie: b=2\r\n"
+        b"\r\nbody"
+    )
+    headers, raw = split_http(msg)
+    assert raw == b"body"
+    assert headers["content-type"] == "text/html; charset=ISO-8859-1"
+    assert headers["set-cookie"] == "a=1, b=2"  # repeats combine
+    assert http_charset(headers) == "ISO-8859-1"
+    assert http_charset({"content-type": "text/html"}) == "utf-8"
+    assert http_charset({"content-type": 'text/html; charset="utf-8"'}) == "utf-8"
+    # unknown charset falls back instead of raising at decode time
+    assert http_charset({"content-type": "text/html; charset=not-a-codec"}) == "utf-8"
+    assert split_http(b"no blank line") == ({}, b"no blank line")
+
+
+def test_extract_warc_text_charset_and_chunked(spark):
+    """Operator-level pin: a latin-1 response body decodes via its
+    declared charset (not lossy-UTF-8), and a chunked response extracts
+    clean de-chunked text."""
+    from kafka_cdc_hudi_spark.operators.multimodal import extract_warc_text
+
+    latin = "café détour".encode("latin-1")
+    latin_block = (
+        b"HTTP/1.1 200 OK\r\n"
+        b"Content-Type: text/plain; charset=iso-8859-1\r\n\r\n" + latin
+    )
+    chunked_block = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n"
+        b"6\r\nchunk1\r\n"
+        b"7\r\n chunk2\r\n"
+        b"0\r\n\r\n"
+    )
+    recs = [
+        ({"WARC-Type": "response", "WARC-Record-ID": "<u:1>",
+          "WARC-Date": "2024-01-01T00:00:00Z",
+          "Content-Type": "application/http; msgtype=response"}, latin_block),
+        ({"WARC-Type": "response", "WARC-Record-ID": "<u:2>",
+          "WARC-Date": "2024-01-01T00:00:00Z",
+          "Content-Type": "application/http; msgtype=response"}, chunked_block),
+    ]
+    blob = encode_warc(recs)
+    df = spark.createDataFrame(
+        [(7, bytearray(blob), "warc", len(blob))],
+        "media_id long, content binary, format string, byte_len long",
+    )
+    rows = sorted(extract_warc_text(df).collect(), key=lambda r: r["record_idx"])
+    assert rows[0]["body"] == "café détour"
+    assert rows[1]["body"] == "chunk1 chunk2"
+
+
+def test_truncated_header_block_message():
+    """ADVICE r13: truncation inside the header block raises a
+    descriptive WARC error, not a bare substring-not-found."""
+    with pytest.raises(ValueError, match="truncated WARC header"):
+        decode_warc(b"WARC/1.0")
+    with pytest.raises(ValueError, match="truncated WARC header"):
+        decode_warc(b"WARC/1.0\r\nWARC-Type: resource")
 
 
 def test_handbuilt_record_bytes():
