@@ -95,9 +95,62 @@ def _calibrate_gated(spark) -> tuple[float, bool, int]:
     return c, c > _CALIB_BAND_S, _CALIB_RETRIES
 
 
+#: warm min-of-2 q1_pricing_summary at sf0.001 reads ~0.52-0.63s on an
+#: idle box at local[32]; this probe exercises the parquet scan + shuffle
+#: + agg path, so it catches I/O- and memory-bandwidth-shaped ambient
+#: load the pure-CPU calib kernel misses (the BENCH_r13 gap: calib in
+#: band while every query ran ~39% slow under loadavg 3.4)
+_REF_PROBE_QUERY = "q1_pricing_summary"
+_REF_PROBE_BAND_S = float(os.environ.get("SPARK_GRAFT_REF_BAND", "0.9"))
+_REF_PROBE_DIR = os.environ.get("SPARK_GRAFT_WARMUP_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _ref_probe(spark) -> float:
+    """Min-of-2 warm reference-query probe (see _REF_PROBE_QUERY note)."""
+    fn = REGISTRY[_REF_PROBE_QUERY][0]
+    times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        fn(spark, _REF_PROBE_DIR).count()
+        times.append(time.perf_counter() - t0)
+    return round(min(times), 3)
+
+
+def _certify(
+    contaminated_before: bool,
+    calib_after: float,
+    loadavg_stamp: dict,
+    ref_before: float,
+    ref_after: float,
+) -> bool:
+    """True = the artifact is ambient-contaminated. ORs every gate:
+    CPU-probe before (retry-exhausted) and after, the raw pre-session
+    loadavg refusal, and the reference-query probe at both ends — so a
+    run like BENCH_r13 (CPU probe in band, loadavg 3.4, queries ~39%
+    slow) cannot stamp itself clean (pinned in tests/test_calib_gate.py)."""
+    return bool(
+        contaminated_before
+        or calib_after > _CALIB_BAND_S
+        or loadavg_stamp["loadavg_contaminated"]
+        or ref_before > _REF_PROBE_BAND_S
+        or ref_after > _REF_PROBE_BAND_S
+    )
+
+
+def _loadavg_gate() -> dict:
+    """Pre-session ambient refusal on the raw 1-min loadavg (VERDICT r13
+    item 2). Must run BEFORE get_spark() — afterwards the session's own
+    warmup pollutes the reading. Shared logic in scripts/calib_gate.py."""
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
+    from calib_gate import loadavg_gate
+
+    return loadavg_gate()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    loadavg_stamp = _loadavg_gate()  # before the session exists
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
     loadavg_start = list(os.getloadavg())
@@ -123,6 +176,7 @@ def main() -> None:
         spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     calib_before, contaminated_before, retries = _calibrate_gated(spark)
+    ref_before = _ref_probe(spark)
     timings: dict[str, float] = {}
     timings_cold: dict[str, float] = {}
     for name in names:
@@ -150,7 +204,10 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     total_cold = round(sum(timings_cold.values()), 3)
     calib_after = _calibrate(spark)
-    contaminated = bool(contaminated_before or calib_after > _CALIB_BAND_S)
+    ref_after = _ref_probe(spark)
+    contaminated = _certify(
+        contaminated_before, calib_after, loadavg_stamp, ref_before, ref_after
+    )
     print(
         json.dumps(
             {
@@ -175,6 +232,16 @@ def main() -> None:
                 "calib_sec_after": calib_after,
                 "calib_band_sec": _CALIB_BAND_S,
                 "calib_retries": retries,
+                # reference-query probe (r14+, VERDICT r13 item 2): warm
+                # min-of-2 of q1 at sf0.001 before AND after the timed
+                # region; catches I/O/membw-shaped load the CPU kernel
+                # misses
+                "ref_probe_before_sec": ref_before,
+                "ref_probe_after_sec": ref_after,
+                "ref_probe_band_sec": _REF_PROBE_BAND_S,
+                # raw pre-session loadavg refusal gate (r14+): the r13
+                # artifact certified clean at loadavg 3.4
+                **loadavg_stamp,
                 # True when the before-gate exhausted its retries out of
                 # band OR the after-run probe reads out of band (load can
                 # arrive mid-run — a single pre-probe races it; VERDICT

@@ -26,7 +26,16 @@ Scope (and honest limits):
   The neighbor table is generated from the spec's ordering rule (the 120
   closest (dx, dy) offsets with dy in 0..7, dx in -7..8, dx >= 1 on row
   0, sorted by squared distance then larger dy then positive dx first)
-  and its first entries are pinned against the spec listing in tests.
+  and the FULL 120-entry listing is pinned verbatim against the spec in
+  tests (ADVICE r13).
+- lossy VP8 (the majority of real-world WebP) raises a loud
+  NotImplementedError. Honesty correction (r14): everything needed IS
+  public — RFC 6386 carries the complete default coefficient
+  probability tables, token trees, and intra-mode probabilities — so a
+  key-frame intra-only decoder is a feasible from-spec build; the guard
+  reflects the outstanding implementation effort (boolean coder +
+  dequant + iDCT/iWHT + the four 16x16 / ten 4x4 intra predictors +
+  loop filter), not missing information.
 
 Runs per Arrow batch inside mapInPandas workers; rows are small images,
 so pure-Python loops are bounded by pixel count per row — stage

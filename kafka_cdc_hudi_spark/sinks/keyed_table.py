@@ -277,9 +277,18 @@ class KeyedParquetTable:
         operation kind, file count + bytes written (one metadata-only
         walk), and wall time from the commit operation's start. Powers
         round-over-round operational auditing (write amplification,
-        commit latency) without scanning data."""
+        commit latency) without scanning data.
+
+        ``rows`` (footer num_rows sum) is recorded only for the ops the
+        write-amplification probe consumes — plain-COW base commits
+        ("upsert"/"restore"); delta/bucketed/compact commits would pay
+        O(files) footer opens per commit for a count nothing reads
+        (ADVICE r13)."""
         n_files = total = 0
-        rows: int | None = 0
+        want_rows = op in ("upsert", "restore")
+        rows: int | None = 0 if want_rows else None
+        if want_rows:
+            import pyarrow.parquet as pq
         for root, _dirs, names in os.walk(path):
             for n in names:
                 if n.endswith(".parquet"):
@@ -288,8 +297,6 @@ class KeyedParquetTable:
                     total += os.path.getsize(fp)
                     if rows is not None:
                         try:
-                            import pyarrow.parquet as pq
-
                             rows += pq.ParquetFile(fp).metadata.num_rows
                         except Exception:
                             rows = None  # footer unreadable: no row count

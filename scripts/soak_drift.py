@@ -64,9 +64,10 @@ def main() -> None:
 
     import datetime
 
-    ts_cut = datetime.datetime.utcfromtimestamp(ts_cut_micros / 1e6).strftime(
-        "%Y-%m-%d %H:%M:%S.%f"
-    )
+    # fromtimestamp(tz=utc) — utcfromtimestamp is deprecated since 3.12
+    ts_cut = datetime.datetime.fromtimestamp(
+        ts_cut_micros / 1e6, tz=datetime.timezone.utc
+    ).strftime("%Y-%m-%d %H:%M:%S.%f")
     print(f"# drift cut at {ts_cut} (batch {DRIFT_BATCH})", file=sys.stderr)
 
     env = drift_segmented_debezium_envelopes(events, ts_cut)

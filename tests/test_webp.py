@@ -356,11 +356,28 @@ def test_neighbor_table_spec_pins():
     )
 
     assert len(_NEIGHBORS) == 120
-    assert _NEIGHBORS[:10] == [
-        (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2),
-        (2, 0), (1, 2), (-1, 2), (2, 1), (-2, 1),
+    # the FULL 120-entry (dx, dy) listing from the spec (RFC 9649
+    # §"Decoding of Distances"), pinned verbatim — the derived comparator
+    # must reproduce every middle entry, not just the two ends a
+    # round-trip test can't distinguish (ADVICE r13)
+    spec_listing = [
+        (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+        (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+        (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+        (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+        (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+        (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+        (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+        (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+        (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+        (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+        (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+        (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+        (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+        (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+        (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
     ]
-    assert _NEIGHBORS[-5:] == [(8, 5), (7, 7), (-7, 7), (8, 6), (8, 7)]
+    assert _NEIGHBORS == spec_listing
     rng = _random.Random(99)
     for _ in range(3000):
         xs = rng.randrange(1, 64)
