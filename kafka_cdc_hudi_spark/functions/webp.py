@@ -1200,3 +1200,114 @@ def encode_webp(
         chunk += b"\x00"
     riff = b"WEBP" + chunk
     return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+# ---------------------------------------------------------------------------
+# lossy VP8 (RFC 6386): key-frame HEADER parse only. The uncompressed
+# 10-byte frame header (frame tag + start code + dimensions) is fully
+# specified and needs none of the boolean-coded state, so width/height/
+# scaling are recoverable from every real-world lossy WebP without the
+# (still-guarded) pixel decoder — the metadata a crawl-ingest pipeline
+# wants before deciding whether to decode at all.
+# ---------------------------------------------------------------------------
+
+_VP8_START_CODE = b"\x9d\x01\x2a"
+
+
+def parse_vp8_frame_header(body: bytes) -> dict:
+    """Parse the uncompressed header of a VP8 frame ("VP8 " chunk body,
+    RFC 6386 §9.1): 3-byte little-endian frame tag (frame_type bit 0,
+    version bits 1-3, show_frame bit 4, first-partition size bits 5-23),
+    then for key frames the 3-byte start code 9D 01 2A and two 16-bit
+    little-endian fields carrying 14-bit width/height plus 2-bit upscale
+    codes. Interframes (frame_type 1) only occur mid-video and carry no
+    dimensions; they raise."""
+    if len(body) < 10:
+        raise ValueError("VP8 frame shorter than its 10-byte key-frame header")
+    tag = body[0] | (body[1] << 8) | (body[2] << 16)
+    if tag & 1:
+        raise ValueError("VP8 interframe: no dimensions outside a video stream")
+    if body[3:6] != _VP8_START_CODE:
+        raise ValueError("bad VP8 key-frame start code")
+    w16 = body[6] | (body[7] << 8)
+    h16 = body[8] | (body[9] << 8)
+    return {
+        "version": (tag >> 1) & 0x7,
+        "show_frame": (tag >> 4) & 0x1,
+        "first_partition_size": tag >> 5,
+        "width": w16 & 0x3FFF,
+        "width_scale": w16 >> 14,
+        "height": h16 & 0x3FFF,
+        "height_scale": h16 >> 14,
+    }
+
+
+def webp_meta(data: bytes) -> dict:
+    """Container-level metadata for ANY WebP flavor without pixel
+    decoding: codec ('vp8l' lossless / 'vp8' lossy / none), width/height
+    (VP8L 14-bit header fields, VP8 key-frame header, or the VP8X canvas
+    when no image chunk precedes it), and animation flag. This is the
+    piece of the lossy-VP8 surface that IS implementable from the
+    published headers alone (see the module scope note)."""
+    if not is_webp(data):
+        raise ValueError("not a RIFF/WEBP container")
+    meta = {"codec": None, "width": None, "height": None, "animated": False}
+    for tag, body in _walk_chunks(data, 12, len(data)):
+        if tag == b"VP8X" and len(body) >= 10:
+            meta["animated"] = bool(body[0] & _VP8X_ANIM)
+            meta["width"] = _rd24(body, 4) + 1
+            meta["height"] = _rd24(body, 7) + 1
+        elif tag == b"VP8L" and len(body) >= 5 and body[0] == 0x2F:
+            bits = body[1] | (body[2] << 8) | (body[3] << 16) | (body[4] << 24)
+            meta["codec"] = "vp8l"
+            meta["width"] = (bits & 0x3FFF) + 1
+            meta["height"] = ((bits >> 14) & 0x3FFF) + 1
+            break
+        elif tag == b"VP8 ":
+            h = parse_vp8_frame_header(body)
+            meta["codec"] = "vp8"
+            meta["width"] = h["width"]
+            meta["height"] = h["height"]
+            meta.update(
+                {
+                    "width_scale": h["width_scale"],
+                    "height_scale": h["height_scale"],
+                    "show_frame": h["show_frame"],
+                    "version": h["version"],
+                    "first_partition_size": h["first_partition_size"],
+                }
+            )
+            break
+    return meta
+
+
+def encode_webp_lossy_header(
+    width: int,
+    height: int,
+    *,
+    version: int = 0,
+    show_frame: int = 1,
+    width_scale: int = 0,
+    height_scale: int = 0,
+    partition_filler: bytes = b"",
+) -> bytes:
+    """Fixture-grade container: a genuine RIFF/WEBP "VP8 " chunk whose
+    10-byte key-frame header is spec-exact (frame tag, start code,
+    scaled dimensions) followed by ``partition_filler`` standing in for
+    the boolean-coded partitions (which the guarded pixel decoder never
+    reads). first_partition_size is stamped as len(partition_filler) so
+    the tag arithmetic round-trips."""
+    if not (0 < width <= 0x3FFF and 0 < height <= 0x3FFF):
+        raise ValueError("VP8 dimensions are 14-bit")
+    if not (0 <= width_scale <= 3 and 0 <= height_scale <= 3):
+        raise ValueError("upscale codes are 2-bit")
+    tag = (len(partition_filler) << 5) | ((show_frame & 1) << 4) | ((version & 7) << 1)
+    body = (
+        struct.pack("<I", tag)[:3]
+        + _VP8_START_CODE
+        + struct.pack("<H", width | (width_scale << 14))
+        + struct.pack("<H", height | (height_scale << 14))
+        + partition_filler
+    )
+    riff = b"WEBP" + _riff_chunk(b"VP8 ", body)
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff

@@ -783,6 +783,201 @@ def extract_warc_text(df: DataFrame) -> DataFrame:
     return df.mapInPandas(text_batches, WARC_TEXT_SCHEMA)
 
 
+#: HTTP wire framings the chunked-fixture generator cycles through, by
+#: (doc_id + record_idx) % 4 — each record exercises a different leg of
+#: functions/warc.py::decode_http_body / http_charset
+_WARC_HTTP_FRAMINGS = ("identity", "chunked", "gzip", "latin1")
+#: chunked framing splits the 32-byte slice at this offset
+_WARC_CHUNK_SPLIT = 10
+#: the latin-1 framing appends this byte (é) so charset decoding is
+#: actually observable (ASCII slices decode identically either way)
+_LATIN1_SUFFIX = b"\xe9"
+
+
+def documents_as_warc_http(docs: DataFrame) -> DataFrame:
+    """Synthesize WARC containers whose records carry REAL-WORLD HTTP
+    wire framings (VERDICT r13 item 3): record r of doc d holds text
+    slice ``text[r*32:(r+1)*32]`` as an HTTP response body, framed per
+    ``(d + r) % 4`` — identity, ``Transfer-Encoding: chunked`` (two
+    chunks, extension on the first), ``Content-Encoding: gzip``, or a
+    latin-1 charset body with a non-ASCII suffix. Decoding must recover
+    the exact slice regardless of framing, which is what the composed
+    DuckDB oracle asserts. Same container-layout cycling as
+    ``documents_as_warc`` (gzip members on even doc_ids)."""
+    import zlib
+
+    from kafka_cdc_hudi_spark.functions.warc import encode_warc
+
+    src = docs.filter(
+        F.octet_length("text") >= PNG_FIXTURE_MIN_BYTES
+    ).select(F.col("doc_id").alias("media_id"), "text")
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for mid, text in zip(pdf["media_id"], pdf["text"]):
+                mid = int(mid)
+                raw = text.encode("utf-8")
+                recs = []
+                for r in range(_warc_fixture_n_records(mid)):
+                    payload = raw[r * _WARC_SLICE : (r + 1) * _WARC_SLICE]
+                    framing = _WARC_HTTP_FRAMINGS[(mid + r) % 4]
+                    if framing == "identity":
+                        http = (
+                            b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
+                            + payload
+                        )
+                    elif framing == "chunked":
+                        a, b = payload[:_WARC_CHUNK_SPLIT], payload[_WARC_CHUNK_SPLIT:]
+                        http = (
+                            b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+                            b"Transfer-Encoding: chunked\r\n\r\n"
+                            + f"{len(a):x};fixture=1\r\n".encode() + a + b"\r\n"
+                            + f"{len(b):x}\r\n".encode() + b + b"\r\n"
+                            + b"0\r\nX-Trailer: t\r\n\r\n"
+                        )
+                    elif framing == "gzip":
+                        c = zlib.compressobj(9, zlib.DEFLATED, 31)
+                        enc = c.compress(payload) + c.flush()
+                        http = (
+                            b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+                            b"Content-Encoding: gzip\r\n\r\n" + enc
+                        )
+                    else:  # latin1
+                        http = (
+                            b"HTTP/1.1 200 OK\r\n"
+                            b"Content-Type: text/plain; charset=iso-8859-1\r\n\r\n"
+                            + payload + _LATIN1_SUFFIX
+                        )
+                    recs.append(
+                        (
+                            {
+                                "WARC-Type": "response",
+                                "WARC-Record-ID": f"<urn:doc:{mid}:{r}>",
+                                "WARC-Date": "2024-01-01T00:00:00Z",
+                                "WARC-Target-URI": f"http://corpus.example/{mid}/{r}",
+                                "Content-Type": "application/http; msgtype=response",
+                            },
+                            http,
+                        )
+                    )
+                blobs.append(encode_warc(recs, gzip_members=(mid % 2 == 0)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "content": blobs,
+                    "format": ["warc"] * len(pdf),
+                    "byte_len": pd.Series([len(b) for b in blobs], dtype="int64"),
+                }
+            )
+
+    return src.mapInPandas(encode_batches, MEDIA_SCHEMA)
+
+
+WEBP_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("codec", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("width_scale", IntegerType(), True),
+        StructField("height_scale", IntegerType(), True),
+        StructField("version", IntegerType(), True),
+        StructField("show_frame", IntegerType(), True),
+        StructField("first_partition_size", IntegerType(), True),
+    ]
+)
+
+
+def extract_webp_meta(df: DataFrame) -> DataFrame:
+    """Container-level WebP metadata WITHOUT pixel decoding
+    (functions/webp.py::webp_meta): codec flavor and dimensions for
+    lossless VP8L, animated VP8X, and — the r14 capability — LOSSY VP8
+    key frames via the RFC 6386 uncompressed frame header. Real-world
+    crawl WebP is mostly lossy; this recovers its dimensions/scaling
+    even though the pixel decoder for it stays guarded."""
+    from kafka_cdc_hudi_spark.functions.webp import webp_meta
+
+    def meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "codec", "width", "height", "width_scale",
+                "height_scale", "version", "show_frame", "first_partition_size",
+            )}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                m = webp_meta(bytes(content))
+                rows["media_id"].append(int(mid))
+                rows["codec"].append(m.get("codec"))
+                for k in ("width", "height", "width_scale", "height_scale",
+                          "version", "show_frame", "first_partition_size"):
+                    rows[k].append(m.get(k))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(rows["media_id"], dtype="int64"),
+                    "codec": rows["codec"],
+                    **{
+                        k: pd.Series(rows[k], dtype="Int32")
+                        for k in (
+                            "width", "height", "width_scale", "height_scale",
+                            "version", "show_frame", "first_partition_size",
+                        )
+                    },
+                }
+            )
+
+    return df.mapInPandas(meta_batches, WEBP_META_SCHEMA)
+
+
+#: lossy-VP8 fixture header fields, all doc_id formulas so the DuckDB
+#: oracle predicts every column (dims are arbitrary 14-bit values — no
+#: pixel payload exists, so no w*h byte-budget coupling like VP8L)
+def _webp_lossy_fixture(doc_id: int) -> tuple[int, int, int, int, int, int]:
+    return (
+        16 + doc_id % 33,  # width
+        16 + doc_id % 17,  # height
+        doc_id % 4,  # version
+        doc_id % 4,  # width_scale
+        (doc_id // 4) % 4,  # height_scale
+        24 + doc_id % 40,  # first-partition filler bytes
+    )
+
+
+def documents_as_webp_lossy(docs: DataFrame) -> DataFrame:
+    """Synthesize genuine lossy-VP8 WebP containers: a spec-exact
+    10-byte key-frame header (frame tag with version/show/partition
+    size, 9D 01 2A start code, 14-bit dims + 2-bit upscale codes) ahead
+    of text-byte filler standing in for the boolean-coded partitions.
+    Same adapter contract as ``documents_as_webp``."""
+    from kafka_cdc_hudi_spark.functions.webp import encode_webp_lossy_header
+
+    src = docs.filter(
+        F.octet_length("text") >= PNG_FIXTURE_MIN_BYTES
+    ).select(F.col("doc_id").alias("media_id"), "text")
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for mid, text in zip(pdf["media_id"], pdf["text"]):
+                mid = int(mid)
+                w, h, ver, ws, hs, nfill = _webp_lossy_fixture(mid)
+                blobs.append(
+                    encode_webp_lossy_header(
+                        w, h, version=ver, width_scale=ws, height_scale=hs,
+                        partition_filler=text.encode("utf-8")[:nfill],
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "content": blobs,
+                    "format": ["webp"] * len(pdf),
+                    "byte_len": pd.Series([len(b) for b in blobs], dtype="int64"),
+                }
+            )
+
+    return src.mapInPandas(encode_batches, MEDIA_SCHEMA)
+
+
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Adapter: treat document text bytes as a stand-in media blob (the
     container has no real image fixtures)."""

@@ -105,6 +105,9 @@ for _n in DEMOTED:
 #: driver-green entry resting between rotations; the operator itself stays
 #: covered by the named survivor + local oracle tests + the committed sweep
 PRUNED: dict[str, str] = {
+    # ---- born r14 AFTER the r14 driver-set freeze (rotate r15 slot 1) ----
+    "corpus_warc_http_decode": "born r14 (chunked/gzip/charset HTTP wire framings through the WARC extractor, full oracle); rotate r15",
+    "multimodal_webp_lossy_meta": "born r14 (lossy-VP8 key-frame header metadata, RFC 6386 uncompressed header; full oracle); rotate r15",
     # ---- structural near-duplicates (standing; each covered by survivor) ----
     "cdc_latest_per_key": 'cdc_latest_per_composite_key (same dedup operator, composite keys; r2-r6 green)',
     "q6_forecast_revenue": 'q1_pricing_summary/q14 (filter+agg; pushdown pinned in test_plan_invariants)',

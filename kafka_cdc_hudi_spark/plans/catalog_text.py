@@ -3401,6 +3401,102 @@ def pipeline_warc_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_warc_http_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-world HTTP wire framings through the WARC text extractor
+    (born r14, VERDICT r13 item 3): record r of doc d carries the text
+    slice as an HTTP response framed by (d+r)%4 — identity, chunked
+    transfer coding (chunk extension + trailer), gzip content encoding,
+    or a latin-1 charset body with a non-ASCII suffix. The extractor
+    must de-chunk, decompress, and charset-decode back to the exact
+    slice; the DuckDB oracle predicts every body hash from the framing
+    formula, so a framing bug (chunk-size arithmetic, trailer handling,
+    zlib wrapper choice, charset fallback) turns rows red.
+
+    Scale shape: identical to corpus_warc_extract — one Arrow-batched
+    mapInPandas stage over media_repartition-bounded partitions."""
+    from kafka_cdc_hudi_spark.operators.multimodal import (
+        documents_as_warc_http,
+        extract_warc_text,
+        media_repartition,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = media_repartition(documents_as_warc_http(docs), avg_row_bytes=1024)
+    recs = extract_warc_text(media)
+    return recs.select(
+        "media_id",
+        "record_idx",
+        ((F.col("media_id") + F.col("record_idx")) % 4).cast("int").alias("framing"),
+        F.md5(F.col("body").cast("binary")).alias("body_hash"),
+        F.length("body").cast("long").alias("body_chars"),
+    )
+
+
+CORPUS_WARC_HTTP_DECODE_SQL = """
+WITH m AS (
+  SELECT doc_id, 2 + doc_id % 3 AS nr, text
+  FROM documents
+  WHERE octet_length(encode(text)) >= 128
+),
+r AS (
+  SELECT doc_id, text,
+         CAST(unnest(range(0, nr)) AS INT) AS record_idx
+  FROM m
+),
+b AS (
+  SELECT doc_id, record_idx,
+         (doc_id + record_idx) % 4 AS framing,
+         substring(text, 1 + record_idx * 32, 32) AS slice
+  FROM r
+)
+SELECT doc_id AS media_id,
+       record_idx,
+       CAST(framing AS INT) AS framing,
+       md5(CASE WHEN framing = 3 THEN slice || chr(233) ELSE slice END)
+         AS body_hash,
+       CAST(length(slice) + CASE WHEN framing = 3 THEN 1 ELSE 0 END AS BIGINT)
+         AS body_chars
+FROM b
+"""
+
+
+def multimodal_webp_lossy_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossy-VP8 WebP metadata WITHOUT pixel decode (born r14, VERDICT
+    r13 item 4): synthesize genuine RIFF/WEBP containers whose "VP8 "
+    chunk carries the spec-exact RFC 6386 key-frame header, then recover
+    codec/width/height/upscale/version/show_frame/partition-size from
+    the 10 uncompressed header bytes. Real crawl WebP is dominated by
+    lossy files; this converts them from a blind guard to typed
+    metadata (the pixel decoder itself stays loudly guarded — see the
+    webp.py scope note for exactly why).
+
+    FULL value oracle: every header field is a doc_id formula."""
+    from kafka_cdc_hudi_spark.operators.multimodal import (
+        documents_as_webp_lossy,
+        extract_webp_meta,
+        media_repartition,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = media_repartition(documents_as_webp_lossy(docs), avg_row_bytes=256)
+    return extract_webp_meta(media)
+
+
+MULTIMODAL_WEBP_LOSSY_META_SQL = """
+SELECT doc_id AS media_id,
+       'vp8' AS codec,
+       CAST(16 + doc_id % 33 AS INT) AS width,
+       CAST(16 + doc_id % 17 AS INT) AS height,
+       CAST(doc_id % 4 AS INT) AS width_scale,
+       CAST((doc_id // 4) % 4 AS INT) AS height_scale,
+       CAST(doc_id % 4 AS INT) AS version,
+       CAST(1 AS INT) AS show_frame,
+       CAST(24 + doc_id % 40 AS INT) AS first_partition_size
+FROM documents
+WHERE octet_length(encode(text)) >= 128
+"""
+
+
 PIPELINE_WARC_CORPUS_SQL = r"""
 WITH m AS (
   SELECT doc_id, 2 + doc_id % 3 AS nr, text
@@ -5986,6 +6082,11 @@ TEXT_QUERIES: dict[str, tuple] = {
     "multimodal_webp_anim_frames": (multimodal_webp_anim_frames, MULTIMODAL_WEBP_ANIM_FRAMES_SQL),
     "corpus_warc_extract": (corpus_warc_extract, CORPUS_WARC_EXTRACT_SQL),
     "pipeline_warc_corpus": (pipeline_warc_corpus, PIPELINE_WARC_CORPUS_SQL),
+    "corpus_warc_http_decode": (corpus_warc_http_decode, CORPUS_WARC_HTTP_DECODE_SQL),
+    "multimodal_webp_lossy_meta": (
+        multimodal_webp_lossy_meta,
+        MULTIMODAL_WEBP_LOSSY_META_SQL,
+    ),
     "multimodal_decode_wav": (multimodal_decode_wav, MULTIMODAL_DECODE_WAV_SQL),
     "multimodal_audio_segments": (
         multimodal_audio_segments,

@@ -31,6 +31,7 @@ from kafka_cdc_hudi_spark.functions.wav import decode_wav, encode_wav, encode_wa
 from kafka_cdc_hudi_spark.functions.warc import decode_warc, encode_warc, http_body
 from kafka_cdc_hudi_spark.functions.webp import decode_webp_frames, encode_webp_anim
 from kafka_cdc_hudi_spark.functions.webp import decode_webp, encode_webp
+from kafka_cdc_hudi_spark.functions.webp import encode_webp_lossy_header, webp_meta
 
 #: the clean-failure contract: decoders may raise these and nothing else
 _CLEAN = (ValueError, NotImplementedError, struct.error, IndexError, EOFError, zlib.error)
@@ -57,6 +58,7 @@ def _valid_samples():
         "webp_anim": encode_webp_anim([_PIXELS[:32]] * 2, 8, 4),
         "warc": encode_warc([({"WARC-Type": "resource", "WARC-Record-ID": "<u:1>", "WARC-Date": "2024-01-01T00:00:00Z"}, bytes(_PIXELS))]),
         "warc_http": b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n8\r\n01234567\r\n0\r\n\r\n",
+        "webp_lossy_meta": encode_webp_lossy_header(64, 48, partition_filler=b"p" * 16),
     }
 
 
@@ -78,6 +80,7 @@ _DECODERS = {
     "webp_anim": lambda b: decode_webp_frames(b),
     "warc": decode_warc,
     "warc_http": http_body,
+    "webp_lossy_meta": webp_meta,
 }
 
 

@@ -46,6 +46,8 @@ _PY_EXEMPT = {
     "multimodal_webp_anim_frames",
     "corpus_warc_extract",
     "pipeline_warc_corpus",
+    "corpus_warc_http_decode",
+    "multimodal_webp_lossy_meta",
     # dense linear algebra: SRP signatures are 32 plane dot-products per
     # row — a matmul. Both relational forms measured pathological (the
     # higher-order fold is interpreted PER ELEMENT; the unrolled

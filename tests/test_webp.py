@@ -385,6 +385,65 @@ def test_neighbor_table_spec_pins():
         assert _code_to_distance(_distance_to_code(d, xs), xs) == d
 
 
+def test_vp8_lossy_header_parse():
+    """Hand-built 10-byte key-frame header (independent byte
+    construction) pins the RFC 6386 frame-tag arithmetic: 3-byte LE tag
+    (type bit 0, version 1-3, show 4, partition size 5-23), start code
+    9D 01 2A, 14-bit dims + 2-bit upscale codes."""
+    from kafka_cdc_hudi_spark.functions.webp import parse_vp8_frame_header
+
+    # tag: part_size=1000, show=1, version=3, key frame
+    tag = (1000 << 5) | (1 << 4) | (3 << 1)
+    hdr = (
+        bytes([tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF])
+        + b"\x9d\x01\x2a"
+        + (1920 | (2 << 14)).to_bytes(2, "little")
+        + (1080 | (1 << 14)).to_bytes(2, "little")
+    )
+    h = parse_vp8_frame_header(hdr + b"\x00" * 4)
+    assert h == {
+        "version": 3, "show_frame": 1, "first_partition_size": 1000,
+        "width": 1920, "width_scale": 2, "height": 1080, "height_scale": 1,
+    }
+    with pytest.raises(ValueError, match="start code"):
+        parse_vp8_frame_header(hdr[:3] + b"\x9d\x01\x2b" + hdr[6:])
+    with pytest.raises(ValueError, match="interframe"):
+        parse_vp8_frame_header(bytes([(tag & 0xFF) | 1]) + hdr[1:])
+    with pytest.raises(ValueError, match="shorter"):
+        parse_vp8_frame_header(hdr[:9])
+
+
+def test_webp_meta_all_flavors():
+    """webp_meta recovers codec + dims from all three container flavors
+    without pixel decoding — including lossy VP8, whose pixel decoder
+    stays guarded."""
+    from kafka_cdc_hudi_spark.functions.webp import (
+        decode_webp,
+        encode_webp,
+        encode_webp_anim,
+        encode_webp_lossy_header,
+        webp_meta,
+    )
+
+    lossless = encode_webp(bytes(range(40)), 8, 5, channels=1, variant="flat")
+    m = webp_meta(lossless)
+    assert (m["codec"], m["width"], m["height"], m["animated"]) == ("vp8l", 8, 5, False)
+
+    anim = encode_webp_anim([bytes(range(32))] * 2, 8, 4)
+    m = webp_meta(anim)
+    assert m["animated"] is True and (m["width"], m["height"]) == (8, 4)
+
+    lossy = encode_webp_lossy_header(
+        321, 123, version=1, width_scale=3, partition_filler=b"f" * 9
+    )
+    m = webp_meta(lossy)
+    assert (m["codec"], m["width"], m["height"]) == ("vp8", 321, 123)
+    assert m["width_scale"] == 3 and m["first_partition_size"] == 9
+    # the pixel decoder still guards loudly on the same container
+    with pytest.raises(NotImplementedError, match="lossy"):
+        decode_webp(lossy)
+
+
 def test_neighbor_variant_emits_vertical_copies():
     """The neighbor encoder variant prefers distance = row-width copies;
     a vertically-striped image round-trips and actually exercises the
