@@ -12,10 +12,14 @@ as ``value_cold`` / ``queries_cold``. r1-r10 artifacts timed only the
 cold first execution. Timing = full query execution to a count action
 (result materialization).
 
-Contamination flag (r11+): ``contaminated`` is the OR of the before-gate
-failure AND the after-run probe exceeding the band — a single pre-probe
-RACES load arriving mid-measurement (the driver's BENCH_r10 read
-after-calib 0.792s against a 0.45s band while self-labeling clean).
+Contamination flag (r14 tier, VERDICT r13 item 2): ``contaminated`` is
+the OR of FIVE gates — the retry-exhausted CPU calib before, the CPU
+calib after, the raw pre-session 1-min loadavg refusal, and a
+reference-query probe (warm min-of-2 q1 at sf0.001) at both ends. The
+loadavg and ref-query gates close the two certified-clean-but-hot
+failures on record: BENCH_r10 (after-calib out of band, self-labeled
+clean) and BENCH_r13 (every query ~39% slow at loadavg 3.4 with both
+CPU probes in band). See AMBIENT.md for per-artifact-class bands.
 """
 
 from __future__ import annotations
