@@ -110,7 +110,13 @@ _REF_PROBE_DIR = os.environ.get("SPARK_GRAFT_WARMUP_SF_DIR", "/root/testdata/sf0
 
 
 def _ref_probe(spark) -> float:
-    """Min-of-2 warm reference-query probe (see _REF_PROBE_QUERY note)."""
+    """Min-of-2 warm reference-query probe (see _REF_PROBE_QUERY note).
+    Mirrors the warmup block's missing-dir fallback: without the probe
+    dir the bench must still emit its artifact (reads 0.0 = gate passes
+    on that leg, with a stderr note)."""
+    if not (_REF_PROBE_DIR and os.path.isdir(_REF_PROBE_DIR)):
+        print(f"# ref probe skipped: no dir {_REF_PROBE_DIR!r}", file=sys.stderr)
+        return 0.0
     fn = REGISTRY[_REF_PROBE_QUERY][0]
     times = []
     for _ in range(2):

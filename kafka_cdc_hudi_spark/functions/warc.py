@@ -156,12 +156,16 @@ def dechunk(body: bytes) -> bytes:
         if eol < 0:
             raise ValueError("malformed chunked body: unterminated chunk-size line")
         size_tok = body[pos:eol].split(b";", 1)[0].strip()
-        try:
-            size = int(size_tok, 16)
-        except ValueError:
+        # strict hex only: int(tok, 16) would also accept '-6'/'+6', and a
+        # negative size makes pos walk backwards — an infinite loop with
+        # unbounded growth on corrupt crawl data (r14 review finding)
+        if not size_tok or any(
+            c not in b"0123456789abcdefABCDEF" for c in size_tok
+        ):
             raise ValueError(
                 f"malformed chunked body: bad chunk size {size_tok[:16]!r}"
-            ) from None
+            )
+        size = int(size_tok, 16)
         pos = eol + 2
         if size == 0:
             break  # last-chunk; trailers (if any) are discarded
@@ -205,18 +209,23 @@ def http_body(block: bytes) -> bytes:
 
 def http_charset(headers: dict[str, str], default: str = "utf-8") -> str:
     """Charset declared by the HTTP Content-Type header (lowercase-keyed
-    dict from :func:`split_http`), validated against Python's codec
-    registry; unknown/absent -> ``default``."""
-    import codecs
-
+    dict from :func:`split_http`), validated by a probe text-decode;
+    unknown, absent, or non-text codecs -> ``default``."""
     ctype = headers.get("content-type", "")
     for part in ctype.split(";")[1:]:
         k, _, v = part.partition("=")
         if k.strip().lower() == "charset":
             cs = v.strip().strip('"').strip("'")
             try:
-                codecs.lookup(cs)
-            except LookupError:
+                # probe decode, not just codecs.lookup: lookup() also
+                # resolves NON-TEXT codecs (base64, hex, rot13, zlib)
+                # whose .decode raises LookupError at use time even with
+                # errors='replace' (r14 review finding). One probe byte —
+                # empty bytes short-circuit before the codec lookup —
+                # and errors='replace' so truncation-sensitive text
+                # codecs (utf-16) still validate.
+                b"a".decode(cs, "replace")
+            except Exception:
                 return default
             return cs
     return default

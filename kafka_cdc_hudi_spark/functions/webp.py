@@ -1301,6 +1301,8 @@ def encode_webp_lossy_header(
         raise ValueError("VP8 dimensions are 14-bit")
     if not (0 <= width_scale <= 3 and 0 <= height_scale <= 3):
         raise ValueError("upscale codes are 2-bit")
+    if len(partition_filler) >= 1 << 19:
+        raise ValueError("first_partition_size is a 19-bit field")
     tag = (len(partition_filler) << 5) | ((show_frame & 1) << 4) | ((version & 7) << 1)
     body = (
         struct.pack("<I", tag)[:3]

@@ -43,10 +43,16 @@ def loadavg_gate(
     item 2): the committed BENCH_r13 certified ``contaminated: false``
     while loadavg was 3.4 at start and every query ran ~39% slow — the
     CPU calib kernel missed load that was bursty or memory-bandwidth
-    shaped. Call BEFORE creating the SparkSession (afterwards the
-    session's own warmup pollutes the reading): retry-sleep until the
-    1-min loadavg drops under the threshold; on exhaustion proceed with
-    an explicit contaminated stamp. Returns the stamp fields
+    shaped. Call BEFORE heavy work: bench.py runs it pre-session;
+    ``gated_calib`` callers run it right after session creation, where
+    the JVM's startup contributes negligibly to the 1-min loadavg
+    (observed <= 0.2 on the r14 soak captures) — the reading is
+    dominated by ambient/previous-job load either way. A decaying tail
+    from a FINISHED job also trips it (can't be locally distinguished
+    from live load); refusal errs strict per AMBIENT.md, so give
+    sequential captures ~3 min of settle time. Retry-sleeps until the
+    1-min loadavg drops under the threshold; on exhaustion proceeds
+    with an explicit contaminated stamp. Returns the stamp fields
     (loadavg_gate_*); callers OR ``loadavg_contaminated`` into their
     artifact's ``contaminated``."""
     if max_load is None:

@@ -120,6 +120,28 @@ def test_http_chunked_malformed_size_raises():
         http_body(msg)
     with pytest.raises(ValueError, match="unterminated chunk-size"):
         dechunk(b"no crlf anywhere")
+    # int(tok, 16) parses '-6'/'+6'; a negative size would walk pos
+    # BACKWARDS — an infinite loop on corrupt crawl data (r14 review).
+    # Strict-hex rejection must raise, and fast.
+    with pytest.raises(ValueError, match="chunk size"):
+        dechunk(b"-6\r\nAAAAAAAA\r\n0\r\n\r\n")
+    with pytest.raises(ValueError, match="chunk size"):
+        dechunk(b"+6\r\nAAAAAA\r\n0\r\n\r\n")
+    with pytest.raises(ValueError, match="chunk size"):
+        dechunk(b"0x8\r\nAAAAAAAA\r\n0\r\n\r\n")
+
+
+def test_http_charset_rejects_non_text_codecs():
+    """codecs.lookup resolves NON-TEXT codecs (base64, hex, rot13, zlib)
+    whose decode raises LookupError at use time even with
+    errors='replace' — the probe-decode validation must fall back to
+    utf-8 instead of letting extract_warc_text crash (r14 review)."""
+    for cs in ("base64", "hex", "rot13", "zlib", "quopri", "uu"):
+        got = http_charset({"content-type": f"text/plain; charset={cs}"})
+        assert got == "utf-8", cs
+        "x".encode().decode(got, errors="replace")  # must not raise
+    # real text codecs still pass through
+    assert http_charset({"content-type": "a/b; charset=utf-16"}) == "utf-16"
 
 
 def test_http_content_encoding_gzip_and_deflate():

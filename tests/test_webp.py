@@ -433,6 +433,10 @@ def test_webp_meta_all_flavors():
     m = webp_meta(anim)
     assert m["animated"] is True and (m["width"], m["height"]) == (8, 4)
 
+    # 19-bit partition-size cap: silent tag truncation -> loud ValueError
+    with pytest.raises(ValueError, match="19-bit"):
+        encode_webp_lossy_header(8, 8, partition_filler=b"x" * (1 << 19))
+
     lossy = encode_webp_lossy_header(
         321, 123, version=1, width_scale=3, partition_filler=b"f" * 9
     )
