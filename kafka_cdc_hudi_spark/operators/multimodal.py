@@ -81,6 +81,33 @@ def _png_fixture_dims(doc_id: int) -> tuple[int, int]:
     return 4 + doc_id % 13, 3 + doc_id % 6
 
 
+def _documents_as_blobs(docs: DataFrame, fmt: str, per_doc) -> DataFrame:
+    """Shared fixture-encoder scaffold (r14 review): every text-based
+    ``documents_as_*`` adapter is the same shape — filter docs long
+    enough to carry a payload, then one Arrow-batched mapInPandas stage
+    mapping ``per_doc(doc_id, text) -> container bytes`` into the
+    standard media frame. Folding the copies keeps the filter/schema in
+    ONE place so the adapters cannot silently diverge."""
+
+    src = docs.filter(
+        F.octet_length("text") >= PNG_FIXTURE_MIN_BYTES
+    ).select(F.col("doc_id").alias("media_id"), "text")
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = [per_doc(int(m), t) for m, t in zip(pdf["media_id"], pdf["text"])]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "content": blobs,
+                    "format": [fmt] * len(pdf),
+                    "byte_len": pd.Series([len(b) for b in blobs], dtype="int64"),
+                }
+            )
+
+    return src.mapInPandas(encode_batches, MEDIA_SCHEMA)
+
+
 def documents_as_png(docs: DataFrame) -> DataFrame:
     """Synthesize REAL PNG blobs from document text: a grayscale 8-bit image
     of doc-id-derived dims whose pixel samples are the first width*height
@@ -93,27 +120,13 @@ def documents_as_png(docs: DataFrame) -> DataFrame:
     half of a real transform stage)."""
     from kafka_cdc_hudi_spark.functions.png import encode_png
 
-    src = docs.filter(
-        F.octet_length("text") >= PNG_FIXTURE_MIN_BYTES
-    ).select(F.col("doc_id").alias("media_id"), "text")
+    def per_doc(mid: int, text: str) -> bytes:
+        w, h = _png_fixture_dims(mid)
+        return encode_png(
+            text.encode("utf-8")[: w * h], w, h, channels=1, filter_cycle=True
+        )
 
-    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            blobs = []
-            for mid, text in zip(pdf["media_id"], pdf["text"]):
-                w, h = _png_fixture_dims(int(mid))
-                pixels = text.encode("utf-8")[: w * h]
-                blobs.append(encode_png(pixels, w, h, channels=1, filter_cycle=True))
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"].astype("int64"),
-                    "content": blobs,
-                    "format": ["png"] * len(pdf),
-                    "byte_len": pd.Series([len(b) for b in blobs], dtype="int64"),
-                }
-            )
-
-    return src.mapInPandas(encode_batches, MEDIA_SCHEMA)
+    return _documents_as_blobs(docs, "png", per_doc)
 
 
 #: webp fixture dims: distinct from the PNG/BMP formulas; max w*h = 15*7 =
@@ -133,28 +146,17 @@ def documents_as_webp(docs: DataFrame) -> DataFrame:
     ``documents_as_png``."""
     from kafka_cdc_hudi_spark.functions.webp import _VARIANTS, encode_webp
 
-    src = docs.filter(
-        F.octet_length("text") >= PNG_FIXTURE_MIN_BYTES
-    ).select(F.col("doc_id").alias("media_id"), "text")
+    def per_doc(mid: int, text: str) -> bytes:
+        w, h = _webp_fixture_dims(mid)
+        return encode_webp(
+            text.encode("utf-8")[: w * h],
+            w,
+            h,
+            channels=1,
+            variant=_VARIANTS[mid % len(_VARIANTS)],
+        )
 
-    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            blobs = []
-            for mid, text in zip(pdf["media_id"], pdf["text"]):
-                w, h = _webp_fixture_dims(int(mid))
-                pixels = text.encode("utf-8")[: w * h]
-                variant = _VARIANTS[int(mid) % len(_VARIANTS)]
-                blobs.append(encode_webp(pixels, w, h, channels=1, variant=variant))
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"].astype("int64"),
-                    "content": blobs,
-                    "format": ["webp"] * len(pdf),
-                    "byte_len": pd.Series([len(b) for b in blobs], dtype="int64"),
-                }
-            )
-
-    return src.mapInPandas(encode_batches, MEDIA_SCHEMA)
+    return _documents_as_blobs(docs, "webp", per_doc)
 
 
 #: BMP fixture dims: distinct from the PNG formulas so the two real-codec
@@ -171,27 +173,11 @@ def documents_as_bmp(docs: DataFrame) -> DataFrame:
     container. Pixel samples are the first width*height text bytes."""
     from kafka_cdc_hudi_spark.functions.bmp import encode_bmp
 
-    src = docs.filter(
-        F.octet_length("text") >= PNG_FIXTURE_MIN_BYTES
-    ).select(F.col("doc_id").alias("media_id"), "text")
+    def per_doc(mid: int, text: str) -> bytes:
+        w, h = _bmp_fixture_dims(mid)
+        return encode_bmp(text.encode("utf-8")[: w * h], w, h, channels=1)
 
-    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            blobs = []
-            for mid, text in zip(pdf["media_id"], pdf["text"]):
-                w, h = _bmp_fixture_dims(int(mid))
-                pixels = text.encode("utf-8")[: w * h]
-                blobs.append(encode_bmp(pixels, w, h, channels=1))
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"].astype("int64"),
-                    "content": blobs,
-                    "format": ["bmp"] * len(pdf),
-                    "byte_len": pd.Series([len(b) for b in blobs], dtype="int64"),
-                }
-            )
-
-    return src.mapInPandas(encode_batches, MEDIA_SCHEMA)
+    return _documents_as_blobs(docs, "bmp", per_doc)
 
 
 #: GIF fixture dims (max w*h = 14*6 = 84 <= the 128-byte text filter),
@@ -207,27 +193,11 @@ def documents_as_gif(docs: DataFrame) -> DataFrame:
     is a full variable-width LZW decoder)."""
     from kafka_cdc_hudi_spark.functions.gif import encode_gif
 
-    src = docs.filter(
-        F.octet_length("text") >= PNG_FIXTURE_MIN_BYTES
-    ).select(F.col("doc_id").alias("media_id"), "text")
+    def per_doc(mid: int, text: str) -> bytes:
+        w, h = _gif_fixture_dims(mid)
+        return encode_gif(text.encode("utf-8")[: w * h], w, h)
 
-    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            blobs = []
-            for mid, text in zip(pdf["media_id"], pdf["text"]):
-                w, h = _gif_fixture_dims(int(mid))
-                pixels = text.encode("utf-8")[: w * h]
-                blobs.append(encode_gif(pixels, w, h))
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"].astype("int64"),
-                    "content": blobs,
-                    "format": ["gif"] * len(pdf),
-                    "byte_len": pd.Series([len(b) for b in blobs], dtype="int64"),
-                }
-            )
-
-    return src.mapInPandas(encode_batches, MEDIA_SCHEMA)
+    return _documents_as_blobs(docs, "gif", per_doc)
 
 
 #: JPEG fixture geometry: constant 16x8 (two horizontal DCT blocks — the
@@ -391,27 +361,11 @@ def documents_as_tiff(docs: DataFrame) -> DataFrame:
     the other formats. Pixels are the first width*height text bytes."""
     from kafka_cdc_hudi_spark.functions.tiff import encode_tiff_gray
 
-    src = docs.filter(
-        F.octet_length("text") >= PNG_FIXTURE_MIN_BYTES
-    ).select(F.col("doc_id").alias("media_id"), "text")
+    def per_doc(mid: int, text: str) -> bytes:
+        w, h = _tiff_fixture_dims(mid)
+        return encode_tiff_gray(text.encode("utf-8")[: w * h], w, h)
 
-    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            blobs = []
-            for mid, text in zip(pdf["media_id"], pdf["text"]):
-                w, h = _tiff_fixture_dims(int(mid))
-                pixels = text.encode("utf-8")[: w * h]
-                blobs.append(encode_tiff_gray(pixels, w, h))
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"].astype("int64"),
-                    "content": blobs,
-                    "format": ["tiff"] * len(pdf),
-                    "byte_len": pd.Series([len(b) for b in blobs], dtype="int64"),
-                }
-            )
-
-    return src.mapInPandas(encode_batches, MEDIA_SCHEMA)
+    return _documents_as_blobs(docs, "tiff", per_doc)
 
 
 def _video_fixture_n_frames(media_id: int) -> int:
@@ -541,37 +495,19 @@ def documents_as_webp_anim(docs: DataFrame) -> DataFrame:
     Same adapter contract as ``documents_as_webp``."""
     from kafka_cdc_hudi_spark.functions.webp import _VARIANTS, encode_webp_anim
 
-    src = docs.filter(
-        F.octet_length("text") >= PNG_FIXTURE_MIN_BYTES
-    ).select(F.col("doc_id").alias("media_id"), "text")
+    def per_doc(mid: int, text: str) -> bytes:
+        w, h, nf = _webp_anim_fixture_dims(mid)
+        raw = text.encode("utf-8")
+        return encode_webp_anim(
+            [raw[f * w * h : (f + 1) * w * h] for f in range(nf)],
+            w,
+            h,
+            channels=1,
+            durations=[40 + 10 * f for f in range(nf)],
+            variant=_VARIANTS[mid % len(_VARIANTS)],
+        )
 
-    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            blobs = []
-            for mid, text in zip(pdf["media_id"], pdf["text"]):
-                w, h, nf = _webp_anim_fixture_dims(int(mid))
-                raw = text.encode("utf-8")
-                frames = [raw[f * w * h : (f + 1) * w * h] for f in range(nf)]
-                blobs.append(
-                    encode_webp_anim(
-                        frames,
-                        w,
-                        h,
-                        channels=1,
-                        durations=[40 + 10 * f for f in range(nf)],
-                        variant=_VARIANTS[int(mid) % len(_VARIANTS)],
-                    )
-                )
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"].astype("int64"),
-                    "content": blobs,
-                    "format": ["webp"] * len(pdf),
-                    "byte_len": pd.Series([len(b) for b in blobs], dtype="int64"),
-                }
-            )
-
-    return src.mapInPandas(encode_batches, MEDIA_SCHEMA)
+    return _documents_as_blobs(docs, "webp", per_doc)
 
 
 def decode_webp_anim_frames(df: DataFrame) -> DataFrame:
@@ -645,48 +581,32 @@ def documents_as_warc(docs: DataFrame) -> DataFrame:
     standard media frame (format='warc')."""
     from kafka_cdc_hudi_spark.functions.warc import encode_warc
 
-    src = docs.filter(
-        F.octet_length("text") >= PNG_FIXTURE_MIN_BYTES
-    ).select(F.col("doc_id").alias("media_id"), "text")
-
-    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            blobs = []
-            for mid, text in zip(pdf["media_id"], pdf["text"]):
-                mid = int(mid)
-                raw = text.encode("utf-8")
-                recs = []
-                for r in range(_warc_fixture_n_records(mid)):
-                    payload = raw[r * _WARC_SLICE : (r + 1) * _WARC_SLICE]
-                    if r % 2 == 0:
-                        wtype, block = "response", _WARC_HTTP_WRAPPER + payload
-                        ctype = "application/http; msgtype=response"
-                    else:
-                        wtype, block = "resource", payload
-                        ctype = "text/plain"
-                    recs.append(
-                        (
-                            {
-                                "WARC-Type": wtype,
-                                "WARC-Record-ID": f"<urn:doc:{mid}:{r}>",
-                                "WARC-Date": "2024-01-01T00:00:00Z",
-                                "WARC-Target-URI": f"http://corpus.example/{mid}/{r}",
-                                "Content-Type": ctype,
-                            },
-                            block,
-                        )
-                    )
-                blobs.append(encode_warc(recs, gzip_members=(mid % 2 == 0)))
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"].astype("int64"),
-                    "content": blobs,
-                    "format": ["warc"] * len(pdf),
-                    "byte_len": pd.Series([len(b) for b in blobs], dtype="int64"),
-                }
+    def per_doc(mid: int, text: str) -> bytes:
+        raw = text.encode("utf-8")
+        recs = []
+        for r in range(_warc_fixture_n_records(mid)):
+            payload = raw[r * _WARC_SLICE : (r + 1) * _WARC_SLICE]
+            if r % 2 == 0:
+                wtype, block = "response", _WARC_HTTP_WRAPPER + payload
+                ctype = "application/http; msgtype=response"
+            else:
+                wtype, block = "resource", payload
+                ctype = "text/plain"
+            recs.append(
+                (
+                    {
+                        "WARC-Type": wtype,
+                        "WARC-Record-ID": f"<urn:doc:{mid}:{r}>",
+                        "WARC-Date": "2024-01-01T00:00:00Z",
+                        "WARC-Target-URI": f"http://corpus.example/{mid}/{r}",
+                        "Content-Type": ctype,
+                    },
+                    block,
+                )
             )
+        return encode_warc(recs, gzip_members=(mid % 2 == 0))
 
-    return src.mapInPandas(encode_batches, MEDIA_SCHEMA)
+    return _documents_as_blobs(docs, "warc", per_doc)
 
 
 def extract_warc_records(df: DataFrame) -> DataFrame:
@@ -808,70 +728,54 @@ def documents_as_warc_http(docs: DataFrame) -> DataFrame:
 
     from kafka_cdc_hudi_spark.functions.warc import encode_warc
 
-    src = docs.filter(
-        F.octet_length("text") >= PNG_FIXTURE_MIN_BYTES
-    ).select(F.col("doc_id").alias("media_id"), "text")
-
-    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            blobs = []
-            for mid, text in zip(pdf["media_id"], pdf["text"]):
-                mid = int(mid)
-                raw = text.encode("utf-8")
-                recs = []
-                for r in range(_warc_fixture_n_records(mid)):
-                    payload = raw[r * _WARC_SLICE : (r + 1) * _WARC_SLICE]
-                    framing = _WARC_HTTP_FRAMINGS[(mid + r) % 4]
-                    if framing == "identity":
-                        http = (
-                            b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
-                            + payload
-                        )
-                    elif framing == "chunked":
-                        a, b = payload[:_WARC_CHUNK_SPLIT], payload[_WARC_CHUNK_SPLIT:]
-                        http = (
-                            b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
-                            b"Transfer-Encoding: chunked\r\n\r\n"
-                            + f"{len(a):x};fixture=1\r\n".encode() + a + b"\r\n"
-                            + f"{len(b):x}\r\n".encode() + b + b"\r\n"
-                            + b"0\r\nX-Trailer: t\r\n\r\n"
-                        )
-                    elif framing == "gzip":
-                        c = zlib.compressobj(9, zlib.DEFLATED, 31)
-                        enc = c.compress(payload) + c.flush()
-                        http = (
-                            b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
-                            b"Content-Encoding: gzip\r\n\r\n" + enc
-                        )
-                    else:  # latin1
-                        http = (
-                            b"HTTP/1.1 200 OK\r\n"
-                            b"Content-Type: text/plain; charset=iso-8859-1\r\n\r\n"
-                            + payload + _LATIN1_SUFFIX
-                        )
-                    recs.append(
-                        (
-                            {
-                                "WARC-Type": "response",
-                                "WARC-Record-ID": f"<urn:doc:{mid}:{r}>",
-                                "WARC-Date": "2024-01-01T00:00:00Z",
-                                "WARC-Target-URI": f"http://corpus.example/{mid}/{r}",
-                                "Content-Type": "application/http; msgtype=response",
-                            },
-                            http,
-                        )
-                    )
-                blobs.append(encode_warc(recs, gzip_members=(mid % 2 == 0)))
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"].astype("int64"),
-                    "content": blobs,
-                    "format": ["warc"] * len(pdf),
-                    "byte_len": pd.Series([len(b) for b in blobs], dtype="int64"),
-                }
+    def per_doc(mid: int, text: str) -> bytes:
+        raw = text.encode("utf-8")
+        recs = []
+        for r in range(_warc_fixture_n_records(mid)):
+            payload = raw[r * _WARC_SLICE : (r + 1) * _WARC_SLICE]
+            framing = _WARC_HTTP_FRAMINGS[(mid + r) % 4]
+            if framing == "identity":
+                http = (
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
+                    + payload
+                )
+            elif framing == "chunked":
+                a, b = payload[:_WARC_CHUNK_SPLIT], payload[_WARC_CHUNK_SPLIT:]
+                http = (
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+                    b"Transfer-Encoding: chunked\r\n\r\n"
+                    + f"{len(a):x};fixture=1\r\n".encode() + a + b"\r\n"
+                    + f"{len(b):x}\r\n".encode() + b + b"\r\n"
+                    + b"0\r\nX-Trailer: t\r\n\r\n"
+                )
+            elif framing == "gzip":
+                c = zlib.compressobj(9, zlib.DEFLATED, 31)
+                enc = c.compress(payload) + c.flush()
+                http = (
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+                    b"Content-Encoding: gzip\r\n\r\n" + enc
+                )
+            else:  # latin1
+                http = (
+                    b"HTTP/1.1 200 OK\r\n"
+                    b"Content-Type: text/plain; charset=iso-8859-1\r\n\r\n"
+                    + payload + _LATIN1_SUFFIX
+                )
+            recs.append(
+                (
+                    {
+                        "WARC-Type": "response",
+                        "WARC-Record-ID": f"<urn:doc:{mid}:{r}>",
+                        "WARC-Date": "2024-01-01T00:00:00Z",
+                        "WARC-Target-URI": f"http://corpus.example/{mid}/{r}",
+                        "Content-Type": "application/http; msgtype=response",
+                    },
+                    http,
+                )
             )
+        return encode_warc(recs, gzip_members=(mid % 2 == 0))
 
-    return src.mapInPandas(encode_batches, MEDIA_SCHEMA)
+    return _documents_as_blobs(docs, "warc", per_doc)
 
 
 WEBP_META_SCHEMA = StructType(
@@ -950,32 +854,14 @@ def documents_as_webp_lossy(docs: DataFrame) -> DataFrame:
     Same adapter contract as ``documents_as_webp``."""
     from kafka_cdc_hudi_spark.functions.webp import encode_webp_lossy_header
 
-    src = docs.filter(
-        F.octet_length("text") >= PNG_FIXTURE_MIN_BYTES
-    ).select(F.col("doc_id").alias("media_id"), "text")
+    def per_doc(mid: int, text: str) -> bytes:
+        w, h, ver, ws, hs, nfill = _webp_lossy_fixture(mid)
+        return encode_webp_lossy_header(
+            w, h, version=ver, width_scale=ws, height_scale=hs,
+            partition_filler=text.encode("utf-8")[:nfill],
+        )
 
-    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            blobs = []
-            for mid, text in zip(pdf["media_id"], pdf["text"]):
-                mid = int(mid)
-                w, h, ver, ws, hs, nfill = _webp_lossy_fixture(mid)
-                blobs.append(
-                    encode_webp_lossy_header(
-                        w, h, version=ver, width_scale=ws, height_scale=hs,
-                        partition_filler=text.encode("utf-8")[:nfill],
-                    )
-                )
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"].astype("int64"),
-                    "content": blobs,
-                    "format": ["webp"] * len(pdf),
-                    "byte_len": pd.Series([len(b) for b in blobs], dtype="int64"),
-                }
-            )
-
-    return src.mapInPandas(encode_batches, MEDIA_SCHEMA)
+    return _documents_as_blobs(docs, "webp", per_doc)
 
 
 def documents_as_media(docs: DataFrame) -> DataFrame:
