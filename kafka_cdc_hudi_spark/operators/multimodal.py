@@ -778,6 +778,122 @@ def documents_as_warc_http(docs: DataFrame) -> DataFrame:
     return _documents_as_blobs(docs, "warc", per_doc)
 
 
+def documents_as_warc_html(docs: DataFrame) -> DataFrame:
+    """Synthesize WARC containers whose HTTP response bodies are HTML
+    pages (the real Common Crawl payload): record r of doc d wraps the
+    32-byte text slice in a deterministic page skeleton (head/title,
+    paragraph, link), delivered through cycling wire framings —
+    identity, chunked, gzip — per ``(d + r) % 3``. Feeds the composed
+    crawl pipeline: extraction must de-frame, then markup-strip, then
+    dedup on the visible text."""
+    import zlib
+
+    from kafka_cdc_hudi_spark.functions.warc import encode_warc
+
+    def per_doc(mid: int, text: str) -> bytes:
+        raw = text.encode("utf-8")
+        recs = []
+        for r in range(_warc_fixture_n_records(mid)):
+            payload = raw[r * _WARC_SLICE : (r + 1) * _WARC_SLICE]
+            page = (
+                b"<html><head><title>D " + f"{mid}/{r}".encode()
+                + b"</title></head><body><p>" + payload
+                + b'</p><a href="http://corpus.example/' + str(mid).encode()
+                + b'">l</a></body></html>'
+            )
+            framing = ("identity", "chunked", "gzip")[(mid + r) % 3]
+            if framing == "identity":
+                http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + page
+            elif framing == "chunked":
+                a, b = page[:_WARC_CHUNK_SPLIT], page[_WARC_CHUNK_SPLIT:]
+                http = (
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                    b"Transfer-Encoding: chunked\r\n\r\n"
+                    + f"{len(a):x}\r\n".encode() + a + b"\r\n"
+                    + f"{len(b):x}\r\n".encode() + b + b"\r\n0\r\n\r\n"
+                )
+            else:
+                c = zlib.compressobj(9, zlib.DEFLATED, 31)
+                enc = c.compress(page) + c.flush()
+                http = (
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                    b"Content-Encoding: gzip\r\n\r\n" + enc
+                )
+            recs.append(
+                (
+                    {
+                        "WARC-Type": "response",
+                        "WARC-Record-ID": f"<urn:doc:{mid}:{r}>",
+                        "WARC-Date": "2024-01-01T00:00:00Z",
+                        "WARC-Target-URI": f"http://corpus.example/{mid}/{r}",
+                        "Content-Type": "application/http; msgtype=response",
+                    },
+                    http,
+                )
+            )
+        return encode_warc(recs, gzip_members=(mid % 2 == 0))
+
+    return _documents_as_blobs(docs, "warc", per_doc)
+
+
+#: warcinfo block every WET container leads with (deterministic — no
+#: timestamps, so WET output is byte-reproducible)
+WET_WARCINFO_BLOCK = b"software: kafka-cdc-hudi-spark\r\nformat: WET\r\n"
+
+
+def corpus_to_wet(recs: DataFrame) -> DataFrame:
+    """Write WET (WARC Encapsulated Text — Common Crawl's extracted-text
+    sibling format): group the extracted records of each source
+    container and emit ONE WET container per media_id — a leading
+    ``warcinfo`` record, then a ``conversion`` record per source record
+    (URI + refers-to headers, body = the extracted text). WET IS WARC,
+    so the container round-trips through the same reader.
+
+    Scale shape: one hash shuffle on media_id (applyInPandas group per
+    source container — the real WET-per-WARC-file write granularity),
+    then O(text bytes) encoding per group."""
+    from kafka_cdc_hudi_spark.functions.warc import encode_warc
+
+    def to_wet(pdf: pd.DataFrame) -> pd.DataFrame:
+        mid = int(pdf["media_id"].iloc[0])
+        recs_out = [
+            (
+                {
+                    "WARC-Type": "warcinfo",
+                    "WARC-Record-ID": f"<urn:wet:{mid}:info>",
+                    "WARC-Date": "2024-01-01T00:00:00Z",
+                    "Content-Type": "application/warc-fields",
+                },
+                WET_WARCINFO_BLOCK,
+            )
+        ]
+        for _, row in pdf.sort_values("record_idx").iterrows():
+            recs_out.append(
+                (
+                    {
+                        "WARC-Type": "conversion",
+                        "WARC-Record-ID": f"<urn:wet:{mid}:{int(row['record_idx'])}>",
+                        "WARC-Refers-To": f"<urn:doc:{mid}:{int(row['record_idx'])}>",
+                        "WARC-Date": "2024-01-01T00:00:00Z",
+                        "WARC-Target-URI": f"http://corpus.example/{mid}/{int(row['record_idx'])}",
+                        "Content-Type": "text/plain",
+                    },
+                    str(row["body"]).encode("utf-8"),
+                )
+            )
+        blob = encode_warc(recs_out, gzip_members=True)
+        return pd.DataFrame(
+            {
+                "media_id": pd.Series([mid], dtype="int64"),
+                "content": [blob],
+                "format": ["warc"],
+                "byte_len": pd.Series([len(blob)], dtype="int64"),
+            }
+        )
+
+    return recs.groupBy("media_id").applyInPandas(to_wet, MEDIA_SCHEMA)
+
+
 WEBP_META_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),

@@ -108,6 +108,8 @@ PRUNED: dict[str, str] = {
     # ---- born r14 AFTER the r14 driver-set freeze (rotate r15 slot 1) ----
     "corpus_warc_http_decode": "born r14 (chunked/gzip/charset HTTP wire framings through the WARC extractor, full oracle); rotate r15",
     "multimodal_webp_lossy_meta": "born r14 (lossy-VP8 key-frame header metadata, RFC 6386 uncompressed header; full oracle); rotate r15",
+    "pipeline_warc_html_corpus": "born r14 (crawl flagship v2: HTML pages behind wire framings -> markup strip -> hash-keyed dedup; full composed oracle); rotate r15",
+    "pipeline_wet_roundtrip": "born r14 (WET extracted-text output: warcinfo + conversion records, round-tripped through the WARC walker; full oracle); rotate r15",
     # ---- structural near-duplicates (standing; each covered by survivor) ----
     "cdc_latest_per_key": 'cdc_latest_per_composite_key (same dedup operator, composite keys; r2-r6 green)',
     "q6_forecast_revenue": 'q1_pricing_summary/q14 (filter+agg; pushdown pinned in test_plan_invariants)',

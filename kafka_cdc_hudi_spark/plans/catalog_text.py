@@ -3460,6 +3460,179 @@ FROM b
 """
 
 
+def pipeline_warc_html_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship crawl pipeline v2 (born r14): WARC containers whose HTTP
+    bodies are HTML PAGES behind real wire framings (identity/chunked/
+    gzip cycling) -> one Arrow extraction stage -> codegen'd markup
+    strip (head removal, tag strip, whitespace collapse) + title pull ->
+    quality gate -> exact dedup keyed by md5 of the VISIBLE text, first
+    occurrence carrying its title. This is the actual Common Crawl
+    shape end-to-end: de-frame, de-markup, dedup — one decode pass, one
+    16-byte-keyed hash shuffle.
+
+    FULL composed oracle: pages are deterministic wrappers of text-byte
+    slices, so DuckDB rebuilds the visible text relationally and applies
+    the same strip + dedup algebra."""
+    from kafka_cdc_hudi_spark.operators.multimodal import (
+        documents_as_warc_html,
+        extract_warc_text,
+        media_repartition,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = media_repartition(documents_as_warc_html(docs), avg_row_bytes=1024)
+    recs = extract_warc_text(media)
+    stripped = recs.select(
+        "media_id",
+        "record_idx",
+        F.regexp_extract("body", _HTML_TITLE_RE, 1).alias("title"),
+        F.lower(
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.regexp_replace("body", "<head>.*?</head>", " "),
+                        _HTML_TAG_RE,
+                        " ",
+                    ),
+                    _HTML_WS_RE,
+                    " ",
+                )
+            )
+        ).alias("norm"),
+    ).filter(F.length("norm") > 0)
+    return (
+        stripped.select(
+            F.md5("norm").alias("norm_hash"),
+            F.length("norm").cast("long").alias("norm_len"),
+            F.struct("media_id", "record_idx", "title").alias("occ"),
+        )
+        .groupBy("norm_hash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.min("occ").alias("first_occ"),
+            F.min("norm_len").alias("norm_len"),
+        )
+        .select(
+            "norm_hash",
+            "n_copies",
+            F.col("first_occ.media_id").alias("first_media_id"),
+            F.col("first_occ.record_idx").alias("first_record_idx"),
+            F.col("first_occ.title").alias("title"),
+            "norm_len",
+        )
+    )
+
+
+PIPELINE_WARC_HTML_CORPUS_SQL = r"""
+WITH m AS (
+  SELECT doc_id, 2 + doc_id % 3 AS nr, text
+  FROM documents
+  WHERE octet_length(encode(text)) >= 128
+),
+r AS (
+  SELECT doc_id AS media_id,
+         CAST(unnest(range(0, nr)) AS INT) AS record_idx,
+         text
+  FROM m
+),
+vis AS (
+  -- visible text after head-strip + tag-strip + collapse: the slice's
+  -- own words followed by the link text 'l' (title lives in <head>)
+  SELECT media_id, record_idx,
+         'D ' || media_id || '/' || record_idx AS title,
+         lower(trim(regexp_replace(
+           ' ' || substring(text, 1 + record_idx * 32, 32) || ' l',
+           '\s+', ' ', 'g'
+         ))) AS norm
+  FROM r
+),
+nonempty AS (SELECT * FROM vis WHERE length(norm) > 0),
+ranked AS (
+  SELECT media_id, record_idx, title, norm,
+         row_number() OVER (
+           PARTITION BY norm ORDER BY media_id, record_idx, title
+         ) AS rn,
+         count(*) OVER (PARTITION BY norm) AS n_copies
+  FROM nonempty
+)
+SELECT md5(norm) AS norm_hash,
+       CAST(n_copies AS BIGINT) AS n_copies,
+       media_id AS first_media_id,
+       record_idx AS first_record_idx,
+       title,
+       CAST(length(norm) AS BIGINT) AS norm_len
+FROM ranked WHERE rn = 1
+"""
+
+
+def pipeline_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET output (born r14): extracted text written back as Common
+    Crawl's WET format — one container per source WARC, a warcinfo
+    record then conversion records with URI/refers-to headers — and
+    re-read through the same WARC walker (WET IS WARC). The input side
+    runs the full four-framing HTTP decode, so this entry drives
+    extract -> de-frame -> WET encode -> container walk end-to-end.
+
+    FULL value oracle: conversion bodies are the de-framed text slices
+    and the warcinfo block is a fixed byte string, so DuckDB predicts
+    every record's hash, type, URI, and length."""
+    from kafka_cdc_hudi_spark.operators.multimodal import (
+        corpus_to_wet,
+        documents_as_warc_http,
+        extract_warc_records,
+        extract_warc_text,
+        media_repartition,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = media_repartition(documents_as_warc_http(docs), avg_row_bytes=1024)
+    wet = corpus_to_wet(extract_warc_text(media))
+    return extract_warc_records(wet).select(
+        "media_id", "record_idx", "n_records", "warc_type",
+        "target_uri", "content_length", "body_hash",
+    )
+
+
+PIPELINE_WET_ROUNDTRIP_SQL = r"""
+WITH m AS (
+  SELECT doc_id, 2 + doc_id % 3 AS nr, text
+  FROM documents
+  WHERE octet_length(encode(text)) >= 128
+),
+conv AS (
+  SELECT doc_id AS media_id,
+         CAST(unnest(range(0, nr)) AS INT) AS record_idx,
+         nr, text
+  FROM m
+),
+bodies AS (
+  SELECT media_id, record_idx, nr,
+         substring(text, 1 + record_idx * 32, 32)
+           || CASE WHEN (media_id + record_idx) % 4 = 3 THEN chr(233) ELSE '' END
+           AS body
+  FROM conv
+)
+SELECT media_id,
+       CAST(record_idx + 1 AS INT) AS record_idx,
+       CAST(nr + 1 AS INT) AS n_records,
+       'conversion' AS warc_type,
+       'http://corpus.example/' || media_id || '/' || record_idx AS target_uri,
+       CAST(octet_length(encode(body)) AS INT) AS content_length,
+       md5(body) AS body_hash
+FROM bodies
+UNION ALL
+SELECT doc_id AS media_id,
+       CAST(0 AS INT) AS record_idx,
+       CAST(nr + 1 AS INT) AS n_records,
+       'warcinfo' AS warc_type,
+       CAST(NULL AS VARCHAR) AS target_uri,
+       CAST(45 AS INT) AS content_length,
+       md5('software: kafka-cdc-hudi-spark' || chr(13) || chr(10)
+           || 'format: WET' || chr(13) || chr(10)) AS body_hash
+FROM m
+"""
+
+
 def multimodal_webp_lossy_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lossy-VP8 WebP metadata WITHOUT pixel decode (born r14, VERDICT
     r13 item 4): synthesize genuine RIFF/WEBP containers whose "VP8 "
@@ -6083,6 +6256,11 @@ TEXT_QUERIES: dict[str, tuple] = {
     "corpus_warc_extract": (corpus_warc_extract, CORPUS_WARC_EXTRACT_SQL),
     "pipeline_warc_corpus": (pipeline_warc_corpus, PIPELINE_WARC_CORPUS_SQL),
     "corpus_warc_http_decode": (corpus_warc_http_decode, CORPUS_WARC_HTTP_DECODE_SQL),
+    "pipeline_warc_html_corpus": (
+        pipeline_warc_html_corpus,
+        PIPELINE_WARC_HTML_CORPUS_SQL,
+    ),
+    "pipeline_wet_roundtrip": (pipeline_wet_roundtrip, PIPELINE_WET_ROUNDTRIP_SQL),
     "multimodal_webp_lossy_meta": (
         multimodal_webp_lossy_meta,
         MULTIMODAL_WEBP_LOSSY_META_SQL,

@@ -48,6 +48,8 @@ _PY_EXEMPT = {
     "pipeline_warc_corpus",
     "corpus_warc_http_decode",
     "multimodal_webp_lossy_meta",
+    "pipeline_warc_html_corpus",
+    "pipeline_wet_roundtrip",
     # dense linear algebra: SRP signatures are 32 plane dot-products per
     # row — a matmul. Both relational forms measured pathological (the
     # higher-order fold is interpreted PER ELEMENT; the unrolled

@@ -227,6 +227,34 @@ def test_extract_warc_text_charset_and_chunked(spark):
     assert rows[1]["body"] == "chunk1 chunk2"
 
 
+def test_corpus_to_wet_roundtrip(spark):
+    """WET output is genuine WARC: one container per source media_id,
+    warcinfo first, conversion records carrying URI + refers-to, bodies
+    = the extracted text; the same reader walks it back."""
+    from kafka_cdc_hudi_spark.functions.warc import is_warc
+    from kafka_cdc_hudi_spark.operators.multimodal import (
+        WET_WARCINFO_BLOCK,
+        corpus_to_wet,
+    )
+
+    recs = spark.createDataFrame(
+        [(5, 1, "response", "hello world"), (5, 0, "response", "first rec")],
+        "media_id long, record_idx int, warc_type string, body string",
+    )
+    wet_rows = corpus_to_wet(recs).collect()
+    assert len(wet_rows) == 1
+    blob = bytes(wet_rows[0]["content"])
+    assert is_warc(blob)
+    got = decode_warc(blob)
+    assert [h["WARC-Type"] for h, _b in got] == ["warcinfo", "conversion", "conversion"]
+    assert got[0][1] == WET_WARCINFO_BLOCK
+    # record order follows record_idx, not input row order
+    assert got[1][1] == b"first rec"
+    assert got[2][1] == b"hello world"
+    assert got[2][0]["WARC-Refers-To"] == "<urn:doc:5:1>"
+    assert got[2][0]["WARC-Target-URI"] == "http://corpus.example/5/1"
+
+
 def test_truncated_header_block_message():
     """ADVICE r13: truncation inside the header block raises a
     descriptive WARC error, not a bare substring-not-found."""
