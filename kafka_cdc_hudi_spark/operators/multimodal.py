@@ -867,18 +867,20 @@ def corpus_to_wet(recs: DataFrame) -> DataFrame:
                 WET_WARCINFO_BLOCK,
             )
         ]
-        for _, row in pdf.sort_values("record_idx").iterrows():
+        ordered = pdf.sort_values("record_idx")
+        for ridx, body in zip(ordered["record_idx"], ordered["body"]):
+            ridx = int(ridx)
             recs_out.append(
                 (
                     {
                         "WARC-Type": "conversion",
-                        "WARC-Record-ID": f"<urn:wet:{mid}:{int(row['record_idx'])}>",
-                        "WARC-Refers-To": f"<urn:doc:{mid}:{int(row['record_idx'])}>",
+                        "WARC-Record-ID": f"<urn:wet:{mid}:{ridx}>",
+                        "WARC-Refers-To": f"<urn:doc:{mid}:{ridx}>",
                         "WARC-Date": "2024-01-01T00:00:00Z",
-                        "WARC-Target-URI": f"http://corpus.example/{mid}/{int(row['record_idx'])}",
+                        "WARC-Target-URI": f"http://corpus.example/{mid}/{ridx}",
                         "Content-Type": "text/plain",
                     },
-                    str(row["body"]).encode("utf-8"),
+                    str(body).encode("utf-8"),
                 )
             )
         blob = encode_warc(recs_out, gzip_members=True)

@@ -83,7 +83,10 @@ for _n in DEMOTED:
 #:
 #: ROUND-15 ROTATION (committed in advance, the standing pattern):
 #: IN (50 slots, in order):
-#:   1. any entries born in r14 past this driver-set freeze.
+#:   1. the entries born in r14 past this driver-set freeze (4:
+#:      corpus_warc_http_decode, multimodal_webp_lossy_meta,
+#:      pipeline_warc_html_corpus, pipeline_wet_roundtrip) plus any
+#:      born later in r14.
 #:   2. the 19 slipped r11 entries (multimodal_video_cuts,
 #:      events_histogram_quantile_rollup, text_bpe_pair_counts,
 #:      text_bpe_train_merges, pipeline_audio_manifest,
@@ -95,7 +98,8 @@ for _n in DEMOTED:
 #:      active_user_set_ops, text_quality_score, events_hourly_agg) —
 #:      must not slip twice.
 #:   3. the r12 green block in CORRECTNESS_r12 row order as slots allow
-#:      (~31 slots; the rest slip to r16 and must not slip twice).
+#:      (~27 slots with the 4 born entries; the rest slip to r16 and
+#:      must not slip twice).
 #:   4. r13/r14 greens rest and return r16 oldest-row-first.
 #: Structural near-duplicates stay DEMOTED (see ``DEMOTED``) with
 #: covered-by reasons and a smoke test.
