@@ -714,65 +714,97 @@ _WARC_CHUNK_SPLIT = 10
 _LATIN1_SUFFIX = b"\xe9"
 
 
+def _http_frame(
+    payload: bytes,
+    framing: str,
+    content_type: str = "text/plain",
+    chunk_extras: bool = False,
+) -> bytes:
+    """ONE place for the fixture HTTP wire framings (r14 review: the
+    framing blocks must not fork across WARC fixtures — a framing fix
+    has to land everywhere at once). ``chunk_extras`` adds a chunk
+    extension + trailer field, the richer RFC 9112 surface."""
+    import zlib
+
+    ct = content_type.encode()
+    if framing == "identity":
+        return b"HTTP/1.1 200 OK\r\nContent-Type: " + ct + b"\r\n\r\n" + payload
+    if framing == "chunked":
+        a, b = payload[:_WARC_CHUNK_SPLIT], payload[_WARC_CHUNK_SPLIT:]
+        first = f"{len(a):x}" + (";fixture=1" if chunk_extras else "")
+        trailer = b"X-Trailer: t\r\n" if chunk_extras else b""
+        return (
+            b"HTTP/1.1 200 OK\r\nContent-Type: " + ct
+            + b"\r\nTransfer-Encoding: chunked\r\n\r\n"
+            + first.encode() + b"\r\n" + a + b"\r\n"
+            + f"{len(b):x}\r\n".encode() + b + b"\r\n0\r\n" + trailer + b"\r\n"
+        )
+    if framing == "gzip":
+        c = zlib.compressobj(9, zlib.DEFLATED, 31)
+        return (
+            b"HTTP/1.1 200 OK\r\nContent-Type: " + ct
+            + b"\r\nContent-Encoding: gzip\r\n\r\n"
+            + c.compress(payload) + c.flush()
+        )
+    # latin1: declared charset + a non-ASCII suffix byte so charset
+    # decoding is observable
+    return (
+        b"HTTP/1.1 200 OK\r\nContent-Type: " + ct
+        + b"; charset=iso-8859-1\r\n\r\n" + payload + _LATIN1_SUFFIX
+    )
+
+
+def _warc_response_headers(mid: int, r: int) -> dict[str, str]:
+    return {
+        "WARC-Type": "response",
+        "WARC-Record-ID": f"<urn:doc:{mid}:{r}>",
+        "WARC-Date": "2024-01-01T00:00:00Z",
+        "WARC-Target-URI": f"http://corpus.example/{mid}/{r}",
+        "Content-Type": "application/http; msgtype=response",
+    }
+
+
+def _ascii_fixture_bytes(
+    kernel: str, mid: int, text: str, forbid: bytes = b""
+) -> bytes:
+    """Fixture CONTRACT (the ADVICE r7 wav pattern): the DuckDB oracles
+    slice text by CHARACTER while these kernels slice UTF-8 BYTES —
+    identical only for non-empty ASCII text (and, for HTML wrappers,
+    text without the markup metacharacters the tag-strip regex eats).
+    Enforce loudly rather than silently diverge on a future testdata
+    regeneration."""
+    raw = (text or "").encode("utf-8")
+    if not raw or len(raw) != len(text) or any(raw.count(ch) for ch in forbid):
+        raise ValueError(
+            f"{kernel} fixture contract violated for doc {mid}: text must "
+            f"be non-empty ASCII"
+            + (f" without {forbid!r}" if forbid else "")
+            + " (oracles model character substrings)"
+        )
+    return raw
+
+
 def documents_as_warc_http(docs: DataFrame) -> DataFrame:
     """Synthesize WARC containers whose records carry REAL-WORLD HTTP
     wire framings (VERDICT r13 item 3): record r of doc d holds text
     slice ``text[r*32:(r+1)*32]`` as an HTTP response body, framed per
     ``(d + r) % 4`` — identity, ``Transfer-Encoding: chunked`` (two
-    chunks, extension on the first), ``Content-Encoding: gzip``, or a
-    latin-1 charset body with a non-ASCII suffix. Decoding must recover
-    the exact slice regardless of framing, which is what the composed
-    DuckDB oracle asserts. Same container-layout cycling as
-    ``documents_as_warc`` (gzip members on even doc_ids)."""
-    import zlib
-
+    chunks, extension on the first, trailer), ``Content-Encoding:
+    gzip``, or a latin-1 charset body with a non-ASCII suffix. Decoding
+    must recover the exact slice regardless of framing, which is what
+    the composed DuckDB oracle asserts. Same container-layout cycling
+    as ``documents_as_warc`` (gzip members on even doc_ids)."""
     from kafka_cdc_hudi_spark.functions.warc import encode_warc
 
     def per_doc(mid: int, text: str) -> bytes:
-        raw = text.encode("utf-8")
+        raw = _ascii_fixture_bytes("documents_as_warc_http", mid, text)
         recs = []
         for r in range(_warc_fixture_n_records(mid)):
             payload = raw[r * _WARC_SLICE : (r + 1) * _WARC_SLICE]
-            framing = _WARC_HTTP_FRAMINGS[(mid + r) % 4]
-            if framing == "identity":
-                http = (
-                    b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
-                    + payload
-                )
-            elif framing == "chunked":
-                a, b = payload[:_WARC_CHUNK_SPLIT], payload[_WARC_CHUNK_SPLIT:]
-                http = (
-                    b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
-                    b"Transfer-Encoding: chunked\r\n\r\n"
-                    + f"{len(a):x};fixture=1\r\n".encode() + a + b"\r\n"
-                    + f"{len(b):x}\r\n".encode() + b + b"\r\n"
-                    + b"0\r\nX-Trailer: t\r\n\r\n"
-                )
-            elif framing == "gzip":
-                c = zlib.compressobj(9, zlib.DEFLATED, 31)
-                enc = c.compress(payload) + c.flush()
-                http = (
-                    b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
-                    b"Content-Encoding: gzip\r\n\r\n" + enc
-                )
-            else:  # latin1
-                http = (
-                    b"HTTP/1.1 200 OK\r\n"
-                    b"Content-Type: text/plain; charset=iso-8859-1\r\n\r\n"
-                    + payload + _LATIN1_SUFFIX
-                )
-            recs.append(
-                (
-                    {
-                        "WARC-Type": "response",
-                        "WARC-Record-ID": f"<urn:doc:{mid}:{r}>",
-                        "WARC-Date": "2024-01-01T00:00:00Z",
-                        "WARC-Target-URI": f"http://corpus.example/{mid}/{r}",
-                        "Content-Type": "application/http; msgtype=response",
-                    },
-                    http,
-                )
+            http = _http_frame(
+                payload, _WARC_HTTP_FRAMINGS[(mid + r) % 4], chunk_extras=True
             )
+            recs.append((_warc_response_headers(mid, r), http))
         return encode_warc(recs, gzip_members=(mid % 2 == 0))
 
     return _documents_as_blobs(docs, "warc", per_doc)
@@ -786,12 +818,12 @@ def documents_as_warc_html(docs: DataFrame) -> DataFrame:
     identity, chunked, gzip — per ``(d + r) % 3``. Feeds the composed
     crawl pipeline: extraction must de-frame, then markup-strip, then
     dedup on the visible text."""
-    import zlib
-
     from kafka_cdc_hudi_spark.functions.warc import encode_warc
 
     def per_doc(mid: int, text: str) -> bytes:
-        raw = text.encode("utf-8")
+        raw = _ascii_fixture_bytes(
+            "documents_as_warc_html", mid, text, forbid=b"<>"
+        )
         recs = []
         for r in range(_warc_fixture_n_records(mid)):
             payload = raw[r * _WARC_SLICE : (r + 1) * _WARC_SLICE]
@@ -802,35 +834,8 @@ def documents_as_warc_html(docs: DataFrame) -> DataFrame:
                 + b'">l</a></body></html>'
             )
             framing = ("identity", "chunked", "gzip")[(mid + r) % 3]
-            if framing == "identity":
-                http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + page
-            elif framing == "chunked":
-                a, b = page[:_WARC_CHUNK_SPLIT], page[_WARC_CHUNK_SPLIT:]
-                http = (
-                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
-                    b"Transfer-Encoding: chunked\r\n\r\n"
-                    + f"{len(a):x}\r\n".encode() + a + b"\r\n"
-                    + f"{len(b):x}\r\n".encode() + b + b"\r\n0\r\n\r\n"
-                )
-            else:
-                c = zlib.compressobj(9, zlib.DEFLATED, 31)
-                enc = c.compress(page) + c.flush()
-                http = (
-                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
-                    b"Content-Encoding: gzip\r\n\r\n" + enc
-                )
-            recs.append(
-                (
-                    {
-                        "WARC-Type": "response",
-                        "WARC-Record-ID": f"<urn:doc:{mid}:{r}>",
-                        "WARC-Date": "2024-01-01T00:00:00Z",
-                        "WARC-Target-URI": f"http://corpus.example/{mid}/{r}",
-                        "Content-Type": "application/http; msgtype=response",
-                    },
-                    http,
-                )
-            )
+            http = _http_frame(page, framing, content_type="text/html")
+            recs.append((_warc_response_headers(mid, r), http))
         return encode_warc(recs, gzip_members=(mid % 2 == 0))
 
     return _documents_as_blobs(docs, "warc", per_doc)
