@@ -227,6 +227,35 @@ def test_extract_warc_text_charset_and_chunked(spark):
     assert rows[1]["body"] == "chunk1 chunk2"
 
 
+def test_http_frame_body_roundtrip_property():
+    """Property pin over the whole wire-framing surface: for ANY payload
+    and every framing the fixture encoder emits, http_body must recover
+    the exact payload bytes (latin-1 framing recovers payload + the
+    declared suffix). Guards encoder and decoder against one-sided
+    framing changes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kafka_cdc_hudi_spark.operators.multimodal import (
+        _LATIN1_SUFFIX,
+        _http_frame,
+    )
+
+    @given(
+        payload=st.binary(max_size=200),
+        framing=st.sampled_from(["identity", "chunked", "gzip", "latin1"]),
+        extras=st.booleans(),
+    )
+    @settings(max_examples=300, deadline=None)
+    def check(payload, framing, extras):
+        msg = _http_frame(payload, framing, chunk_extras=extras)
+        got = http_body(msg)
+        want = payload + _LATIN1_SUFFIX if framing == "latin1" else payload
+        assert got == want, (framing, extras, payload[:20])
+
+    check()
+
+
 def test_corpus_to_wet_roundtrip(spark):
     """WET output is genuine WARC: one container per source media_id,
     warcinfo first, conversion records carrying URI + refers-to, bodies
