@@ -30,8 +30,9 @@ def _ensure_confs(spark: SparkSession) -> SparkSession:
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full CDC capability end-to-end — events -> Debezium JSON
-    envelopes -> declarative parse (delete recovery) -> two sequential keyed
-    merges with precombine semantics -> final table state."""
+    envelopes -> declarative parse (delete recovery) -> two-batch keyed
+    merge with precombine semantics (fused one-pass fold, r14) -> final
+    table state."""
     from kafka_cdc_hudi_spark.plans.catalog_cdc import cdc_merge_two_batches
 
     return cdc_merge_two_batches(_ensure_confs(spark), "/root/testdata/sf0.001")

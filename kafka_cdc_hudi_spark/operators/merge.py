@@ -144,6 +144,79 @@ def merge_upsert(
     return merged
 
 
+def merge_upsert_two_batches(
+    parsed: DataFrame,
+    second_batch: Column,
+    keys: Sequence[str],
+    order_col: str = "mtime",
+    deleted_col: str = "_deleted",
+    tiebreakers: Sequence[str] = (),
+) -> DataFrame:
+    """Fused one-pass equivalent of the sequential two-batch COW fold
+    ``merge_upsert(merge_upsert(None, batch_a), batch_b)`` where
+    ``batch_a = parsed.filter(~second_batch)`` and
+    ``batch_b = parsed.filter(second_batch)``.
+
+    The sequential form executes the upstream lineage TWICE (each filter
+    branch re-runs it — Spark shares no common subtrees without an explicit
+    persist) and pays one exchange per ``latest_per_key_agg``. This fold
+    computes both per-batch winners in ONE hash aggregate over one pass:
+
+    - per key, ``max`` over a conditional ``struct(order, tiebreakers, row)``
+      per batch — map-side partial aggregation collapses each batch to at
+      most one candidate per key per input partition before the shuffle
+      (same skew-immunity as ``latest_per_key_agg``);
+    - batch A's winner survives only if not a delete (state after batch A —
+      an older A-insert never resurrects within its own batch);
+    - cross-batch precombine: B's winner beats A's surviving state on
+      ``order_col`` with ties to the incoming batch (Hudi behavior; the
+      batch marker is a strictly stronger comparator than any tiebreaker,
+      so tiebreakers never cross batches);
+    - a winning delete tombstone drops the key.
+
+    Equivalence to the sequential fold is pinned property-style in
+    tests/test_merge.py. Requirements (same as deterministic
+    ``merge_upsert``): ``(order_col, *tiebreakers)`` unique per key within
+    each batch, ``order_col`` non-null; ``tiebreakers`` must be non-empty
+    (callers without a natural tiebreak should stay on ``merge_upsert``,
+    which synthesizes a content-hash one).
+    """
+    if not tiebreakers:
+        raise ValueError(
+            "merge_upsert_two_batches requires explicit tiebreakers; "
+            "use merge_upsert for the content-hash fallback"
+        )
+    if deleted_col not in parsed.columns:
+        parsed = parsed.withColumn(deleted_col, F.lit(False))
+    cand = F.struct(
+        F.col(order_col).alias("__o"),
+        *[F.col(t).alias(f"__t{i}") for i, t in enumerate(tiebreakers)],
+        F.struct(*[F.col(c) for c in parsed.columns]).alias("__row"),
+    )
+    agg = parsed.groupBy(*[F.col(k) for k in keys]).agg(
+        F.max(F.when(~second_batch, cand)).alias("__a"),
+        F.max(F.when(second_batch, cand)).alias("__b"),
+    )
+    a, b = F.col("__a"), F.col("__b")
+    a_deleted = F.coalesce(a.getField("__row").getField(deleted_col), F.lit(False))
+    a_live = F.when(~a_deleted, a)  # null when a is null or a tombstone
+    winner = (
+        F.when(a_live.isNull(), b)
+        .when(b.isNull(), a_live)
+        .when(b.getField("__o") >= a_live.getField("__o"), b)
+        .otherwise(a_live)
+    )
+    w_deleted = F.coalesce(
+        winner.getField("__row").getField(deleted_col), F.lit(False)
+    )
+    return (
+        agg.select(F.when(~w_deleted, winner).alias("__w"))
+        .filter(F.col("__w").isNotNull())
+        .select("__w.__row.*")
+        .drop(deleted_col)
+    )
+
+
 def partial_update_fold(
     history: DataFrame,
     keys: Sequence[str],

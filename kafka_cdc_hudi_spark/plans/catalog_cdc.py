@@ -23,7 +23,10 @@ from kafka_cdc_hudi_spark.operators.cdc import (
     route,
 )
 from kafka_cdc_hudi_spark.operators.dedup import latest_per_key
-from kafka_cdc_hudi_spark.operators.merge import merge_upsert, partial_update_fold
+from kafka_cdc_hudi_spark.operators.merge import (
+    merge_upsert_two_batches,
+    partial_update_fold,
+)
 from kafka_cdc_hudi_spark.plans.cdc_fixtures import (
     EVENTS_PAYLOAD_SCHEMA,
     debezium_envelopes,
@@ -176,16 +179,24 @@ QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY mtime DESC,
 
 
 def cdc_merge_two_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O18 (the heart): two sequential micro-batch merges with precombine +
-    delete semantics; returns the final table state. Batch A = even
-    event_id, batch B = odd, so keys interleave and arrive out of order
-    across batches (FIXTURES A3.5)."""
+    """O18 (the heart): two micro-batch merges with precombine + delete
+    semantics; returns the final table state. Batch A = even event_id,
+    batch B = odd, so keys interleave and arrive out of order across
+    batches (FIXTURES A3.5).
+
+    r14 optimization (guide §2.3/§2.4): the fused one-pass fold
+    (``merge_upsert_two_batches``, pinned equal to the sequential
+    ``merge_upsert`` chain in tests/test_merge.py) replaces the two-filter
+    shape that executed the envelope+parse lineage TWICE and paid two
+    exchanges — now one pass, one exchange, map-side combine."""
     env = debezium_envelopes(_events(spark, sf_dir))
     parsed = parse_debezium(env, EVENTS_PAYLOAD_SCHEMA)
-    a = parsed.filter(F.col("event_id") % 2 == 0)
-    b = parsed.filter(F.col("event_id") % 2 == 1)
-    s1 = merge_upsert(None, a.drop("operation"), ["user_id"], tiebreakers=["event_id"])
-    s2 = merge_upsert(s1, b.drop("operation"), ["user_id"], tiebreakers=["event_id"])
+    s2 = merge_upsert_two_batches(
+        parsed.drop("operation"),
+        F.col("event_id") % 2 == 1,
+        ["user_id"],
+        tiebreakers=["event_id"],
+    )
     return s2.select("event_id", "ts", "user_id", "event_type", "value", "props", "mtime")
 
 
@@ -693,10 +704,13 @@ def cdc_merge_dms_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "test_db",
         "events",
     )
-    a = parsed.filter(F.col("event_id") % 2 == 0).drop("operation")
-    b = parsed.filter(F.col("event_id") % 2 == 1).drop("operation")
-    s1 = merge_upsert(None, a, ["user_id"], tiebreakers=["event_id"])
-    s2 = merge_upsert(s1, b, ["user_id"], tiebreakers=["event_id"])
+    # fused one-pass two-batch fold — see cdc_merge_two_batches (r14)
+    s2 = merge_upsert_two_batches(
+        parsed.drop("operation"),
+        F.col("event_id") % 2 == 1,
+        ["user_id"],
+        tiebreakers=["event_id"],
+    )
     return s2.select(
         "event_id", "ts", "user_id", "event_type", "value", "props", "mtime"
     )

@@ -1181,8 +1181,15 @@ FROM embeddings e
 def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 for query vectors (vec_id < 10): the exact
     baseline every ANN variant is measured against. Queries are broadcast;
-    the candidate scan is embarrassingly parallel over partitions."""
+    the candidate scan is embarrassingly parallel over partitions.
+
+    r14 optimization: the single-row-group fixture parquet yields ONE scan
+    partition, so the whole Q x N cosine pass (plus the map-side
+    WindowGroupLimit) ran on one core. Spread the candidate side first —
+    the standing fixture-parallelism rule (SKILL/_spread); a multi-split
+    production corpus already arrives spread."""
     e = load_table(spark, sf_dir, "embeddings")
+    e = e.repartition(spark.sparkContext.defaultParallelism)
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )

@@ -81,6 +81,120 @@ class TestMergeUpsert:
         assert _state(s) == {1: ("v3", 30)}
 
 
+class TestMergeUpsertTwoBatchesFused:
+    """merge_upsert_two_batches == merge_upsert(merge_upsert(None, A), B)
+    (the r14 fused one-pass fold). Every COW semantic corner is exercised:
+    cross-batch precombine, tie-to-incoming, in-batch delete suppression,
+    cross-batch delete + older-insert resurrect, keys in only one batch."""
+
+    def _both(self, spark, rows, tiebreakers=("val",)):
+        from kafka_cdc_hudi_spark.operators.merge import merge_upsert_two_batches
+
+        schema = "id long, val string, mtime long, _deleted boolean, b2 boolean"
+        df = spark.createDataFrame(rows, schema)
+        fused = merge_upsert_two_batches(
+            df, F.col("b2"), ["id"], tiebreakers=list(tiebreakers)
+        ).drop("b2")
+        a = df.filter(~F.col("b2")).drop("b2")
+        b = df.filter(F.col("b2")).drop("b2")
+        s1 = merge_upsert(None, a, ["id"], tiebreakers=list(tiebreakers))
+        seq = merge_upsert(s1, b, ["id"], tiebreakers=list(tiebreakers))
+        return fused, seq
+
+    def _rows(self, df):
+        return sorted(
+            (r["id"], r["val"], r["mtime"]) for r in df.collect()
+        )
+
+    def test_semantic_corners(self, spark):
+        rows = [
+            # key 1: newer A row wins over older B row (precombine)
+            (1, "a-new", 100, False, False),
+            (1, "b-old", 50, False, True),
+            # key 2: mtime tie -> incoming batch B wins
+            (2, "a-tie", 100, False, False),
+            (2, "b-tie", 100, False, True),
+            # key 3: A's latest is a delete -> older A insert must NOT
+            # resurrect; B re-inserts
+            (3, "a-old", 10, False, False),
+            (3, None, 20, True, False),
+            (3, "b-back", 5, False, True),
+            # key 4: B delete newer than A state -> key dropped
+            (4, "a", 10, False, False),
+            (4, None, 20, True, True),
+            # key 5: B delete OLDER than A state -> A survives (COW keeps it)
+            (5, "a-survives", 30, False, False),
+            (5, None, 20, True, True),
+            # key 6: only in A; key 7: only in B; key 8: only-A delete
+            (6, "only-a", 10, False, False),
+            (7, "only-b", 10, False, True),
+            (8, None, 10, True, False),
+        ]
+        fused, seq = self._both(spark, rows)
+        got = self._rows(fused)
+        assert got == self._rows(seq)
+        assert got == [
+            (1, "a-new", 100),
+            (2, "b-tie", 100),
+            (3, "b-back", 5),
+            (5, "a-survives", 30),
+            (6, "only-a", 10),
+            (7, "only-b", 10),
+        ]
+
+    def test_randomized_equivalence(self, spark):
+        import random
+
+        rng = random.Random(7)
+        rows = []
+        for k in range(40):
+            for i in range(rng.randint(0, 6)):
+                rows.append(
+                    (
+                        k,
+                        f"v{k}_{i}",
+                        rng.randint(0, 5),  # dense mtimes force ties
+                        rng.random() < 0.25,
+                        rng.random() < 0.5,
+                    )
+                )
+        # (mtime, val) unique per key per batch: val is unique per row
+        fused, seq = self._both(spark, rows, tiebreakers=("val",))
+        assert self._rows(fused) == self._rows(seq)
+
+    def test_schema_and_columns_match_sequential(self, spark):
+        rows = [(1, "a", 10, False, False), (2, "b", 20, False, True)]
+        fused, seq = self._both(spark, rows)
+        assert fused.columns == seq.columns or sorted(fused.columns) == sorted(
+            seq.columns
+        )
+        assert fused.schema[
+            "mtime"
+        ].dataType == seq.schema["mtime"].dataType
+
+    def test_requires_tiebreakers(self, spark):
+        import pytest
+
+        from kafka_cdc_hudi_spark.operators.merge import merge_upsert_two_batches
+
+        df = _df(spark, [(1, "a", 10, False)])
+        with pytest.raises(ValueError, match="tiebreakers"):
+            merge_upsert_two_batches(df, F.lit(False), ["id"])
+
+    def test_single_exchange_plan(self, spark):
+        """The point of the fusion: ONE exchange, map-side partial agg."""
+        df = spark.createDataFrame(
+            [(1, "a", 10, False, False)],
+            "id long, val string, mtime long, _deleted boolean, b2 boolean",
+        )
+        from kafka_cdc_hudi_spark.operators.merge import merge_upsert_two_batches
+
+        out = merge_upsert_two_batches(df, F.col("b2"), ["id"], tiebreakers=["val"])
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1, plan
+        assert "partial_max" in plan.split("Exchange", 1)[-1], plan
+
+
 class TestKeyedParquetTable:
     def test_versioned_merge_and_replay(self, spark, tmp_path):
         t = KeyedParquetTable(str(tmp_path / "tbl"), ["id"])
