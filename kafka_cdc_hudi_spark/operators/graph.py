@@ -72,7 +72,12 @@ def connected_components_star(
 
     for _ in range(max_iter):
         s = sym(canon)
-        # large-star: m = min over the FULL neighborhood (and u itself)
+        # large-star: m = min over the FULL neighborhood (and u itself).
+        # LAZY checkpoints (r14, guide §1.2): the cache boundary still
+        # truncates lineage and dedups the two sym() reads, but the
+        # materialization folds into the convergence probe's job instead
+        # of running 2 extra blocking driver-synchronous jobs per round —
+        # locally the per-round job count, not the tiny data, is the cost.
         mins_all = s.groupBy("u").agg(F.min("v").alias("mn"))
         ls = (
             s.filter(F.col("v") > F.col("u"))
@@ -83,7 +88,7 @@ def connected_components_star(
             )
             .filter(F.col("a") != F.col("b"))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         # small-star over the large-star output
         s2 = sym(ls)
@@ -95,10 +100,15 @@ def connected_components_star(
             .unionByName(mins_b.select(F.col("m").alias("a"), F.col("u").alias("b")))
             .filter(F.col("a") != F.col("b"))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
+        # ONE symmetric-difference probe job (was two limit(1) counts);
+        # it also materializes the ls/ss checkpoint caches
         changed = (
-            ss.exceptAll(canon).limit(1).count() + canon.exceptAll(ss).limit(1).count()
+            ss.exceptAll(canon)
+            .unionByName(canon.exceptAll(ss))
+            .limit(1)
+            .count()
         )
         canon = ss
         if changed == 0:
@@ -141,11 +151,14 @@ def connected_components(
         prop = sym.join(labels, sym.b == labels.node).select(
             F.col("a").alias("node"), F.col("component")
         )
+        # lazy checkpoint (r14): same lineage truncation, but the round's
+        # change-probe job materializes the cache — one job per round
+        # instead of two (see connected_components_star)
         new_labels = (
             labels.unionByName(prop)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.alias("n")

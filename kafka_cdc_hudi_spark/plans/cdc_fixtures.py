@@ -83,8 +83,21 @@ def _spread(df: DataFrame) -> DataFrame:
     """Spread fixture rows across the cluster before the CPU-heavy
     to_json/from_json work. A real Kafka topic arrives pre-partitioned;
     the single-file parquet fixture otherwise pins the whole pipeline to
-    one task."""
+    one task.
+
+    r14: hash-partition on a DETERMINISTIC synthetic key instead of
+    keyless round-robin — round-robin pays a local sort of its input
+    (``spark.sql.execution.sortBeforeRepartition``) so retried tasks
+    reproduce their row assignment, and is still unsafe when a fetch
+    failure re-runs part of the map stage (SPARK-38388, guide §2.5);
+    ``pmod(xxhash64(event_id), 32 * parallelism)`` spreads identically
+    (32x more key values than partitions), skips the sort, and is
+    retry-exact. Falls back to round-robin when no ``event_id`` exists."""
     parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if "event_id" in df.columns:
+        return df.repartition(
+            parallelism, F.pmod(F.xxhash64("event_id"), F.lit(32 * parallelism))
+        )
     return df.repartition(parallelism)
 
 
