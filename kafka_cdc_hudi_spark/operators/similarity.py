@@ -357,6 +357,37 @@ def ivf_assign_pandas(df: DataFrame, cents: np.ndarray, col: str = "embedding") 
     return df.withColumn("cell", assign(F.col(col)))
 
 
+def ivf_assign_arrow(df: DataFrame, cents: np.ndarray, col: str = "embedding") -> DataFrame:
+    """Corpus-side cell assignment through one Arrow kernel with the
+    oracle's left-to-right dot accumulation — bit-identical dots to the
+    relational :func:`ivf_assign` fold (modulo its ``0.0 +`` seed, which
+    can only flip a signed zero) and first-wins argmax, so assignments are
+    identical structurally, not just empirically (pinned by
+    test_similarity.py::test_ivf_assign_arrow_matches_native).
+
+    Why: the higher-order ``aggregate(zip_with(...))`` sims are interpreted
+    PER ELEMENT (r14 measured 2.3 s warm vs 0.6 s for the Arrow kernel on
+    the sf0.1 corpus at 8 cells — and that gap is per-row work, so it
+    scales with the corpus). Unlike :func:`ivf_assign_pandas` (the
+    matmul path for 100+-cell codebooks, where a 6400-op fold would drag),
+    this keeps the small-codebook fold exact."""
+    dim = int(np.asarray(cents).shape[1])
+    books = [np.asarray(cents, dtype=np.float64)]  # one "subspace" = full dim
+
+    @pandas_udf("int")
+    def assign(col_s: pd.Series) -> pd.Series:
+        out = pd.array([None] * len(col_s), dtype="Int32")
+        valid = [i for i, v in enumerate(col_s) if v is not None and len(v) == dim]
+        if valid:
+            x = np.stack([np.asarray(col_s.iloc[i], dtype=np.float64) for i in valid])
+            cells = _pq_dot_tables_np(x, books)[:, 0, :].argmax(axis=1)
+            for j, i in enumerate(valid):
+                out[i] = int(cells[j])
+        return pd.Series(out, dtype="Int32")
+
+    return df.withColumn("cell", assign(F.col(col)))
+
+
 def ivf_assign(df: DataFrame, cents: np.ndarray, col: str = "embedding") -> DataFrame:
     """Assign each vector to its nearest centroid cell (argmax dot).
     Native expressions; centroids are broadcast literals."""
@@ -463,6 +494,77 @@ def _pq_dots_array_spark(col: str, m: int, book: np.ndarray) -> str:
     return "array(" + ",".join(pq_sub_dot(acc, m, ds, c) for c in book) + ")"
 
 
+def _pq_dot_tables_np(x: np.ndarray, books: list[np.ndarray]) -> np.ndarray:
+    """(n, dim) -> (n, n_sub, k) per-subspace dot tables, accumulated
+    vectorized over ROWS but strictly left-to-right over DIMENSIONS — the
+    same ``(t0 + t1 + ...)`` association the relational unroll and the
+    DuckDB oracles use, so every double is bit-identical (the
+    :func:`_srp_sigs_udf` rule). No matmul/np.sum: BLAS pairwise
+    summation would reassociate the adds."""
+    n_sub = len(books)
+    k, ds = books[0].shape
+    out = np.empty((len(x), n_sub, k), dtype=np.float64)
+    for m, book in enumerate(books):
+        sub = x[:, m * ds : (m + 1) * ds]
+        for c in range(k):
+            acc = sub[:, 0] * book[c, 0]
+            for j in range(1, ds):
+                acc = acc + sub[:, j] * book[c, j]  # oracle addition order
+            out[:, m, c] = acc
+    return out
+
+
+def _pq_codes_udf(books: list[np.ndarray], dim: int):
+    """All n_sub PQ codes in one Arrow-batched numpy kernel.
+
+    The relational encode is 1024 literal multiply terms in one projection;
+    whole-stage codegen fuses the two-step select back into a single
+    ``processNext()`` that FAILS janino's 64 KB method limit ("Code grows
+    beyond 64 KB" — measured on every pq entry), so each execution paid a
+    multi-second failed compile and then ran interpreted. Same cure as the
+    SRP signatures: dense linear algebra belongs in a vectorized kernel.
+    Argmax is first-wins on exact float ties — identical to
+    ``array_position(d, array_max(d))``; dots use the oracle's addition
+    order (see :func:`_pq_dot_tables_np`), so the codes are bit-identical
+    to the relational path (pinned by test_similarity.py)."""
+    n_sub = len(books)
+
+    @pandas_udf("array<int>")
+    def codes(col: pd.Series) -> pd.Series:
+        out: list = [None] * len(col)
+        valid = [i for i, v in enumerate(col) if v is not None and len(v) == dim]
+        if valid:
+            x = np.stack([np.asarray(col.iloc[i], dtype=np.float64) for i in valid])
+            tables = _pq_dot_tables_np(x, books)
+            cm = tables.argmax(axis=2).astype(np.int32)  # first-wins, like array_position
+            for r, i in enumerate(valid):
+                out[i] = [int(cm[r, m]) for m in range(n_sub)]
+        return pd.Series(out)
+
+    return codes
+
+
+def _pq_qtables_udf(books: list[np.ndarray], dim: int):
+    """Per-query ADC dot tables (n_sub x k doubles) in one Arrow kernel —
+    the query-side twin of :func:`_pq_codes_udf` (the relational table
+    projection hits the same 64 KB codegen failure). The doubles feed the
+    returned ``adc_dot`` values, so the oracle addition order of
+    :func:`_pq_dot_tables_np` is load-bearing here, not just tie-safety."""
+
+    @pandas_udf("array<array<double>>")
+    def qtables(col: pd.Series) -> pd.Series:
+        out: list = [None] * len(col)
+        valid = [i for i, v in enumerate(col) if v is not None and len(v) == dim]
+        if valid:
+            x = np.stack([np.asarray(col.iloc[i], dtype=np.float64) for i in valid])
+            tables = _pq_dot_tables_np(x, books)
+            for r, i in enumerate(valid):
+                out[i] = [list(tables[r, m]) for m in range(len(books))]
+        return pd.Series(out)
+
+    return qtables
+
+
 def pq_encode(
     df: DataFrame,
     books: list[np.ndarray],
@@ -503,6 +605,35 @@ def pq_encode(
     return out.withColumn("pq_code", F.expr(f"({packed})"))
 
 
+def pq_encode_arrow(
+    df: DataFrame,
+    books: list[np.ndarray],
+    col: str = "embedding",
+    id_col: str = "vec_id",
+    keep: tuple = (),
+) -> DataFrame:
+    """:func:`pq_encode` computed through the Arrow kernel
+    (:func:`_pq_codes_udf`) — bit-identical codes and packed code, without
+    the relational form's guaranteed-failing 64 KB whole-stage compile.
+    Same output schema; still zero-shuffle scan-parallel. The relational
+    :func:`pq_encode` stays as the reference implementation the
+    equivalence test pins this against."""
+    n_sub = len(books)
+    k = len(books[0])
+    ds = books[0].shape[1]
+    codes = _pq_codes_udf(books, n_sub * ds)
+    enc = df.select(
+        F.col(id_col), *[F.col(c) for c in keep], codes(F.col(col)).alias("_codes")
+    )
+    out = enc.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep],
+        *[F.element_at("_codes", m + 1).alias(f"code_{m}") for m in range(n_sub)],
+    )
+    packed = " + ".join(f"CAST(code_{m} AS BIGINT) * {k ** m}" for m in range(n_sub))
+    return out.withColumn("pq_code", F.expr(f"({packed})"))
+
+
 def pq_adc_topk(
     queries: DataFrame,
     encoded: DataFrame,
@@ -517,18 +648,15 @@ def pq_adc_topk(
     the raw vectors are never touched. Queries broadcast; the scan is
     embarrassingly parallel; top-k via one WindowGroupLimit-prunable
     window."""
-    q = queries.select(F.col(id_col).alias("qid"), F.col(col).alias("qe"))
+    qt = _pq_qtables_udf(books, len(books) * books[0].shape[1])
+    q = queries.select(F.col(id_col).alias("qid"), qt(F.col(col)).alias("_qt"))
     q = q.select(
         "qid",
-        *[
-            F.expr(_pq_dots_array_spark("qe", m, book)).alias(f"qd_{m}")
-            for m, book in enumerate(books)
-        ],
+        *[F.element_at("_qt", m + 1).alias(f"qd_{m}") for m in range(len(books))],
     )
-    # materialize the (tiny) per-query dot tables: CollapseProject would
-    # otherwise inline the full 16-dot arrays into every ADC lookup, blowing
-    # the projection past janino's method limit (codegen fallback) — and the
-    # whole point of ADC is that the tables are computed ONCE per query
+    # materialize the (tiny) per-query dot tables: computed ONCE per query
+    # (the whole point of ADC), and the checkpoint keeps the ArrowEvalPython
+    # stage out of the corpus-scan plan entirely
     q = q.localCheckpoint(eager=True)
     joined = encoded.crossJoin(F.broadcast(q)).filter(F.col("qid") != F.col(id_col))
     approx = " + ".join(f"element_at(qd_{m}, code_{m} + 1)" for m in range(len(books)))
@@ -560,7 +688,9 @@ def ivfpq_topk(
     assignment+encode scan) is a batch artifact; each query batch shuffles
     nothing but its probed cell ids (the index side is pre-partitioned by
     cell)."""
-    index = pq_encode(ivf_assign(corpus, cents), books, col=col, id_col=id_col, keep=("cell",))
+    index = pq_encode_arrow(
+        ivf_assign_arrow(corpus, cents), books, col=col, id_col=id_col, keep=("cell",)
+    )
     n_cells = len(cents)
     q = queries.select(F.col(id_col).alias("qid"), F.col(col).alias("qe"))
     q = q.select("qid", "qe", *_centroid_sim_cols(cents, "qe"))
@@ -576,13 +706,12 @@ def ivfpq_topk(
         n_probe,
     )
     q = q.withColumn("probe_cells", probe).drop(*[f"c{i}" for i in range(n_cells)])
+    qt = _pq_qtables_udf(books, len(books) * books[0].shape[1])
+    q = q.select("qid", "probe_cells", qt(F.col("qe")).alias("_qt"))
     q = q.select(
         "qid",
         "probe_cells",
-        *[
-            F.expr(_pq_dots_array_spark("qe", m, book)).alias(f"qd_{m}")
-            for m, book in enumerate(books)
-        ],
+        *[F.element_at("_qt", m + 1).alias(f"qd_{m}") for m in range(len(books))],
     )
     # same rationale as pq_adc_topk: tiny per-query artifact, computed once
     q = q.localCheckpoint(eager=True)

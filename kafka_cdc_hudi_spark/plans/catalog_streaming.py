@@ -34,7 +34,8 @@ from kafka_cdc_hudi_spark.operators.similarity import (
     ivfpq_topk,
     pq_adc_topk,
     pq_codebooks,
-    pq_encode,
+    pq_encode_arrow,
+    ivf_assign_arrow,
     pq_sub_dot,
     srp_topk,
 )
@@ -402,7 +403,7 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_similarity.py."""
     e = load_table(spark, sf_dir, "embeddings")
     cents = ivf_static_codebook(EMBEDDING_DIM, _IVF_CELLS)
-    assigned = ivf_assign(e, cents)
+    assigned = ivf_assign_arrow(e, cents)
     q = e.filter(F.col("vec_id") < 10)
     return ivf_topk(q, assigned, cents, k=_IVF_K, n_probe=_IVF_PROBE)
 
@@ -701,7 +702,7 @@ def ann_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook was value-oracled and the trained path was recall-floored."""
     e = load_table(spark, sf_dir, "embeddings")
     cents = ivf_train_sql_sample(e, n_cells=_IVF_CELLS, iters=5)
-    assigned = ivf_assign(e, cents)
+    assigned = ivf_assign_arrow(e, cents)
     q = e.filter(F.col("vec_id") < 10)
     return ivf_topk(q, assigned, cents, k=_IVF_K, n_probe=_IVF_PROBE)
 
@@ -904,7 +905,7 @@ def embedding_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     literals; zero shuffle, scan-parallel at any corpus size."""
     e = load_table(spark, sf_dir, "embeddings")
     books = pq_codebooks(EMBEDDING_DIM, _PQ_SUB, _PQ_CODES)
-    return pq_encode(e, books)
+    return pq_encode_arrow(e, books)
 
 
 def ann_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -916,7 +917,7 @@ def ann_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_similarity.py::test_pq_adc_recall."""
     e = load_table(spark, sf_dir, "embeddings")
     books = pq_codebooks(EMBEDDING_DIM, _PQ_SUB, _PQ_CODES)
-    enc = pq_encode(e, books)
+    enc = pq_encode_arrow(e, books)
     q = e.filter(F.col("vec_id") < 10)
     return pq_adc_topk(q, enc, books, k=_PQ_K)
 
@@ -1287,7 +1288,7 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = ivf_static_codebook(EMBEDDING_DIM, _IVF_CELLS)
     sem = ivf_topk(
         e.filter(F.col("vec_id") < _HY_NQ),
-        ivf_assign(e, cents),
+        ivf_assign_arrow(e, cents),
         cents,
         k=_HY_ARM_K,
         n_probe=_IVF_PROBE,

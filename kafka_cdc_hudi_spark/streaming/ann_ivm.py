@@ -46,7 +46,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kafka_cdc_hudi_spark.operators.similarity import ivf_assign, ivf_topk
+from kafka_cdc_hudi_spark.operators.similarity import ivf_assign_arrow, ivf_topk
 from kafka_cdc_hudi_spark.sinks.keyed_table import KeyedParquetTable
 
 
@@ -84,7 +84,7 @@ class AnnIndexMaintainer:
         if batch.isEmpty():
             return False
         emb_type = batch.schema[self.col].dataType
-        ups = ivf_assign(
+        ups = ivf_assign_arrow(
             batch.filter(F.col("op") != "d").drop("op"), self.cents, col=self.col
         ).withColumn("_deleted", F.lit(False))
         dels = (

@@ -61,6 +61,29 @@ _PY_EXEMPT = {
     # (bucket equi-join, cosine verify, top-k) stays relational.
     "ann_topk_srp",
     "dedup_embedding_cosine",
+    # PQ dot tables are the same dense-linear-algebra shape (8 subspaces x
+    # 16 centroids x 8 dims = 1024 multiply terms per projection): the
+    # relational unroll made every whole-stage span that contained it FAIL
+    # janino's 64 KB method limit ("Code grows beyond 64 KB", r14 measured
+    # — each execution paid multi-second failed compiles, then ran
+    # interpreted), so encode + query tables moved to the Arrow kernel in
+    # the oracle's addition order — bit-identical codes/doubles, pinned by
+    # test_similarity.py::test_pq_encode_arrow_matches_relational.
+    "embedding_pq_encode",
+    "ann_topk_pq_adc",
+    "ann_topk_ivfpq",
+    "ann_topk_ivfpq_rerank",
+    # corpus-side IVF cell assignment moved to the same exact-fold Arrow
+    # kernel (ivf_assign_arrow): the relational HOF sims are interpreted
+    # per element — r14 measured 2.3 s warm vs 0.6 s at sf0.1/8 cells,
+    # and that cost is per-row, so it grows with the corpus. Assignments
+    # are bit-identical (test_similarity.py::test_ivf_assign_arrow_
+    # matches_native); probe/query sides stay relational.
+    "ann_topk_ivf",
+    "ann_topk_ivf_trained",
+    "ann_recall_at_k",
+    "ann_recall_trained_vs_static",
+    "hybrid_retrieval_rrf",
 }
 
 #: iterative/self-checking queries that run driver-side loops — their

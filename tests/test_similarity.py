@@ -168,6 +168,34 @@ def test_ivf_assign_pandas_matches_native(spark, emb):
     assert native == pand
 
 
+def test_ivf_assign_arrow_matches_native(spark, emb):
+    """The exact-fold Arrow assign (the live corpus path) must produce
+    identical cells to the native HOF fold for BOTH the static codebook
+    and trained centroids, and null embeddings must stay null cells."""
+    from kafka_cdc_hudi_spark.operators.similarity import (
+        ivf_assign_arrow,
+        ivf_static_codebook,
+    )
+
+    for cents in (
+        ivf_static_codebook(DIM, 8),
+        ivf_train_centroids(emb, DIM, n_cells=8, iters=4),
+    ):
+        native = {r["vec_id"]: r["cell"] for r in ivf_assign(emb, cents).collect()}
+        arw = {r["vec_id"]: r["cell"] for r in ivf_assign_arrow(emb, cents).collect()}
+        assert native == arw
+    with_null = emb.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") == 0, F.lit(None)).otherwise(F.col("embedding")),
+    )
+    rows = {
+        r["vec_id"]: r["cell"]
+        for r in ivf_assign_arrow(with_null, ivf_static_codebook(DIM, 8)).collect()
+    }
+    assert rows[0] is None
+    assert all(v is not None for k, v in rows.items() if k != 0)
+
+
 def test_ivf_assign_pandas_null_embedding(spark, emb):
     from pyspark.sql import functions as F
     from kafka_cdc_hudi_spark.operators.similarity import ivf_assign_pandas
@@ -234,6 +262,61 @@ def test_pq_encode_codes_in_range(spark):
         codes = [r[f"code_{m}"] for m in range(8)]
         assert all(0 <= c < 16 for c in codes)
         assert r.pq_code == sum(c * 16 ** m for m, c in enumerate(codes))
+
+
+def test_pq_encode_arrow_matches_relational(spark, emb):
+    """The Arrow PQ kernel (the live path — the relational unroll fails
+    janino's 64 KB whole-stage compile and runs interpreted) must produce
+    BIT-IDENTICAL codes and packed words to the relational reference on
+    real embeddings, and null embeddings must degrade to null codes the
+    same way. The kernel accumulates in the oracle's addition order, so
+    this equality is structural, not a lucky argmax."""
+    from kafka_cdc_hudi_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+        pq_encode_arrow,
+    )
+
+    books = pq_codebooks(DIM, 8, 16)
+    with_null = emb.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") == 0, F.lit(None)).otherwise(F.col("embedding")),
+    )
+    key = lambda r: (tuple(r[f"code_{m}"] for m in range(8)), r["pq_code"])
+    rel = {r["vec_id"]: key(r) for r in pq_encode(with_null, books).collect()}
+    arw = {r["vec_id"]: key(r) for r in pq_encode_arrow(with_null, books).collect()}
+    assert rel == arw
+    assert arw[0] == ((None,) * 8, None)
+
+
+def test_pq_query_tables_arrow_match_relational(spark, emb):
+    """The Arrow query-side ADC dot tables feed the returned adc_dot
+    doubles, so they must be bit-equal (not just argmax-equal) to the
+    relational 16-dot arrays."""
+    from kafka_cdc_hudi_spark.operators.similarity import (
+        _pq_dots_array_spark,
+        _pq_qtables_udf,
+        pq_codebooks,
+    )
+
+    books = pq_codebooks(DIM, 8, 16)
+    q = emb.filter(F.col("vec_id") < 10)
+    rel = {
+        r["vec_id"]: [tuple(r[f"qd_{m}"]) for m in range(8)]
+        for r in q.select(
+            "vec_id",
+            *[
+                F.expr(_pq_dots_array_spark("embedding", m, book)).alias(f"qd_{m}")
+                for m, book in enumerate(books)
+            ],
+        ).collect()
+    }
+    qt = _pq_qtables_udf(books, DIM)
+    arw = {
+        r["vec_id"]: [tuple(t) for t in r["_qt"]]
+        for r in q.select("vec_id", qt(F.col("embedding")).alias("_qt")).collect()
+    }
+    assert rel == arw
 
 
 def test_pq_adc_recall(spark):
