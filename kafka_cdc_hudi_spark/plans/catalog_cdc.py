@@ -439,7 +439,12 @@ def cdc_schema_drift_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_cdc_hudi_spark.operators.cdc import infer_payload_schema, merge_payload_schemas
     from kafka_cdc_hudi_spark.plans.cdc_fixtures import drifted_debezium_envelopes
 
-    stream = drifted_debezium_envelopes(_events(spark, sf_dir))
+    # the envelope fixture lineage (CPU-heavy per-row to_json) is executed
+    # THREE times below — once per inference slice, once for the final
+    # parse. One localCheckpoint pays it once (r14, guide §1.2 "don't
+    # compute things you throw away": warm 7.3 s -> 2.8 s at sf0.1). A
+    # real Kafka stream arrives materialized; only the fixture had this.
+    stream = drifted_debezium_envelopes(_events(spark, sf_dir)).localCheckpoint()
     # JSON-path presence test, not a substring match: a payload whose TEXT
     # happens to contain '"score"' (e.g. inside props) must not be
     # misclassified as drifted. Drifted rows are odd event_ids, which are

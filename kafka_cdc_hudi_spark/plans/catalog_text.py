@@ -1835,29 +1835,25 @@ def _hash_embed_df(df: DataFrame, id_cols: list[str], text_col: str) -> DataFram
         F.conv(F.substring(F.md5(F.concat(F.col("token"), F.lit("|sign_v1"))), 1, 15), 16, 10)
         .cast("bigint") % 2
     )
-    cells = (
-        tok.select(*id_cols, bucket.alias("bucket"), sign.alias("sign"))
-        .groupBy(*id_cols, "bucket")
-        .agg(F.sum("sign").alias("s"))
+    # ONE aggregation: 16 conditional sign-sums per doc (map-side partial
+    # agg, codegen'd) replace the old (doc, bucket) pre-agg + per-doc
+    # map_from_entries rebuild — 2 Exchange -> 1 (r14, guide §2.4; wall
+    # is a local tie because the per-token md5s dominate at fixture scale,
+    # but the removed shuffle and the dropped map build are per-doc work
+    # at corpus scale). Integer sums, so the dense array and norm are
+    # exactly the old values (measured EQUAL at sf0.1).
+    cells = tok.select(*id_cols, bucket.alias("bucket"), sign.alias("sign"))
+    sums = cells.groupBy(*id_cols).agg(
+        *[
+            F.sum(F.when(F.col("bucket") == j, F.col("sign"))).alias(f"s{j}")
+            for j in range(_HASHEMB_DIM)
+        ]
     )
-    return (
-        cells.groupBy(*id_cols)
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct(F.col("bucket"), F.col("s")))
-            ).alias("m")
-        )
-        .select(
-            *id_cols,
-            F.expr(
-                f"transform(sequence(0, {_HASHEMB_DIM - 1}),"
-                " j -> coalesce(element_at(m, CAST(j AS BIGINT)), CAST(0 AS BIGINT)))"
-            ).alias("embedding"),
-        )
-        .withColumn(
-            "l2_sq",
-            F.expr("aggregate(embedding, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"),
-        )
+    emb = [F.coalesce(F.col(f"s{j}"), F.lit(0).cast("bigint")) for j in range(_HASHEMB_DIM)]
+    return sums.select(
+        *id_cols,
+        F.array(*emb).alias("embedding"),
+        sum([e * e for e in emb[1:]], emb[0] * emb[0]).alias("l2_sq"),
     )
 
 
