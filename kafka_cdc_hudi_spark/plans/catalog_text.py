@@ -27,7 +27,7 @@ from kafka_cdc_hudi_spark.functions.textfns import (
     stopword_count,
     tokens,
 )
-from kafka_cdc_hudi_spark.functions.vectors import cosine, l2_norm
+from kafka_cdc_hudi_spark.functions.vectors import cosine, dot, l2_norm
 from kafka_cdc_hudi_spark.sources.tables import load_table
 
 #: session-scoped cache of materialized index artifacts (minhash signatures,
@@ -1190,12 +1190,20 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     production corpus already arrives spread."""
     e = load_table(spark, sf_dir, "embeddings")
     e = e.repartition(spark.sparkContext.defaultParallelism)
+    # r14: norms once per ROW (O(N+Q) folds), not once per PAIR — the old
+    # cosine() evaluated dot + both norms per pair, 3x the interpreted
+    # per-pair work in the dominant Q x N stage. Same doubles (the division
+    # association is unchanged; measured EQUAL at sf0.1). An unrolled
+    # codegen'd dot was also A/B'd: bit-equal but slower at fixture scale
+    # (the 64-term span pays a per-run janino compile), so the fold stays.
+    e = e.withColumn("_n", l2_norm("embedding"))
     q = e.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("_n").alias("_qn"),
     )
-    pairs = (
-        e.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
-        .withColumn("cosine", cosine(F.col("qe"), F.col("embedding")))
+    pairs = e.join(F.broadcast(q), F.col("vec_id") != F.col("qid")).withColumn(
+        "cosine", dot(F.col("qe"), F.col("embedding")) / (F.col("_qn") * F.col("_n"))
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
