@@ -1843,25 +1843,39 @@ def _hash_embed_df(df: DataFrame, id_cols: list[str], text_col: str) -> DataFram
         F.conv(F.substring(F.md5(F.concat(F.col("token"), F.lit("|sign_v1"))), 1, 15), 16, 10)
         .cast("bigint") % 2
     )
-    # ONE aggregation: 16 conditional sign-sums per doc (map-side partial
-    # agg, codegen'd) replace the old (doc, bucket) pre-agg + per-doc
-    # map_from_entries rebuild — 2 Exchange -> 1 (r14, guide §2.4; wall
-    # is a local tie because the per-token md5s dominate at fixture scale,
-    # but the removed shuffle and the dropped map build are per-doc work
-    # at corpus scale). Integer sums, so the dense array and norm are
-    # exactly the old values (measured EQUAL at sf0.1).
-    cells = tok.select(*id_cols, bucket.alias("bucket"), sign.alias("sign"))
-    sums = cells.groupBy(*id_cols).agg(
-        *[
-            F.sum(F.when(F.col("bucket") == j, F.col("sign"))).alias(f"s{j}")
-            for j in range(_HASHEMB_DIM)
-        ]
+    # Two-step (ids, bucket) pre-agg + per-id map_from_entries rebuild.
+    # An r14 "fusion" replaced this with ONE aggregation of 16 conditional
+    # sign-sums (2 Exchange -> 1), but the isolated same-session A/B
+    # (AB_HASH_EMBED_r14.json) measured the fused form ~2x SLOWER on the
+    # chunk-embedding path (pipeline_rag_index: 2.14 vs 4.09 s min, old
+    # faster in 4/4 paired rounds) and no better on the doc path: the
+    # fusion pays 16 conditional agg-buffer updates per TOKEN to remove a
+    # shuffle of only ids x 16 tiny rows, and tokens >> ids at every
+    # scale — so the two-step form is also the 100-TB shape. Integer
+    # sums either way; values identical.
+    cells = (
+        tok.select(*id_cols, bucket.alias("bucket"), sign.alias("sign"))
+        .groupBy(*id_cols, "bucket")
+        .agg(F.sum("sign").alias("s"))
     )
-    emb = [F.coalesce(F.col(f"s{j}"), F.lit(0).cast("bigint")) for j in range(_HASHEMB_DIM)]
-    return sums.select(
-        *id_cols,
-        F.array(*emb).alias("embedding"),
-        sum([e * e for e in emb[1:]], emb[0] * emb[0]).alias("l2_sq"),
+    return (
+        cells.groupBy(*id_cols)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("bucket"), F.col("s")))
+            ).alias("m")
+        )
+        .select(
+            *id_cols,
+            F.expr(
+                f"transform(sequence(0, {_HASHEMB_DIM - 1}),"
+                " j -> coalesce(element_at(m, CAST(j AS BIGINT)), CAST(0 AS BIGINT)))"
+            ).alias("embedding"),
+        )
+        .withColumn(
+            "l2_sq",
+            F.expr("aggregate(embedding, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"),
+        )
     )
 
 
