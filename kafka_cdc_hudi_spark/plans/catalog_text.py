@@ -686,23 +686,19 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash (32-bit) content signatures: per-token md5-derived bits,
     majority vote per bit position. Near-dup docs land on close/equal
     signatures; hamming-distance banding gives the candidate join at
-    scale. One explode + one groupBy with 32 conditional sums."""
+    scale. One explode + one groupBy — votes via the packed-lane
+    aggregation (``_simhash_packed_votes``: 1 conv + 8 lookups per token
+    and 9 bigint sum buffers, replacing the 32 conditional +-1 sums whose
+    partial+final agg re-ran 64 substr+instr per token — r14 opt; the
+    majority test ``2*lane > cnt`` is the +-1 sign test, value-identical,
+    pinned vs a bit-by-bit reference in tests/test_text_more.py)."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens("text")).alias("t")).withColumn(
         "h", F.md5(F.col("t"))
     )
-    aggs = [
-        F.expr(
-            f"sum(CASE WHEN {_simhash_bit(j, 'spark')} = 1 THEN 1 ELSE -1 END)"
-        ).alias(f"s{j}")
-        for j in range(32)
-    ]
-    votes = tok.groupBy("doc_id").agg(*aggs)
-    sim = None
-    for j in range(32):
-        bit = F.when(F.col(f"s{j}") > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
-        sim = bit if sim is None else sim + bit
-    return votes.select("doc_id", sim.alias("simhash"))
+    votes = _simhash_packed_votes(tok, "doc_id", 32)
+    sim = _SC_LANE_GUARD.format(w=_simhash_majority_word(0, 32))
+    return votes.select("doc_id", F.expr(sim).alias("simhash"))
 
 
 def _simhash_sql() -> str:
@@ -835,20 +831,11 @@ def dedup_simhash_wide_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select("doc_id", F.explode(tokens("text")).alias("t")).withColumn(
         "h", F.md5(F.col("t"))
     )
-    aggs = [
-        F.expr(
-            f"sum(CASE WHEN {_simhash_bit(j, 'spark')} = 1 THEN 1 ELSE -1 END)"
-        ).alias(f"s{j}")
-        for j in range(_SIMHASH_WIDE_BITS)
-    ]
-    votes = tok.groupBy("doc_id").agg(*aggs)
-    sim = None
-    for j in range(_SIMHASH_WIDE_BITS):
-        bit = F.when(F.col(f"s{j}") > 0, F.lit(2**j).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        sim = bit if sim is None else sim + bit
-    sig = votes.select("doc_id", sim.alias("simhash"))
+    # packed-lane votes (r14 opt, same algebra as dedup_simhash): 15
+    # nibble lookups + 16 sum buffers instead of 60 conditional +-1 sums
+    votes = _simhash_packed_votes(tok, "doc_id", _SIMHASH_WIDE_BITS)
+    sim = _SC_LANE_GUARD.format(w=_simhash_majority_word(0, _SIMHASH_WIDE_BITS))
+    sig = votes.select("doc_id", F.expr(sim).alias("simhash"))
     width = _SIMHASH_WIDE_BITS // _SIMHASH_WIDE_BANDS
     mask = (1 << width) - 1
     band_cols = [
@@ -961,16 +948,73 @@ _SC_PACK = [
 ]
 
 
-def _sc_nib_expr(i: int) -> str:
-    """Nibble i (hex char i+1 of the md5) extracted from the three
-    conv()-parsed integer groups g0/g1/g2 (chars 1-12 / 13-24 / 25-32):
-    within a group the FIRST char is the highest nibble of the parsed
-    value, so char position maps to a right-shift from the top."""
-    if i < 12:
-        return f"(shiftright(g0, {4 * (11 - i)}) & 15)"
-    if i < 24:
-        return f"(shiftright(g1, {4 * (23 - i)}) & 15)"
-    return f"(shiftright(g2, {4 * (31 - i)}) & 15)"
+#: word-projection guard shared by every packed-vote consumer (see the
+#: _SC_LANE_SAFE_MAX note above)
+_SC_LANE_GUARD = (
+    f"IF(cnt > {_SC_LANE_SAFE_MAX}, CAST(raise_error('simhash packed-lane "
+    f"overflow: doc with > {_SC_LANE_SAFE_MAX} tokens; chunk upstream "
+    f"(text_chunk_overlap) or widen lanes') AS BIGINT), {{w}})"
+)
+
+
+def _simhash_packed_votes(tok: DataFrame, id_col: str, n_bits: int) -> DataFrame:
+    """(id, h: md5 hex) -> per-id packed bit-vote counts S0..S{n/4-1} + cnt.
+
+    The generic-width form of the r12 packed-lane vote algebra (see the
+    _SC_PACK note): the first ``n_bits/4`` hex chars are parsed with one
+    conv() per 12-char (48-bit) group, each nibble maps through the
+    16-long literal lookup to four 16-bit 0/1-count lanes, and the
+    aggregation is ``n_bits/4`` plain bigint sums + one count — instead
+    of ``n_bits`` conditional +-1 sums each re-running substr+instr per
+    token (the r14 opt: the 32-bit entry paid 64 instr calls per token
+    across partial+final agg). Majority per bit j recovers as
+    ``2*lane > cnt``, exactly the sign test of the +-1 sum; callers pack
+    bits with :func:`_simhash_majority_word` under ``_SC_LANE_GUARD``."""
+    n_nib = n_bits // 4
+    sizes: list[int] = []
+    rem = n_nib
+    while rem > 0:
+        sizes.append(min(12, rem))
+        rem -= sizes[-1]
+    gexprs = []
+    pos = 1
+    for gi, take in enumerate(sizes):
+        gexprs.append(
+            F.expr(f"CAST(conv(substr(h, {pos}, {take}), 16, 10) AS BIGINT)").alias(f"g{gi}")
+        )
+        pos += take
+
+    def nib(i: int) -> str:
+        g, off = divmod(i, 12)
+        return f"(shiftright(g{g}, {4 * (sizes[g] - 1 - off)}) & 15)"
+
+    gx = tok.select(id_col, *gexprs)
+    pack_lit = "array(" + ", ".join(f"{p}L" for p in _SC_PACK) + ")"
+    packed = gx.select(
+        id_col,
+        *[
+            F.expr(f"element_at({pack_lit}, CAST({nib(i)} + 1 AS INT))").alias(f"p{i}")
+            for i in range(n_nib)
+        ],
+    )
+    return packed.groupBy(id_col).agg(
+        *[F.sum(f"p{i}").alias(f"S{i}") for i in range(n_nib)],
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+def _simhash_majority_word(lo: int, hi: int) -> str:
+    """SQL expression packing the majority votes of bits lo..hi-1 (bit j
+    at weight 2^(j-lo)) out of the S*/cnt columns of
+    :func:`_simhash_packed_votes`."""
+    terms = []
+    for j in range(lo, hi):
+        cj = f"(shiftright(S{j // 4}, {_SC_LANE_BITS * (j % 4)}) & {_SC_LANE_MASK})"
+        terms.append(
+            f"(CASE WHEN 2 * {cj} > cnt THEN CAST({2 ** (j - lo)} AS BIGINT)"
+            f" ELSE CAST(0 AS BIGINT) END)"
+        )
+    return " + ".join(terms)
 
 
 def _simhash_sc_signature(d: DataFrame) -> DataFrame:
@@ -986,40 +1030,20 @@ def _simhash_sc_signature(d: DataFrame) -> DataFrame:
     # integer), then map each nibble through the 16-long _SC_PACK literal
     # lookup — 3 string ops per token instead of the 32 substr+instr the
     # r11 form ran (and 128 the _simhash_bit form would); the vote
-    # aggregation is 32 packed bigint sums + a count (see _SC_PACK note)
-    gx = tok.select(
-        "doc_id",
-        F.expr("CAST(conv(substr(h, 1, 12), 16, 10) AS BIGINT)").alias("g0"),
-        F.expr("CAST(conv(substr(h, 13, 12), 16, 10) AS BIGINT)").alias("g1"),
-        F.expr("CAST(conv(substr(h, 25, 8), 16, 10) AS BIGINT)").alias("g2"),
-    )
-    pack_lit = "array(" + ", ".join(f"{p}L" for p in _SC_PACK) + ")"
-    packed = gx.select(
-        "doc_id",
-        *[
-            F.expr(f"element_at({pack_lit}, CAST({_sc_nib_expr(i)} + 1 AS INT))").alias(f"p{i}")
-            for i in range(_SIMHASH_SC_BITS // 4)
-        ],
-    )
-    votes = packed.groupBy("doc_id").agg(
-        *[F.sum(f"p{i}").alias(f"S{i}") for i in range(_SIMHASH_SC_BITS // 4)],
-        F.count(F.lit(1)).alias("cnt"),
-    )
-    lane_guard = (
-        f"IF(cnt > {_SC_LANE_SAFE_MAX}, CAST(raise_error('simhash packed-lane "
-        f"overflow: doc with > {_SC_LANE_SAFE_MAX} tokens; chunk upstream "
-        f"(text_chunk_overlap) or widen lanes') AS BIGINT), {{w}})"
-    )
-    words = []
-    for w in range(3):
-        terms = []
-        for j in range(w * _SIMHASH_SC_WORD, min((w + 1) * _SIMHASH_SC_WORD, _SIMHASH_SC_BITS)):
-            cj = f"(shiftright(S{j // 4}, {_SC_LANE_BITS * (j % 4)}) & {_SC_LANE_MASK})"
-            terms.append(
-                f"(CASE WHEN 2 * {cj} > cnt THEN CAST({2 ** (j % _SIMHASH_SC_WORD)} AS BIGINT)"
-                f" ELSE CAST(0 AS BIGINT) END)"
+    # aggregation is 32 packed bigint sums + a count (see _SC_PACK note).
+    # r14: shared with the 32/60-bit entries via _simhash_packed_votes
+    # (identical groups/weights for 128 bits — 12+12+8 nibble sizes).
+    votes = _simhash_packed_votes(tok, "doc_id", _SIMHASH_SC_BITS)
+    words = [
+        F.expr(
+            _SC_LANE_GUARD.format(
+                w=_simhash_majority_word(
+                    w * _SIMHASH_SC_WORD, min((w + 1) * _SIMHASH_SC_WORD, _SIMHASH_SC_BITS)
+                )
             )
-        words.append(F.expr(lane_guard.format(w=" + ".join(terms))).alias(f"w{w}"))
+        ).alias(f"w{w}")
+        for w in range(3)
+    ]
     # sig feeds FOUR consumers (both sides of the band self-join + the two
     # verify joins); without truncation each re-runs the scan+tokenize+md5+
     # vote pipeline — the dominant stage (ADVICE r11). localCheckpoint

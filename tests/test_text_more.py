@@ -296,3 +296,65 @@ def test_simhash_packed_lane_overflow_guard_raises(spark):
         spark.createDataFrame([(2, ok)], "doc_id BIGINT, text STRING")
     ).collect()[0]
     assert row["w0"] is not None
+
+
+def test_simhash_narrow_packed_votes_match_reference(spark):
+    """The r14 generic-width packed-vote forms (32-bit dedup_simhash,
+    60-bit dedup_simhash_wide_pairs signature) must equal a bit-by-bit
+    Python reference of the original +-1 conditional-sum definition on
+    the same adversarial doc set the 128-bit pin uses: single-token,
+    repeated-token, EVEN-count (exact vote ties — the strict-majority
+    boundary), and random mixes. Pins that 2*lane > cnt == sign(+-1 sum)
+    and that the conv() group parse (8 nibbles / 12+3 nibbles) extracts
+    the same nibbles _simhash_bit addresses."""
+    import hashlib
+    import random
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from kafka_cdc_hudi_spark.functions.textfns import tokens
+    from kafka_cdc_hudi_spark.plans.catalog_text import (
+        _SC_LANE_GUARD,
+        _simhash_majority_word,
+        _simhash_packed_votes,
+    )
+
+    rng = random.Random(20260817)
+    vocab = [f"tok{i}" for i in range(40)] + ["alpha", "beta", "gamma", "x9y"]
+    docs = []
+    for did in range(64):
+        if did == 0:
+            toks = ["solo"]
+        elif did == 1:
+            toks = ["dup"] * 7
+        elif did == 2:
+            toks = ["a", "b"] * 3  # even count, guaranteed tied bits exist
+        else:
+            toks = [rng.choice(vocab) for _ in range(rng.randrange(1, 30))]
+        docs.append((did, " ".join(toks)))
+
+    def ref_sig(text, n_bits):
+        import re
+
+        tks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        votes = [0] * n_bits
+        for t in tks:
+            h = hashlib.md5(t.encode()).hexdigest()
+            for j in range(n_bits):
+                nib = int(h[j // 4], 16)
+                votes[j] += 1 if (nib >> (j % 4)) & 1 else -1
+        return sum(1 << j for j in range(n_bits) if votes[j] > 0)
+
+    df = spark.createDataFrame(docs, "doc_id BIGINT, text STRING")
+    tok = df.select("doc_id", F.explode(tokens("text")).alias("t")).withColumn(
+        "h", F.md5(F.col("t"))
+    )
+    for n_bits in (32, 60):
+        votes = _simhash_packed_votes(tok, "doc_id", n_bits)
+        sim = _SC_LANE_GUARD.format(w=_simhash_majority_word(0, n_bits))
+        got = {
+            r["doc_id"]: r["simhash"]
+            for r in votes.select("doc_id", F.expr(sim).alias("simhash")).collect()
+        }
+        want = {did: ref_sig(text, n_bits) for did, text in docs}
+        assert got == want, f"width {n_bits}"
