@@ -99,13 +99,18 @@ def _calibrate_gated(spark) -> tuple[float, bool, int]:
     return c, c > _CALIB_BAND_S, _CALIB_RETRIES
 
 
-#: warm min-of-2 q1_pricing_summary at sf0.001 reads ~0.52-0.63s on an
-#: idle box at local[32]; this probe exercises the parquet scan + shuffle
-#: + agg path, so it catches I/O- and memory-bandwidth-shaped ambient
-#: load the pure-CPU calib kernel misses (the BENCH_r13 gap: calib in
-#: band while every query ran ~39% slow under loadavg 3.4)
+#: warm min-of-2 q1_pricing_summary at sf0.001 reads 0.25-0.47s across
+#: every clean-stamped r14 run on an idle box at local[32]; this probe
+#: exercises the parquet scan + shuffle + agg path, so it catches I/O-
+#: and memory-bandwidth-shaped ambient load the pure-CPU calib kernel
+#: misses (the BENCH_r13 gap: calib in band while every query ran ~39%
+#: slow under loadavg 3.4). Band tightened 0.9 -> 0.7 in the r14 opt
+#: round: an Aug-18 epoch ran every query ~5x slow (warm total 42.9s)
+#: with the CPU calib in band and ref probes 0.727/0.888 — just under
+#: the old band — so a run like that certified clean. 0.7 = max
+#: observed-idle 0.47 + ~50% margin, and catches that epoch on both legs.
 _REF_PROBE_QUERY = "q1_pricing_summary"
-_REF_PROBE_BAND_S = float(os.environ.get("SPARK_GRAFT_REF_BAND", "0.9"))
+_REF_PROBE_BAND_S = float(os.environ.get("SPARK_GRAFT_REF_BAND", "0.7"))
 _REF_PROBE_DIR = os.environ.get("SPARK_GRAFT_WARMUP_SF_DIR", "/root/testdata/sf0.001")
 
 

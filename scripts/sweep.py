@@ -52,6 +52,16 @@ def main() -> None:
     # explicit contamination stamp when retries exhaust (VERDICT r9 item 5)
     stamp = gated_calib(spark)
 
+    # r14-opt: the bench's Spark-path reference probe at both ends too —
+    # the Aug-18 epoch probe showed a host slowdown class that inflates
+    # 32-wide Spark stages ~2-5x while the single-threaded CPU calib stays
+    # in band (AMBIENT.md epoch-probe row); the sweep previously certified
+    # such runs clean (SWEEP_r14_EPOCH_PROBE_buildcode.json: 221s total vs
+    # 125s same-code, stamped clean)
+    from bench import _REF_PROBE_BAND_S, _ref_probe
+
+    ref_before = _ref_probe(spark)
+
     # some oracles bake per-SF literals (trained artifacts); rebuild for
     # the swept SF when it differs from the registry's committed build
     from kafka_cdc_hudi_spark.plans.catalog import sf_dependent_sql_builders
@@ -131,6 +141,15 @@ def main() -> None:
         print(f"# {'OK ' if ok else 'FAIL'} {name}: {spark_sec}s {rows} rows {'' if ok else msg}", file=sys.stderr)
 
     end_calib(spark, stamp)
+    ref_after = _ref_probe(spark)
+    stamp["ref_probe_before_sec"] = ref_before
+    stamp["ref_probe_after_sec"] = ref_after
+    stamp["ref_probe_band_sec"] = _REF_PROBE_BAND_S
+    stamp["contaminated"] = bool(
+        stamp["contaminated"]
+        or ref_before > _REF_PROBE_BAND_S
+        or ref_after > _REF_PROBE_BAND_S
+    )
     result = {
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_entries": len(entries),

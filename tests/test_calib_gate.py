@@ -73,3 +73,9 @@ def test_bench_certify_ors_every_gate():
     assert bench._certify(**{**ok, "loadavg_stamp": hot_load}) is True
     assert bench._certify(**{**ok, "ref_before": 1.4}) is True
     assert bench._certify(**{**ok, "ref_after": 1.4}) is True
+    # r14-opt band tightening (0.9 -> 0.7): the Aug-18 5x-slow epoch read
+    # ref probes 0.727/0.888 with the CPU calib in band and certified
+    # clean under the old band — those readings must now contaminate
+    assert bench._REF_PROBE_BAND_S <= 0.7
+    assert bench._certify(**{**ok, "ref_before": 0.727}) is True
+    assert bench._certify(**{**ok, "ref_after": 0.888}) is True
