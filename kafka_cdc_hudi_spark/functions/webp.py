@@ -46,6 +46,7 @@ kernel.
 from __future__ import annotations
 
 import struct
+from functools import lru_cache as _lru_cache
 
 WEBP_RIFF_MAGIC = b"RIFF"
 
@@ -156,22 +157,50 @@ class _BitReader:
 
 
 class _BitWriter:
+    """LSB-first bit sink. Bits accumulate in an int buffer and flush to
+    the bytearray a whole byte at a time (r15: the per-BIT append loop was
+    the single hottest encoder frame in the profile — ~1.6M calls/0.9s per
+    fixture pass; the multi-bit write emits the identical bit stream).
+    Observable state matches the original per-bit writer exactly: ``out``
+    always holds the partial trailing byte and ``bitpos`` is the next free
+    bit index in it (the hand-built bitstream tests splice on both)."""
+
+    __slots__ = ("out", "_acc", "bitpos")
+
     def __init__(self):
         self.out = bytearray()
+        self._acc = 0
         self.bitpos = 0
 
     def write(self, value: int, n: int) -> None:
-        for i in range(n):
-            if self.bitpos == 0:
-                self.out.append(0)
-            if (value >> i) & 1:
-                self.out[-1] |= 1 << self.bitpos
-            self.bitpos = (self.bitpos + 1) & 7
+        nacc = self.bitpos
+        acc = self._acc | ((value & ((1 << n) - 1)) << nacc)
+        nacc += n
+        if nacc >= 8:
+            out = self.out
+            if self.bitpos:
+                del out[-1]  # re-emit the partial byte now being extended
+            while nacc >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nacc -= 8
+            if nacc:
+                out.append(acc & 0xFF)
+        elif n:
+            if self.bitpos:
+                self.out[-1] = acc & 0xFF
+            else:
+                self.out.append(acc & 0xFF)
+        self._acc = acc
+        self.bitpos = nacc
 
     def write_code(self, code: int, length: int) -> None:
-        """Prefix-code bits are emitted MSB-first into the LSB-first stream."""
-        for i in range(length - 1, -1, -1):
-            self.write((code >> i) & 1, 1)
+        """Prefix-code bits are emitted MSB-first into the LSB-first
+        stream: bit-reverse the code once and emit with a single write."""
+        v = 0
+        for i in range(length):
+            v = (v << 1) | ((code >> i) & 1)
+        self.write(v, length)
 
     def bytes(self) -> bytes:
         return bytes(self.out)
@@ -186,8 +215,8 @@ def _canonical_codes(lengths: dict[int, int]) -> dict[int, tuple[int, int]]:
     code = 0
     prev_len = 0
     out: dict[int, tuple[int, int]] = {}
-    for sym in sorted(lengths, key=lambda s: (lengths[s], s)):
-        ln = lengths[sym]
+    # plain tuple sort == (length, symbol) order, no per-element lambda
+    for ln, sym in sorted((ln, s) for s, ln in lengths.items()):
         code <<= ln - prev_len
         out[sym] = (code, ln)
         code += 1
@@ -207,9 +236,20 @@ class _PrefixCode:
     same symbol; the fill is a C-speed strided slice assignment). The
     entropy-image decoder calls ensure_lut() only when the pixel count
     amortizes the build — real web images do, 100-pixel fixtures don't.
-    Spec caps code lengths at 15, so a LUT is at most 32k entries."""
+    Spec caps code lengths at 15, so a LUT is at most 32k entries.
 
-    __slots__ = ("single", "codes", "table", "lut", "max_len")
+    r15: canonically-constructed codes additionally carry the classic
+    first-code/count/offset arrays, so the default read is ONE bit-peek
+    plus pure int arithmetic per symbol (no per-bit method call, no dict
+    probe, no build cost beyond O(n_symbols)) — the measured optimum for
+    the small images where a LUT build cannot amortize. Hand-built code
+    lists (:meth:`from_code_list` — the simple form, possibly degenerate)
+    keep the dict walk."""
+
+    __slots__ = (
+        "single", "codes", "table", "lut", "max_len",
+        "first", "cnt", "off", "syms",
+    )
 
     def __init__(self, lengths: dict[int, int]):
         used = {s: ln for s, ln in lengths.items() if ln > 0}
@@ -223,8 +263,28 @@ class _PrefixCode:
             self.table = None
             self.lut = None
             self.max_len = 0
+            self.first = None
             return
         self._init_codes(_canonical_codes(used))
+        # canonical construction guarantees the per-length code values are
+        # consecutive from first[L] upward — the invariant the fast
+        # canonical walk needs (from_code_list skips this: its simple-form
+        # codes may be degenerate/non-canonical). _canonical_codes emits
+        # symbols in (length, symbol) order with monotonically increasing
+        # codes, so one linear pass builds the arrays.
+        L = self.max_len
+        first = [0] * (L + 1)
+        cnt = [0] * (L + 1)
+        off = [0] * (L + 1)
+        syms = [s for s, _c, _ln in self.codes]
+        prev = 0
+        for pos_i, (sym, code, ln) in enumerate(self.codes):
+            if ln != prev:
+                first[ln] = code
+                off[ln] = pos_i
+                prev = ln
+            cnt[ln] += 1
+        self.first, self.cnt, self.off, self.syms = first, cnt, off, syms
 
     @classmethod
     def from_code_list(cls, entries: list[tuple[int, int, int]]) -> "_PrefixCode":
@@ -232,9 +292,11 @@ class _PrefixCode:
         simple two-symbol form maps code 0 to the FIRST symbol in read
         order (not canonical order), and spec-legal degenerate streams
         may map BOTH codes to the SAME symbol — so entries are keyed by
-        code, never by symbol."""
+        code, never by symbol (and the canonical fast walk is skipped:
+        ``first`` stays None, reads take the dict walk)."""
         pc = cls.__new__(cls)
         pc.single = None
+        pc.first = None
         pc._init_codes(entries)
         return pc
 
@@ -267,19 +329,47 @@ class _PrefixCode:
     def read(self, br: _BitReader) -> int:
         if self.single is not None:
             return self.single
+        pos = br.pos
+        L = self.max_len
+        i = pos >> 3
+        boff = pos & 7
         if self.lut is not None:
-            entry = self.lut[br.peek(self.max_len)]
+            # inlined peek (hot path: one call frame per symbol saved)
+            chunk = int.from_bytes(
+                br.data[i : i + ((L + boff + 7) >> 3)], "little"
+            )
+            entry = self.lut[(chunk >> boff) & ((1 << L) - 1)]
             if entry is None:
                 raise ValueError("invalid prefix code in VP8L stream")
             sym, ln = entry
-            br.pos += ln
+            br.pos = pos + ln
             if br.pos > br.nbits:
                 raise ValueError("truncated VP8L stream")
             return sym
+        if self.first is not None:
+            # canonical walk: one peek, then pure int arithmetic — prefix
+            # bits are MSB-first in stream order, so accumulate from the
+            # low end of the peeked chunk
+            chunk = int.from_bytes(
+                br.data[i : i + ((L + boff + 7) >> 3)], "little"
+            ) >> boff
+            first, cnt = self.first, self.cnt
+            acc = 0
+            for ln in range(1, L + 1):
+                acc = (acc << 1) | (chunk & 1)
+                chunk >>= 1
+                idx = acc - first[ln]
+                if 0 <= idx < cnt[ln]:
+                    br.pos = pos + ln
+                    if br.pos > br.nbits:
+                        raise ValueError("truncated VP8L stream")
+                    return self.syms[self.off[ln] + idx]
+            raise ValueError("invalid prefix code in VP8L stream")
         acc = 0
+        table_get = self.table.get
         for ln in range(1, self.max_len + 1):
             acc = (acc << 1) | br.read_code_bit()
-            sym = self.table.get((ln, acc))
+            sym = table_get((ln, acc))
             if sym is not None:
                 return sym
         raise ValueError("invalid prefix code in VP8L stream")
@@ -297,6 +387,16 @@ def _complete_flat_lengths(n: int) -> dict[int, int]:
 
 
 # -- prefix-code (de)serialization ---------------------------------------------
+
+
+@_lru_cache(maxsize=4096)
+def _prefix_code_cached(length_items: tuple) -> _PrefixCode:
+    """Shared canonical-code instances keyed by the exact (symbol,
+    length) map (r15: fixture corpora re-read the same handful of length
+    maps thousands of times — construction was ~40% of the decode
+    profile). Safe to share: a _PrefixCode is immutable after build
+    except ensure_lut(), which is idempotent."""
+    return _PrefixCode(dict(length_items))
 
 
 def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _PrefixCode:
@@ -319,7 +419,7 @@ def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _PrefixCode:
         ln = br.read(3)
         if ln:
             clc_lengths[_CLC_ORDER[i]] = ln
-    clc = _PrefixCode(clc_lengths)
+    clc = _prefix_code_cached(tuple(sorted(clc_lengths.items())))
     if br.read(1):  # explicit max_symbol
         length_nbits = 2 + 2 * br.read(3)
         max_symbol = 2 + br.read(length_nbits)
@@ -344,31 +444,33 @@ def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _PrefixCode:
             sym += 3 + br.read(3)
         else:  # 18
             sym += 11 + br.read(7)
-    return _PrefixCode(lengths)
+    # symbols are assigned in increasing order above, so the insertion
+    # order is already the sorted cache key
+    return _prefix_code_cached(tuple(lengths.items()))
 
 
-def _write_prefix_code(bw: _BitWriter, used: list[int], alphabet_size: int) -> dict[int, tuple[int, int]]:
-    """Emit a prefix code covering ``used`` symbols; returns {symbol:
-    (code, length)} for the writer. Simple form for <=2 used symbols
-    (when they fit 8 bits), else a complete semi-flat normal code over
-    [0, max_used+1)."""
-    used = sorted(set(used))
-    if 1 <= len(used) <= 2 and used[-1] < 256:
-        bw.write(1, 1)  # simple
-        bw.write(len(used) - 1, 1)
-        first = used[0]
-        if first <= 1:
-            bw.write(0, 1)
-            bw.write(first, 1)
-        else:
-            bw.write(1, 1)
-            bw.write(first, 8)
-        if len(used) == 1:
-            return {first: (0, 0)}
-        bw.write(used[1], 8)
-        return {used[0]: (0, 1), used[1]: (1, 1)}
+def _rev_bits(code: int, ln: int) -> int:
+    """MSB-first prefix code -> LSB-first stream bit pattern."""
+    v = 0
+    for i in range(ln):
+        v = (v << 1) | ((code >> i) & 1)
+    return v
+
+
+@_lru_cache(maxsize=1024)
+def _flat_code_plan(n: int):
+    """Serialized normal-form header + code maps for the complete
+    semi-flat code over [0, n) — everything ``_write_prefix_code`` emits
+    for the normal form depends ONLY on n, so the whole header is built
+    once per alphabet size (r15: the per-image header serialization —
+    tokenize + clc canonical build + per-token write_code — was ~25% of
+    the encoder profile). Returns (header_val, header_bits, codes,
+    rev_codes): the header as ONE LSB-first integer ready for a single
+    ``bw.write``, the canonical {sym: (code, len)} map (the documented
+    return contract), and {sym: (stream_bits, len)} pre-bit-reversed for
+    the data-loop emitters."""
+    bw = _BitWriter()
     bw.write(0, 1)  # normal
-    n = used[-1] + 1
     lengths = _complete_flat_lengths(n)
     # the lengths take at most two distinct values {L-1, L}
     distinct = sorted(set(lengths.values()))
@@ -417,7 +519,40 @@ def _write_prefix_code(bw: _BitWriter, used: list[int], alphabet_size: int) -> d
             c16, cl16 = clc_codes[16]
             bw.write_code(c16, cl16)
             bw.write(v - 3, 2)
-    return _canonical_codes(lengths)
+    header_bits = len(bw.out) * 8 - (8 - bw.bitpos if bw.bitpos else 0)
+    header_val = int.from_bytes(bw.bytes(), "little") & ((1 << header_bits) - 1)
+    codes = _canonical_codes(lengths)
+    rev_codes = {s: (_rev_bits(c, ln), ln) for s, (c, ln) in codes.items()}
+    return header_val, header_bits, codes, rev_codes
+
+
+def _write_prefix_code(
+    bw: _BitWriter, used: list[int], alphabet_size: int, rev: bool = False
+) -> dict[int, tuple[int, int]]:
+    """Emit a prefix code covering ``used`` symbols; returns {symbol:
+    (code, length)} for the writer. Simple form for <=2 used symbols
+    (when they fit 8 bits), else a complete semi-flat normal code over
+    [0, max_used+1). ``rev=True`` returns the codes pre-bit-reversed
+    into LSB-first stream order for direct ``bw.write`` emission (the
+    1-bit simple-form codes are their own reversal)."""
+    used = sorted(set(used))
+    if 1 <= len(used) <= 2 and used[-1] < 256:
+        bw.write(1, 1)  # simple
+        bw.write(len(used) - 1, 1)
+        first = used[0]
+        if first <= 1:
+            bw.write(0, 1)
+            bw.write(first, 1)
+        else:
+            bw.write(1, 1)
+            bw.write(first, 8)
+        if len(used) == 1:
+            return {first: (0, 0)}
+        bw.write(used[1], 8)
+        return {used[0]: (0, 1), used[1]: (1, 1)}
+    header_val, header_bits, codes, rev_codes = _flat_code_plan(used[-1] + 1)
+    bw.write(header_val, header_bits)
+    return rev_codes if rev else codes
 
 
 # -- LZ77 length/distance prefix values ----------------------------------------
@@ -556,11 +691,13 @@ def _read_entropy_image(
                 code.ensure_lut()
     px: list[tuple] = []
 
-    def emit(p: tuple) -> None:
-        px.append(p)
-        if cache_size:
+    if cache_size:
+        def emit(p: tuple) -> None:
+            px.append(p)
             argb = (p[0] << 24) | (p[1] << 16) | (p[2] << 8) | p[3]
             cache[(0x1E35A7BD * argb & 0xFFFFFFFF) >> (32 - cache_bits)] = p
+    else:
+        emit = px.append  # no cache: skip a Python frame per pixel
 
     while len(px) < n:
         if meta is None:
@@ -1000,28 +1137,31 @@ def _write_entropy_image(
         else:
             greens.add(256 + _LENGTH_CODES + op[1])
     green_alpha = _GREEN_LITERALS + _LENGTH_CODES + cache_size
-    gc = _write_prefix_code(bw, sorted(greens), green_alpha)
-    rc = _write_prefix_code(bw, sorted(reds) or [0], 256)
-    bc = _write_prefix_code(bw, sorted(blues) or [0], 256)
-    ac = _write_prefix_code(bw, sorted(alphas) or [255], 256)
-    dc = _write_prefix_code(bw, sorted(dists) or [0], _DISTANCE_CODES)
+    # rev=True: codes arrive pre-bit-reversed so the data loop emits each
+    # with one plain write (no per-token reversal loop)
+    gc = _write_prefix_code(bw, sorted(greens), green_alpha, rev=True)
+    rc = _write_prefix_code(bw, sorted(reds) or [0], 256, rev=True)
+    bc = _write_prefix_code(bw, sorted(blues) or [0], 256, rev=True)
+    ac = _write_prefix_code(bw, sorted(alphas) or [255], 256, rev=True)
+    dc = _write_prefix_code(bw, sorted(dists) or [0], _DISTANCE_CODES, rev=True)
 
+    write = bw.write
     for op in ops:
         if op[0] == "lit":
             a, r, g, b = op[1]
-            bw.write_code(*gc[g])
-            bw.write_code(*rc[r])
-            bw.write_code(*bc[b])
-            bw.write_code(*ac[a])
+            write(*gc[g])
+            write(*rc[r])
+            write(*bc[b])
+            write(*ac[a])
         elif op[0] == "copy":
             code, extra, ev = _lz77_code_for(op[1])
-            bw.write_code(*gc[256 + code])
-            bw.write(ev, extra)
+            write(*gc[256 + code])
+            write(ev, extra)
             code, extra, ev = _lz77_code_for(dmap(op[2]))
-            bw.write_code(*dc[code])
-            bw.write(ev, extra)
+            write(*dc[code])
+            write(ev, extra)
         else:
-            bw.write_code(*gc[256 + _LENGTH_CODES + op[1]])
+            write(*gc[256 + _LENGTH_CODES + op[1]])
 
 
 def _write_meta_entropy_image(
@@ -1059,21 +1199,21 @@ def _write_meta_entropy_image(
         reds = sorted({p[1] for p in pix})
         blues = sorted({p[3] for p in pix})
         alphas = sorted({p[0] for p in pix})
-        gc = _write_prefix_code(bw, greens, _GREEN_LITERALS + _LENGTH_CODES)
-        rc = _write_prefix_code(bw, reds, 256)
-        bc = _write_prefix_code(bw, blues, 256)
-        ac = _write_prefix_code(bw, alphas, 256)
-        dc_ = _write_prefix_code(bw, [0], _DISTANCE_CODES)  # unused
+        gc = _write_prefix_code(bw, greens, _GREEN_LITERALS + _LENGTH_CODES, rev=True)
+        rc = _write_prefix_code(bw, reds, 256, rev=True)
+        bc = _write_prefix_code(bw, blues, 256, rev=True)
+        ac = _write_prefix_code(bw, alphas, 256, rev=True)
+        dc_ = _write_prefix_code(bw, [0], _DISTANCE_CODES, rev=True)  # unused
         group_codes.append((gc, rc, bc, ac, dc_))
 
     for y in range(h):
         for x in range(w):
             gc, rc, bc, ac, _dc = group_codes[group_of(x, y)]
             a, r, g, b = px[y * w + x]
-            bw.write_code(*gc[g])
-            bw.write_code(*rc[r])
-            bw.write_code(*bc[b])
-            bw.write_code(*ac[a])
+            bw.write(*gc[g])
+            bw.write(*rc[r])
+            bw.write(*bc[b])
+            bw.write(*ac[a])
 
 
 def encode_webp(

@@ -630,3 +630,98 @@ def test_simple_form_two_equal_symbols_decodes():
     pc = _read_prefix_code(br, 256)
     assert pc.read(br) == 42 and pc.read(br) == 42
     pc.ensure_lut()  # the LUT build must also key by code, not symbol
+
+
+def test_bitwriter_multibit_matches_per_bit_reference():
+    """r15: the multi-bit accumulator _BitWriter must emit the exact bit
+    stream (and expose the same mid-stream out/bitpos state) as the
+    original per-bit writer, for arbitrary (value, n) sequences."""
+    import random
+
+    from kafka_cdc_hudi_spark.functions.webp import _BitWriter
+
+    class _PerBit:  # the pre-r15 reference implementation
+        def __init__(self):
+            self.out = bytearray()
+            self.bitpos = 0
+
+        def write(self, value, n):
+            for i in range(n):
+                if self.bitpos == 0:
+                    self.out.append(0)
+                if (value >> i) & 1:
+                    self.out[-1] |= 1 << self.bitpos
+                self.bitpos = (self.bitpos + 1) & 7
+
+    rng = random.Random(1515)
+    for _trial in range(50):
+        bw, ref = _BitWriter(), _PerBit()
+        for _ in range(rng.randint(1, 120)):
+            n = rng.randint(0, 24)
+            v = rng.getrandbits(n) if n else 0
+            bw.write(v, n)
+            ref.write(v, n)
+            assert bytes(bw.out) == bytes(ref.out)
+            assert bw.bitpos == ref.bitpos
+        assert bw.bytes() == bytes(ref.out)
+
+
+def test_write_prefix_code_rev_is_bit_reversal():
+    """r15: rev=True must return exactly the bit-reversed codes of the
+    documented rev=False contract, emitting identical header bits."""
+    from kafka_cdc_hudi_spark.functions.webp import (
+        _BitWriter,
+        _rev_bits,
+        _write_prefix_code,
+    )
+
+    for used in ([1, 2, 3, 4, 259], [0, 7], [5], list(range(40))):
+        b1, b2 = _BitWriter(), _BitWriter()
+        plain = _write_prefix_code(b1, used, 280)
+        rev = _write_prefix_code(b2, used, 280, rev=True)
+        assert b1.bytes() == b2.bytes() and b1.bitpos == b2.bitpos
+        assert set(plain) == set(rev)
+        for sym, (code, ln) in plain.items():
+            assert rev[sym] == (_rev_bits(code, ln), ln)
+
+
+def test_canonical_fast_walk_matches_dict_walk():
+    """r15: the first-code/count/offset canonical walk must decode the
+    same symbols as the (ln, acc)-keyed dict walk for random canonical
+    codes driven over random bitstreams."""
+    import random
+
+    from kafka_cdc_hudi_spark.functions.webp import (
+        _BitReader,
+        _BitWriter,
+        _PrefixCode,
+    )
+
+    rng = random.Random(42)
+    for _trial in range(30):
+        n_syms = rng.randint(2, 60)
+        syms = rng.sample(range(280), n_syms)
+        # random Kraft-complete length map via repeated splitting
+        lengths = {s: 1 for s in syms[:2]}
+        pool = syms[2:]
+        while pool:
+            victim = rng.choice(list(lengths))
+            if lengths[victim] >= 14:
+                continue
+            nxt = pool.pop()
+            lengths[nxt] = lengths[victim] = lengths[victim] + 1
+        pc = _PrefixCode(dict(sorted(lengths.items())))
+        assert pc.first is not None  # fast walk active
+        # emit a random symbol sequence, decode with both walks
+        seq = [rng.choice(list(lengths)) for _ in range(100)]
+        by_sym = {s: (c, ln) for s, c, ln in pc.codes}
+        bw = _BitWriter()
+        for s in seq:
+            bw.write_code(*by_sym[s])
+        br1 = _BitReader(bw.bytes())
+        got_fast = [pc.read(br1) for _ in seq]
+        pc_slow = _PrefixCode(dict(sorted(lengths.items())))
+        pc_slow.first = None  # force the dict-walk fallback
+        br2 = _BitReader(bw.bytes())
+        got_slow = [pc_slow.read(br2) for _ in seq]
+        assert got_fast == got_slow == seq
