@@ -279,13 +279,16 @@ class KeyedParquetTable:
         round-over-round operational auditing (write amplification,
         commit latency) without scanning data.
 
-        ``rows`` (footer num_rows sum) is recorded only for the ops the
-        write-amplification probe consumes — plain-COW base commits
-        ("upsert"/"restore"); delta/bucketed/compact commits would pay
-        O(files) footer opens per commit for a count nothing reads
-        (ADVICE r13)."""
+        ``rows`` (footer num_rows sum) is recorded for the ops that read
+        it: plain-COW base commits ("upsert"/"restore" — the write-
+        amplification probe) and, since r15, "delta" commits — the MOR
+        merge decides batch emptiness from this count instead of paying a
+        second execution of the batch lineage for a pre-write isEmpty()
+        (rebalanced deltas are typically one file, so the footer walk is
+        O(1)). Bucketed/compact commits still skip the count: nothing
+        reads it there (ADVICE r13)."""
         n_files = total = 0
-        want_rows = op in ("upsert", "restore")
+        want_rows = op in ("upsert", "restore", "delta")
         rows: int | None = 0 if want_rows else None
         if want_rows:
             import pyarrow.parquet as pq
@@ -1283,7 +1286,10 @@ class KeyedParquetTable:
             and batch_id <= p["last_batch_id"]
         ):
             return False
-        if batch.isEmpty():  # empty-slice gate (/root/reference/glue/cdc_hudi.py:231,246)
+        if self.mode != MODE_MOR and batch.isEmpty():
+            # empty-slice gate (/root/reference/glue/cdc_hudi.py:231,246).
+            # MOR decides emptiness from the written delta's footers below
+            # — a pre-check here would execute the batch lineage twice.
             return False
         os.makedirs(self.root, exist_ok=True)
         if self.mode == MODE_COW_BUCKETED:
@@ -1292,7 +1298,12 @@ class KeyedParquetTable:
         commits = self._commits_map(p)
         if self.mode == MODE_MOR:
             # O(batch) commit: collapse to ≤1 row per key (map-side combine),
-            # keep tombstones, stamp the commit sequence, append as a delta
+            # keep tombstones, stamp the commit sequence, append as a delta.
+            # REBALANCE before the write (guide §6): AQE sizes the delta
+            # files by advisory bytes — a churn-bounded maintainer delta
+            # lands in one file instead of one tiny file per shuffle
+            # partition (the footer storm every later fold/read paid),
+            # while a bulk delta still splits into advisory-sized files.
             delta = dedupe_batch(
                 batch,
                 self.keys,
@@ -1300,17 +1311,23 @@ class KeyedParquetTable:
                 deleted_col=self.deleted_col,
                 tiebreakers=self.tiebreakers,
             ).withColumn(_SEQ_COL, F.lit(new_version))
-            self._write_parquet(delta, self._delta_dir(new_version))
+            ddir = self._delta_dir(new_version)
+            self._write_parquet(delta.hint("rebalance"), ddir)
+            # single-execution empty gate: the batch lineage ran exactly
+            # once (the write above); emptiness comes from the written
+            # footers (metadata-only). An empty delta is rolled back and
+            # never manifested — same contract as the old pre-check,
+            # without re-running the lineage for isEmpty.
+            meta = self._commit_meta_entry(ddir, "delta", t0)
+            if meta["rows"] == 0:
+                shutil.rmtree(ddir, ignore_errors=True)
+                return False
             commits[new_version] = "delta"
             self._write_pointer(
                 new_version,
                 batch_id,
                 commits,
-                commit_meta={
-                    str(new_version): self._commit_meta_entry(
-                        self._delta_dir(new_version), "delta", t0
-                    )
-                },
+                commit_meta={str(new_version): meta},
             )
             base, pending = self._resolve(new_version)
             if (self.compact_every is not None and len(pending) >= self.compact_every) or (
@@ -1638,7 +1655,11 @@ class KeyedParquetTable:
         new_version = self._next_version(p)
         # MOR compacted bases get the same clustering as COW bases: this is
         # the write the read-optimized (_ro) path scans, so row-group
-        # min/max selectivity matters most here
+        # min/max selectivity matters most here. Unclustered bases are
+        # REBALANCED instead (guide §6): advisory-sized output files, not
+        # one tiny file per shuffle partition.
+        if not self.cluster_cols:
+            merged = merged.hint("rebalance")
         self._write_parquet(
             self._cluster_sort(merged, bucketed=False), self._version_dir(new_version)
         )
